@@ -1,0 +1,89 @@
+"""SparkSession factory with engine-appropriate defaults.
+
+Pinned settings and why:
+
+- ``spark.sql.session.timeZone=UTC`` — the reference normalizes every event
+  time to UTC (reference src/Event.php:63-80); also required for DuckDB
+  oracle parity (DuckDB timestamps are UTC-naive).
+- AQE on (+ skew-join handling) — correlation keys can be skewed (one hot
+  user/device); AQE re-plans shuffle partitioning at runtime.
+- Arrow enabled — every Python-side operator uses pandas UDFs /
+  ``applyInPandas``; Arrow batching is the only acceptable transfer path.
+- shuffle partitions default to the local core count; on a real cluster this
+  should be set to ~2-3× total executor cores by the submitter.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "php-ec-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores. On a real
+    cluster, pass master/resource config through ``extra_conf`` or
+    spark-submit instead.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # parquet scans: keep splits reasonable for local; cluster submitters
+        # should size maxPartitionBytes so a partition fits executor memory.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES):
+    """Read the driver's parquet tables as a dict of DataFrames.
+
+    Plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown and
+    column pruning; never cache here — each query should prune its own scan.
+    ``events`` goes through :func:`php_ec_spark.model.load_events` (nanos
+    timestamp handling).
+    """
+    from .model import load_events
+
+    return {
+        name: load_events(spark, sf_dir) if name == "events"
+        else spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for name in names
+    }

@@ -1,0 +1,190 @@
+"""Correlation-engine semantics tests.
+
+The hand-built stream mirrors the reference's online-shop example
+(examples/online_shop/sources/webstore_events.php, FIXTURES.md F4):
+placed→paid within a timeout, late payment after a timeout starts a NEW
+matcher, never-paid fires a timeout. Expected outputs are hand-derived from
+the reference's documented semantics (batch-clock timeout at t−1ms,
+CorrelationEngine.php:191-202).
+"""
+
+import datetime as dt
+
+import pytest
+
+from php_ec_spark.engine import correlate, correlate_state_machine, compile_two_step_sequence
+from php_ec_spark.rules import Rule, match_single_continuously, sequence_rule
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+
+def _mk_events(spark, rows):
+    """rows: (event_id, sec_offset, user_id, event_type, value)"""
+    data = [(eid, _ts(sec), uid, et, val, None) for eid, sec, uid, et, val in rows]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+ORDER_RULE = sequence_rule(
+    "check_order_payment", ["placed", "paid"], key="user_id", timeout="PT20S"
+)
+
+
+class TestSequenceTimeout:
+    def _run(self, spark, rows, runner):
+        df = runner(_mk_events(spark, rows), [ORDER_RULE]) if runner is correlate \
+            else runner(_mk_events(spark, rows), ORDER_RULE)
+        got = {
+            (r.key, r.start_event_id): (r.outcome, r.fire_ts)
+            for r in df.collect()
+        }
+        return got
+
+    @pytest.mark.parametrize("runner", [correlate, compile_two_step_sequence])
+    def test_paid_within_timeout(self, spark, runner):
+        rows = [(1, 0, 10, "placed", 5.0), (2, 10, 10, "paid", 7.0)]
+        got = self._run(spark, rows, runner)
+        assert got == {("10", 1): ("completed", _ts(10))}
+
+    @pytest.mark.parametrize("runner", [correlate, compile_two_step_sequence])
+    def test_never_paid_times_out(self, spark, runner):
+        rows = [(1, 0, 10, "placed", 5.0), (2, 100, 10, "other", 1.0)]
+        got = self._run(spark, rows, runner)
+        assert got == {("10", 1): ("timeout", _ts(20))}
+
+    @pytest.mark.parametrize("runner", [correlate, compile_two_step_sequence])
+    def test_late_payment_is_timeout(self, spark, runner):
+        # paid arrives 360s later (> PT20S): timeout fires at placed+20s;
+        # the late 'paid' does NOT start a new matcher (not an initial event)
+        rows = [(1, 0, 10, "placed", 5.0), (2, 360, 10, "paid", 7.0)]
+        got = self._run(spark, rows, runner)
+        assert got == {("10", 1): ("timeout", _ts(20))}
+
+    @pytest.mark.parametrize("runner", [correlate, compile_two_step_sequence])
+    def test_keys_are_independent(self, spark, runner):
+        rows = [
+            (1, 0, 10, "placed", 1.0),
+            (2, 1, 11, "placed", 2.0),
+            (3, 5, 11, "paid", 3.0),
+        ]
+        got = self._run(spark, rows, runner)
+        assert got == {
+            ("10", 1): ("timeout", _ts(20)),
+            ("11", 2): ("completed", _ts(5)),
+        }
+
+    @pytest.mark.parametrize("runner", [correlate, compile_two_step_sequence])
+    def test_one_paid_completes_all_waiting_instances(self, spark, runner):
+        # two placed for same key -> two instances; the single paid completes both
+        rows = [
+            (1, 0, 10, "placed", 1.0),
+            (2, 5, 10, "placed", 2.0),
+            (3, 10, 10, "paid", 4.0),
+        ]
+        got = self._run(spark, rows, runner)
+        assert got == {
+            ("10", 1): ("completed", _ts(10)),
+            ("10", 2): ("completed", _ts(10)),
+        }
+
+    @pytest.mark.parametrize("runner", [correlate, compile_two_step_sequence])
+    def test_boundary_exact_deadline_completes(self, spark, runner):
+        # f.ts == deadline: acceptEventTime uses <= (AEventProcessor.php:357-396)
+        rows = [(1, 0, 10, "placed", 1.0), (2, 20, 10, "paid", 2.0)]
+        got = self._run(spark, rows, runner)
+        assert got == {("10", 1): ("completed", _ts(20))}
+
+
+class TestStateMachineSpecifics:
+    def test_same_type_sequence_pairs_disjointly(self, spark):
+        # A->A: per-class dedup (CorrelationEngine.php:252-254) pairs 1-2, 3-4
+        rule = sequence_rule("pair", ["click", "click"], key="user_id", timeout=None)
+        rows = [(i, i * 10, 10, "click", float(i)) for i in range(1, 5)]
+        df = correlate_state_machine(_mk_events(spark, rows), [rule])
+        got = sorted((r.start_event_id, r.last_event_id) for r in df.collect())
+        assert got == [(1, 2), (3, 4)]
+
+    def test_continuous_gap_detection(self, spark):
+        # MatchContinuouslyTillTimeout: deadline resets per event; fires when quiet
+        rule = match_single_continuously("gap", ["ping"], key="user_id", timeout="PT15S")
+        rows = [(1, 0, 10, "ping", 1.0), (2, 10, 10, "ping", 1.0), (3, 60, 10, "ping", 1.0)]
+        df = correlate_state_machine(_mk_events(spark, rows), [rule])
+        got = sorted((r.outcome, r.fire_ts, r.n_events) for r in df.collect())
+        # first instance consumed events 1,2 then timed out at 10+15=25s;
+        # event 3 starts a new instance that times out at 60+15=75s (end of stream)
+        assert got == [("timeout", _ts(25), 2), ("timeout", _ts(75), 1)]
+
+    def test_chain_limit_trims(self, spark):
+        rule = match_single_continuously(
+            "trim", ["ping"], key="user_id", timeout=None, chain_limit=2, emit_final=True
+        )
+        rows = [(i, i, 10, "ping", float(i)) for i in range(1, 6)]
+        df = correlate_state_machine(_mk_events(spark, rows), [rule])
+        rows_out = df.collect()
+        assert len(rows_out) == 1
+        r = rows_out[0]
+        assert (r.outcome, r.n_events, r.start_event_id, r.last_event_id) == ("final", 2, 4, 5)
+        assert r.value_sum == 9.0
+
+    def test_suppression_order(self, spark):
+        # rule1 suppresses 'error' events; rule2 ('*') must never see them
+        r1 = Rule("alert", [["error"]], key="user_id", suppress=True, continuous=True)
+        r2 = match_single_continuously("count_all", ["*"], key="user_id", emit_final=True)
+        rows = [
+            (1, 0, 10, "error", 1.0),
+            (2, 1, 10, "click", 1.0),
+            (3, 2, 10, "error", 1.0),
+            (4, 3, 10, "view", 1.0),
+        ]
+        df = correlate_state_machine(_mk_events(spark, rows), [r1, r2])
+        finals = [r for r in df.collect() if r.rule == "count_all"]
+        assert len(finals) == 1 and finals[0].n_events == 2  # only click + view
+
+    def test_wildcard_sees_everything_without_suppression(self, spark):
+        r2 = match_single_continuously("count_all", ["*"], key="user_id", emit_final=True)
+        rows = [(i, i, 10, t, 1.0) for i, t in enumerate(["error", "click", "error", "view"], 1)]
+        df = correlate_state_machine(_mk_events(spark, rows), [r2])
+        finals = df.collect()
+        assert len(finals) == 1 and finals[0].n_events == 4
+
+    def test_three_step_sequence(self, spark):
+        rule = sequence_rule("funnel", ["view", "click", "purchase"], key="user_id", timeout="PT1M")
+        rows = [
+            (1, 0, 10, "view", 1.0),
+            (2, 30, 10, "click", 2.0),
+            (3, 80, 10, "purchase", 3.0),  # 50s after click, within PT1M of click
+            (4, 0, 11, "view", 1.0),
+            (5, 90, 11, "click", 2.0),  # 90s after view > PT1M -> instance timed out first
+        ]
+        df = correlate_state_machine(_mk_events(spark, rows), [rule])
+        got = {(r.key, r.outcome): (r.n_events, r.fire_ts) for r in df.collect()}
+        assert got == {
+            ("10", "completed"): (3, _ts(80)),
+            ("11", "timeout"): (1, _ts(60)),
+        }
+
+    def test_timeout_fires_before_later_event_applies(self, spark):
+        # batch clock: pending timeout (deadline 20) fires before event at t=100
+        # even though that event could otherwise have been consumed
+        rule = sequence_rule("seq", ["placed", "paid"], key="user_id", timeout="PT20S")
+        rows = [(1, 0, 10, "placed", 1.0), (2, 100, 10, "paid", 1.0)]
+        df = correlate_state_machine(_mk_events(spark, rows), [rule])
+        got = [(r.outcome, r.fire_ts) for r in df.collect()]
+        assert got == [("timeout", _ts(20))]
+
+
+class TestStrategyParity:
+    """Relational fast path ≡ state machine on the driver's real events table."""
+
+    @pytest.mark.parametrize("timeout", ["PT30M", "PT6H", None])
+    def test_paths_agree_on_real_data(self, spark, events, timeout):
+        rule = sequence_rule("r", ["signup", "purchase"], key="user_id", timeout=timeout)
+        fast = compile_two_step_sequence(events, rule)
+        slow = correlate_state_machine(events, [rule])
+        cols = ["key", "start_event_id", "outcome", "fire_ts", "last_event_id", "n_events"]
+        a = sorted(map(tuple, fast.select(cols).collect()))
+        b = sorted(map(tuple, slow.select(cols).collect()))
+        assert a == b and len(a) > 0
