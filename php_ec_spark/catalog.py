@@ -1,0 +1,62 @@
+"""Query catalog — the driver-facing inventory of implemented operators.
+
+Every operator from SURVEY.md §2 (plus the large-scale pipeline operators)
+is exposed as a named query: a Spark callable ``(spark, sf_dir) -> DataFrame``
+paired with an equivalent ANSI-SQL oracle that DuckDB runs on the same
+parquet tables. The driver (and ``tests/test_oracle_parity.py``) compares
+them row-for-row; column names/aliases MUST match on both sides.
+
+Conventions that keep the comparison exact:
+
+- timestamps: oracle SQL casts ``ts::TIMESTAMP`` (DuckDB reads the events
+  table as TIMESTAMP_NS; Spark floors to µs — the cast makes DuckDB match).
+- float aggregates are rounded (``_r`` suffix) — sums of 2-decimal inputs
+  round exactly on both engines; orderings use the rounded value plus an id
+  tie-break so double ULP differences can't flip ranks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None ⇒ non-SQL-expressible, rows-only check
+    headline: bool = False  # included in bench.py
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: Optional[str],
+    headline: bool = False,
+    doc: str = "",
+):
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name}")
+        _REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, headline=headline, doc=doc)
+        return fn
+
+    return wrap
+
+
+def all_queries() -> dict[str, Query]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def _load_all() -> None:
+    # importing the modules populates the registry
+    from . import queries_cep  # noqa: F401
+    from . import queries_relational  # noqa: F401
+    from . import queries_pipeline  # noqa: F401

@@ -280,11 +280,24 @@ def correlate(events: DataFrame, rules: Sequence[Rule], historical: bool = False
     """Run rules over a batch event stream, choosing the best physical plan
     per rule: relational window plan for simple 2-step sequences, state
     machine otherwise. Emissions share EMISSION_SCHEMA across strategies."""
-    from .relational import compile_two_step_sequence, is_relational_compilable
+    from .relational import (
+        compile_single_match,
+        compile_two_step_sequence,
+        is_relational_compilable,
+        is_single_match,
+    )
 
+    if any(r.suppress for r in rules):
+        # suppression makes rule-list order semantic across ALL rules
+        # (CorrelationEngine.php:231-236) — one serial pass required
+        return correlate_state_machine(events, rules, historical=historical)
     relational = [r for r in rules if is_relational_compilable(r)]
     general = [r for r in rules if not is_relational_compilable(r)]
-    outs = [compile_two_step_sequence(events, r) for r in relational]
+    outs = [
+        compile_single_match(events, r) if is_single_match(r)
+        else compile_two_step_sequence(events, r)
+        for r in relational
+    ]
     if general:
         outs.append(correlate_state_machine(events, general, historical=historical))
     result = outs[0]

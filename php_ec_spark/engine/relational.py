@@ -34,11 +34,45 @@ from .batch import EMISSION_SCHEMA
 
 
 def is_relational_compilable(rule: Rule) -> bool:
+    if rule.emit_progress or rule.emit_final or rule.on_complete or rule.on_timeout:
+        return False
+    if is_single_match(rule):
+        return True
     if not rule.is_simple_sequence or len(rule.events) != 2:
         return False
     a, b = rule.events[0][0], rule.events[1][0]
-    return a != b and not rule.emit_progress and not rule.emit_final \
-        and rule.on_complete is None and rule.on_timeout is None
+    return a != b
+
+
+def is_single_match(rule: Rule) -> bool:
+    """MatchSingle (Rule/MatchSingle.php:22-33): one group, completes on the
+    first accepted event — pure stateless filter, one emission per event."""
+    return (
+        len(rule.events) == 1
+        and not rule.continuous
+        and not rule.suppress
+        and rule.accept is None
+        and rule.key is not None
+    )
+
+
+def compile_single_match(events: DataFrame, rule: Rule) -> DataFrame:
+    """MatchSingle compiles to filter+project — stays fully in codegen."""
+    group = rule.events[0]
+    src = events
+    if "*" not in group:
+        src = src.filter(F.col("event_type").isin(list(group)))
+    return src.select(
+        F.lit(rule.name).alias("rule"),
+        F.col(rule.key).cast("string").alias("key"),
+        F.lit("completed").alias("outcome"),
+        F.col("ts").alias("fire_ts"),
+        F.col("event_id").alias("start_event_id"),
+        F.col("event_id").alias("last_event_id"),
+        F.lit(1).cast("long").alias("n_events"),
+        F.col("value").alias("value_sum"),
+        F.lit(None).cast("string").alias("payload"),
+    )
 
 
 def compile_two_step_sequence(events: DataFrame, rule: Rule) -> DataFrame:
