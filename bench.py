@@ -1,0 +1,55 @@
+"""Benchmark harness: runs the headline queries and prints ONE JSON line.
+
+Usage: python bench.py
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS   (default all cores)
+
+Each headline query is materialized via a count-ish action (``collect`` on
+already-small results, ``count`` otherwise is avoided — collect forces full
+result production, which is what a user would pay for).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from php_ec_spark.catalog import all_queries
+    from php_ec_spark.session import get_spark
+
+    spark = get_spark(app_name="php-ec-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = {n: q for n, q in all_queries().items() if q.headline}
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, q in sorted(headline.items()):
+        t0 = time.perf_counter()
+        df = q.spark(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

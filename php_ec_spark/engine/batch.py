@@ -63,14 +63,18 @@ _MS = 1_000_000  # 1 ms in ns
 class _Instance:
     """One in-flight matcher instance (≈ one AEventProcessor object)."""
 
-    __slots__ = ("rule", "gi", "chain", "deadline_ns", "seq")
+    __slots__ = ("rule", "gi", "chain", "deadline_ns", "seq", "no_timeout")
 
-    def __init__(self, rule: Rule, seq: int):
+    def __init__(self, rule: Rule, seq: int, no_timeout: bool = False):
         self.rule = rule
         self.gi = 0  # index of the event group we are waiting on
         self.chain: list = []  # consumed events [(event_id, ts_ns, type, value), ...]
         self.deadline_ns: Optional[int] = None
         self.seq = seq  # arming order, tie-break for timeout firing
+        # historical replay + HISTORICAL_IGNORE_TIMEOUT: the reference sets
+        # the timeout to null (AEventProcessor.php:377-383), keeping the
+        # instance alive so a late event can still complete it.
+        self.no_timeout = no_timeout
 
     def wants(self, etype: str) -> bool:
         group = self.rule.events[self.gi]
@@ -90,7 +94,9 @@ class _Instance:
             self.gi += 1
         timeout_s = self.rule.timeout_s
         self.deadline_ns = (
-            ev[1] + int(timeout_s * 1e9) if timeout_s is not None else None
+            ev[1] + int(timeout_s * 1e9)
+            if timeout_s is not None and not self.no_timeout
+            else None
         )
         return False
 
@@ -151,8 +157,7 @@ def _run_state_machines(pdf: pd.DataFrame, rules: Sequence[Rule], key_col: Optio
         ]
         for deadline, _, r, inst in sorted(due, key=lambda x: (x[0], x[1])):
             live[r.name].remove(inst)
-            if not (historical and r.historical_ignore_timeout):
-                _emit(rows, r, key, "timeout", deadline, inst)
+            _emit(rows, r, key, "timeout", deadline, inst)
 
     for i in range(len(pdf)):
         t = int(ts_ns[i])
@@ -171,8 +176,7 @@ def _run_state_machines(pdf: pd.DataFrame, rules: Sequence[Rule], key_col: Optio
                     # acceptEventTime failed ⇒ instance times out now
                     # (AEventProcessor.php:357-396); fire_ts is the deadline.
                     live[r.name].remove(inst)
-                    if not (historical and r.historical_ignore_timeout):
-                        _emit(rows, r, key, "timeout", inst.deadline_ns, inst)
+                    _emit(rows, r, key, "timeout", inst.deadline_ns, inst)
                     continue
                 if r.accept is not None and not r.accept(
                     _ev_dict(ev), [_ev_dict(e) for e in inst.chain]
@@ -188,7 +192,9 @@ def _run_state_machines(pdf: pd.DataFrame, rules: Sequence[Rule], key_col: Optio
             group0 = r.events[0]
             if not handled and (ev[2] in group0 or EVENT_MATCH_ANY in group0):
                 if r.accept is None or r.accept(_ev_dict(ev), []):
-                    inst = _Instance(r, seq)
+                    inst = _Instance(
+                        r, seq, no_timeout=historical and r.historical_ignore_timeout
+                    )
                     seq += 1
                     handled = True
                     if inst.consume(ev):
@@ -238,6 +244,8 @@ def correlate_state_machine(
     passes (suppression across differently-keyed rules is rejected — it
     would require a global serial order that does not scale).
     """
+    if not rules:
+        return events.sparkSession.createDataFrame([], EMISSION_SCHEMA)
     by_key: dict[Optional[str], list[Rule]] = {}
     for r in rules:
         by_key.setdefault(r.key, []).append(r)
@@ -281,20 +289,34 @@ def correlate(events: DataFrame, rules: Sequence[Rule], historical: bool = False
     per rule: relational window plan for simple 2-step sequences, state
     machine otherwise. Emissions share EMISSION_SCHEMA across strategies."""
     from .relational import (
+        compile_keyless_counter,
         compile_single_match,
         compile_two_step_sequence,
+        is_keyless_counter,
         is_relational_compilable,
         is_single_match,
     )
 
+    if not rules:
+        return events.sparkSession.createDataFrame([], EMISSION_SCHEMA)
     if any(r.suppress for r in rules):
         # suppression makes rule-list order semantic across ALL rules
         # (CorrelationEngine.php:231-236) — one serial pass required
         return correlate_state_machine(events, rules, historical=historical)
-    relational = [r for r in rules if is_relational_compilable(r)]
-    general = [r for r in rules if not is_relational_compilable(r)]
+
+    def _fast(r: Rule) -> bool:
+        # historical replay with HISTORICAL_IGNORE_TIMEOUT keeps instances
+        # alive past their deadline (AEventProcessor.php:377-383) — the
+        # window plan can't express that, so route to the state machine.
+        if historical and r.historical_ignore_timeout and r.timeout_s is not None:
+            return False
+        return is_relational_compilable(r)
+
+    relational = [r for r in rules if _fast(r)]
+    general = [r for r in rules if not _fast(r)]
     outs = [
-        compile_single_match(events, r) if is_single_match(r)
+        compile_keyless_counter(events, r) if is_keyless_counter(r)
+        else compile_single_match(events, r) if is_single_match(r)
         else compile_two_step_sequence(events, r)
         for r in relational
     ]

@@ -1,0 +1,81 @@
+"""Rule chaining — derived events re-enter the engine (J5).
+
+The reference re-injects rule-emitted events on the next loop tick
+(CorrelationEngine.php:372-391 handleEmit; Scheduler.php:800-814), so one
+rule's output is another rule's input — the canonical online-shop flow:
+CheckOrderPayment times out → emits shop:order:payment:timeout →
+OrderPaymentReminder consumes it (examples/online_shop/rules/
+CheckOrderPayment.php:20-27 → OrderPaymentReminder.php:7-17).
+
+In batch mode this is a fixpoint loop: correlate → turn emissions into
+events → union into the stream → correlate again, until no new emissions or
+the depth cap is hit (php-ec can loop forever too; futureTick just defers).
+Each round's derived stream is tiny relative to the source, so the loop
+cost is ~rounds × (one correlate over new events only).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..rules.base import Rule
+from .batch import EMISSION_SCHEMA, correlate
+
+
+def emissions_to_events(
+    emissions: DataFrame, id_offset: int = 1_000_000_000
+) -> DataFrame:
+    """Default derived-event mapping: one event per emission.
+
+    event_type = '<rule>:<outcome>' (the php-ec convention of namespaced
+    derived types, e.g. shop:order:payment:timeout), ts = fire_ts, user_id =
+    the correlation key (when numeric), value = value_sum. event_id is
+    offset from the triggering event id so derived ids can't collide with
+    source ids (deterministic, unlike a global counter)."""
+    return emissions.select(
+        (F.col("last_event_id") + F.lit(id_offset)).alias("event_id"),
+        F.col("fire_ts").alias("ts"),
+        F.col("key").cast("bigint").alias("user_id"),
+        F.concat_ws(":", F.col("rule"), F.col("outcome")).alias("event_type"),
+        F.col("value_sum").alias("value"),
+        F.col("payload").alias("props"),
+    )
+
+
+def chain_correlate(
+    events: DataFrame,
+    rules: Sequence[Rule],
+    max_depth: int = 5,
+    to_events: Callable[[DataFrame], DataFrame] = emissions_to_events,
+    historical: bool = False,
+) -> DataFrame:
+    """Correlate to fixpoint: emissions become events for the next round.
+
+    Round 0 runs all rules over the source stream. Each later round runs
+    the rules over ONLY the newly derived events (an instance can't span a
+    source event and a derived event across rounds — same as php-ec, where
+    a derived event is a brand-new engine entry). Stops when a round emits
+    nothing or after ``max_depth`` rounds. Returns all emissions unioned.
+
+    ``localCheckpoint`` truncates lineage between rounds — without it the
+    plan doubles per round and the driver, not the data, becomes the
+    bottleneck.
+    """
+    spark = events.sparkSession
+    all_emissions: Optional[DataFrame] = None
+    current = events
+    for _ in range(max_depth):
+        emitted = correlate(current, rules, historical=historical)
+        emitted = emitted.localCheckpoint(eager=True)
+        if not emitted.take(1):
+            break
+        all_emissions = (
+            emitted if all_emissions is None else all_emissions.unionByName(emitted)
+        )
+        current = to_events(emitted)
+    if all_emissions is None:
+        return spark.createDataFrame([], EMISSION_SCHEMA)
+    return all_emissions

@@ -34,10 +34,16 @@ from .batch import EMISSION_SCHEMA
 
 
 def is_relational_compilable(rule: Rule) -> bool:
+    if is_keyless_counter(rule):
+        return True
     if rule.emit_progress or rule.emit_final or rule.on_complete or rule.on_timeout:
         return False
     if is_single_match(rule):
         return True
+    # chain trimming (trimEventChain, AEventProcessor.php:321-332) changes
+    # n_events/start/value_sum of emissions — state-machine only.
+    if rule.chain_limit is not None:
+        return False
     if not rule.is_simple_sequence or len(rule.events) != 2:
         return False
     a, b = rule.events[0][0], rule.events[1][0]
@@ -46,31 +52,92 @@ def is_relational_compilable(rule: Rule) -> bool:
 
 def is_single_match(rule: Rule) -> bool:
     """MatchSingle (Rule/MatchSingle.php:22-33): one group, completes on the
-    first accepted event — pure stateless filter, one emission per event."""
+    first accepted event — pure stateless filter, one emission per event.
+    Keyless ('*'-style LogEverything) rules compile here too: no state means
+    no partitioning requirement, so they stay an embarrassingly parallel
+    scan instead of a single-partition state machine."""
     return (
         len(rule.events) == 1
         and not rule.continuous
         and not rule.suppress
         and rule.accept is None
-        and rule.key is not None
     )
+
+
+def is_keyless_counter(rule: Rule) -> bool:
+    """Keyless continuous counter — the LogEverything/incrStat shape: one
+    global instance consuming every matching event forever, reported once at
+    end-of-stream. Compiles to a plain ``groupBy().agg()`` (map-side partial
+    aggregation), NOT the single-partition ordered state machine — the scale
+    fix for un-keyed wildcard rules."""
+    return (
+        rule.key is None
+        and rule.continuous
+        and rule.timeout_s is None
+        and rule.chain_limit is None
+        and len(rule.events) == 1
+        and rule.accept is None
+        and not rule.suppress
+        and rule.emit_final
+        and not rule.emit_progress
+        and rule.on_complete is None
+        and rule.on_timeout is None
+    )
+
+
+def _key_expr(rule: Rule):
+    if rule.key is None:
+        return F.lit(None).cast("string").alias("key")
+    return F.col(rule.key).cast("string").alias("key")
+
+
+def _type_filter(events: DataFrame, group) -> DataFrame:
+    if "*" in group:
+        return events
+    return events.filter(F.col("event_type").isin(list(group)))
 
 
 def compile_single_match(events: DataFrame, rule: Rule) -> DataFrame:
     """MatchSingle compiles to filter+project — stays fully in codegen."""
-    group = rule.events[0]
-    src = events
-    if "*" not in group:
-        src = src.filter(F.col("event_type").isin(list(group)))
+    src = _type_filter(events, rule.events[0])
     return src.select(
         F.lit(rule.name).alias("rule"),
-        F.col(rule.key).cast("string").alias("key"),
+        _key_expr(rule),
         F.lit("completed").alias("outcome"),
         F.col("ts").alias("fire_ts"),
         F.col("event_id").alias("start_event_id"),
         F.col("event_id").alias("last_event_id"),
         F.lit(1).cast("long").alias("n_events"),
         F.col("value").alias("value_sum"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+
+
+def compile_keyless_counter(events: DataFrame, rule: Rule) -> DataFrame:
+    """Keyless continuous counter → global aggregate with partial combine.
+
+    Matches the state machine's final emission exactly: one row with the
+    chain length / value sum / first & last consumed event in stream order
+    (ts, event_id), fired at the last consumed event's timestamp. Emits
+    nothing on an empty input (no instance was ever started)."""
+    src = _type_filter(events, rule.events[0])
+    order = F.struct("ts", "event_id")
+    agg = src.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("value_sum"),
+        F.min_by("event_id", order).alias("start_event_id"),
+        F.max_by("event_id", order).alias("last_event_id"),
+        F.max("ts").alias("fire_ts"),
+    )
+    return agg.filter(F.col("n_events") > 0).select(
+        F.lit(rule.name).alias("rule"),
+        F.lit(None).cast("string").alias("key"),
+        F.lit("final").alias("outcome"),
+        F.col("fire_ts"),
+        F.col("start_event_id"),
+        F.col("last_event_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_sum").cast("double").alias("value_sum"),
         F.lit(None).cast("string").alias("payload"),
     )
 

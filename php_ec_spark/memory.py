@@ -1,0 +1,126 @@
+"""Collective Memory — shared namespaced KV state with TTL (J6/S10/S11).
+
+Re-expresses the reference's MemoryEngine (src/Memory/MemoryEngine.php:26-186,
+MemoryWrite.php:19-47, MemoryEntry.php:19-57):
+
+- entries: (namespace, key, value JSON-string, expires_at nullable,
+  persistent flag) — a small DataFrame, **broadcast** to rules for reads
+  (the one true join analog in the reference, SURVEY J6).
+- writes are applied centrally, last-write-wins per (namespace, key)
+  (MemoryEngine::applyWrite), delete = null value.
+- TTL purge drops expired entries (ArrayMemory.php:83-104; the scheduler
+  purges every 30 s, Scheduler.php:913-915 — here purge is explicit or
+  folded into reads).
+- persistence: persistent entries round-trip through parquet
+  (Memory/JsonFileBackend.php:38-108 → a columnar table instead of gzip
+  JSON); preload scripts become seed DataFrames (Scheduler.php:509-539).
+
+Memory stays small by contract (learned thresholds, dims, flags), so every
+read-side join is a broadcast-hash join — no shuffle of the event stream.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEMORY_SCHEMA = T.StructType(
+    [
+        T.StructField("namespace", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("value", T.StringType()),  # JSON scalar/object, null = tombstone
+        T.StructField("expires_at", T.TimestampType()),
+        T.StructField("persistent", T.BooleanType()),
+        T.StructField("write_seq", T.LongType()),  # write ordering
+    ]
+)
+
+
+class MemoryEngine:
+    """Batch-mode collective memory over a small entries DataFrame."""
+
+    def __init__(self, spark, entries: Optional[DataFrame] = None):
+        self.spark = spark
+        self.entries = (
+            entries
+            if entries is not None
+            else spark.createDataFrame([], MEMORY_SCHEMA)
+        )
+
+    # -- writes ------------------------------------------------------------
+    def apply_writes(self, writes: DataFrame) -> "MemoryEngine":
+        """Last-write-wins upsert (MemoryEngine::applyWrite, :63-79).
+
+        ``writes`` needs (namespace, key, value[, expires_at, persistent,
+        write_seq]). A null value is a delete (tombstone removed here)."""
+        w = writes
+        for col, default in (
+            ("expires_at", F.lit(None).cast("timestamp")),
+            ("persistent", F.lit(False)),
+            ("write_seq", F.monotonically_increasing_id() + F.lit(1 << 40)),
+        ):
+            if col not in w.columns:
+                w = w.withColumn(col, default)
+        merged = self.entries.select(*[f.name for f in MEMORY_SCHEMA]).unionByName(
+            w.select(*[f.name for f in MEMORY_SCHEMA])
+        )
+        latest = (
+            merged.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("namespace", "key").orderBy(
+                        F.col("write_seq").desc()
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .filter(F.col("value").isNotNull())
+        )
+        return MemoryEngine(self.spark, latest)
+
+    # -- reads -------------------------------------------------------------
+    def live(self, now: Optional[Column] = None) -> DataFrame:
+        """Entries that have not expired (TTL semantics, MemoryEntry.php:19-57)."""
+        now = now if now is not None else F.current_timestamp()
+        return self.entries.filter(
+            F.col("expires_at").isNull() | (F.col("expires_at") > now)
+        )
+
+    def namespace(self, ns: str, now: Optional[Column] = None) -> DataFrame:
+        return self.live(now).filter(F.col("namespace") == ns).select("key", "value")
+
+    def enrich(
+        self,
+        events: DataFrame,
+        ns: str,
+        on: Column,
+        value_alias: str = "mem_value",
+        now: Optional[Column] = None,
+    ) -> DataFrame:
+        """Rule-side memory read = broadcast-hash join (SURVEY J6): the
+        event stream never shuffles; the small namespace broadcasts."""
+        dim = F.broadcast(
+            self.namespace(ns, now).select(
+                F.col("key").alias("__mem_key"), F.col("value").alias(value_alias)
+            )
+        )
+        return events.join(dim, on == F.col("__mem_key"), "left").drop("__mem_key")
+
+    # -- persistence (S10) ---------------------------------------------------
+    def save(self, path: str) -> None:
+        """Persist persistent-flagged entries (JsonFileBackend.php:38-108 →
+        parquet; atomicity comes from Spark's committed write)."""
+        self.entries.filter(F.col("persistent")).write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "MemoryEngine":
+        return cls(spark, spark.read.parquet(path))
+
+    @classmethod
+    def preload(cls, spark, seed: DataFrame) -> "MemoryEngine":
+        """Memory preload script analog (S11, Scheduler.php:509-539)."""
+        return cls(spark).apply_writes(seed)

@@ -80,10 +80,10 @@ def clamp_event_time(
 def normalize_events(df: DataFrame, input_tz: str | None = None) -> DataFrame:
     """Project an arbitrary-ish input to the canonical envelope.
 
-    Accepts any DataFrame that has the envelope columns (extra columns are
-    folded into ``props`` only if props is absent); timestamps parsed from
-    strings if needed and normalized to UTC (Event.php:62-81 accepts epoch
-    ints, timestamps, and tz-suffixed strings).
+    Missing envelope columns are filled with defaults (generated event_id,
+    null user_id/value/props); extra columns are dropped. Timestamps are
+    parsed from strings or epoch numerics if needed and normalized to UTC
+    (Event.php:62-81 accepts epoch ints, timestamps, and tz-suffixed strings).
     """
     cols = dict(df.dtypes)
     ts = F.col("ts")
@@ -112,11 +112,18 @@ def with_control_messages(spark, df: DataFrame) -> DataFrame:
     and Stop at shutdown (Scheduler.php:988); rules like Cron subscribe to
     them (Rule/Cron.php:118-132).
     """
+    epoch = F.to_timestamp(F.lit("1970-01-01 00:00:00"))
     bounds = df.agg(
-        F.min("ts").alias("lo"), F.max("ts").alias("hi"), F.max("event_id").alias("mx")
+        F.coalesce(F.min("ts"), epoch).alias("lo"),
+        F.coalesce(F.max("ts"), epoch).alias("hi"),
+        F.coalesce(F.min("event_id"), F.lit(0)).alias("mn"),
+        F.coalesce(F.max("event_id"), F.lit(0)).alias("mx"),
     )
+    # Start sorts BEFORE every real event in (ts, event_id) stream order —
+    # the reference injects it at boot, ahead of all data (Scheduler.php:730-737);
+    # Stop sorts after everything (Scheduler.php:988).
     start = bounds.select(
-        (F.col("mx") + 1).alias("event_id"),
+        (F.col("mn") - 1).alias("event_id"),
         F.col("lo").alias("ts"),
         F.lit(None).cast("bigint").alias("user_id"),
         F.lit(CONTROL_MSG_START).alias("event_type"),
@@ -124,7 +131,7 @@ def with_control_messages(spark, df: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("props"),
     )
     stop = bounds.select(
-        (F.col("mx") + 2).alias("event_id"),
+        (F.col("mx") + 1).alias("event_id"),
         F.col("hi").alias("ts"),
         F.lit(None).cast("bigint").alias("user_id"),
         F.lit(CONTROL_MSG_STOP).alias("event_type"),

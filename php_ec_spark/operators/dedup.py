@@ -1,0 +1,283 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point — these must survive 100 TB):
+
+- **exact_dedup** — one hash-partitioned ``groupBy`` on a digest of the
+  normalized text; partial aggregation map-side, survivor = min id.
+- **jaccard_pairs** — exact n-gram Jaccard WITHOUT all-pairs comparison:
+  explode shingles into an inverted index and join docs that share at least
+  one shingle; intersection sizes fall out of a groupBy. Cost is bounded by
+  co-occurrence, not |docs|²; a ``max_df`` cutoff drops stop-shingles that
+  would otherwise create quadratic hot buckets.
+- **minhash_lsh_pairs** — banded MinHash signatures; candidates are pairs
+  sharing a band bucket (equi-join on band hash — shuffles only signature
+  rows, AQE handles skewed buckets), then exact-Jaccard verification of the
+  (small) candidate set. Never materializes the |docs|² space.
+- **simhash** — 64-bit fingerprints; near-dup candidates via 16-bit chunk
+  banding (Hamming ≤ 3 ⇒ at least one of 4 chunks equal, pigeonhole).
+
+Everything is built from pyspark.sql.functions column expressions — no
+Python UDFs anywhere; higher-order functions (transform/aggregate/filter)
+run in the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Modulus for MinHash permutations (Mersenne prime 2^31−1): keeps a*h+b in
+#: exact int64 range (a,h < 2^31 ⇒ product < 2^62).
+MH_MOD = 2_147_483_647
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapsed whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups: one row per distinct normalized text.
+
+    Returns (text_hash, doc_id = survivor min id, dup_count). A single
+    hash-shuffle on the md5 digest; the digest (not the full text) is the
+    shuffle key, so 100 TB of text shuffles only 32-byte keys + ids after
+    map-side partial aggregation.
+    """
+    return (
+        df.select(
+            F.md5(normalize_text(F.col(text_col))).alias("text_hash"),
+            F.col(id_col),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def with_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", out_col: str = "shingles"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document (JVM higher-order fns).
+
+    Documents with fewer than ``n`` tokens get their whole token sequence as
+    a single shingle so they still participate in dedup.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return df.withColumn(out_col, F.array_distinct(ngrams))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similar pairs via an inverted shingle index.
+
+    Never compares all pairs: docs are joined only when they share a
+    shingle; |A∩B| = count of shared shingles, |A∪B| = |A|+|B|−|A∩B|.
+    ``max_df`` (optional) drops shingles appearing in more than that many
+    docs — the standard stop-shingle guard against quadratic hot keys.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    """
+    sh = with_shingles(df, n=n, text_col=text_col).select(
+        F.col(id_col).alias("doc"), "shingles", F.size("shingles").alias("n_sh")
+    )
+    inv = sh.select("doc", "n_sh", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
+        inv = inv.join(freq.filter(F.col("df_count") <= max_df), "shingle", "left_semi")
+    a = inv.select(
+        F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = inv.select(
+        F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return inter.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _mh_a(k: int) -> int:
+    # deterministic odd multipliers / offsets for permutation k
+    return (2_654_435_761 * (k + 1) + 1) % MH_MOD or 1
+
+
+def _mh_b(k: int) -> int:
+    return (40_503 * (k + 7) + 12_345) % MH_MOD
+
+
+def with_minhash(
+    df: DataFrame,
+    num_hashes: int = 128,
+    n: int = 3,
+    text_col: str = "text",
+    out_col: str = "signature",
+) -> DataFrame:
+    """MinHash signature per document: sig[k] = min over shingles of
+    (a_k·h(s) + b_k) mod p, h = xxhash64 folded into [0, p).
+
+    Entirely JVM expression work: per row it's |shingles|·K multiply-mods
+    inside whole-stage codegen — embarrassingly parallel, zero shuffle.
+    """
+    sh = with_shingles(df, n=n, text_col=text_col)
+    hashes = F.transform(
+        F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(MH_MOD))
+    )
+
+    def perm(k: int):
+        a, b = _mh_a(k), _mh_b(k)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_MOD)
+
+    sig = F.array(
+        *[F.array_min(F.transform(hashes, perm(k))) for k in range(num_hashes)]
+    )
+    return sh.withColumn(out_col, sig).drop("shingles")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs: banded-LSH candidates → exact-Jaccard verification.
+
+    With 32 bands × 4 rows, a pair at J=0.8 is missed with probability
+    (1−0.8⁴)³² ≈ 5e-8 — effectively exact output, at bucket-join cost.
+    Output schema matches :func:`jaccard_pairs`.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = with_minhash(df, num_hashes=num_hashes, n=n, text_col=text_col).select(
+        F.col(id_col).alias("doc"), "signature"
+    )
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("signature", b * rows + 1, rows)).alias("bh"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.bh")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification of the (small) candidate set
+    sh = with_shingles(df, n=n, text_col=text_col).select(
+        F.col(id_col).alias("doc"), "shingles"
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash fingerprint: per-token xxhash64 bit votes → sign bits."""
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    fp: Column = F.lit(0).cast("long")
+    for j in range(64):
+        votes = F.aggregate(hashes, F.lit(0), vote(j))
+        fp = fp.bitwiseOR(
+            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return df.withColumn(out_col, fp)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: chunk-banded candidates, Hamming verify.
+
+    Hamming ≤ 3 over 64 bits ⇒ at least one of the 4 16-bit chunks is equal
+    (pigeonhole), so candidates come from 4 equi-joins on chunk value — no
+    all-pairs scan. Output: (doc_a, doc_b, hamming).
+    """
+    sim = with_simhash(df, text_col=text_col).select(
+        F.col(id_col).alias("doc"), "simhash"
+    )
+    chunks = sim.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("cv"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc", "simhash", "ck.chunk", "ck.cv")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "cv"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

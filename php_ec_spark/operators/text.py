@@ -1,0 +1,128 @@
+"""Text-analysis operators — token stats, quality, language-ID, fingerprints.
+
+All operators are pure Spark column expressions: they stay inside
+whole-stage codegen, push the text-column projection down to the parquet
+scan, and shuffle nothing. Each has an exact ANSI-SQL twin used as the
+DuckDB oracle (see queries_pipeline.py), so the arithmetic is chosen to be
+bit-identical across engines (integer arithmetic, no float summation).
+
+The reference has no text operators (php-ec is a CEP engine); these cover
+the driver's training-data-pipeline requirement over the `documents` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Modulus for the polynomial rolling fingerprint — Mersenne prime 2^31−1.
+#: Keeps ``acc*B + c`` < 2^63 so both Spark and DuckDB stay in exact int64.
+FP_MOD = 2_147_483_647
+FP_BASE = 31
+
+#: Marker tokens per language for the n-gram/stopword language-ID heuristic.
+#: Deliberately tiny and deterministic — the point is a scalable, SQL-
+#: expressible classifier shape (per-language marker counts → argmax), not
+#: linguistic accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_chars / n_tokens / n_unique_tokens / avg token length per document.
+
+    Token count is pure length arithmetic (chars − non-space chars + 1) so
+    the DuckDB oracle reproduces it exactly; uniqueness uses
+    ``array_distinct`` over the split. ``avg_token_len`` is derived from
+    already-exact integers with one final division (deterministic double).
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    n_spaces = (F.length(t) - F.length(F.regexp_replace(t, " ", ""))).cast("long")
+    n_tokens = (n_spaces + F.lit(1)).cast("long")
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "n_unique_tokens", F.size(F.array_distinct(tokens(t))).cast("long")
+        )
+        .withColumn(
+            "avg_token_len",
+            ((n_chars - n_spaces).cast("double") / n_tokens.cast("double")),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: lexical diversity × length band.
+
+    score = (unique_tokens / tokens) clipped, scaled by whether the doc is
+    in a "reasonable length" band (20..2000 tokens). Matches the shape of
+    published quality filters (length/stopword/diversity ratios) while
+    staying exactly SQL-expressible.
+    """
+    d = with_token_stats(df, text_col)
+    diversity = F.col("n_unique_tokens").cast("double") / F.col("n_tokens").cast("double")
+    in_band = (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 2000)
+    return d.withColumn(
+        "quality_score",
+        F.round(diversity * F.when(in_band, F.lit(1.0)).otherwise(F.lit(0.5)), 6),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: count per-language marker hits, argmax.
+
+    Ties and zero-hit documents resolve to 'und' (undetermined) and the
+    language keys are checked in sorted order — fully deterministic so the
+    DuckDB oracle can reproduce the exact same labels.
+    """
+    t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+
+    def hits(lang: str) -> Column:
+        c: Column = F.lit(0)
+        for m in LANG_MARKERS[lang]:
+            # occurrence count of ' marker ' via length arithmetic
+            pat = f" {m} "
+            c = c + (
+                (F.length(t) - F.length(F.replace(t, F.lit(pat), F.lit(""))))
+                / F.lit(len(pat))
+            ).cast("long")
+        return c
+
+    langs = sorted(LANG_MARKERS)
+    out = df
+    for lang in langs:
+        out = out.withColumn(f"__hits_{lang}", hits(lang))
+    best = F.greatest(*[F.col(f"__hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # first language (sorted order) achieving the max, provided max > 0;
+    # build right-to-left so earlier langs win ties
+    for lang in reversed(langs):
+        pred = F.when((F.col(f"__hits_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", pred).drop(*[f"__hits_{lang}" for lang in langs])
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Polynomial rolling-hash fingerprint of the full text, mod 2^31−1.
+
+    fp = fold(chars, acc → (acc*31 + ascii(char)) mod p). Stays in exact
+    int64 at every step, so Spark and DuckDB (list_reduce) agree bitwise.
+    At scale this is a scan-local expression — no shuffle, no Python.
+    """
+    chars = F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
+    fp = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
+    )
+    return df.withColumn("fingerprint", fp)

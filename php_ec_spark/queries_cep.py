@@ -1,0 +1,456 @@
+"""CEP queries — the reference's correlation semantics, oracle-checked.
+
+Each query runs rules through :func:`php_ec_spark.engine.batch.correlate`
+over the driver's ``events`` table and exposes the emission stream; the
+paired DuckDB oracle derives the SAME emissions relationally (window
+functions / sessionization), pinning php-ec's exact clock semantics:
+timeouts fire at deadline (batch replay, CorrelationEngine.php:191-202),
+acceptance is ``ts <= deadline`` (AEventProcessor.php:357-396), sessions
+split strictly after the gap exceeds the timeout.
+
+``value_sum`` is rounded to 6 dp in every query: chain sums are tiny (a few
+doubles) so cross-engine error ≪ 1e-6 while true sums are 2-decimal exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .engine.batch import correlate
+from .engine.chain import chain_correlate
+from .functions import cron_fires, validate_enrich_filter
+from .memory import MemoryEngine
+from .model import (
+    CONTROL_MSG_START,
+    CONTROL_MSG_STOP,
+    clamp_event_time,
+    load_events,
+    with_control_messages,
+)
+from .rules.base import Rule, match_single, match_single_continuously, sequence_rule
+
+_EMIT_COLS = [
+    "rule",
+    "key",
+    "outcome",
+    "fire_ts",
+    "start_event_id",
+    "last_event_id",
+    "n_events",
+]
+
+
+def _out(emissions: DataFrame) -> DataFrame:
+    return emissions.select(
+        *_EMIT_COLS, F.round("value_sum", 6).alias("value_sum")
+    )
+
+
+# Shared oracle fragment: "first B event strictly after this row in stream
+# order (ts, event_id), per user" — the relational core of sequence matching.
+_FIRST_AFTER = """
+        WITH e AS (
+            SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type, value
+            FROM events WHERE event_type IN ({types})
+        ), w AS (
+            SELECT e.*,
+                   first_value(CASE WHEN event_type = '{b}' THEN ts END IGNORE NULLS) OVER win AS b_ts,
+                   first_value(CASE WHEN event_type = '{b}' THEN event_id END IGNORE NULLS) OVER win AS b_id,
+                   first_value(CASE WHEN event_type = '{b}' THEN value END IGNORE NULLS) OVER win AS b_val
+            FROM e
+            WINDOW win AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+            )
+        )
+"""
+
+
+@register(
+    "cep_seq_two_step",
+    headline=True,
+    doc="J1/J2: signup→purchase within 24 h else timeout (CheckOrderPayment shape; "
+    "compiles to the one-shuffle window plan, engine/relational.py).",
+    oracle=_FIRST_AFTER.format(types="'signup','purchase'", b="purchase")
+    + """
+        SELECT 'pay_check' AS rule,
+               CAST(user_id AS VARCHAR) AS key,
+               CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
+                    THEN 'completed' ELSE 'timeout' END AS outcome,
+               CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
+                    THEN b_ts ELSE ts + INTERVAL 24 HOUR END AS fire_ts,
+               event_id AS start_event_id,
+               CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
+                    THEN b_id ELSE event_id END AS last_event_id,
+               CAST(CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
+                    THEN 2 ELSE 1 END AS BIGINT) AS n_events,
+               round(CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
+                    THEN value + b_val ELSE value END, 6) AS value_sum
+        FROM w WHERE event_type = 'signup'
+    """,
+)
+def cep_seq_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    rule = sequence_rule("pay_check", ["signup", "purchase"], key="user_id", timeout="PT24H")
+    return _out(correlate(events, [rule]))
+
+
+@register(
+    "cep_funnel_3step",
+    headline=True,
+    doc="J1 general: 3-step funnel signup→click→purchase, 12 h per step "
+    "(per-key applyInPandas state machine).",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type, value
+            FROM events WHERE event_type IN ('signup','click','purchase')
+        ), w AS (
+            SELECT e.*,
+                   first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER win AS b_ts,
+                   first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER win AS b_id,
+                   first_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER win AS b_val,
+                   first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS) OVER win AS c_ts,
+                   first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS) OVER win AS c_id,
+                   first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER win AS c_val
+            FROM e
+            WINDOW win AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+            )
+        ), a AS (
+            SELECT user_id, event_id AS a_id, ts AS a_ts, value AS a_val,
+                   b_ts, b_id, b_val
+            FROM w WHERE event_type = 'signup'
+        ), bc AS (
+            SELECT event_id AS b_id, c_ts, c_id, c_val FROM w WHERE event_type = 'click'
+        )
+        SELECT 'funnel3' AS rule,
+               CAST(user_id AS VARCHAR) AS key,
+               CASE WHEN b_ts IS NOT NULL AND b_ts <= a_ts + INTERVAL 12 HOUR
+                         AND c_ts IS NOT NULL AND c_ts <= b_ts + INTERVAL 12 HOUR
+                    THEN 'completed' ELSE 'timeout' END AS outcome,
+               CASE WHEN b_ts IS NULL OR b_ts > a_ts + INTERVAL 12 HOUR
+                         THEN a_ts + INTERVAL 12 HOUR
+                    WHEN c_ts IS NULL OR c_ts > b_ts + INTERVAL 12 HOUR
+                         THEN b_ts + INTERVAL 12 HOUR
+                    ELSE c_ts END AS fire_ts,
+               a_id AS start_event_id,
+               CASE WHEN b_ts IS NULL OR b_ts > a_ts + INTERVAL 12 HOUR THEN a_id
+                    WHEN c_ts IS NULL OR c_ts > b_ts + INTERVAL 12 HOUR THEN b_id
+                    ELSE c_id END AS last_event_id,
+               CAST(CASE WHEN b_ts IS NULL OR b_ts > a_ts + INTERVAL 12 HOUR THEN 1
+                    WHEN c_ts IS NULL OR c_ts > b_ts + INTERVAL 12 HOUR THEN 2
+                    ELSE 3 END AS BIGINT) AS n_events,
+               round(CASE WHEN b_ts IS NULL OR b_ts > a_ts + INTERVAL 12 HOUR THEN a_val
+                    WHEN c_ts IS NULL OR c_ts > b_ts + INTERVAL 12 HOUR THEN a_val + b_val
+                    ELSE a_val + b_val + c_val END, 6) AS value_sum
+        FROM a LEFT JOIN bc USING (b_id)
+    """,
+)
+def cep_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    rule = sequence_rule(
+        "funnel3", ["signup", "click", "purchase"], key="user_id", timeout="PT12H"
+    )
+    return _out(correlate(events, [rule]))
+
+
+@register(
+    "cep_single_match",
+    doc="J3/F1: MatchSingle on one event type — stateless filter plan.",
+    oracle="""
+        SELECT 'errors' AS rule, CAST(user_id AS VARCHAR) AS key,
+               'completed' AS outcome, ts::TIMESTAMP AS fire_ts,
+               event_id AS start_event_id, event_id AS last_event_id,
+               CAST(1 AS BIGINT) AS n_events, round(value, 6) AS value_sum
+        FROM events WHERE event_type = 'error'
+    """,
+)
+def cep_single_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    return _out(correlate(events, [match_single("errors", ["error"], key="user_id")]))
+
+
+@register(
+    "cep_gap_sessions",
+    headline=True,
+    doc="J4/W6: continuous '*' match with 6 h timeout = per-user session-gap "
+    "detection; one timeout emission per session.",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events
+        ), s AS (
+            SELECT e.*,
+                   CASE WHEN lag(ts) OVER win IS NULL
+                             OR ts - lag(ts) OVER win > INTERVAL 6 HOUR
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), g AS (
+            SELECT s.*, sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING
+            ) AS sess
+            FROM s
+        )
+        SELECT 'gap6h' AS rule, CAST(user_id AS VARCHAR) AS key,
+               'timeout' AS outcome,
+               max(ts) + INTERVAL 6 HOUR AS fire_ts,
+               first(event_id ORDER BY ts, event_id) AS start_event_id,
+               last(event_id ORDER BY ts, event_id) AS last_event_id,
+               count(*) AS n_events,
+               round(sum(value), 6) AS value_sum
+        FROM g GROUP BY user_id, sess
+    """,
+)
+def cep_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    rule = match_single_continuously("gap6h", ["*"], key="user_id", timeout="PT6H")
+    return _out(correlate(events, [rule]))
+
+
+@register(
+    "cep_suppression",
+    doc="F8/F9: EVENT_SUPPRESS in rule order — the error rule swallows error "
+    "events; the wildcard rule sees everything else.",
+    oracle="""
+        SELECT 'sup_error' AS rule, CAST(user_id AS VARCHAR) AS key,
+               'completed' AS outcome, ts::TIMESTAMP AS fire_ts,
+               event_id AS start_event_id, event_id AS last_event_id,
+               CAST(1 AS BIGINT) AS n_events, round(value, 6) AS value_sum
+        FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT 'the_rest', CAST(user_id AS VARCHAR), 'completed', ts::TIMESTAMP,
+               event_id, event_id, CAST(1 AS BIGINT), round(value, 6)
+        FROM events WHERE event_type <> 'error'
+    """,
+)
+def cep_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    rules = [
+        match_single("sup_error", ["error"], key="user_id", suppress=True),
+        match_single("the_rest", ["*"], key="user_id"),
+    ]
+    return _out(correlate(events, rules))
+
+
+@register(
+    "cep_chain_rolling",
+    doc="A5/A6: continuous purchase matcher with trimEventChain(5) — rolling "
+    "last-5 buffer per user, reported at end of stream.",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn,
+                   max(ts::TIMESTAMP) OVER (PARTITION BY user_id) AS last_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT 'roll5' AS rule, CAST(user_id AS VARCHAR) AS key,
+               'final' AS outcome, last_ts AS fire_ts,
+               arg_max(event_id, rn) AS start_event_id,
+               arg_min(event_id, rn) AS last_event_id,
+               count(*) AS n_events,
+               round(sum(value), 6) AS value_sum
+        FROM p WHERE rn <= 5
+        GROUP BY user_id, last_ts
+    """,
+)
+def cep_chain_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    rule = match_single_continuously(
+        "roll5", ["purchase"], key="user_id", chain_limit=5, emit_final=True
+    )
+    return _out(correlate(events, [rule]))
+
+
+@register(
+    "cep_historical_no_timeout",
+    doc="W5: HISTORICAL_IGNORE_TIMEOUT — replaying history never fires "
+    "timeouts; instances stay alive so a late purchase still completes "
+    "(AEventProcessor.php:377-383).",
+    oracle=_FIRST_AFTER.format(types="'signup','purchase'", b="purchase")
+    + """
+        SELECT 'hist_check' AS rule, CAST(user_id AS VARCHAR) AS key,
+               'completed' AS outcome, b_ts AS fire_ts,
+               event_id AS start_event_id, b_id AS last_event_id,
+               CAST(2 AS BIGINT) AS n_events,
+               round(value + b_val, 6) AS value_sum
+        FROM w WHERE event_type = 'signup' AND b_ts IS NOT NULL
+    """,
+)
+def cep_historical_no_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    rule = sequence_rule(
+        "hist_check",
+        ["signup", "purchase"],
+        key="user_id",
+        timeout="PT24H",
+        historical_ignore_timeout=True,
+    )
+    return _out(correlate(events, [rule], historical=True))
+
+
+@register(
+    "cep_validate_enrich_filter",
+    doc="F6: Validate→Enrich→Filter stateless pre-pipeline "
+    "(Rule/ValidateEnrichFilter.php:22-94) — broadcast-joined dim, "
+    "engine-wide suppression of failing events.",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.event_type, n.n_name
+        FROM events e
+        JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        WHERE e.value >= 5 AND e.event_type IN ('click', 'purchase')
+    """,
+)
+def cep_validate_enrich_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = validate_enrich_filter(
+        events,
+        validate=F.col("value") >= 5,
+        enrich=nation.select("n_nationkey", "n_name"),
+        enrich_on=F.col("user_id") % 25 == F.col("n_nationkey"),
+        filter_spec=F.col("event_type").isin("click", "purchase"),
+    )
+    return out.select("event_id", "user_id", "event_type", "n_name")
+
+
+@register(
+    "cep_chain_reinject",
+    doc="J5: rule chaining — pay_check timeouts become derived events that a "
+    "reminder rule consumes on the next engine pass "
+    "(CorrelationEngine.php:372-391; online-shop example).",
+    oracle=_FIRST_AFTER.format(types="'signup','purchase'", b="purchase")
+    + """
+        , base AS (
+            SELECT CAST(user_id AS VARCHAR) AS key,
+                   CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
+                        THEN 'completed' ELSE 'timeout' END AS outcome,
+                   CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
+                        THEN b_ts ELSE ts + INTERVAL 24 HOUR END AS fire_ts,
+                   event_id AS start_event_id,
+                   CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
+                        THEN b_id ELSE event_id END AS last_event_id,
+                   CAST(CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
+                        THEN 2 ELSE 1 END AS BIGINT) AS n_events,
+                   round(CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
+                        THEN value + b_val ELSE value END, 6) AS value_sum
+            FROM w WHERE event_type = 'signup'
+        )
+        SELECT 'pay_check' AS rule, key, outcome, fire_ts, start_event_id,
+               last_event_id, n_events, value_sum FROM base
+        UNION ALL
+        SELECT 'reminder', key, 'completed', fire_ts,
+               last_event_id + 1000000000, last_event_id + 1000000000,
+               CAST(1 AS BIGINT), value_sum
+        FROM base WHERE outcome = 'timeout'
+    """,
+)
+def cep_chain_reinject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    rules = [
+        sequence_rule("pay_check", ["signup", "purchase"], key="user_id", timeout="PT24H"),
+        match_single("reminder", ["pay_check:timeout"], key="user_id"),
+    ]
+    return _out(chain_correlate(events, rules, max_depth=3))
+
+
+@register(
+    "cep_control_messages",
+    doc="W9-adjacent: Start/Stop control messages are in-band events "
+    "(Scheduler.php:163-188); an OnStartup/OnShutdown-style rule consumes them.",
+    oracle="""
+        WITH b AS (
+            SELECT min(ts::TIMESTAMP) AS lo, max(ts::TIMESTAMP) AS hi,
+                   min(event_id) AS mn, max(event_id) AS mx
+            FROM events
+        )
+        SELECT 'lifecycle' AS rule, CAST(NULL AS VARCHAR) AS key,
+               'completed' AS outcome, lo AS fire_ts,
+               mn - 1 AS start_event_id, mn - 1 AS last_event_id,
+               CAST(1 AS BIGINT) AS n_events, CAST(NULL AS DOUBLE) AS value_sum
+        FROM b
+        UNION ALL
+        SELECT 'lifecycle', CAST(NULL AS VARCHAR), 'completed', hi,
+               mx + 1, mx + 1, CAST(1 AS BIGINT), CAST(NULL AS DOUBLE)
+        FROM b
+    """,
+)
+def cep_control_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = with_control_messages(spark, load_events(spark, sf_dir))
+    rule = match_single("lifecycle", [CONTROL_MSG_START, CONTROL_MSG_STOP], key=None)
+    return _out(correlate(events, [rule]))
+
+
+@register(
+    "cep_cron_hourly",
+    doc="W9: cron rule in batch replay — fires at every hour boundary in the "
+    "stream's event-time span (Rule/Cron.php:32-234).",
+    oracle="""
+        SELECT 'cron' AS rule, CAST(NULL AS VARCHAR) AS key,
+               'scheduled' AS outcome, g.fire_ts,
+               CAST(NULL AS BIGINT) AS start_event_id,
+               CAST(NULL AS BIGINT) AS last_event_id,
+               CAST(NULL AS BIGINT) AS n_events,
+               CAST(NULL AS DOUBLE) AS value_sum
+        FROM (
+            SELECT unnest(generate_series(
+                date_trunc('hour', (SELECT min(ts::TIMESTAMP) FROM events)),
+                (SELECT max(ts::TIMESTAMP) FROM events),
+                INTERVAL 1 HOUR
+            )) AS fire_ts
+        ) g
+    """,
+)
+def cep_cron_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    return cron_fires(events, every="1 hour", name="cron", align="hour").select(
+        *_EMIT_COLS, F.col("value_sum")
+    )
+
+
+@register(
+    "cep_memory_enrich",
+    doc="J6/S11: Collective-Memory read during matching = broadcast join "
+    "against a preloaded namespace (MemoryEngine.php:26-186).",
+    oracle="""
+        SELECT e.event_id, e.user_id, n.n_name AS mem_value
+        FROM events e
+        LEFT JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    """,
+)
+def cep_memory_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    seed = nation.select(
+        F.lit("nations").alias("namespace"),
+        F.col("n_nationkey").cast("string").alias("key"),
+        F.col("n_name").alias("value"),
+        F.col("n_nationkey").cast("long").alias("write_seq"),
+    )
+    mem = MemoryEngine.preload(spark, seed)
+    out = mem.enrich(
+        events, "nations", on=(F.col("user_id") % 25).cast("string")
+    )
+    return out.select("event_id", "user_id", "mem_value")
+
+
+@register(
+    "cep_time_clamp",
+    doc="F7: live-mode skew clamp — |ts − now| > 600 s is overwritten with "
+    "server time (CorrelationEngine.php:181-190).",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN abs(epoch(ts::TIMESTAMP) - epoch(TIMESTAMP '2024-01-15 00:00:00')) > 600
+                    THEN TIMESTAMP '2024-01-15 00:00:00'
+                    ELSE ts::TIMESTAMP END AS ts
+        FROM events
+    """,
+)
+def cep_time_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    now = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    return clamp_event_time(events, now=now).select("event_id", "ts")

@@ -1,0 +1,292 @@
+"""Training-data pipeline queries: dedup, similarity, text, multimodal.
+
+Spark side uses the operators in :mod:`php_ec_spark.operators`; oracles are
+exact ANSI-SQL twins. Float outputs (jaccard, cosine) are ratios of exact
+integers or sequentially-folded dot products, rounded to 6 dp on both
+engines; rankings order by the rounded value + integer tie-break so top-k
+membership is deterministic.
+
+MinHash-LSH keeps its oracle because the banded candidate recall at the
+0.8 threshold is 1 − (1−J⁴)³² ≥ 1 − 5e-8 — verified equal to the exact
+inverted-index pairs on the test tables (tests/test_pipeline_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from .operators.multimodal import attach_blob, extract_image_meta
+from .operators.similarity import cosine_topk, ivf_topk
+from .operators.text import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_stats,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# Shared oracle fragment: distinct 3-token shingles per document, matching
+# operators.dedup.with_shingles (docs shorter than 3 tokens collapse to one
+# whole-text shingle).
+_SHINGLES = """
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct([
+                            array_to_string(toks[i:i+2], ' ')
+                            for i in range(1, len(toks) - 1)
+                        ])
+                   END AS shingles
+            FROM tok
+        )
+"""
+
+_PAIRS = _SHINGLES + """
+        , pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(
+                       len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                       / len(list_distinct(a.shingles || b.shingles)), 6
+                   ) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+"""
+
+
+@register(
+    "pipe_dedup_exact",
+    doc="Exact dedup: hash-groupBy on normalized text, survivor = min doc_id.",
+    oracle=r"""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS text_hash,
+               min(doc_id) AS doc_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY 1
+    """,
+)
+def pipe_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "pipe_jaccard_pairs",
+    doc="EXACT n-gram Jaccard near-dup pairs via inverted shingle index "
+    "(no all-pairs scan); oracle brute-forces the same definition.",
+    oracle=_PAIRS,
+)
+def pipe_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+@register(
+    "pipe_minhash_lsh",
+    headline=True,
+    doc="MinHash(128)+LSH(32×4) banded candidates → exact-Jaccard verify; "
+    "recall at J≥0.8 is 1−5e-8, so output equals the exact pair set.",
+    oracle=_PAIRS,
+)
+def pipe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+@register(
+    "pipe_simhash",
+    doc="SimHash near-dup candidates (Hamming ≤ 3 via 16-bit chunk banding). "
+    "Token hash is Spark xxhash64 — not reproducible in DuckDB, rows-only check.",
+    oracle=None,
+)
+def pipe_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@register(
+    "pipe_text_stats",
+    doc="Token/char counts + lexical stats per document, pure codegen arithmetic.",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+               round(
+                   (length(text) - (length(text) - length(replace(text, ' ', ''))))::DOUBLE
+                   / (length(text) - length(replace(text, ' ', '')) + 1), 6
+               ) AS avg_token_len
+        FROM documents
+    """,
+)
+def pipe_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_token_stats(_docs(spark, sf_dir)).select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_unique_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+    )
+
+
+@register(
+    "pipe_quality_score",
+    doc="Quality scoring: lexical diversity × length band, in [0,1].",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_unique
+            FROM documents
+        )
+        SELECT doc_id,
+               round(
+                   (n_unique::DOUBLE / n_tokens)
+                   * (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END), 6
+               ) AS quality_score
+        FROM s
+    """,
+)
+def pipe_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_quality_score(_docs(spark, sf_dir)).select("doc_id", "quality_score")
+
+
+@register(
+    "pipe_lang_id",
+    doc="Marker-token language ID (argmax of per-language stopword hits; "
+    "deterministic tie-break) + agreement with the labeled lang column.",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, lang,
+                   CAST((length(p) - length(replace(p, ' der ', ''))) / 5
+                      + (length(p) - length(replace(p, ' die ', ''))) / 5
+                      + (length(p) - length(replace(p, ' das ', ''))) / 5
+                      + (length(p) - length(replace(p, ' und ', ''))) / 5
+                      + (length(p) - length(replace(p, ' ist ', ''))) / 5 AS BIGINT) AS h_de,
+                   CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+                      + (length(p) - length(replace(p, ' a ', ''))) / 3
+                      + (length(p) - length(replace(p, ' of ', ''))) / 4
+                      + (length(p) - length(replace(p, ' and ', ''))) / 5
+                      + (length(p) - length(replace(p, ' is ', ''))) / 4 AS BIGINT) AS h_en,
+                   CAST((length(p) - length(replace(p, ' el ', ''))) / 4
+                      + (length(p) - length(replace(p, ' los ', ''))) / 5
+                      + (length(p) - length(replace(p, ' las ', ''))) / 5
+                      + (length(p) - length(replace(p, ' es ', ''))) / 4
+                      + (length(p) - length(replace(p, ' y ', ''))) / 3 AS BIGINT) AS h_es,
+                   CAST((length(p) - length(replace(p, ' le ', ''))) / 4
+                      + (length(p) - length(replace(p, ' la ', ''))) / 4
+                      + (length(p) - length(replace(p, ' les ', ''))) / 5
+                      + (length(p) - length(replace(p, ' et ', ''))) / 4
+                      + (length(p) - length(replace(p, ' est ', ''))) / 5 AS BIGINT) AS h_fr
+            FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents)
+        )
+        SELECT doc_id, lang,
+               CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                    WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                    WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM h
+    """,
+)
+def pipe_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang", "pred_lang")
+
+
+@register(
+    "pipe_fingerprint",
+    doc="Rolling polynomial document fingerprint mod 2^31−1 — exact int64 "
+    "arithmetic, identical fold on both engines.",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+                   (acc, c) -> (acc * 31 + c) % 2147483647
+               ) AS fingerprint
+        FROM documents
+    """,
+)
+def pipe_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+@register(
+    "pipe_cosine_topk",
+    headline=True,
+    doc="Brute-force cosine top-5 for 10 query vectors: broadcast queries, "
+    "single corpus pass, deterministic (rounded cos, id) ranking.",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 10
+        ), c AS (
+            SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+        ), s AS (
+            SELECT query_id, neighbor_id,
+                   round(
+                       list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6
+                   ) AS cos
+            FROM q, c WHERE neighbor_id <> query_id
+        ), r AS (
+            SELECT s.*, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+            ) AS rank
+            FROM s
+        )
+        SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+    """,
+)
+def pipe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register(
+    "pipe_ann_ivf",
+    doc="IVF-bucketed approximate top-k (probe 2 of C clusters): the 100 TB "
+    "path where the cluster column prunes partitions. Approximate ⇒ rows-only.",
+    oracle=None,
+)
+def pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries, k=5, nprobe=2).select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register(
+    "pipe_multimodal_meta",
+    doc="Multimodal plumbing: binary payload column → Arrow-batched "
+    "mapInPandas metadata extraction (decode stubbed, deterministic fake).",
+    oracle="""
+        SELECT doc_id AS item_id,
+               CAST(strlen(text) AS BIGINT) AS byte_len,
+               CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte,
+               CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,
+               CAST(strlen(text) % 480 + 1 AS BIGINT) AS height
+        FROM documents
+    """,
+)
+def pipe_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = attach_blob(_docs(spark, sf_dir))
+    return extract_image_meta(blobs, fake=True)

@@ -1,0 +1,452 @@
+"""Relational surface queries — Spark SQL/DataFrame over the driver tables.
+
+The reference has no relational operators at all (SURVEY §2.3/§2.4/§2.6
+"absent" rows) — Catalyst provides scans, filters, joins, aggregations,
+windows, sorts, limits and set-ops for free; these queries pin that surface
+down with DuckDB oracles and serve as the BENCH headline set.
+
+Float determinism: sums of parquet doubles are order-dependent, so every
+float aggregate is rounded (2 dp for 2-decimal money inputs — accumulated
+error ≪ 0.005) and every ordering uses the rounded value plus an integer
+tie-break. Derived ratios divide two already-rounded values so both engines
+divide identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import register
+from .functions import asof_join
+from .model import load_events
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped headline queries (scan/filter/agg/join machinery)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rel_q1_pricing",
+    headline=True,
+    doc="TPC-H Q1 shape: scan-heavy grouped aggregation with pushed filter.",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                    AS sum_qty,
+               round(sum(l_extendedprice), 2)                               AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+               round(round(sum(l_quantity), 2) / count(*), 6)               AS avg_qty,
+               count(*)                                                     AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rel_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "rel_q3_top_orders",
+    headline=True,
+    doc="TPC-H Q3 shape: 3-way join + grouped revenue + deterministic top-10.",
+    oracle="""
+        SELECT o.o_orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+)
+def rel_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "rel_q5_region_revenue",
+    headline=True,
+    doc="TPC-H Q5 shape: 6-way star join, dims broadcast, grouped revenue.",
+    oracle="""
+        SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+    """,
+)
+def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "rel_broadcast_enrich",
+    doc="Broadcast-join dimension enrichment: orders → customer → nation → region.",
+    oracle="""
+        SELECT r.r_name, o.o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, o.o_orderpriority
+    """,
+)
+def rel_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows / sorts / limits / set ops / scalar functions (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rel_window_top2_orders",
+    doc="Window ranking: top-2 orders per customer by price (raw doubles, int tie-break).",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        ) WHERE rn <= 2
+    """,
+)
+def rel_window_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "rel_distinct_agg",
+    doc="DISTINCT aggregation (absent in reference, free in Spark).",
+    oracle="""
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*)                  AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def rel_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "rel_rollup",
+    doc="ROLLUP grouping sets (absent in reference, free in Spark).",
+    oracle="""
+        SELECT r.r_name, n.n_name,
+               count(*) AS n_customers,
+               round(sum(c.c_acctbal), 2) AS acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal"),
+        )
+    )
+
+
+@register(
+    "rel_setops",
+    doc="Set ops: customers with a finished order EXCEPT the BUILDING segment.",
+    oracle="""
+        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    finished = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return finished.subtract(building)
+
+
+@register(
+    "rel_scalar_funcs",
+    doc="Scalar string/date functions (absent in reference, free in Spark).",
+    oracle="""
+        SELECT upper(p_brand)                          AS brand,
+               substr(p_type, 1, 8)                    AS type_prefix,
+               count(*)                                AS n_parts,
+               round(sum(p_retailprice), 2)            AS retail,
+               min(length(p_name))                     AS min_name_len
+        FROM part
+        WHERE p_size BETWEEN 5 AND 25
+        GROUP BY upper(p_brand), substr(p_type, 1, 8)
+    """,
+)
+def rel_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size").between(5, 25))
+    return p.groupBy(
+        F.upper("p_brand").alias("brand"),
+        F.substring("p_type", 1, 8).alias("type_prefix"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("retail"),
+        F.min(F.length("p_name")).alias("min_name_len"),
+    )
+
+
+@register(
+    "rel_datetime_agg",
+    doc="Date bucketing: order volume by year/month (extract + group).",
+    oracle="""
+        SELECT CAST(year(o_orderdate) AS BIGINT)  AS yr,
+               CAST(month(o_orderdate) AS BIGINT) AS mo,
+               count(*)                           AS n_orders,
+               round(sum(o_totalprice), 2)        AS total
+        FROM orders GROUP BY 1, 2
+    """,
+)
+def rel_datetime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Events-table statistics & windows (SURVEY A1-A4, W7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rel_events_stats",
+    doc="incrStat per-event-type counters (A1, CorrelationEngine.php:790-796).",
+    oracle="""
+        SELECT event_type, count(*) AS seen,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 2) AS value_total
+        FROM events GROUP BY event_type
+    """,
+)
+def rel_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("seen"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("value_total"),
+    )
+
+
+@register(
+    "rel_events_eps",
+    doc="EPS over tumbling event-time windows (A2/W7 — the Counter ring buffer as window aggs).",
+    oracle="""
+        SELECT date_trunc('hour', ts::TIMESTAMP) AS win_start,
+               count(*) AS n_events,
+               round(count(*) / 3600.0, 6) AS eps
+        FROM events GROUP BY 1
+    """,
+)
+def rel_events_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "n_events",
+            F.round(F.col("n_events") / 3600.0, 6).alias("eps"),
+        )
+    )
+
+
+@register(
+    "rel_events_histogram",
+    doc="Fixed-bucket value histogram (A3, Library/Histogram.php:8-43).",
+    oracle="""
+        SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
+        FROM events GROUP BY 1
+    """,
+)
+def rel_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.floor(F.col("value") / 50).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "rel_recent_events",
+    doc="Recent-events ring: last 100 events (A4, Library/EventLog.php:13-31).",
+    oracle="""
+        SELECT event_id, ts::TIMESTAMP AS ts, event_type FROM events
+        ORDER BY ts DESC, event_id DESC LIMIT 100
+    """,
+)
+def rel_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+        .select("event_id", "ts", "event_type")
+    )
+
+
+@register(
+    "rel_asof_last_signup",
+    doc="As-of join (absent in reference AND in Spark SQL): for each purchase, "
+    "the most recent prior signup of the same user — union + running-max window, "
+    "one shuffle, no join node.",
+    oracle="""
+        SELECT event_id, user_id, ts, asof_ts FROM (
+            SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type,
+                   max(CASE WHEN event_type = 'signup' THEN ts::TIMESTAMP END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS asof_ts
+            FROM events
+            WHERE event_type IN ('signup', 'purchase')
+        ) WHERE event_type = 'purchase'
+    """,
+)
+def rel_asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        signups,
+        on="ts",
+        by="user_id",
+        right_value_cols=("ts",),
+        right_prefix="asof_",
+    ).select("event_id", "user_id", "ts", "asof_ts")

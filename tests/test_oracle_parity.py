@@ -1,0 +1,92 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+For every catalog query with an oracle: run the Spark callable and the
+DuckDB SQL on the same sf directory, then compare row count, column names,
+and (column-name-sorted, row-sorted) values — the same thing the driver's
+value-hash sees. Floats must match to 1e-9 (the driver hashes exactly;
+queries are designed to agree bitwise via rounding, so any drift here is a
+real bug, but we allow tiny tolerance to localize failures instead of
+failing on representation).
+
+Run with SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 for the driver-exact
+check (slower); defaults to sf0.001.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from php_ec_spark.catalog import all_queries
+from php_ec_spark.session import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return [f"{name}: columns differ spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"]
+    if len(sdf) != len(odf):
+        problems.append(f"{name}: row count spark={len(sdf)} oracle={len(odf)}")
+        return problems
+    s, o = _canon(sdf), _canon(odf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            sv = pd.to_numeric(sv, errors="coerce")
+            ov = pd.to_numeric(ov, errors="coerce")
+            bad = ~(
+                (sv.isna() & ov.isna())
+                | ((sv - ov).abs() <= 1e-9 + 1e-9 * ov.abs())
+            )
+        else:
+            bad = ~((sv.isna() & ov.isna()) | (sv == ov))
+        if bad.any():
+            i = bad.idxmax()
+            problems.append(
+                f"{name}.{c}: {int(bad.sum())}/{len(s)} mismatches, "
+                f"first at row {i}: spark={sv[i]!r} oracle={ov[i]!r}"
+            )
+    return problems
+
+
+QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_parity(name, spark, ddb):
+    q = QUERIES[name]
+    sdf = q.spark(spark, SF_DIR).toPandas()
+    assert len(sdf) >= 0  # smoke: the Spark side must at least run
+    if q.oracle is None:
+        assert len(sdf) > 0, f"{name}: rows-only query returned empty result"
+        return
+    odf = ddb.execute(q.oracle).df()
+    problems = _compare(name, sdf, odf)
+    assert not problems, "\n".join(problems)
