@@ -1,0 +1,169 @@
+"""Live-mode correlation engine — Structured Streaming.
+
+The batch engine replays history deterministically; this module runs the
+SAME `EngineCore` semantics continuously via ``applyInPandasWithState``:
+
+- per-key instance state persists in Spark's state store across
+  micro-batches (replacing the reference's entire SaveHandler/restore
+  subsystem, SaveHandler/FileAdapter.php:73-233, CorrelationEngine.php:
+  644-766 — checkpointLocation gives crash recovery for free, W11/S9);
+- event-time timers replace the reference's single earliest-deadline loop
+  timer (CorrelationEngine.php:530-563, W3): each key arms its earliest
+  pending deadline; when the watermark passes it, Spark calls the handler
+  with ``hasTimedOut`` and due instances fire (W4 semantics at watermark
+  granularity);
+- the watermark is the BatchClock analog (Clocks/BatchClock.php:8-27):
+  max-seen event time minus the allowed disorder.
+
+Scale: state is partitioned by correlation key exactly like the batch
+path; a micro-batch shuffles only its own rows; state store IO is
+incremental (RocksDB provider recommended on a real cluster).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Optional, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..rules.base import EVENT_MATCH_ANY, Rule
+from .batch import EMISSION_SCHEMA
+from .core import EngineCore
+
+#: State persisted per correlation key: the serialized EngineCore.
+STATE_SCHEMA = T.StructType([T.StructField("blob", T.StringType())])
+
+
+def _make_stateful_handler(rules: Sequence[Rule], historical: bool):
+    def handle(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        blob = state.get[0] if state.exists else None
+        core = EngineCore.from_state(rules, key[0], blob, historical=historical)
+
+        if state.hasTimedOut:
+            # watermark passed this key's earliest deadline → alarm path
+            # (CorrelationEngine.php:600-638)
+            wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+            core.fire_due(wm_ns if wm_ns > 0 else None)
+        else:
+            frames = [pdf for pdf in pdfs if len(pdf)]
+            if frames:
+                batch = pd.concat(frames).sort_values(
+                    ["ts", "event_id"], kind="mergesort"
+                )
+                ts_ns = batch["ts"].astype("int64").to_numpy()
+                eids = batch["event_id"].to_numpy()
+                etypes = batch["event_type"].to_numpy()
+                values = batch["value"].to_numpy()
+                for i in range(len(batch)):
+                    core.handle(
+                        (
+                            int(eids[i]),
+                            int(ts_ns[i]),
+                            etypes[i],
+                            None if values[i] != values[i] else values[i],
+                        )
+                    )
+
+        # re-arm the single earliest-deadline timer for this key
+        nxt = core.next_deadline()
+        if core.has_live():
+            state.update((core.to_state(),))
+            if nxt is not None:
+                wm_ms = state.getCurrentWatermarkMs()
+                # event-time timers must be > watermark; clamp forward
+                state.setTimeoutTimestamp(max(nxt // 1_000_000, wm_ms + 1))
+        elif state.exists:
+            state.remove()
+
+        rows = core.take_rows()
+        out = pd.DataFrame(
+            rows,
+            columns=[
+                "rule", "key", "outcome", "fire_ts", "start_event_id",
+                "last_event_id", "n_events", "value_sum", "payload",
+            ],
+        )
+        if len(out):
+            out["fire_ts"] = pd.to_datetime(out["fire_ts"], unit="ns")
+        else:
+            out["fire_ts"] = pd.Series([], dtype="datetime64[ns]")
+        yield out
+
+    return handle
+
+
+def correlate_stream(
+    events: DataFrame,
+    rules: Sequence[Rule],
+    watermark_delay: str = "0 seconds",
+    historical: bool = False,
+    prefilter_types: bool = False,
+) -> DataFrame:
+    """Run rules over a STREAMING events DataFrame; returns the emission
+    stream (append mode).
+
+    Rules are grouped by correlation key exactly like the batch engine;
+    suppression across differently-keyed rules is rejected. The caller
+    starts the query (see :func:`php_ec_spark.streaming.start_correlation`)
+    with a checkpointLocation — that checkpoint IS the reference's
+    save-state file, done properly.
+
+    ``prefilter_types`` is OFF by default, deliberately: Catalyst pushes an
+    event-type filter BELOW the EventTimeWatermark node, so events no rule
+    consumes would never advance the watermark and pending timeouts would
+    stall — but php-ec's clock advances on EVERY event
+    (CorrelationEngine.php:199). The default routes the full stream through
+    the watermark + state op (each event also replays due timeouts at
+    t−1 ms, exactly the batch clock). Enable prefiltering only when rule
+    types cover most traffic or timer latency is driven by other means —
+    it cuts the shuffle to the matched subset.
+    """
+    if not rules:
+        raise ValueError("correlate_stream needs at least one rule")
+    by_key: dict[Optional[str], list[Rule]] = {}
+    for r in rules:
+        by_key.setdefault(r.key, []).append(r)
+    if len(by_key) > 1 and any(r.suppress for r in rules):
+        raise ValueError("suppressing rules must share one correlation key column")
+
+    src = events.withWatermark("ts", watermark_delay)
+    outs = []
+    for key_col, group_rules in by_key.items():
+        needed_types = set()
+        unrestricted = False
+        for r in group_rules:
+            for g in r.events:
+                if EVENT_MATCH_ANY in g:
+                    unrestricted = True
+                needed_types.update(g)
+        part = src
+        if prefilter_types and not unrestricted:
+            part = part.filter(F.col("event_type").isin(sorted(needed_types)))
+        cols = ["event_id", "ts", "event_type", "value"]
+        if key_col is not None:
+            part = part.select(key_col, *cols)
+            grouped = part.groupBy(key_col)
+        else:
+            part = part.select(F.lit(1).alias("__k"), *cols)
+            grouped = part.groupBy("__k")
+        outs.append(
+            grouped.applyInPandasWithState(
+                _make_stateful_handler(list(group_rules), historical),
+                outputStructType=EMISSION_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

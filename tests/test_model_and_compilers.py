@@ -1,0 +1,153 @@
+"""Unit tests for clock semantics (clamp, historical) and strategy parity
+of the new relational compilers against the state machine."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from php_ec_spark.engine import (
+    compile_gap_sessions,
+    compile_sequence,
+    correlate,
+    correlate_state_machine,
+)
+from php_ec_spark.model import (
+    CONTROL_MSG_START,
+    CONTROL_MSG_STOP,
+    clamp_event_time,
+    with_control_messages,
+)
+from php_ec_spark.rules import match_single_continuously, sequence_rule
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _mk(spark, rows):
+    """rows: (event_id, seconds_offset, user, type, value)"""
+    data = [
+        (eid, T0 + dt.timedelta(seconds=s), int(u), t, float(v), None)
+        for eid, s, u, t, v in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+def _rows(df):
+    cols = ["rule", "key", "outcome", "fire_ts", "start_event_id",
+            "last_event_id", "n_events"]
+    out = [tuple(r[c] for c in cols) + (round(r["value_sum"], 6) if r["value_sum"] is not None else None,)
+           for r in df.collect()]
+    return sorted(out, key=lambda x: (str(x), ))
+
+
+class TestClampEventTime:
+    def test_skewed_events_get_server_time(self, spark):
+        df = _mk(spark, [(0, 0, 1, "a", 1), (1, 700, 1, "a", 1), (2, 300, 1, "a", 1)])
+        now = F.lit("2024-01-01 00:00:00").cast("timestamp")
+        out = {r["event_id"]: r["ts"] for r in clamp_event_time(df, now=now).collect()}
+        assert out[0] == T0  # within tolerance, untouched
+        assert out[1] == T0  # |700| > 600 → clamped to now
+        assert out[2] == T0 + dt.timedelta(seconds=300)  # within, untouched
+
+    def test_boundary_not_clamped(self, spark):
+        df = _mk(spark, [(0, 600, 1, "a", 1)])
+        now = F.lit("2024-01-01 00:00:00").cast("timestamp")
+        out = clamp_event_time(df, now=now).collect()[0]
+        assert out["ts"] == T0 + dt.timedelta(seconds=600)  # exactly 600 s: kept
+
+
+class TestHistoricalIgnoreTimeout:
+    RULE = sequence_rule(
+        "h", ["a", "b"], key="user_id", timeout="PT10S",
+        historical_ignore_timeout=True,
+    )
+
+    def test_late_completion_survives_history(self, spark):
+        # b arrives 100 s after a — well past PT10S; in historical mode the
+        # instance must stay alive and complete (AEventProcessor.php:377-383)
+        df = _mk(spark, [(0, 0, 1, "a", 1), (1, 100, 1, "b", 2)])
+        rows = _rows(correlate(df, [self.RULE], historical=True))
+        assert len(rows) == 1
+        assert rows[0][2] == "completed" and rows[0][6] == 2
+
+    def test_no_timeout_rows_in_history(self, spark):
+        df = _mk(spark, [(0, 0, 1, "a", 1)])  # never completed
+        assert _rows(correlate(df, [self.RULE], historical=True)) == []
+
+    def test_live_mode_still_times_out(self, spark):
+        df = _mk(spark, [(0, 0, 1, "a", 1), (1, 100, 1, "b", 2)])
+        rows = _rows(correlate(df, [self.RULE], historical=False))
+        assert [r[2] for r in rows] == ["timeout"]
+
+
+class TestSequenceCompilerParity:
+    CASES = [
+        # overlapping funnels, shared middle events, late steps
+        [(0, 0, 1, "a", 1), (1, 5, 1, "b", 2), (2, 8, 1, "c", 3),
+         (3, 2, 1, "a", 10), (4, 50, 1, "b", 4), (5, 51, 1, "c", 5),
+         (6, 100, 2, "a", 1), (7, 101, 2, "c", 1)],
+        # timeout at each step position
+        [(0, 0, 1, "a", 1), (1, 100, 1, "b", 2), (2, 0, 2, "a", 1),
+         (3, 5, 2, "b", 2), (4, 200, 2, "c", 3)],
+    ]
+
+    @pytest.mark.parametrize("rows", CASES)
+    def test_three_step_matches_state_machine(self, spark, rows):
+        rule = sequence_rule("f3", ["a", "b", "c"], key="user_id", timeout="PT10S")
+        df = _mk(spark, rows)
+        assert _rows(compile_sequence(df, rule)) == _rows(
+            correlate_state_machine(df, [rule])
+        )
+
+    def test_no_timeout_sequence(self, spark):
+        rule = sequence_rule("f3", ["a", "b", "c"], key="user_id", timeout=None)
+        df = _mk(spark, self.CASES[0])
+        assert _rows(compile_sequence(df, rule)) == _rows(
+            correlate_state_machine(df, [rule])
+        )
+
+    def test_plan_has_no_python(self, spark):
+        rule = sequence_rule("f3", ["a", "b", "c"], key="user_id", timeout="PT10S")
+        plan = compile_sequence(_mk(spark, self.CASES[0]), rule)._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestGapSessionParity:
+    @pytest.mark.parametrize("rows", [
+        [(0, 0, 1, "a", 1), (1, 5, 1, "b", 2), (2, 30, 1, "a", 3),
+         (3, 31, 1, "b", 1), (4, 100, 1, "a", 1),
+         (5, 0, 2, "a", 7)],
+        [(0, 0, 1, "a", 1), (1, 10, 1, "a", 1), (2, 20, 1, "a", 1)],
+    ])
+    def test_sessions_match_state_machine(self, spark, rows):
+        rule = match_single_continuously("g", ["*"], key="user_id", timeout="PT10S")
+        df = _mk(spark, rows)
+        assert _rows(compile_gap_sessions(df, rule)) == _rows(
+            correlate_state_machine(df, [rule])
+        )
+
+    def test_exact_gap_boundary_stays_in_session(self, spark):
+        # gap == timeout exactly: accepted (ts <= deadline) → one session
+        rule = match_single_continuously("g", ["a"], key="user_id", timeout="PT10S")
+        df = _mk(spark, [(0, 0, 1, "a", 1), (1, 10, 1, "a", 1)])
+        rows = _rows(compile_gap_sessions(df, rule))
+        assert len(rows) == 1 and rows[0][6] == 2
+
+
+class TestControlMessages:
+    def test_start_sorts_before_stream_and_stop_after(self, spark):
+        df = _mk(spark, [(0, 0, 1, "a", 1), (1, 5, 1, "b", 2)])
+        out = with_control_messages(spark, df).orderBy("ts", "event_id").collect()
+        assert out[0]["event_type"] == CONTROL_MSG_START
+        assert out[0]["event_id"] == -1 and out[0]["ts"] == T0
+        assert out[-1]["event_type"] == CONTROL_MSG_STOP
+        assert out[-1]["event_id"] == 2
+
+    def test_empty_input(self, spark):
+        df = _mk(spark, []).limit(0)
+        out = with_control_messages(spark, df).collect()
+        assert {r["event_type"] for r in out} == {CONTROL_MSG_START, CONTROL_MSG_STOP}

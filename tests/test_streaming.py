@@ -1,0 +1,140 @@
+"""Live-mode engine: state across micro-batches, event-time timeouts,
+action dispatch, checkpointing."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from php_ec_spark.rules import sequence_rule
+from php_ec_spark.streaming import (
+    ActionDispatcher,
+    ndjson_dir_source,
+    start_correlation,
+)
+
+
+def _write_ndjson(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    time.sleep(0.05)  # distinct mtimes → deterministic file order
+
+
+def _ev(eid, ts, user, etype, value=1.0):
+    return {
+        "event_id": eid,
+        "ts": ts,
+        "user_id": user,
+        "event_type": etype,
+        "value": value,
+        "props": None,
+    }
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    return src, ckpt
+
+
+def test_stream_matches_batch_with_state_carryover(spark, stream_dirs):
+    """An instance opened in micro-batch 1 completes in micro-batch 2
+    (state store carry-over), and a deadline passed by the watermark fires
+    as a timeout on a later trigger — php-ec live semantics (W2/W3/W11)."""
+    src, ckpt = stream_dirs
+    # batch 1: two signups, one purchase (user 1 completes immediately)
+    _write_ndjson(
+        src / "01.json",
+        [
+            _ev(0, "2024-01-01T00:00:00Z", 1, "signup"),
+            _ev(1, "2024-01-01T00:00:01Z", 2, "signup"),
+            _ev(2, "2024-01-01T00:00:05Z", 1, "purchase"),
+        ],
+    )
+    # batch 2: user 2's purchase arrives LATE (after its 10 s deadline) and
+    # far-future traffic advances the watermark past the deadline
+    _write_ndjson(
+        src / "02.json",
+        [
+            _ev(3, "2024-01-01T00:01:40Z", 3, "view"),
+        ],
+    )
+    # batch 3: more traffic so the armed timer for user 2 fires
+    _write_ndjson(
+        src / "03.json",
+        [
+            _ev(4, "2024-01-01T00:03:20Z", 3, "view"),
+        ],
+    )
+
+    rule = sequence_rule("pay", ["signup", "purchase"], key="user_id", timeout="PT10S")
+    events = ndjson_dir_source(spark, str(src), max_files_per_trigger=1)
+    dispatcher = ActionDispatcher()
+    seen: list[dict] = []
+    dispatcher.register("collect", fn=lambda rows: seen.extend(rows))
+
+    q = start_correlation(
+        events, [rule], str(ckpt), dispatcher=dispatcher, trigger_once=True
+    )
+    q.awaitTermination(timeout=120)
+
+    by = {(r["key"], r["outcome"]): r for r in seen}
+    assert ("1", "completed") in by, seen
+    done = by[("1", "completed")]
+    assert done["start_event_id"] == 0 and done["last_event_id"] == 2
+    assert done["n_events"] == 2
+    # user 2 timed out at 00:00:01 + 10 s once the watermark passed it
+    assert ("2", "timeout") in by, seen
+    tout = by[("2", "timeout")]
+    assert tout["start_event_id"] == 1 and tout["n_events"] == 1
+    assert str(tout["fire_ts"]).startswith("2024-01-01 00:00:11")
+    assert dispatcher.completed and not dispatcher.failed
+
+
+def test_checkpoint_restart_resumes(spark, stream_dirs):
+    """Restarting with the same checkpoint neither reprocesses nor loses
+    state — the SaveHandler/RECOVERY replacement (S9/W11/W12)."""
+    src, ckpt = stream_dirs
+    _write_ndjson(src / "01.json", [_ev(0, "2024-01-01T00:00:00Z", 1, "signup")])
+
+    rule = sequence_rule("pay", ["signup", "purchase"], key="user_id", timeout="PT1H")
+    seen: list[dict] = []
+    d1 = ActionDispatcher().register("collect", fn=lambda rows: seen.extend(rows))
+    q = start_correlation(
+        ndjson_dir_source(spark, str(src)), [rule], str(ckpt),
+        dispatcher=d1, trigger_once=True,
+    )
+    q.awaitTermination(timeout=120)
+    assert seen == []  # instance open, nothing emitted
+
+    # run 2: the purchase arrives; the restored instance must complete
+    _write_ndjson(src / "02.json", [_ev(1, "2024-01-01T00:10:00Z", 1, "purchase")])
+    seen2: list[dict] = []
+    d2 = ActionDispatcher().register("collect", fn=lambda rows: seen2.extend(rows))
+    q = start_correlation(
+        ndjson_dir_source(spark, str(src)), [rule], str(ckpt),
+        dispatcher=d2, trigger_once=True,
+    )
+    q.awaitTermination(timeout=120)
+    assert [(r["key"], r["outcome"]) for r in seen2] == [("1", "completed")]
+    assert seen2[0]["start_event_id"] == 0 and seen2[0]["last_event_id"] == 1
+
+
+def test_action_validation_quarantines_bad_rows(spark, stream_dirs):
+    src, ckpt = stream_dirs
+    _write_ndjson(src / "01.json", [_ev(0, "2024-01-01T00:00:00Z", 1, "signup"),
+                                    _ev(1, "2024-01-01T00:00:02Z", 1, "purchase")])
+    rule = sequence_rule("pay", ["signup", "purchase"], key="user_id", timeout="PT1H")
+    d = ActionDispatcher()
+    d.register("strict", schema={"nonexistent_param": str}, rules=["pay"])
+    q = start_correlation(
+        ndjson_dir_source(spark, str(src)), [rule], str(ckpt),
+        dispatcher=d, trigger_once=True,
+    )
+    q.awaitTermination(timeout=120)
+    assert d.failed and not d.completed  # validation failed, engine survived
