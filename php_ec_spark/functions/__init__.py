@@ -18,6 +18,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_inclusive(col: Column, lo, hi) -> Column:
+    """min ≤ value ≤ max (reference src/Rule.php:27-37, F5)."""
+    return col.between(lo, hi)
+
+
+def range_exclusive(col: Column, lo, hi) -> Column:
+    """min < value < max (reference src/Rule.php:39-48, F5)."""
+    return (col > lo) & (col < hi)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

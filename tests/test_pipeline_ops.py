@@ -1,0 +1,187 @@
+"""Unit tests for the training-data pipeline operators: LSH recall vs the
+exact pair set, IVF recall vs brute force, dedup survivors, as-of join,
+memory TTL, multimodal stubs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from php_ec_spark.functions import asof_join, range_exclusive, range_inclusive
+from php_ec_spark.memory import MemoryEngine
+from php_ec_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    with_minhash,
+    with_simhash,
+)
+from php_ec_spark.operators.multimodal import attach_blob, decode_image, extract_image_meta
+from php_ec_spark.operators.similarity import cosine_topk, ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+class TestDedup:
+    def test_exact_dedup_counts(self, spark, docs):
+        out = exact_dedup(docs)
+        total = out.agg(F.sum("dup_count")).collect()[0][0]
+        assert total == docs.count()  # every doc lands in exactly one group
+        assert out.count() == docs.select("text").distinct().count()
+
+    def test_lsh_recall_equals_exact_pairs(self, spark, docs):
+        """At J≥0.8 the banded-LSH miss probability is ~5e-8 — the verified
+        candidate set must equal the exact inverted-index pair set."""
+        exact = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, 0.8).collect()}
+        lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, 0.8).collect()}
+        assert lsh == exact and len(exact) > 0
+
+    def test_minhash_similarity_estimate(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b c d e f g h i j"), (1, "a b c d e f g h i k"), (2, "z y x w v u t s r q")],
+            "doc_id long, text string",
+        )
+        sigs = {r.doc_id: r.signature for r in with_minhash(df).collect()}
+        agree_close = sum(a == b for a, b in zip(sigs[0], sigs[1])) / 128
+        agree_far = sum(a == b for a, b in zip(sigs[0], sigs[2])) / 128
+        assert agree_close > 0.5 > agree_far  # J(0,1)=2/3ish, J(0,2)=0
+
+    def test_simhash_distances(self, spark):
+        """Identical docs hash identically; a small edit moves few bits; a
+        disjoint vocabulary lands near the expected 32-bit distance."""
+        base = " ".join(f"tok{i}" for i in range(100))
+        edited = base.replace("tok5 ", "tok5x ").replace("tok50 ", "tok50x ")
+        other = " ".join(f"zzz{i}" for i in range(100))
+        df = spark.createDataFrame(
+            [(0, base), (1, base), (2, edited), (3, other)], "doc_id long, text string"
+        )
+        fp = {r.doc_id: r.simhash for r in with_simhash(df).collect()}
+        ham = lambda a, b: bin((fp[a] ^ fp[b]) & (2**64 - 1)).count("1")
+        assert ham(0, 1) == 0
+        assert ham(0, 2) <= 12          # 2-token edit: few bit flips
+        assert ham(0, 3) >= 16          # unrelated text: ≈32 expected
+
+    def test_simhash_bucket_candidates_complete(self, spark):
+        """Chunk banding must surface every pair within Hamming ≤ 3
+        (pigeonhole over 4×16-bit chunks)."""
+        base = " ".join(f"tok{i}" for i in range(100))
+        df = spark.createDataFrame(
+            [(0, base), (1, base), (2, base.replace("tok7 ", "tokX "))],
+            "doc_id long, text string",
+        )
+        got = {(r.doc_a, r.doc_b) for r in simhash_pairs(df, max_hamming=3).collect()}
+        assert (0, 1) in got
+
+
+class TestSimilarity:
+    def test_ivf_recall_on_clustered_data(self, spark):
+        """On data with real cluster structure, probing 2 of 8 buckets must
+        recover nearly all true neighbors. (The driver's embeddings table is
+        uniform random — labels carry no geometry — so recall there is the
+        theoretical nprobe/C floor; this test supplies actual clusters.)"""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        centers = rng.normal(size=(8, 16)) * 5
+        rows = []
+        for i in range(400):
+            c = i % 8
+            v = centers[c] + rng.normal(size=16) * 0.3
+            rows.append((i, [float(x) for x in v], c))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+        queries = df.filter(F.col("vec_id") < 8)
+        brute = {(r.query_id, r.neighbor_id) for r in cosine_topk(df, queries, k=5).collect()}
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in ivf_topk(df, queries, k=5, nprobe=2).collect()}
+        recall = len(brute & approx) / len(brute)
+        assert recall >= 0.9, recall
+
+    def test_cosine_is_symmetric_and_bounded(self, spark, emb):
+        out = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=3).collect()
+        assert all(-1.0001 <= r.cos <= 1.0001 for r in out)
+        assert all(r.query_id != r.neighbor_id for r in out)
+
+
+class TestAsofJoin:
+    def test_most_recent_prior(self, spark):
+        t = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(10, t + dt.timedelta(seconds=5), 1), (11, t + dt.timedelta(seconds=1), 1),
+             (12, t + dt.timedelta(seconds=9), 2)],
+            "event_id long, ts timestamp, user_id long",
+        )
+        right = spark.createDataFrame(
+            [(0, t + dt.timedelta(seconds=0), 1), (1, t + dt.timedelta(seconds=4), 1),
+             (2, t + dt.timedelta(seconds=7), 1)],
+            "event_id long, ts timestamp, user_id long",
+        )
+        out = {r.event_id: r.asof_event_id for r in asof_join(
+            left, right, right_value_cols=("event_id",)
+        ).collect()}
+        assert out[10] == 1   # latest right at ts<=5 is ts=4
+        assert out[11] == 0   # only ts=0 precedes ts=1
+        assert out[12] is None  # user 2 has no right rows
+
+
+class TestMemory:
+    def test_ttl_and_last_write_wins(self, spark):
+        now = dt.datetime(2024, 1, 1, 12, 0, 0)
+        writes = spark.createDataFrame(
+            [
+                ("ns", "k1", "v1", None, False, 1),
+                ("ns", "k1", "v2", None, False, 2),         # overwrite wins
+                ("ns", "k2", "expired", now - dt.timedelta(hours=1), False, 3),
+                ("ns", "k3", "alive", now + dt.timedelta(hours=1), False, 4),
+                ("ns", "k3", None, None, False, 5),          # tombstone deletes
+            ],
+            "namespace string, key string, value string, expires_at timestamp, persistent boolean, write_seq long",
+        )
+        mem = MemoryEngine(spark).apply_writes(writes)
+        live = {r.key: r.value for r in mem.namespace("ns", now=F.lit(now)).collect()}
+        assert live == {"k1": "v2"}
+
+    def test_persistence_roundtrip(self, spark, tmp_path):
+        seed = spark.createDataFrame(
+            [("ns", "k", "v", None, True, 1)],
+            "namespace string, key string, value string, expires_at timestamp, persistent boolean, write_seq long",
+        )
+        mem = MemoryEngine(spark).apply_writes(seed)
+        path = str(tmp_path / "mem")
+        mem.save(path)
+        restored = MemoryEngine.load(spark, path)
+        assert [(r.key, r.value) for r in restored.namespace("ns").collect()] == [("k", "v")]
+
+
+class TestMultimodal:
+    def test_real_decode_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            decode_image(b"xx", fake=False)
+
+    def test_fake_decode_plumbing(self, spark, docs):
+        meta = extract_image_meta(attach_blob(docs), fake=True)
+        row = meta.orderBy("item_id").first()
+        txt = docs.orderBy("doc_id").first()["text"]
+        assert row["byte_len"] == len(txt.encode())
+        assert row["head_byte"] == txt.encode()[0]
+        assert 1 <= row["width"] <= 640 and 1 <= row["height"] <= 480
+
+
+class TestRangePredicates:
+    def test_inclusive_exclusive(self, spark):
+        df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+        inc = df.filter(range_inclusive(F.col("v"), 2, 4)).count()
+        exc = df.filter(range_exclusive(F.col("v"), 2, 4)).count()
+        assert (inc, exc) == (3, 1)
