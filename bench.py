@@ -26,6 +26,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     headline = {n: q for n, q in all_queries().items() if q.headline}
+
+    # JVM/codegen warmup so per-query numbers reflect steady state, not
+    # first-job class loading (not counted in the reported total)
+    t0 = time.perf_counter()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
+    print(f"# warmup: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, q in sorted(headline.items()):

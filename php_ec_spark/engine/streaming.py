@@ -38,7 +38,7 @@ from .core import EngineCore
 STATE_SCHEMA = T.StructType([T.StructField("blob", T.StringType())])
 
 
-def _make_stateful_handler(rules: Sequence[Rule], historical: bool):
+def _make_stateful_handler(rules: Sequence[Rule], historical: bool, clock: str):
     def handle(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -48,10 +48,15 @@ def _make_stateful_handler(rules: Sequence[Rule], historical: bool):
         core = EngineCore.from_state(rules, key[0], blob, historical=historical)
 
         if state.hasTimedOut:
-            # watermark passed this key's earliest deadline → alarm path
+            # the clock passed this key's earliest deadline → alarm path
             # (CorrelationEngine.php:600-638)
-            wm_ns = state.getCurrentWatermarkMs() * 1_000_000
-            core.fire_due(wm_ns if wm_ns > 0 else None)
+            if clock == "processing":
+                # TickClock (live mode): compare deadlines to wall time
+                now_ns = state.getCurrentProcessingTimeMs() * 1_000_000
+                core.fire_due(now_ns)
+            else:
+                wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+                core.fire_due(wm_ns if wm_ns > 0 else None)
         else:
             frames = [pdf for pdf in pdfs if len(pdf)]
             if frames:
@@ -77,9 +82,13 @@ def _make_stateful_handler(rules: Sequence[Rule], historical: bool):
         if core.has_live():
             state.update((core.to_state(),))
             if nxt is not None:
-                wm_ms = state.getCurrentWatermarkMs()
-                # event-time timers must be > watermark; clamp forward
-                state.setTimeoutTimestamp(max(nxt // 1_000_000, wm_ms + 1))
+                if clock == "processing":
+                    now_ms = state.getCurrentProcessingTimeMs()
+                    state.setTimeoutDuration(max(nxt // 1_000_000 - now_ms, 1))
+                else:
+                    wm_ms = state.getCurrentWatermarkMs()
+                    # event-time timers must be > watermark; clamp forward
+                    state.setTimeoutTimestamp(max(nxt // 1_000_000, wm_ms + 1))
         elif state.exists:
             state.remove()
 
@@ -106,9 +115,17 @@ def correlate_stream(
     watermark_delay: str = "0 seconds",
     historical: bool = False,
     prefilter_types: bool = False,
+    clock: str = "event",
 ) -> DataFrame:
     """Run rules over a STREAMING events DataFrame; returns the emission
     stream (append mode).
+
+    ``clock`` picks the reference's dual clock (CorrelationEngine.php:
+    569-585, W1/W2): ``"event"`` = BatchClock semantics, timers fire on
+    watermark advance (deterministic, replay-safe); ``"processing"`` =
+    TickClock semantics, timers fire on wall time — php-ec live mode, for
+    deployments where absence must be detected even when the stream goes
+    completely quiet.
 
     Rules are grouped by correlation key exactly like the batch engine;
     suppression across differently-keyed rules is rejected. The caller
@@ -156,11 +173,15 @@ def correlate_stream(
             grouped = part.groupBy("__k")
         outs.append(
             grouped.applyInPandasWithState(
-                _make_stateful_handler(list(group_rules), historical),
+                _make_stateful_handler(list(group_rules), historical, clock),
                 outputStructType=EMISSION_SCHEMA,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+                timeoutConf=(
+                    GroupStateTimeout.ProcessingTimeTimeout
+                    if clock == "processing"
+                    else GroupStateTimeout.EventTimeTimeout
+                ),
             )
         )
     result = outs[0]

@@ -439,6 +439,37 @@ def cep_memory_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_stat_counters",
+    doc="A1: incrStat counters (CorrelationEngine.php:790-813) — per-rule "
+    "completed/timeout tallies derived from the emission stream, the exact "
+    "batch-replay analog of the engine's statistics map.",
+    oracle=_FIRST_AFTER.format(types="'signup','purchase'", b="purchase")
+    + """
+        , em AS (
+            SELECT 'pay_check' AS rule,
+                   CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
+                        THEN 'completed' ELSE 'timeout' END AS outcome
+            FROM w WHERE event_type = 'signup'
+            UNION ALL
+            SELECT 'errors', 'completed' FROM events WHERE event_type = 'error'
+        )
+        SELECT rule, outcome, count(*) AS n FROM em GROUP BY rule, outcome
+    """,
+)
+def cep_stat_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    rules = [
+        sequence_rule("pay_check", ["signup", "purchase"], key="user_id", timeout="PT24H"),
+        match_single("errors", ["error"], key="user_id"),
+    ]
+    return (
+        correlate(events, rules)
+        .groupBy("rule", "outcome")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "cep_time_clamp",
     doc="F7: live-mode skew clamp — |ts − now| > 600 s is overwritten with "
     "server time (CorrelationEngine.php:181-190).",

@@ -386,6 +386,34 @@ def rel_events_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_events_eps_sliding",
+    doc="Sliding-window EPS (A2/W7): 1 h windows every 15 min — the Counter "
+    "ring buffer's multi-horizon load calc as overlapping window aggs.",
+    oracle="""
+        WITH g AS (
+            SELECT unnest(generate_series(
+                date_trunc('hour', (SELECT min(ts::TIMESTAMP) FROM events)) - INTERVAL 45 MINUTE,
+                (SELECT max(ts::TIMESTAMP) FROM events),
+                INTERVAL 15 MINUTE
+            )) AS win_start
+        )
+        SELECT g.win_start, count(e.event_id) AS n_events
+        FROM g JOIN events e
+          ON e.ts::TIMESTAMP >= g.win_start
+         AND e.ts::TIMESTAMP < g.win_start + INTERVAL 1 HOUR
+        GROUP BY g.win_start
+    """,
+)
+def rel_events_eps_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+    )
+
+
+@register(
     "rel_events_histogram",
     doc="Fixed-bucket value histogram (A3, Library/Histogram.php:8-43).",
     oracle="""

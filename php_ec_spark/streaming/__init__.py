@@ -41,6 +41,7 @@ def start_correlation(
     watermark_delay: str = "0 seconds",
     query_name: str = "php-ec-correlation",
     trigger_once: bool = False,
+    clock: str = "event",
 ) -> StreamingQuery:
     """Source → correlation engine → action sink, checkpointed.
 
@@ -52,7 +53,9 @@ def start_correlation(
     is the reference's errored-action replay (W12) without the marker-file
     dance.
     """
-    emissions = correlate_stream(events, rules, watermark_delay=watermark_delay)
+    emissions = correlate_stream(
+        events, rules, watermark_delay=watermark_delay, clock=clock
+    )
     dispatcher = dispatcher or ActionDispatcher()
     writer = (
         emissions.writeStream.queryName(query_name)

@@ -1,0 +1,97 @@
+"""Physical-plan audits: the properties that make these queries survive a
+1000-executor cluster. Each assertion pins a plan shape — filter pushdown
+to the parquet scan, broadcast joins for dims, no Python in relational CEP
+plans, bounded shuffle counts."""
+
+from __future__ import annotations
+
+import pytest
+
+from php_ec_spark.catalog import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        all_queries()[name]
+        .spark(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def _optimized(spark, name: str) -> str:
+    return str(
+        all_queries()[name].spark(spark, SF)._jdf.queryExecution().optimizedPlan()
+    )
+
+
+class TestPushdownAndPruning:
+    def test_q1_filter_reaches_scan(self, spark):
+        plan = _plan(spark, "rel_q1_pricing")
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+    def test_q1_reads_only_needed_columns(self, spark):
+        plan = _plan(spark, "rel_q1_pricing")
+        # ReadSchema must not include unused columns like l_comment/l_partkey
+        read = plan[plan.index("ReadSchema"):].split("\n")[0]
+        assert "l_partkey" not in read and "l_suppkey" not in read
+
+    def test_cep_sequence_type_filter_pushed(self, spark):
+        plan = _plan(spark, "cep_seq_two_step")
+        assert "PushedFilters" in plan and "In(event_type" in plan
+
+
+class TestBroadcast:
+    @pytest.mark.parametrize("name", ["rel_q5_region_revenue", "rel_broadcast_enrich"])
+    def test_dims_broadcast(self, spark, name):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan
+        # the fact side must never be broadcast
+        assert "SortMergeJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+
+    def test_memory_enrich_is_broadcast(self, spark):
+        plan = _plan(spark, "cep_memory_enrich")
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+class TestNoPythonInRelationalCep:
+    @pytest.mark.parametrize(
+        "name",
+        ["cep_seq_two_step", "cep_funnel_3step", "cep_gap_sessions",
+         "cep_single_match", "cep_cron_hourly", "cep_control_messages"],
+    )
+    def test_no_python_operators(self, spark, name):
+        plan = _plan(spark, name)
+        assert "FlatMapGroupsInPandas" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestShuffleBudget:
+    def test_two_step_sequence_single_shuffle(self, spark):
+        plan = _plan(spark, "cep_seq_two_step")
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_keyless_counter_uses_partial_agg(self, spark):
+        from php_ec_spark.engine.relational import compile_keyless_counter
+        from php_ec_spark.model import load_events
+        from php_ec_spark.rules import match_single_continuously
+
+        rule = match_single_continuously("c", ["*"], key=None, emit_final=True)
+        plan = (
+            compile_keyless_counter(load_events(spark, SF), rule)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # global agg = partial + final, never a groupBy(lit(1)) state machine
+        assert "FlatMapGroupsInPandas" not in plan
+        assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
+
+
+class TestWholeStageCodegen:
+    @pytest.mark.parametrize("name", ["rel_q1_pricing", "pipe_text_stats"])
+    def test_codegen_spans_exist(self, spark, name):
+        # codegen'd operators print with the "*(n)" stage prefix
+        plan = _plan(spark, name)
+        assert "*(1)" in plan

@@ -125,6 +125,36 @@ def test_checkpoint_restart_resumes(spark, stream_dirs):
     assert seen2[0]["start_event_id"] == 0 and seen2[0]["last_event_id"] == 1
 
 
+def test_processing_time_clock_fires_on_quiet_stream(spark, stream_dirs):
+    """TickClock mode (W2): a deadline fires on WALL time even when no
+    further events arrive — absence detection on a quiet stream, which the
+    event-time clock cannot do."""
+    src, ckpt = stream_dirs
+    _write_ndjson(src / "01.json", [_ev(0, "2024-01-01T00:00:00Z", 1, "signup")])
+    rule = sequence_rule("pay", ["signup", "purchase"], key="user_id", timeout="PT1S")
+    seen: list[dict] = []
+    d = ActionDispatcher().register("collect", fn=lambda rows: seen.extend(rows))
+    from php_ec_spark.engine.streaming import correlate_stream
+
+    emissions = correlate_stream(
+        ndjson_dir_source(spark, str(src)), [rule], clock="processing"
+    )
+    q = (
+        emissions.writeStream.option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .foreachBatch(d)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not seen:
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert [(r["key"], r["outcome"]) for r in seen] == [("1", "timeout")]
+
+
 def test_action_validation_quarantines_bad_rows(spark, stream_dirs):
     src, ckpt = stream_dirs
     _write_ndjson(src / "01.json", [_ev(0, "2024-01-01T00:00:00Z", 1, "signup"),
