@@ -92,6 +92,9 @@ class TestShuffleBudget:
 class TestWholeStageCodegen:
     @pytest.mark.parametrize("name", ["rel_q1_pricing", "pipe_text_stats"])
     def test_codegen_spans_exist(self, spark, name):
-        # codegen'd operators print with the "*(n)" stage prefix
-        plan = _plan(spark, name)
+        # codegen'd operators print with the "*(n)" stage prefix; AQE only
+        # finalizes the plan after execution, so run the query first
+        df = all_queries()[name].spark(spark, SF)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
         assert "*(1)" in plan
