@@ -92,9 +92,11 @@ class TestShuffleBudget:
 class TestWholeStageCodegen:
     @pytest.mark.parametrize("name", ["rel_q1_pricing", "pipe_text_stats"])
     def test_codegen_spans_exist(self, spark, name):
-        # codegen'd operators print with the "*(n)" stage prefix; AQE only
-        # finalizes the plan after execution, so run the query first
-        df = all_queries()[name].spark(spark, SF)
-        df.count()
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        # codegen'd operators print with the "*(n)" stage prefix; AQE wraps
+        # the plan lazily, so disable it for the shape check
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = _plan(spark, name)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
         assert "*(1)" in plan
