@@ -104,6 +104,81 @@ def validate_enrich_filter(
     return out
 
 
+def _cron_field_pred(col: Column, spec: str, lo: int, hi: int) -> Optional[Column]:
+    """One cron field ('*', '5', '1-3', '*/15', '1,5,30-35') → predicate.
+    Returns None for '*' (no constraint)."""
+    if spec == "*":
+        return None
+    allowed: set[int] = set()
+    for part in spec.split(","):
+        step = 1
+        if "/" in part:
+            part, step_s = part.split("/", 1)
+            step = int(step_s)
+        if part == "*":
+            rng = range(lo, hi + 1)
+        elif "-" in part:
+            a, b = part.split("-", 1)
+            rng = range(int(a), int(b) + 1)
+        else:
+            rng = range(int(part), int(part) + 1)
+        allowed.update(v for v in rng if (v - lo) % step == 0)
+    return col.isin(sorted(allowed))
+
+
+def cron_expression_fires(
+    events: DataFrame,
+    expression: str,
+    name: str = "cron",
+    tz: Optional[str] = None,
+) -> DataFrame:
+    """Full cron-expression scheduling over the stream's event-time span
+    (Rule/Cron.php:32-234, tz-aware next-run calc at :192-218).
+
+    5-field cron (minute hour day-of-month month day-of-week) with
+    ``*``, lists, ranges and steps. Relational evaluation: one bounds
+    aggregate, a minute-granularity ``sequence()``, then field predicates —
+    at a 30-day span that's 43 k candidate rows, trivially parallel, no
+    driver-side loop. ``tz`` evaluates the fields in a zone while fire_ts
+    stays UTC (the reference's DateTimeZone handling)."""
+    fields = expression.split()
+    if len(fields) != 5:
+        raise ValueError(f"cron expression needs 5 fields, got {expression!r}")
+    bounds = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    cand = bounds.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("minute", F.col("lo")),
+                F.col("hi"),
+                F.expr("INTERVAL 1 minute"),
+            )
+        ).alias("fire_ts")
+    )
+    local = F.from_utc_timestamp(F.col("fire_ts"), tz) if tz else F.col("fire_ts")
+    preds = [
+        _cron_field_pred(F.minute(local), fields[0], 0, 59),
+        _cron_field_pred(F.hour(local), fields[1], 0, 23),
+        _cron_field_pred(F.dayofmonth(local), fields[2], 1, 31),
+        _cron_field_pred(F.month(local), fields[3], 1, 12),
+        # cron dow: 0/7 = Sunday; Spark dayofweek: 1 = Sunday
+        _cron_field_pred((F.dayofweek(local) - 1) % 7, fields[4].replace("7", "0"), 0, 6),
+    ]
+    for p in preds:
+        if p is not None:
+            cand = cand.filter(p)
+    return cand.select(
+        F.lit(name).alias("rule"),
+        F.lit(None).cast("string").alias("key"),
+        F.lit("scheduled").alias("outcome"),
+        F.col("fire_ts"),
+        F.lit(None).cast("long").alias("start_event_id"),
+        F.lit(None).cast("long").alias("last_event_id"),
+        F.lit(None).cast("long").alias("n_events"),
+        F.lit(None).cast("double").alias("value_sum"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+
+
 def cron_fires(
     events: DataFrame,
     every: str = "1 hour",

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from .catalog import register
 from .engine.batch import correlate
 from .engine.chain import chain_correlate
-from .functions import cron_fires, validate_enrich_filter
+from .functions import cron_expression_fires, cron_fires, validate_enrich_filter
 from .memory import MemoryEngine
 from .model import (
     CONTROL_MSG_START,
@@ -408,6 +408,34 @@ def cep_control_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cep_cron_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events(spark, sf_dir)
     return cron_fires(events, every="1 hour", name="cron", align="hour").select(
+        *_EMIT_COLS, F.col("value_sum")
+    )
+
+
+@register(
+    "cep_cron_expr",
+    doc="W9: full cron-expression rule ('30 */6 * * *') over the event-time "
+    "span — relational evaluation of Rule/Cron.php's schedule calc.",
+    oracle="""
+        SELECT 'cron6h' AS rule, CAST(NULL AS VARCHAR) AS key,
+               'scheduled' AS outcome, g.fire_ts,
+               CAST(NULL AS BIGINT) AS start_event_id,
+               CAST(NULL AS BIGINT) AS last_event_id,
+               CAST(NULL AS BIGINT) AS n_events,
+               CAST(NULL AS DOUBLE) AS value_sum
+        FROM (
+            SELECT unnest(generate_series(
+                date_trunc('minute', (SELECT min(ts::TIMESTAMP) FROM events)),
+                (SELECT max(ts::TIMESTAMP) FROM events),
+                INTERVAL 1 MINUTE
+            )) AS fire_ts
+        ) g
+        WHERE minute(g.fire_ts) = 30 AND hour(g.fire_ts) % 6 = 0
+    """,
+)
+def cep_cron_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    return cron_expression_fires(events, "30 */6 * * *", name="cron6h").select(
         *_EMIT_COLS, F.col("value_sum")
     )
 

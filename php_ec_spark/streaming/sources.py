@@ -71,6 +71,25 @@ def rate_event_source(
     )
 
 
+def register_on_demand_source(
+    dispatcher,
+    rule_names: list[str],
+    cmd: list[str],
+    name: str = "on_demand_source",
+) -> None:
+    """On-demand source (S4): a rule emission launches a registered producer
+    whose NDJSON output lands in the watched source directory and re-enters
+    the engine on the next micro-batch.
+
+    Mirrors the reference's ExecuteSource flow (Scheduler.php:823-838,
+    Messages/ExecuteSource.php:21-73): rule emits 'source' → scheduler
+    launches the autostart=false source with merged env. Here the emission
+    batch is piped to ``cmd`` on stdin (one JSON object per emission); the
+    command writes event files into the ndjson_dir_source directory.
+    """
+    dispatcher.register(name, cmd=cmd, rules=rule_names, single_shot=True)
+
+
 def heartbeat_source(spark: SparkSession, every_seconds: int = 10) -> DataFrame:
     """Heartbeat control events (W10): one row per interval, in-band."""
     return (

@@ -138,6 +138,46 @@ class TestGapSessionParity:
         assert len(rows) == 1 and rows[0][6] == 2
 
 
+class TestCronExpressions:
+    def _span(self, spark, start, end):
+        return _mk(spark, [(0, 0, 1, "a", 1)]).select(
+            F.lit(0).alias("event_id"),
+            F.explode(F.array(
+                F.lit(start).cast("timestamp"), F.lit(end).cast("timestamp")
+            )).alias("ts"),
+            F.lit(1).alias("user_id"), F.lit("a").alias("event_type"),
+            F.lit(1.0).alias("value"), F.lit(None).cast("string").alias("props"),
+        )
+
+    def test_fields_and_steps(self, spark):
+        from php_ec_spark.functions import cron_expression_fires
+
+        ev = self._span(spark, "2024-01-01 00:00:00", "2024-01-02 00:00:00")
+        fires = [r["fire_ts"] for r in
+                 cron_expression_fires(ev, "15 */8 * * *").orderBy("fire_ts").collect()]
+        # day-2 00:15 falls past the stream's max ts and must not fire
+        assert [f.hour for f in fires] == [0, 8, 16]
+        assert all(f.minute == 15 for f in fires)
+
+    def test_day_of_week(self, spark):
+        from php_ec_spark.functions import cron_expression_fires
+
+        # 2024-01-01 is a Monday; dow=1 should fire Mondays only
+        ev = self._span(spark, "2024-01-01 00:00:00", "2024-01-14 23:59:00")
+        fires = [r["fire_ts"] for r in
+                 cron_expression_fires(ev, "0 12 * * 1").orderBy("fire_ts").collect()]
+        assert [f.day for f in fires] == [1, 8]
+
+    def test_timezone_evaluation(self, spark):
+        from php_ec_spark.functions import cron_expression_fires
+
+        ev = self._span(spark, "2024-01-01 00:00:00", "2024-01-01 23:59:00")
+        # 09:00 in UTC+9 is 00:00 UTC
+        fires = [r["fire_ts"] for r in
+                 cron_expression_fires(ev, "0 9 * * *", tz="Asia/Tokyo").collect()]
+        assert len(fires) == 1 and fires[0].hour == 0
+
+
 class TestControlMessages:
     def test_start_sorts_before_stream_and_stop_after(self, spark):
         df = _mk(spark, [(0, 0, 1, "a", 1), (1, 5, 1, "b", 2)])

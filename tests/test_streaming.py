@@ -155,6 +155,46 @@ def test_processing_time_clock_fires_on_quiet_stream(spark, stream_dirs):
     assert [(r["key"], r["outcome"]) for r in seen] == [("1", "timeout")]
 
 
+def test_on_demand_source_feeds_back(spark, stream_dirs, tmp_path):
+    """S4: a rule emission launches a producer command whose NDJSON output
+    lands in the source dir; a second run ingests the produced events."""
+    src, ckpt = stream_dirs
+    _write_ndjson(src / "01.json", [_ev(0, "2024-01-01T00:00:00Z", 1, "error")])
+
+    from php_ec_spark.rules import match_single
+    from php_ec_spark.streaming.sources import register_on_demand_source
+
+    producer = tmp_path / "producer.sh"
+    out_file = src / "99_produced.json"
+    producer.write_text(
+        "#!/bin/sh\n"
+        f"echo '{json.dumps(_ev(100, '2024-01-01T00:00:30Z', 1, 'diagnostic'))}' > {out_file}\n"
+    )
+    producer.chmod(0o755)
+
+    rule = match_single("err", ["error"], key="user_id")
+    d = ActionDispatcher()
+    register_on_demand_source(d, ["err"], [str(producer)])
+    q = start_correlation(
+        ndjson_dir_source(spark, str(src)), [rule], str(ckpt),
+        dispatcher=d, trigger_once=True,
+    )
+    q.awaitTermination(timeout=120)
+    assert d.completed and not d.failed
+    assert out_file.exists()  # producer ran and wrote events
+
+    # second trigger: the produced event flows through the engine
+    seen: list[dict] = []
+    d2 = ActionDispatcher().register("c", fn=lambda rows: seen.extend(rows))
+    rule2 = match_single("diag", ["diagnostic"], key="user_id")
+    q = start_correlation(
+        ndjson_dir_source(spark, str(src)), [rule, rule2], str(tmp_path / "ckpt2"),
+        dispatcher=d2, trigger_once=True,
+    )
+    q.awaitTermination(timeout=120)
+    assert {(r["rule"], r["key"]) for r in seen} == {("err", "1"), ("diag", "1")}
+
+
 def test_action_validation_quarantines_bad_rows(spark, stream_dirs):
     src, ckpt = stream_dirs
     _write_ndjson(src / "01.json", [_ev(0, "2024-01-01T00:00:00Z", 1, "signup"),
