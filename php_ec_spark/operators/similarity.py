@@ -77,6 +77,44 @@ def cosine_topk(
     )
 
 
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with cos ≥
+    threshold, id_a < id_b.
+
+    Baseline path: exact all-pairs via self-join — correct at any data, the
+    oracle-checkable reference. Scale path: pass ``cluster_col`` (an IVF
+    bucket / coarse-quantizer assignment) to compare only within-bucket
+    pairs — near-dups land in the same bucket when the quantizer has
+    geometric meaning, turning O(n²) into Σ|bucket|².
+    """
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        *([F.col(cluster_col).alias("bucket")] if cluster_col else []),
+    )
+    a = c.select(
+        *([F.col("bucket")] if cluster_col else []),
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+    )
+    b = c.select(
+        *([F.col("bucket")] if cluster_col else []),
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+    )
+    joined = a.join(b, ["bucket"] if cluster_col else []) if cluster_col else a.crossJoin(b)
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def build_centroids(
     corpus: DataFrame, cluster_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -112,6 +112,22 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pred_lang", pred).drop(*[f"__hits_{lang}" for lang in langs])
 
 
+#: BPE-ish token regex: runs of word chars OR single non-word non-space
+#: symbols — approximates subword-tokenizer pre-splitting; kept to a
+#: dialect-neutral character-class form so Java (Spark) and RE2-style
+#: (DuckDB) engines agree exactly.
+BPE_ISH_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count under the BPE-ish regex — the 'how many tokens will the
+    tokenizer roughly produce' estimator every training pipeline needs."""
+    return df.withColumn(
+        "n_bpe_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0)).cast("long"),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Polynomial rolling-hash fingerprint of the full text, mod 2^31−1.
 

@@ -24,8 +24,9 @@ from .operators.dedup import (
     simhash_pairs,
 )
 from .operators.multimodal import attach_blob, extract_image_meta
-from .operators.similarity import cosine_topk, ivf_topk
+from .operators.similarity import cosine_dup_pairs, cosine_topk, ivf_topk
 from .operators.text import (
+    with_bpe_token_count,
     with_fingerprint,
     with_lang_id,
     with_quality_score,
@@ -258,6 +259,44 @@ def pipe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5).select(
         "query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank")
     )
+
+
+@register(
+    "pipe_embedding_dup_pairs",
+    doc="Embedding-cosine near-dup pairs >= 0.4 (exact baseline; the scale "
+    "path buckets by a coarse quantizer, see cosine_dup_pairs).",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(
+                   list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6
+               ) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(
+                  list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6
+              ) >= 0.4
+    """,
+)
+def pipe_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+@register(
+    "pipe_bpe_token_count",
+    doc="BPE-ish regex token counting (subword pre-split estimator).",
+    oracle=r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM documents
+    """,
+)
+def pipe_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_bpe_token_count(_docs(spark, sf_dir)).select("doc_id", "n_bpe_tokens")
 
 
 @register(

@@ -1,0 +1,86 @@
+"""Property-based strategy parity: on random event streams, the relational
+compilers must produce byte-identical emissions to the state machine.
+
+Each hypothesis example costs a Spark round-trip, so examples are few but
+adversarial: duplicate timestamps, interleaved users, all-group timeouts,
+boundary gaps. Shrinking still gives a minimal counterexample on failure.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from php_ec_spark.engine import (
+    compile_gap_sessions,
+    compile_sequence,
+    correlate_state_machine,
+)
+from php_ec_spark.rules import match_single_continuously, sequence_rule
+
+T0 = dt.datetime(2024, 1, 1)
+
+# events: (seconds offset 0..120 with collisions, user 1..2, type a/b/c)
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=120),
+        st.integers(min_value=1, max_value=2),
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+def _df(spark, evs):
+    rows = [
+        (i, T0 + dt.timedelta(seconds=s), u, t, float(i), None)
+        for i, (s, u, t) in enumerate(evs)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+
+
+def _rows(df):
+    out = []
+    for r in df.collect():
+        out.append(
+            (
+                r["rule"], r["key"], r["outcome"], r["fire_ts"],
+                r["start_event_id"], r["last_event_id"], r["n_events"],
+                None if r["value_sum"] is None else round(r["value_sum"], 6),
+            )
+        )
+    return sorted(out, key=str)
+
+
+@pytest.mark.slow
+class TestPropertyParity:
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(evs=EVENTS)
+    def test_sequence_parity(self, spark, evs):
+        rule = sequence_rule("s", ["a", "b", "c"], key="user_id", timeout="PT30S")
+        df = _df(spark, evs)
+        assert _rows(compile_sequence(df, rule)) == _rows(
+            correlate_state_machine(df, [rule])
+        )
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(evs=EVENTS)
+    def test_gap_session_parity(self, spark, evs):
+        rule = match_single_continuously("g", ["*"], key="user_id", timeout="PT20S")
+        df = _df(spark, evs)
+        assert _rows(compile_gap_sessions(df, rule)) == _rows(
+            correlate_state_machine(df, [rule])
+        )
