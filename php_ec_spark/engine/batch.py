@@ -168,7 +168,12 @@ def correlate(events: DataFrame, rules: Sequence[Rule], historical: bool = False
         return events.sparkSession.createDataFrame([], EMISSION_SCHEMA)
     if any(r.suppress for r in rules):
         # suppression makes rule-list order semantic across ALL rules
-        # (CorrelationEngine.php:231-236) — one serial pass required
+        # (CorrelationEngine.php:231-236). Stateless rule sets compile to
+        # priority routing; anything stateful needs one serial pass.
+        from .relational import compile_priority_suppress, is_priority_suppress_set
+
+        if is_priority_suppress_set(rules):
+            return compile_priority_suppress(events, rules)
         return correlate_state_machine(events, rules, historical=historical)
 
     def _fast(r: Rule) -> bool:

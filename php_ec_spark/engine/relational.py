@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..rules.base import Rule
+from ..rules.base import EVENT_MATCH_ANY, Rule
 from .batch import EMISSION_SCHEMA
 
 
@@ -288,6 +288,64 @@ def compile_sequence(events: DataFrame, rule: Rule) -> DataFrame:
 def compile_two_step_sequence(events: DataFrame, rule: Rule) -> DataFrame:
     """Backwards-compatible alias: 2-step is the N-step plan with no joins."""
     return compile_sequence(events, rule)
+
+
+def is_priority_suppress_set(rules) -> bool:
+    """A rule list where suppression can be compiled relationally: every
+    rule is a stateless single match (possibly suppressing). Suppression
+    order then reduces to per-event priority routing — an event is handled
+    by each matching rule up to and including the FIRST matching suppressor
+    (CorrelationEngine.php:231-236) — no state machine required."""
+    return len(rules) > 0 and all(
+        len(r.events) == 1
+        and not r.continuous
+        and r.accept is None
+        and not r.emit_progress
+        and not r.emit_final
+        and r.on_complete is None
+        and r.on_timeout is None
+        for r in rules
+    )
+
+
+def compile_priority_suppress(events: DataFrame, rules) -> DataFrame:
+    """Relational plan for suppressing single-match rule sets.
+
+    For each rule i: emit iff the event matches rule i AND no
+    earlier-or-equal suppressing rule j < i matched. One scan, N filtered
+    projections unioned, zero shuffles, codegen throughout — the
+    LogEverything-behind-a-suppressor pattern at full scan speed."""
+
+    def matches(rule: Rule):
+        group = rule.events[0]
+        if EVENT_MATCH_ANY in group:
+            return F.lit(True)
+        return F.col("event_type").isin(list(group))
+
+    outs = []
+    for i, rule in enumerate(rules):
+        cond = matches(rule)
+        for j, earlier in enumerate(rules[:i]):
+            if earlier.suppress:
+                cond = cond & ~matches(earlier)
+        src = events.filter(cond)
+        outs.append(
+            src.select(
+                F.lit(rule.name).alias("rule"),
+                _key_expr(rule),
+                F.lit("completed").alias("outcome"),
+                F.col("ts").alias("fire_ts"),
+                F.col("event_id").alias("start_event_id"),
+                F.col("event_id").alias("last_event_id"),
+                F.lit(1).cast("long").alias("n_events"),
+                F.col("value").alias("value_sum"),
+                F.lit(None).cast("string").alias("payload"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
 
 
 def compile_gap_sessions(events: DataFrame, rule: Rule) -> DataFrame:

@@ -178,6 +178,57 @@ class TestCronExpressions:
         assert len(fires) == 1 and fires[0].hour == 0
 
 
+class TestPrioritySuppressCompiler:
+    def test_matches_state_machine(self, spark):
+        from php_ec_spark.engine.relational import compile_priority_suppress
+        from php_ec_spark.rules import match_single
+
+        rules = [
+            match_single("err", ["a"], key="user_id", suppress=True),
+            match_single("all", ["*"], key="user_id"),
+        ]
+        rows = [(0, 0, 1, "a", 1), (1, 1, 1, "b", 2), (2, 2, 2, "a", 3),
+                (3, 3, 2, "c", 4)]
+        df = _mk(spark, rows)
+        fast = sorted(map(str, compile_priority_suppress(df, rules).collect()))
+        slow = sorted(map(str, correlate_state_machine(df, rules).collect()))
+        assert fast == slow
+
+    def test_plan_is_stateless(self, spark):
+        from php_ec_spark.engine import correlate
+        from php_ec_spark.rules import match_single
+
+        rules = [
+            match_single("err", ["a"], key="user_id", suppress=True),
+            match_single("all", ["*"], key="user_id"),
+        ]
+        plan = correlate(_mk(spark, [(0, 0, 1, "a", 1)]), rules)._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan
+
+    def test_chain_accessors(self):
+        from php_ec_spark.rules.chain import (
+            chain_duration_s,
+            chain_value_sum,
+            events_of_type,
+            first_event,
+            first_event_of_type,
+            last_event,
+        )
+
+        chain = [
+            {"event_id": 0, "ts_ns": 0, "event_type": "a", "value": 1.0},
+            {"event_id": 1, "ts_ns": 5_000_000_000, "event_type": "b", "value": 2.0},
+            {"event_id": 2, "ts_ns": 9_000_000_000, "event_type": "a", "value": None},
+        ]
+        assert first_event(chain)["event_id"] == 0
+        assert last_event(chain)["event_id"] == 2
+        assert [e["event_id"] for e in events_of_type(chain, "a")] == [0, 2]
+        assert first_event_of_type(chain, "b")["event_id"] == 1
+        assert chain_value_sum(chain) == 3.0
+        assert chain_duration_s(chain) == 9.0
+        assert first_event([]) is None and chain_value_sum([]) is None
+
+
 class TestControlMessages:
     def test_start_sorts_before_stream_and_stop_after(self, spark):
         df = _mk(spark, [(0, 0, 1, "a", 1), (1, 5, 1, "b", 2)])
