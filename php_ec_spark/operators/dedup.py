@@ -209,12 +209,21 @@ def minhash_lsh_pairs(
         .filter(F.col("x.doc") < F.col("y.doc"))
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
+        .localCheckpoint(eager=True)  # small: near-dup candidates only
     )
-    # exact verification of the (small) candidate set
-    sh = (
-        with_shingles(df, n=n, text_col=text_col)
-        .select(F.col(id_col).alias("doc"), "shingles")
-        .localCheckpoint(eager=True)
+    # exact verification of the (small) candidate set: shingle ONLY the
+    # documents that appear in a candidate pair (left-semi prune) — the
+    # full corpus never re-shingles for verification
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("cid"))
+        .unionByName(cand.select(F.col("doc_b").alias("cid")))
+        .distinct()
+    )
+    docs_cand = df.join(
+        F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi"
+    )
+    sh = with_shingles(docs_cand, n=n, text_col=text_col).select(
+        F.col(id_col).alias("doc"), "shingles"
     )
     verified = (
         cand.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
