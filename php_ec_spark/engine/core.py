@@ -104,9 +104,20 @@ class EngineCore:
             rule.on_timeout if outcome == "timeout" else None
         )
         if cb is not None:
-            payload = json.dumps(
-                cb([_ev_dict(e) for e in chain], self.key), sort_keys=True, default=str
-            )
+            # The reference PANICS when a rule callback throws ("Rules must
+            # not throw exceptions", Scheduler.php:339-349) — one bad rule
+            # kills the engine. We quarantine instead: the emission survives
+            # with outcome 'error' and the exception in the payload, scoped
+            # to this instance; every other key/rule keeps processing.
+            try:
+                payload = json.dumps(
+                    cb([_ev_dict(e) for e in chain], self.key),
+                    sort_keys=True,
+                    default=str,
+                )
+            except Exception as e:  # noqa: BLE001 - quarantine by design
+                payload = json.dumps({"error": repr(e), "during": outcome})
+                outcome = "error"
         self.rows.append(
             (
                 rule.name,
@@ -150,6 +161,28 @@ class EngineCore:
     def has_live(self) -> bool:
         return any(self.live[r.name] for r in self.rules)
 
+    def _safe_accept(self, rule: Rule, ev: tuple, chain: list) -> bool:
+        """accept-predicate with quarantine: a throwing predicate rejects
+        the event and surfaces one 'error' emission instead of killing the
+        engine (deviation from Scheduler.php:339-349, by design)."""
+        try:
+            return bool(rule.accept(_ev_dict(ev), [_ev_dict(e) for e in chain]))
+        except Exception as e:  # noqa: BLE001 - quarantine by design
+            self.rows.append(
+                (
+                    rule.name,
+                    None if self.key is None else str(self.key),
+                    "error",
+                    ev[1],
+                    ev[0],
+                    ev[0],
+                    0,
+                    None,
+                    json.dumps({"error": repr(e), "during": "accept"}),
+                )
+            )
+            return False
+
     # -- hot path ---------------------------------------------------------
     def handle(self, ev: tuple) -> None:
         """One event through every rule in declared order
@@ -171,9 +204,7 @@ class EngineCore:
                     self.live[r.name].remove(inst)
                     self._emit(r, "timeout", inst.deadline_ns, inst)
                     continue
-                if r.accept is not None and not r.accept(
-                    _ev_dict(ev), [_ev_dict(e) for e in inst.chain]
-                ):
+                if r.accept is not None and not self._safe_accept(r, ev, inst.chain):
                     continue
                 handled = True
                 if inst.consume(ev):
@@ -184,7 +215,7 @@ class EngineCore:
             # per-class dedup (CorrelationEngine.php:252-254)
             group0 = r.events[0]
             if not handled and (ev[2] in group0 or EVENT_MATCH_ANY in group0):
-                if r.accept is None or r.accept(_ev_dict(ev), []):
+                if r.accept is None or self._safe_accept(r, ev, []):
                     inst = _Instance(
                         r,
                         self.seq,

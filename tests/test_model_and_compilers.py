@@ -229,6 +229,42 @@ class TestPrioritySuppressCompiler:
         assert first_event([]) is None and chain_value_sum([]) is None
 
 
+class TestErrorQuarantine:
+    """The reference panics when a rule throws (Scheduler.php:339-349);
+    we quarantine the failure per instance instead."""
+
+    def test_throwing_on_complete_emits_error_row(self, spark):
+        from php_ec_spark.rules import sequence_rule
+
+        def boom(chain, key):
+            raise RuntimeError("bad rule")
+
+        rule = sequence_rule("b", ["a", "b"], key="user_id", timeout="PT10S",
+                             on_complete=boom)
+        df = _mk(spark, [(0, 0, 1, "a", 1), (1, 1, 1, "b", 2),
+                         (2, 0, 2, "a", 5)])
+        rows = correlate_state_machine(df, [rule]).collect()
+        by = {(r["key"], r["outcome"]) for r in rows}
+        assert ("1", "error") in by        # quarantined, not crashed
+        assert ("2", "timeout") in by      # other keys unaffected
+        err = [r for r in rows if r["outcome"] == "error"][0]
+        assert "bad rule" in err["payload"]
+
+    def test_throwing_accept_rejects_and_reports(self, spark):
+        from php_ec_spark.rules import match_single
+
+        def bad_accept(ev, chain):
+            if ev["event_type"] == "a":
+                raise ValueError("nope")
+            return True
+
+        rule = match_single("m", ["a", "b"], key="user_id", accept=bad_accept)
+        df = _mk(spark, [(0, 0, 1, "a", 1), (1, 1, 1, "b", 2)])
+        rows = correlate_state_machine(df, [rule]).collect()
+        outcomes = sorted((r["outcome"], r["start_event_id"]) for r in rows)
+        assert outcomes == [("completed", 1), ("error", 0)]
+
+
 class TestControlMessages:
     def test_start_sorts_before_stream_and_stop_after(self, spark):
         df = _mk(spark, [(0, 0, 1, "a", 1), (1, 5, 1, "b", 2)])
