@@ -44,6 +44,29 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # stateful-path throughput: the BASELINE comparison point (reference
+    # claims "10M+ events/day" ≈ 116 events/s sustained; tests_adhoc/
+    # speed_test.php measures a 3-rule in-process loop). Same shape here:
+    # three state-machine rules over the full events table.
+    from php_ec_spark.engine import correlate_state_machine
+    from php_ec_spark.model import load_events
+    from php_ec_spark.rules import match_single_continuously, sequence_rule
+
+    events = load_events(spark, sf_dir)
+    n_events = events.count()
+    sm_rules = [
+        match_single_continuously("roll", ["purchase"], key="user_id",
+                                  chain_limit=5, emit_final=True),
+        sequence_rule("seq", ["signup", "click", "purchase"], key="user_id",
+                      timeout="PT12H"),
+        match_single_continuously("gap", ["*"], key="user_id", timeout="PT6H"),
+    ]
+    t0 = time.perf_counter()
+    correlate_state_machine(events, sm_rules).count()
+    eps = n_events / (time.perf_counter() - t0)
+    print(f"# state-machine path: {eps:,.0f} events/s ({n_events} events)",
+          file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -52,6 +75,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "state_machine_eps": round(eps),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
