@@ -84,3 +84,22 @@ class TestPropertyParity:
         assert _rows(compile_gap_sessions(df, rule)) == _rows(
             correlate_state_machine(df, [rule])
         )
+
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(evs=EVENTS)
+    def test_priority_suppress_parity(self, spark, evs):
+        from php_ec_spark.engine.relational import compile_priority_suppress
+        from php_ec_spark.rules import match_single
+
+        rules = [
+            match_single("s1", ["a"], key="user_id", suppress=True),
+            match_single("s2", ["b", "c"], key="user_id", suppress=True),
+            match_single("rest", ["*"], key="user_id"),
+        ]
+        df = _df(spark, evs)
+        assert _rows(compile_priority_suppress(df, rules)) == _rows(
+            correlate_state_machine(df, rules)
+        )

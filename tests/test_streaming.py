@@ -195,6 +195,32 @@ def test_on_demand_source_feeds_back(spark, stream_dirs, tmp_path):
     assert {(r["rule"], r["key"]) for r in seen} == {("err", "1"), ("diag", "1")}
 
 
+def test_late_event_within_watermark_completes(spark, stream_dirs):
+    """W8: an out-of-order event arriving in a later micro-batch (but within
+    the watermark delay) still reaches its waiting instance — the
+    reference's no-reorder-buffer behavior: process as-is on arrival."""
+    src, ckpt = stream_dirs
+    _write_ndjson(src / "01.json", [
+        _ev(0, "2024-01-01T01:00:00Z", 1, "signup"),
+        _ev(2, "2024-01-01T01:30:00Z", 2, "view"),  # advances max event time
+    ])
+    # purchase with ts BEFORE the already-seen view row → late arrival
+    _write_ndjson(src / "02.json", [_ev(1, "2024-01-01T01:10:00Z", 1, "purchase")])
+
+    rule = sequence_rule("pay", ["signup", "purchase"], key="user_id", timeout="PT1H")
+    seen: list[dict] = []
+    d = ActionDispatcher().register("c", fn=lambda rows: seen.extend(rows))
+    events = ndjson_dir_source(spark, str(src), max_files_per_trigger=1)
+    q = start_correlation(
+        events, [rule], str(ckpt), dispatcher=d,
+        watermark_delay="2 hours", trigger_once=True,
+    )
+    q.awaitTermination(timeout=120)
+    assert [(r["key"], r["outcome"], r["last_event_id"]) for r in seen] == [
+        ("1", "completed", 1)
+    ]
+
+
 def test_action_validation_quarantines_bad_rows(spark, stream_dirs):
     src, ckpt = stream_dirs
     _write_ndjson(src / "01.json", [_ev(0, "2024-01-01T00:00:00Z", 1, "signup"),
