@@ -291,6 +291,76 @@ def rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_semi_join",
+    doc="Left-semi join (EXISTS): customers having at least one returned-flag "
+    "lineitem order (absent join kind in reference, free in Spark).",
+    oracle="""
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
+        )
+    """,
+)
+def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    custs = o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+    return c.join(custs, c.c_custkey == custs.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "rel_anti_join",
+    doc="Left-anti join (NOT EXISTS): customers with no orders at all.",
+    oracle="""
+        SELECT c.c_custkey, c.c_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """,
+)
+def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@register(
+    "rel_props_json",
+    doc="Semi-structured payload access: extract props JSON field, group "
+    "(the reference's schemaless Event payload as a JSON column).",
+    oracle="""
+        SELECT event_type,
+               CAST(count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_k,
+               CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_total
+        FROM events
+        WHERE CAST(props->>'$.k' AS BIGINT) >= 50
+        GROUP BY event_type
+    """,
+)
+def rel_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("k").alias("n_k"),
+            F.sum("k").cast("long").alias("k_total"),
+        )
+    )
+
+
+@register(
     "rel_scalar_funcs",
     doc="Scalar string/date functions (absent in reference, free in Spark).",
     oracle="""
