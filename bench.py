@@ -27,10 +27,20 @@ def main() -> None:
 
     headline = {n: q for n, q in all_queries().items() if q.headline}
 
-    # JVM/codegen warmup so per-query numbers reflect steady state, not
-    # first-job class loading (not counted in the reported total)
+    # JVM/codegen/shuffle warmup so per-query numbers reflect steady state,
+    # not first-job class loading (not counted in the reported total)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     t0 = time.perf_counter()
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(20000)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    (
+        li.withColumn("rn", F.row_number().over(w))
+        .groupBy("l_returnflag")
+        .count()
+        .count()
+    )
     print(f"# warmup: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}

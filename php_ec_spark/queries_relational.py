@@ -484,6 +484,39 @@ def rel_events_eps_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_session_window",
+    doc="Native session_window sessionization (W6 built-in path; the CEP "
+    "gap-session compiler is the rule-level equivalent). Boundary note: "
+    "session_window starts a NEW session when gap >= size (intervals are "
+    "half-open), vs the CEP timeout's strict >.",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+                   CASE WHEN lag(ts::TIMESTAMP) OVER win IS NULL
+                             OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER win >= INTERVAL 6 HOUR
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), g AS (
+            SELECT s.*, sum(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+            ) AS sess
+            FROM s
+        )
+        SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
+        FROM g GROUP BY user_id, sess
+    """,
+)
+def rel_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("sess_start"), "n_events")
+    )
+
+
+@register(
     "rel_events_histogram",
     doc="Fixed-bucket value histogram (A3, Library/Histogram.php:8-43).",
     oracle="""
