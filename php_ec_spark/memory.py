@@ -124,3 +124,31 @@ class MemoryEngine:
     def preload(cls, spark, seed: DataFrame) -> "MemoryEngine":
         """Memory preload script analog (S11, Scheduler.php:509-539)."""
         return cls(spark).apply_writes(seed)
+
+
+def writes_from_emissions(
+    emissions: DataFrame,
+    namespace_col: Column | str = "rule",
+    ttl_seconds: Optional[int] = None,
+) -> DataFrame:
+    """Rule-emitted MemoryWrites (the emit('memory', …) channel,
+    Scheduler.php:820 → MemoryEngine::applyWrite): each emission becomes a
+    write keyed by its correlation key, valued with the payload (falling
+    back to value_sum). Feed the result to :meth:`MemoryEngine.apply_writes`
+    after a batch, or per micro-batch inside foreachBatch — the learned-
+    thresholds / last-seen-state pattern from docs/knowledge.md.
+    """
+    ns = F.col(namespace_col) if isinstance(namespace_col, str) else namespace_col
+    expires = (
+        (F.col("fire_ts") + F.make_interval(secs=F.lit(float(ttl_seconds))))
+        if ttl_seconds is not None
+        else F.lit(None).cast("timestamp")
+    )
+    return emissions.select(
+        ns.alias("namespace"),
+        F.col("key"),
+        F.coalesce(F.col("payload"), F.col("value_sum").cast("string")).alias("value"),
+        expires.alias("expires_at"),
+        F.lit(False).alias("persistent"),
+        F.col("last_event_id").alias("write_seq"),
+    ).filter(F.col("key").isNotNull())

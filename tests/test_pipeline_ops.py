@@ -153,6 +153,30 @@ class TestMemory:
         live = {r.key: r.value for r in mem.namespace("ns", now=F.lit(now)).collect()}
         assert live == {"k1": "v2"}
 
+    def test_writes_from_emissions_roundtrip(self, spark):
+        """Rule emissions become memory writes: the last completed match per
+        key is readable back through the memory namespace (J6 write path)."""
+        import datetime as dt
+
+        from php_ec_spark.engine import correlate
+        from php_ec_spark.memory import writes_from_emissions
+        from php_ec_spark.rules import sequence_rule
+
+        t = dt.datetime(2024, 1, 1)
+        rows = [
+            (0, t, 1, "a", 10.0, None),
+            (1, t + dt.timedelta(seconds=5), 1, "b", 20.0, None),
+            (2, t + dt.timedelta(seconds=9), 2, "a", 7.0, None),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        rule = sequence_rule("last_ab", ["a", "b"], key="user_id", timeout="PT30S")
+        em = correlate(df, [rule])
+        mem = MemoryEngine(spark).apply_writes(writes_from_emissions(em))
+        live = {r.key: r.value for r in mem.namespace("last_ab").collect()}
+        assert live == {"1": "30.0", "2": "7.0"}  # completed sum / timeout value
+
     def test_persistence_roundtrip(self, spark, tmp_path):
         seed = spark.createDataFrame(
             [("ns", "k", "v", None, True, 1)],
