@@ -35,6 +35,22 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 
+def _with_session_defaults(fn: Callable[[SparkSession, str], DataFrame]):
+    """Pin the session settings oracle parity depends on, regardless of how
+    the caller built its SparkSession: UTC timestamps (DuckDB timestamps
+    are UTC-naive; reference normalizes to UTC, Event.php:63-80) and
+    ns-as-long parquet reads (events.parquet is TIMESTAMP(NANOS))."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def register(
     name: str,
     oracle: Optional[str],
@@ -44,7 +60,13 @@ def register(
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name}")
-        _REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, headline=headline, doc=doc)
+        _REGISTRY[name] = Query(
+            name=name,
+            spark=_with_session_defaults(fn),
+            oracle=oracle,
+            headline=headline,
+            doc=doc,
+        )
         return fn
 
     return wrap
