@@ -4,6 +4,7 @@ from .relational import (
     compile_gap_sessions,
     compile_sequence,
     compile_two_step_sequence,
+    plan_report,
 )
 
 __all__ = [
@@ -15,4 +16,5 @@ __all__ = [
     "compile_gap_sessions",
     "compile_sequence",
     "compile_two_step_sequence",
+    "plan_report",
 ]

@@ -290,6 +290,33 @@ def compile_two_step_sequence(events: DataFrame, rule: Rule) -> DataFrame:
     return compile_sequence(events, rule)
 
 
+def plan_report(rules, historical: bool = False) -> dict[str, str]:
+    """Which physical strategy each rule compiles to — the ``.explain()``
+    of the rule compiler. Keys are rule names; values are one of
+    ``priority-suppress | keyless-counter | single-match | gap-sessions |
+    sequence-window | state-machine``."""
+    out: dict[str, str] = {}
+    if any(r.suppress for r in rules):
+        strat = (
+            "priority-suppress" if is_priority_suppress_set(rules) else "state-machine"
+        )
+        return {r.name: strat for r in rules}
+    for r in rules:
+        if historical and r.historical_ignore_timeout and r.timeout_s is not None:
+            out[r.name] = "state-machine"
+        elif is_keyless_counter(r):
+            out[r.name] = "keyless-counter"
+        elif not is_relational_compilable(r):
+            out[r.name] = "state-machine"
+        elif is_single_match(r):
+            out[r.name] = "single-match"
+        elif is_gap_sessions(r):
+            out[r.name] = "gap-sessions"
+        else:
+            out[r.name] = "sequence-window"
+    return out
+
+
 def is_priority_suppress_set(rules) -> bool:
     """A rule list where suppression can be compiled relationally: every
     rule is a stateless single match (possibly suppressing). Suppression

@@ -229,6 +229,38 @@ class TestPrioritySuppressCompiler:
         assert first_event([]) is None and chain_value_sum([]) is None
 
 
+class TestPlanReport:
+    def test_strategies(self):
+        from php_ec_spark.engine import plan_report
+        from php_ec_spark.rules import (
+            match_single,
+            match_single_continuously,
+            sequence_rule,
+        )
+
+        rules = [
+            sequence_rule("seq", ["a", "b", "c"], key="user_id", timeout="PT1M"),
+            match_single_continuously("gap", ["*"], key="user_id", timeout="PT1M"),
+            match_single("one", ["a"], key="user_id"),
+            match_single_continuously("cnt", ["*"], key=None, emit_final=True),
+            sequence_rule("dup", ["a", "a"], key="user_id", timeout="PT1M"),
+        ]
+        assert plan_report(rules) == {
+            "seq": "sequence-window",
+            "gap": "gap-sessions",
+            "one": "single-match",
+            "cnt": "keyless-counter",
+            "dup": "state-machine",  # repeated types need per-class dedup
+        }
+        # historical mode pushes timeout-bearing H_I_T rules off the window plan
+        h = sequence_rule("h", ["a", "b"], key="user_id", timeout="PT1M",
+                          historical_ignore_timeout=True)
+        assert plan_report([h], historical=True) == {"h": "state-machine"}
+        sup = [match_single("s", ["a"], key="user_id", suppress=True),
+               match_single("r", ["*"], key="user_id")]
+        assert plan_report(sup) == {"s": "priority-suppress", "r": "priority-suppress"}
+
+
 class TestErrorQuarantine:
     """The reference panics when a rule throws (Scheduler.php:339-349);
     we quarantine the failure per instance instead."""
