@@ -8,7 +8,7 @@ import time
 
 import pytest
 
-from php_ec_spark.rules import sequence_rule
+from php_ec_spark.rules import match_single_continuously, sequence_rule
 from php_ec_spark.streaming import (
     ActionDispatcher,
     ndjson_dir_source,
@@ -193,6 +193,33 @@ def test_on_demand_source_feeds_back(spark, stream_dirs, tmp_path):
     )
     q.awaitTermination(timeout=120)
     assert {(r["rule"], r["key"]) for r in seen} == {("err", "1"), ("diag", "1")}
+
+
+def test_continuous_gap_rule_in_streaming(spark, stream_dirs):
+    """J4/W6 live: a continuous matcher's session closes (timeout fires)
+    once the watermark passes the gap; the chain spans micro-batches."""
+    src, ckpt = stream_dirs
+    _write_ndjson(src / "01.json", [
+        _ev(0, "2024-01-01T00:00:00Z", 1, "click", 1.0),
+        _ev(1, "2024-01-01T00:00:30Z", 1, "click", 2.0),
+    ])
+    # far-future traffic: advances watermark past 00:00:30 + 60 s
+    _write_ndjson(src / "02.json", [_ev(2, "2024-01-01T01:00:00Z", 2, "view")])
+    _write_ndjson(src / "03.json", [_ev(3, "2024-01-01T02:00:00Z", 2, "view")])
+
+    rule = match_single_continuously("sess", ["click"], key="user_id", timeout="PT60S")
+    seen: list[dict] = []
+    d = ActionDispatcher().register("c", fn=lambda rows: seen.extend(rows))
+    q = start_correlation(
+        ndjson_dir_source(spark, str(src), max_files_per_trigger=1),
+        [rule], str(ckpt), dispatcher=d, trigger_once=True,
+    )
+    q.awaitTermination(timeout=120)
+    sess = [r for r in seen if r["rule"] == "sess"]
+    assert [(r["key"], r["outcome"], r["n_events"], r["value_sum"]) for r in sess] == [
+        ("1", "timeout", 2, 3.0)
+    ]
+    assert str(sess[0]["fire_ts"]).startswith("2024-01-01 00:01:30")
 
 
 def test_late_event_within_watermark_completes(spark, stream_dirs):
