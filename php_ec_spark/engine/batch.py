@@ -145,7 +145,10 @@ def correlate_state_machine(
         raise ValueError("suppressing rules must share one correlation key column")
 
     spark = events.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:  # e.g. "auto" on managed platforms
+        n_parts = spark.sparkContext.defaultParallelism
 
     outs = []
     for key_col, group_rules in by_key.items():

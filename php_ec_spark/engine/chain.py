@@ -26,19 +26,28 @@ from .batch import EMISSION_SCHEMA, correlate
 
 
 def emissions_to_events(
-    emissions: DataFrame, id_offset: int = 1_000_000_000
+    emissions: DataFrame,
+    id_offset: int = 1_000_000_000,
+    key_cols: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """Default derived-event mapping: one event per emission.
 
     event_type = '<rule>:<outcome>' (the php-ec convention of namespaced
-    derived types, e.g. shop:order:payment:timeout), ts = fire_ts, user_id =
-    the correlation key (when numeric), value = value_sum. event_id is
-    offset from the triggering event id so derived ids can't collide with
-    source ids (deterministic, unlike a global counter)."""
+    derived types, e.g. shop:order:payment:timeout), ts = fire_ts, value =
+    value_sum. The emission's correlation key is projected back into every
+    key column the rule set uses (``key_cols`` maps column name → Spark
+    type; default ``{'user_id': 'bigint'}``) so downstream rules keyed on
+    any of those columns resolve. event_id is offset from the triggering
+    event id so derived ids can't collide with source ids (deterministic,
+    unlike a global counter)."""
+    key_cols = key_cols or {"user_id": "bigint"}
     return emissions.select(
         (F.col("last_event_id") + F.lit(id_offset)).alias("event_id"),
         F.col("fire_ts").alias("ts"),
-        F.col("key").cast("bigint").alias("user_id"),
+        *[
+            F.col("key").cast(dtype).alias(name)
+            for name, dtype in sorted(key_cols.items())
+        ],
         F.concat_ws(":", F.col("rule"), F.col("outcome")).alias("event_type"),
         F.col("value_sum").alias("value"),
         F.col("payload").alias("props"),
@@ -49,7 +58,7 @@ def chain_correlate(
     events: DataFrame,
     rules: Sequence[Rule],
     max_depth: int = 5,
-    to_events: Callable[[DataFrame], DataFrame] = emissions_to_events,
+    to_events: Optional[Callable[[DataFrame], DataFrame]] = None,
     historical: bool = False,
 ) -> DataFrame:
     """Correlate to fixpoint: emissions become events for the next round.
@@ -65,6 +74,14 @@ def chain_correlate(
     bottleneck.
     """
     spark = events.sparkSession
+    if to_events is None:
+        # derived events must carry every key column the rule set groups on,
+        # typed like the source stream (falls back to bigint)
+        src_types = dict(events.dtypes)
+        key_cols = {
+            r.key: src_types.get(r.key, "bigint") for r in rules if r.key is not None
+        } or {"user_id": "bigint"}
+        to_events = lambda em: emissions_to_events(em, key_cols=key_cols)  # noqa: E731
     all_emissions: Optional[DataFrame] = None
     current = events
     for _ in range(max_depth):

@@ -38,14 +38,20 @@ from .core import EngineCore
 STATE_SCHEMA = T.StructType([T.StructField("blob", T.StringType())])
 
 
-def _make_stateful_handler(rules: Sequence[Rule], historical: bool, clock: str):
+def _make_stateful_handler(
+    rules: Sequence[Rule], historical: bool, clock: str, keyless: bool = False
+):
     def handle(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         blob = state.get[0] if state.exists else None
-        core = EngineCore.from_state(rules, key[0], blob, historical=historical)
+        # keyless rules group on a synthetic constant — their emissions must
+        # carry key=NULL exactly like the batch engine, not the constant
+        core = EngineCore.from_state(
+            rules, None if keyless else key[0], blob, historical=historical
+        )
 
         if state.hasTimedOut:
             # the clock passed this key's earliest deadline → alarm path
@@ -148,8 +154,16 @@ def correlate_stream(
     by_key: dict[Optional[str], list[Rule]] = {}
     for r in rules:
         by_key.setdefault(r.key, []).append(r)
-    if len(by_key) > 1 and any(r.suppress for r in rules):
-        raise ValueError("suppressing rules must share one correlation key column")
+    if len(by_key) > 1:
+        # Spark allows only ONE applyInPandasWithState per streaming query
+        # (UnsupportedOperationChecker: "Multiple applyInPandasWithStates
+        # are not supported") — a union of stateful ops would fail at
+        # query.start(). Run one streaming query per key column instead.
+        raise ValueError(
+            "streaming rules must share one correlation key column per "
+            f"query (got {sorted(map(str, by_key))}); start a separate "
+            "correlate_stream/start_correlation per key column"
+        )
 
     src = events.withWatermark("ts", watermark_delay)
     outs = []
@@ -173,7 +187,9 @@ def correlate_stream(
             grouped = part.groupBy("__k")
         outs.append(
             grouped.applyInPandasWithState(
-                _make_stateful_handler(list(group_rules), historical, clock),
+                _make_stateful_handler(
+                    list(group_rules), historical, clock, keyless=key_col is None
+                ),
                 outputStructType=EMISSION_SCHEMA,
                 stateStructType=STATE_SCHEMA,
                 outputMode="append",

@@ -50,17 +50,26 @@ def asof_join(
     ``right_value_cols`` entry (null when no prior right row exists).
     """
     lcols = left.columns
-    l = left.select(*lcols, F.lit(1).alias("__is_left"))
-    r = right.select(
-        *[F.col(c) if c in (on, by, tie_col) else F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lcols],
-        F.lit(0).alias("__is_left"),
+    ltypes = dict(left.dtypes)
+    # carry struct: ordering keys FIRST so the running max picks the
+    # latest-prior right row by stream order (on, tie), then the values
+    rstruct = F.struct(
+        F.col(on).alias("__o"),
+        F.col(tie_col).alias("__t"),
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("__v"),
     )
-    # carry the right row's values in one struct; left rows carry null
-    rstruct = F.struct(*[F.col(c) for c in right_value_cols])
-    l = l.withColumn("__rv", F.lit(None).cast(
-        right.select(rstruct.alias("s")).schema["s"].dataType
-    ))
-    r = r.withColumn("__rv", rstruct)
+    rv_type = right.select(rstruct.alias("s")).schema["s"].dataType
+    l = left.select(*lcols, F.lit(1).alias("__is_left")).withColumn(
+        "__rv", F.lit(None).cast(rv_type)
+    )
+    r = right.select(
+        *[
+            (F.col(c) if c in (on, by, tie_col) else F.lit(None).cast(ltypes[c])).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__is_left"),
+        rstruct.alias("__rv"),
+    )
     u = l.unionByName(r)
     w = (
         Window.partitionBy(by)
@@ -73,7 +82,7 @@ def asof_join(
         .drop("__is_left", "__rv")
     )
     for c in right_value_cols:
-        out = out.withColumn(f"{right_prefix}{c}", F.col(f"__last.{c}"))
+        out = out.withColumn(f"{right_prefix}{c}", F.col(f"__last.__v.{c}"))
     return out.drop("__last")
 
 
@@ -104,9 +113,13 @@ def validate_enrich_filter(
     return out
 
 
-def _cron_field_pred(col: Column, spec: str, lo: int, hi: int) -> Optional[Column]:
-    """One cron field ('*', '5', '1-3', '*/15', '1,5,30-35') → predicate.
-    Returns None for '*' (no constraint)."""
+def _cron_field_pred(
+    col: Column, spec: str, lo: int, hi: int, dow: bool = False
+) -> Optional[Column]:
+    """One cron field ('*', '5', '1-3', '*/15', '10-30/15') → predicate.
+    Returns None for '*' (no constraint). Steps anchor at the RANGE start
+    (standard cron: '10-30/15' fires at 10 and 25, not 15 and 30). For the
+    day-of-week field, 7 is normalized to 0 (both mean Sunday)."""
     if spec == "*":
         return None
     allowed: set[int] = set()
@@ -115,6 +128,8 @@ def _cron_field_pred(col: Column, spec: str, lo: int, hi: int) -> Optional[Colum
         if "/" in part:
             part, step_s = part.split("/", 1)
             step = int(step_s)
+            if step < 1:
+                raise ValueError(f"cron step must be >= 1 in {spec!r}")
         if part == "*":
             rng = range(lo, hi + 1)
         elif "-" in part:
@@ -122,7 +137,8 @@ def _cron_field_pred(col: Column, spec: str, lo: int, hi: int) -> Optional[Colum
             rng = range(int(a), int(b) + 1)
         else:
             rng = range(int(part), int(part) + 1)
-        allowed.update(v for v in rng if (v - lo) % step == 0)
+        vals = (v for v in rng if (v - rng.start) % step == 0)
+        allowed.update((v % 7 for v in vals) if dow else vals)
     return col.isin(sorted(allowed))
 
 
@@ -161,7 +177,7 @@ def cron_expression_fires(
         _cron_field_pred(F.dayofmonth(local), fields[2], 1, 31),
         _cron_field_pred(F.month(local), fields[3], 1, 12),
         # cron dow: 0/7 = Sunday; Spark dayofweek: 1 = Sunday
-        _cron_field_pred((F.dayofweek(local) - 1) % 7, fields[4].replace("7", "0"), 0, 6),
+        _cron_field_pred((F.dayofweek(local) - 1) % 7, fields[4], 0, 7, dow=True),
     ]
     for p in preds:
         if p is not None:

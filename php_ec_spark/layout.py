@@ -46,13 +46,14 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def with_salt(df: DataFrame, key: str, n_salts: int, salt_col: str = "__salt") -> DataFrame:
-    """Add a deterministic salt derived from a high-cardinality column so a
-    hot ``key`` spreads over ``n_salts`` reducers. Aggregate on
-    ``(key, salt)`` first, then merge the partials on ``key`` — the second
-    aggregation touches only n_salts rows per key."""
+def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+    """Add a per-row salt so any hot aggregation key spreads over
+    ``n_salts`` reducers. The salt is row-derived (monotonic row id), NOT
+    key-derived — a key-derived salt would map each key to one salt value
+    and do nothing for skew. Aggregate on (key, salt) first, then merge
+    the partials on key — the second pass touches only n_salts rows/key."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64("event_id") if "event_id" in df.columns else F.spark_partition_id(), F.lit(n_salts))
+        salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
 
 
@@ -69,7 +70,7 @@ def salted_agg(
     a single hot key costs n_salts parallel partials instead of one
     straggler task.
     """
-    salted = with_salt(df, key, n_salts)
+    salted = with_salt(df, n_salts)
     phase1 = salted.groupBy(key, "__salt").agg(
         *[
             (F.count(F.lit(1)) if how == "count" else getattr(F, how)(c)).alias(f"__p_{c}")

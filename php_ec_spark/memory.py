@@ -34,7 +34,8 @@ MEMORY_SCHEMA = T.StructType(
         T.StructField("value", T.StringType()),  # JSON scalar/object, null = tombstone
         T.StructField("expires_at", T.TimestampType()),
         T.StructField("persistent", T.BooleanType()),
-        T.StructField("write_seq", T.LongType()),  # write ordering
+        T.StructField("generation", T.LongType()),  # apply_writes call number
+        T.StructField("write_seq", T.LongType()),  # ordering within one call
     ]
 )
 
@@ -42,8 +43,11 @@ MEMORY_SCHEMA = T.StructType(
 class MemoryEngine:
     """Batch-mode collective memory over a small entries DataFrame."""
 
-    def __init__(self, spark, entries: Optional[DataFrame] = None):
+    def __init__(
+        self, spark, entries: Optional[DataFrame] = None, generation: int = 0
+    ):
         self.spark = spark
+        self.generation = generation
         self.entries = (
             entries
             if entries is not None
@@ -55,12 +59,17 @@ class MemoryEngine:
         """Last-write-wins upsert (MemoryEngine::applyWrite, :63-79).
 
         ``writes`` needs (namespace, key, value[, expires_at, persistent,
-        write_seq]). A null value is a delete (tombstone removed here)."""
-        w = writes
+        write_seq]). A null value is a delete (tombstone removed here).
+        Ordering is (generation, write_seq): each apply_writes call is a
+        new generation that beats every earlier call; write_seq (default 0)
+        breaks ties WITHIN a call. This keeps ordering total across calls —
+        caller-supplied seqs from different calls are never compared."""
+        gen = self.generation + 1
+        w = writes.withColumn("generation", F.lit(gen).cast("long"))
         for col, default in (
             ("expires_at", F.lit(None).cast("timestamp")),
             ("persistent", F.lit(False)),
-            ("write_seq", F.monotonically_increasing_id() + F.lit(1 << 40)),
+            ("write_seq", F.lit(0).cast("long")),
         ):
             if col not in w.columns:
                 w = w.withColumn(col, default)
@@ -72,7 +81,7 @@ class MemoryEngine:
                 "__rn",
                 F.row_number().over(
                     Window.partitionBy("namespace", "key").orderBy(
-                        F.col("write_seq").desc()
+                        F.col("generation").desc(), F.col("write_seq").desc()
                     )
                 ),
             )
@@ -80,7 +89,7 @@ class MemoryEngine:
             .drop("__rn")
             .filter(F.col("value").isNotNull())
         )
-        return MemoryEngine(self.spark, latest)
+        return MemoryEngine(self.spark, latest, generation=gen)
 
     # -- reads -------------------------------------------------------------
     def live(self, now: Optional[Column] = None) -> DataFrame:
@@ -118,7 +127,11 @@ class MemoryEngine:
 
     @classmethod
     def load(cls, spark, path: str) -> "MemoryEngine":
-        return cls(spark, spark.read.parquet(path))
+        df = spark.read.parquet(path)
+        if "generation" not in df.columns:
+            df = df.withColumn("generation", F.lit(0).cast("long"))
+        gen = df.agg(F.coalesce(F.max("generation"), F.lit(0))).collect()[0][0]
+        return cls(spark, df, generation=int(gen))
 
     @classmethod
     def preload(cls, spark, seed: DataFrame) -> "MemoryEngine":

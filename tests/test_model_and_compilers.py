@@ -168,6 +168,24 @@ class TestCronExpressions:
                  cron_expression_fires(ev, "0 12 * * 1").orderBy("fire_ts").collect()]
         assert [f.day for f in fires] == [1, 8]
 
+    def test_dow_range_with_seven(self, spark):
+        from php_ec_spark.functions import cron_expression_fires
+
+        # 2024-01-05 is a Friday; 5-7 = Fri,Sat,Sun (7 ≡ 0 ≡ Sunday)
+        ev = self._span(spark, "2024-01-01 00:00:00", "2024-01-08 23:59:00")
+        fires = [r["fire_ts"] for r in
+                 cron_expression_fires(ev, "0 12 * * 5-7").orderBy("fire_ts").collect()]
+        assert [f.day for f in fires] == [5, 6, 7]
+
+    def test_range_step_anchors_at_range_start(self, spark):
+        from php_ec_spark.functions import cron_expression_fires
+
+        # standard cron: 10-30/15 on minutes fires at :10 and :25
+        ev = self._span(spark, "2024-01-01 00:00:00", "2024-01-01 00:59:00")
+        fires = [r["fire_ts"].minute for r in
+                 cron_expression_fires(ev, "10-30/15 * * * *").orderBy("fire_ts").collect()]
+        assert fires == [10, 25]
+
     def test_timezone_evaluation(self, spark):
         from php_ec_spark.functions import cron_expression_fires
 

@@ -53,6 +53,48 @@ def test_online_shop_chain(spark):
     assert fires["2"] == T0 + dt.timedelta(seconds=25)
 
 
+def test_chain_with_non_default_key(spark):
+    """Chaining must work for rules keyed on any column, not just user_id
+    (the derived stream carries every key column the rule set uses)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(0, t0, 7, "placed", 1.0, None)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, order_id long, event_type string, value double, props string",
+    )
+    rules = [
+        sequence_rule("pay", ["placed", "paid"], key="order_id", timeout="PT20S"),
+        match_single("remind", ["pay:timeout"], key="order_id"),
+    ]
+    out = chain_correlate(events, rules, max_depth=3)
+    got = {(r["rule"], r["key"], r["outcome"]) for r in out.collect()}
+    assert got == {("pay", "7", "timeout"), ("remind", "7", "completed")}
+
+
+def test_streaming_rejects_mixed_keys(spark):
+    """Spark supports one applyInPandasWithState per streaming query; mixed
+    key columns must fail fast with guidance, not at query.start()."""
+    import pytest
+
+    from php_ec_spark.engine.streaming import correlate_stream
+    from php_ec_spark.model import EVENT_SCHEMA
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as event_id", "timestamp as ts",
+                    "value as user_id", "'a' as event_type",
+                    "cast(1.0 as double) as value", "cast(null as string) as props")
+    )
+    rules = [
+        sequence_rule("r1", ["a", "b"], key="user_id", timeout="PT1S"),
+        match_single("r2", ["a"], key=None),
+    ]
+    with pytest.raises(ValueError, match="share one correlation key"):
+        correlate_stream(stream, rules)
+
+
 def test_reminder_action_dispatch(spark):
     """The reminder emissions drive an action batch — the
     sendPaymentReminderEmail analog."""

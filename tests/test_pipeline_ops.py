@@ -116,6 +116,35 @@ class TestSimilarity:
 
 
 class TestAsofJoin:
+    def test_orders_by_time_not_value(self, spark):
+        """The carried struct must order by (on, tie), not by the value
+        columns: a larger event_id at an EARLIER time must lose."""
+        t = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(10, t + dt.timedelta(seconds=9), 1)],
+            "event_id long, ts timestamp, user_id long",
+        )
+        right = spark.createDataFrame(
+            [(99, t + dt.timedelta(seconds=1), 1),   # big id, early
+             (2, t + dt.timedelta(seconds=5), 1)],   # small id, later
+            "event_id long, ts timestamp, user_id long",
+        )
+        out = asof_join(left, right, right_value_cols=("event_id",)).collect()
+        assert out[0]["asof_event_id"] == 2  # latest by TIME, not max id
+
+    def test_carries_value_columns_not_in_left(self, spark):
+        t = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [(10, t + dt.timedelta(seconds=9), 1)],
+            "event_id long, ts timestamp, user_id long",
+        )
+        right = spark.createDataFrame(
+            [(0, t, 1, 42.5)],
+            "event_id long, ts timestamp, user_id long, price double",
+        )
+        out = asof_join(left, right, right_value_cols=("ts", "price")).collect()
+        assert out[0]["asof_price"] == 42.5 and out[0]["asof_ts"] == t
+
     def test_most_recent_prior(self, spark):
         t = dt.datetime(2024, 1, 1)
         left = spark.createDataFrame(
@@ -176,6 +205,20 @@ class TestMemory:
         mem = MemoryEngine(spark).apply_writes(writes_from_emissions(em))
         live = {r.key: r.value for r in mem.namespace("last_ab").collect()}
         assert live == {"1": "30.0", "2": "7.0"}  # completed sum / timeout value
+
+    def test_later_apply_writes_beats_earlier_regardless_of_seq(self, spark):
+        """Cross-call ordering is by generation: a later apply_writes call
+        wins even when its write_seq is numerically smaller."""
+        w1 = spark.createDataFrame(
+            [("ns", "k", "old", 999_999)],
+            "namespace string, key string, value string, write_seq long",
+        )
+        w2 = spark.createDataFrame(
+            [("ns", "k", "new", 1)],
+            "namespace string, key string, value string, write_seq long",
+        )
+        mem = MemoryEngine(spark).apply_writes(w1).apply_writes(w2)
+        assert {r.key: r.value for r in mem.namespace("ns").collect()} == {"k": "new"}
 
     def test_persistence_roundtrip(self, spark, tmp_path):
         seed = spark.createDataFrame(
