@@ -87,3 +87,13 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
         else spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for name in names
     }
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Expose the driver tables as temp views so plain ``spark.sql(...)``
+    works — the engine's SQL front door (the reference has no SQL surface;
+    Catalyst provides the whole relational layer for free)."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
