@@ -98,6 +98,11 @@ def jaccard_pairs(
     if max_df is not None:
         freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
         inv = inv.join(freq.filter(F.col("df_count") <= max_df), "shingle", "left_semi")
+        # Jaccard must be computed entirely in the FILTERED shingle space:
+        # set sizes are recounted after the stop-shingle cut, otherwise the
+        # union would mix filtered intersections with unfiltered sizes.
+        sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n_f"))
+        inv = inv.drop("n_sh").join(sizes, "doc").withColumnRenamed("n_f", "n_sh")
     a = inv.select(
         F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
     )

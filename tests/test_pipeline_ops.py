@@ -49,6 +49,19 @@ class TestDedup:
         lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, 0.8).collect()}
         assert lsh == exact and len(exact) > 0
 
+    def test_max_df_jaccard_uses_filtered_space(self, spark):
+        """With a stop-shingle cut, both intersection AND set sizes live in
+        the filtered space: docs identical except for a ubiquitous shingle
+        must score J=1.0 once that shingle is dropped."""
+        common = "x y z"  # appears in every doc → df=3 → dropped at max_df=2
+        df = spark.createDataFrame(
+            [(0, f"{common} a b c"), (1, f"{common} a b c"), (2, f"{common} p q r")],
+            "doc_id long, text string",
+        )
+        pairs = {(r.doc_a, r.doc_b): r.jaccard
+                 for r in jaccard_pairs(df, threshold=0.0, max_df=2).collect()}
+        assert pairs[(0, 1)] == 1.0  # identical in the filtered space
+
     def test_minhash_similarity_estimate(self, spark):
         df = spark.createDataFrame(
             [(0, "a b c d e f g h i j"), (1, "a b c d e f g h i k"), (2, "z y x w v u t s r q")],
