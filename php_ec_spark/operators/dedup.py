@@ -246,6 +246,68 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def dedup_clusters(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the similar-pair
+    graph, labeled by the minimum doc id in each component.
+
+    The pair graph comes from :func:`minhash_lsh_pairs` (bucketed, exact-
+    verified). Components are found by iterative min-label propagation —
+    each round is one join + aggregate, lineage truncated per round; rounds
+    needed = graph diameter (near-dup clusters are tiny, so 2-3 in
+    practice, ``max_iters`` is a backstop). This is the deliberately
+    non-SQL-shaped algorithm of the operator set — the DuckDB oracle uses a
+    recursive CTE to derive the same labeling.
+    Output: (doc_id, cluster_id) for EVERY document; singletons label
+    themselves.
+    """
+    pairs = minhash_lsh_pairs(
+        df, threshold=threshold, n=n, text_col=text_col, id_col=id_col
+    ).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = df.select(
+        F.col(id_col).alias("doc"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc)
+            .groupBy(F.col("dst").alias("doc2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == F.col("doc2"), "left")
+            .select(
+                "doc",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .take(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select(
+        F.col("doc").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def with_simhash(
     df: DataFrame, text_col: str = "text", out_col: str = "simhash"
 ) -> DataFrame:

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from .catalog import register
 from .operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -106,6 +107,37 @@ def pipe_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+@register(
+    "pipe_dedup_clusters",
+    doc="Near-dup clusters: connected components over the >=0.8 Jaccard "
+    "pair graph via iterative min-label propagation (the non-SQL-shaped "
+    "algorithm); oracle derives identical labels with a recursive CTE.",
+    oracle=(_SHINGLES + """
+        , pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE round(
+                      len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                      / len(list_distinct(a.shingles || b.shingles)), 6
+                  ) >= 0.8
+        ), edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ), reach AS (
+            SELECT doc_id AS doc, doc_id AS lbl FROM documents
+            UNION
+            SELECT e.dst AS doc, r.lbl
+            FROM reach r JOIN edges e ON e.src = r.doc
+        )
+        SELECT doc AS doc_id, min(lbl) AS cluster_id
+        FROM reach GROUP BY doc
+    """).replace("WITH tok", "WITH RECURSIVE tok", 1),
+)
+def pipe_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.8)
 
 
 @register(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from .catalog import register
 from .functions import asof_join
 from .model import load_events
+from .session import register_views
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -288,6 +289,35 @@ def rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("custkey")
     )
     return finished.subtract(building)
+
+
+@register(
+    "rel_correlated_subquery",
+    doc="Correlated scalar subquery (Catalyst decorrelates it into a join): "
+    "orders priced far above their customer's average. Run through the "
+    "plain spark.sql surface (register_views). The 0.001 margin keeps the "
+    "float comparison away from cross-engine ULP boundaries.",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders o
+        WHERE o.o_totalprice - 1.5 * (
+            SELECT avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        ) > 0.001
+    """,
+)
+def rel_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders",))
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders o
+        WHERE o.o_totalprice - 1.5 * (
+            SELECT avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        ) > 0.001
+        """
+    )
 
 
 @register(
