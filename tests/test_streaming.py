@@ -155,6 +155,50 @@ def test_processing_time_clock_fires_on_quiet_stream(spark, stream_dirs):
     assert [(r["key"], r["outcome"]) for r in seen] == [("1", "timeout")]
 
 
+def test_memory_loop_across_microbatches(spark, stream_dirs):
+    """The php-ec collective-memory loop: rules write memory centrally,
+    later events read it (MemoryEngine.php:63-79 + knowledge.md). Inside
+    foreachBatch: enrich with current memory → correlate → apply emitted
+    writes; batch N's learned value is visible to batch N+1."""
+    from pyspark.sql import functions as F
+
+    from php_ec_spark.engine import correlate
+    from php_ec_spark.memory import MemoryEngine, writes_from_emissions
+    from php_ec_spark.rules import match_single
+
+    src, ckpt = stream_dirs
+    _write_ndjson(src / "01.json", [_ev(0, "2024-01-01T00:00:00Z", 1, "purchase", 42.0)])
+    _write_ndjson(src / "02.json", [_ev(1, "2024-01-01T00:10:00Z", 1, "click", 1.0)])
+
+    rule = match_single("last_buy", ["purchase"], key="user_id")
+    holder = {"mem": MemoryEngine(spark)}
+    enriched_rows: list = []
+
+    def process(df, batch_id):
+        mem = holder["mem"]
+        enriched = mem.enrich(
+            df, "last_buy", on=F.col("user_id").cast("string"), value_alias="last_value"
+        )
+        enriched_rows.extend(
+            (r["event_id"], r["last_value"]) for r in enriched.collect()
+        )
+        em = correlate(df, [rule])
+        holder["mem"] = mem.apply_writes(writes_from_emissions(em))
+
+    q = (
+        ndjson_dir_source(spark, str(src), max_files_per_trigger=1)
+        .writeStream.option("checkpointLocation", str(ckpt))
+        .foreachBatch(process)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+
+    by_event = dict(enriched_rows)
+    assert by_event[0] is None          # batch 1: nothing learned yet
+    assert by_event[1] == "42.0"        # batch 2 sees batch 1's write
+
+
 def test_on_demand_source_feeds_back(spark, stream_dirs, tmp_path):
     """S4: a rule emission launches a producer command whose NDJSON output
     lands in the source dir; a second run ingests the produced events."""
