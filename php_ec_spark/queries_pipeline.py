@@ -346,6 +346,39 @@ def pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_levenshtein_pairs",
+    doc="Exact edit distance over the near-dup candidate pairs (both "
+    "engines implement integer Levenshtein) — char-level confirmation of "
+    "token-level similarity.",
+    oracle=_PAIRS.replace(
+        "SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8",
+        """
+        SELECT p.doc_a, p.doc_b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+        WHERE p.jaccard >= 0.8
+        """,
+    ),
+)
+def pipe_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("long").alias("edit_dist"),
+        )
+    )
+
+
+@register(
     "pipe_multimodal_meta",
     doc="Multimodal plumbing: binary payload column → Arrow-batched "
     "mapInPandas metadata extraction (decode stubbed, deterministic fake).",

@@ -562,6 +562,57 @@ def rel_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_events_load",
+    doc="EPS load horizons (A2): events/s over the last 60/900/3600 s of "
+    "the stream — the Counter::calcLoad triple (CorrelationEngine.php:802-813).",
+    oracle="""
+        WITH hi AS (SELECT max(ts::TIMESTAMP) AS h FROM events)
+        SELECT
+            round(sum(CASE WHEN ts::TIMESTAMP > h - INTERVAL 60 SECOND THEN 1 ELSE 0 END) / 60.0, 6)   AS eps_1m,
+            round(sum(CASE WHEN ts::TIMESTAMP > h - INTERVAL 900 SECOND THEN 1 ELSE 0 END) / 900.0, 6) AS eps_15m,
+            round(sum(CASE WHEN ts::TIMESTAMP > h - INTERVAL 3600 SECOND THEN 1 ELSE 0 END) / 3600.0, 6) AS eps_1h
+        FROM events, hi
+    """,
+)
+def rel_events_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    hi = e.agg(F.max("ts").alias("h"))
+    j = e.crossJoin(F.broadcast(hi))
+
+    def horizon(seconds: int, alias: str):
+        cutoff = F.col("h") - F.make_interval(secs=F.lit(float(seconds)))
+        return F.round(
+            F.sum(F.when(F.col("ts") > cutoff, 1).otherwise(0)) / float(seconds), 6
+        ).alias(alias)
+
+    return j.agg(horizon(60, "eps_1m"), horizon(900, "eps_15m"), horizon(3600, "eps_1h"))
+
+
+@register(
+    "rel_pow2_histogram",
+    doc="Power-of-two bucket histogram — the reference's exact bucket shape "
+    "(Library/Histogram.php:8-43: inclusive upper bounds, +Inf overflow).",
+    oracle="""
+        SELECT CASE
+                 WHEN value <= 1 THEN 1 WHEN value <= 2 THEN 2
+                 WHEN value <= 4 THEN 4 WHEN value <= 8 THEN 8
+                 WHEN value <= 16 THEN 16 WHEN value <= 32 THEN 32
+                 WHEN value <= 64 THEN 64 WHEN value <= 128 THEN 128
+                 WHEN value <= 256 THEN 256 WHEN value <= 512 THEN 512
+                 ELSE -1 END AS bucket,
+               count(*) AS n
+        FROM events GROUP BY 1
+    """,
+)
+def rel_pow2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    bucket = F.lit(-1)
+    for b in [512, 256, 128, 64, 32, 16, 8, 4, 2, 1]:
+        bucket = F.when(F.col("value") <= b, F.lit(b)).otherwise(bucket)
+    return e.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "rel_recent_events",
     doc="Recent-events ring: last 100 events (A4, Library/EventLog.php:13-31).",
     oracle="""
