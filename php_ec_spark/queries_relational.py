@@ -562,6 +562,27 @@ def rel_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rel_percentiles",
+    doc="Exact interpolated percentiles per group (Spark percentile ≡ "
+    "DuckDB quantile_cont; verified bit-stable at 4 dp on both SFs).",
+    oracle="""
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
     "rel_events_load",
     doc="EPS load horizons (A2): events/s over the last 60/900/3600 s of "
     "the stream — the Counter::calcLoad triple (CorrelationEngine.php:802-813).",
