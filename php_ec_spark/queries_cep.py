@@ -467,6 +467,51 @@ def cep_memory_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_multi_rule_mixed",
+    doc="One correlate() call mixing three physical strategies — window "
+    "sequence + relational gap sessions + stateless single match — union "
+    "of per-rule plans, each the cheapest that preserves semantics.",
+    oracle=_FIRST_AFTER.format(types="'signup','purchase'", b="purchase")
+    + """
+        SELECT 'mix_seq' AS rule, CAST(user_id AS VARCHAR) AS key,
+               CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
+                    THEN 'completed' ELSE 'timeout' END AS outcome,
+               CAST(CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
+                    THEN 2 ELSE 1 END AS BIGINT) AS n_events
+        FROM w WHERE event_type = 'signup'
+        UNION ALL
+        SELECT 'mix_gap', CAST(user_id AS VARCHAR), 'timeout', count(*)
+        FROM (
+            SELECT user_id, event_id, ts,
+                   sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sess
+            FROM (
+                SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+                       CASE WHEN lag(ts::TIMESTAMP) OVER win IS NULL
+                            OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER win > INTERVAL 12 HOUR
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events WHERE event_type = 'error'
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+        ) GROUP BY user_id, sess
+        UNION ALL
+        SELECT 'mix_one', CAST(user_id AS VARCHAR), 'completed', CAST(1 AS BIGINT)
+        FROM events WHERE event_type = 'view'
+    """,
+)
+def cep_multi_rule_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    rules = [
+        sequence_rule("mix_seq", ["signup", "purchase"], key="user_id", timeout="PT24H"),
+        match_single_continuously("mix_gap", ["error"], key="user_id", timeout="PT12H"),
+        match_single("mix_one", ["view"], key="user_id"),
+    ]
+    return correlate(events, rules).select("rule", "key", "outcome", "n_events")
+
+
+@register(
     "cep_stat_counters",
     doc="A1: incrStat counters (CorrelationEngine.php:790-813) — per-rule "
     "completed/timeout tallies derived from the emission stream, the exact "

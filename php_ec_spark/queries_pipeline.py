@@ -346,6 +346,41 @@ def pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipe_doc_quality_by_cluster",
+    doc="Cross-modal pipeline join: text quality stats aggregated per "
+    "embedding cluster label (documents ⋈ embeddings on id).",
+    oracle="""
+        WITH s AS (
+            SELECT d.doc_id,
+                   length(d.text) - length(replace(d.text, ' ', '')) + 1 AS n_tokens,
+                   len(list_distinct(string_split(d.text, ' '))) AS n_unique,
+                   e.label
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+               round(avg(n_unique::DOUBLE / n_tokens), 6) AS avg_diversity
+        FROM s GROUP BY label
+    """,
+)
+def pipe_doc_quality_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_token_stats(_docs(spark, sf_dir))
+    e = _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"), "label")
+    return (
+        d.join(e, "doc_id")
+        .groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.round(
+                F.avg(F.col("n_unique_tokens").cast("double") / F.col("n_tokens")), 6
+            ).alias("avg_diversity"),
+        )
+    )
+
+
+@register(
     "pipe_levenshtein_pairs",
     doc="Exact edit distance over the near-dup candidate pairs (both "
     "engines implement integer Levenshtein) — char-level confirmation of "
