@@ -86,6 +86,25 @@ class TestPropertyParity:
         )
 
     @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=1, max_value=2),
+            st.sampled_from(["a", "b", "c", "d"]),
+        ),
+        min_size=2, max_size=16,
+    ))
+    def test_four_step_sequence_parity(self, spark, evs):
+        rule = sequence_rule("s4", ["a", "b", "c", "d"], key="user_id", timeout="PT40S")
+        df = _df(spark, evs)
+        assert _rows(compile_sequence(df, rule)) == _rows(
+            correlate_state_machine(df, [rule])
+        )
+
+    @settings(
         max_examples=10, deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
