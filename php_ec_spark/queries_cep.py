@@ -158,6 +158,46 @@ def cep_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_progress_hook",
+    doc="onProgress lifecycle hook (AEventProcessor.php:522-549): one "
+    "'progress' emission per consumed, non-completing event, alongside the "
+    "final completed/timeout row.",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type, value
+            FROM events WHERE event_type IN ('signup','click','purchase')
+        ), w AS (
+            SELECT e.*,
+                   first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER win AS b_ts,
+                   first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER win AS b_id,
+                   first_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER win AS b_val
+            FROM e
+            WINDOW win AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+            )
+        ), a AS (SELECT * FROM w WHERE event_type = 'signup')
+        SELECT 'prog3' AS rule, CAST(user_id AS VARCHAR) AS key,
+               'progress' AS outcome, ts AS fire_ts,
+               event_id AS start_event_id, event_id AS last_event_id,
+               CAST(1 AS BIGINT) AS n_events, round(value, 6) AS value_sum
+        FROM a
+        UNION ALL
+        SELECT 'prog3', CAST(user_id AS VARCHAR), 'progress', b_ts,
+               event_id, b_id, CAST(2 AS BIGINT), round(value + b_val, 6)
+        FROM a WHERE b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 12 HOUR
+    """,
+)
+def cep_progress_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    rule = sequence_rule(
+        "prog3", ["signup", "click", "purchase"], key="user_id",
+        timeout="PT12H", emit_progress=True,
+    )
+    return _out(correlate(events, [rule])).filter(F.col("outcome") == "progress")
+
+
+@register(
     "cep_single_match",
     doc="J3/F1: MatchSingle on one event type — stateless filter plan.",
     oracle="""
