@@ -105,6 +105,42 @@ class TestPropertyParity:
         )
 
     @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(evs=EVENTS)
+    def test_chain_trim_vs_pandas_reference(self, spark, evs):
+        """trimEventChain semantics checked against an INDEPENDENT model:
+        the final rolling buffer per key must equal the last-N rows of a
+        plain pandas groupby (no engine code shared)."""
+        import pandas as pd
+
+        rule = match_single_continuously(
+            "roll", ["a"], key="user_id", chain_limit=3, emit_final=True
+        )
+        df = _df(spark, evs)
+        got = {
+            r["key"]: (r["n_events"], r["start_event_id"], r["last_event_id"],
+                       round(r["value_sum"], 6))
+            for r in correlate_state_machine(df, [rule]).collect()
+        }
+        pdf = pd.DataFrame(
+            [(i, s, u, t) for i, (s, u, t) in enumerate(evs)],
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        pdf = pdf[pdf.event_type == "a"].sort_values(["ts", "event_id"])
+        expected = {}
+        for uid, g in pdf.groupby("user_id"):
+            tail = g.tail(3)
+            expected[str(uid)] = (
+                len(tail),
+                int(tail.event_id.iloc[0]),
+                int(tail.event_id.iloc[-1]),
+                round(float(tail.event_id.sum()), 6),  # value == event_id in _df
+            )
+        assert got == expected
+
+    @settings(
         max_examples=10, deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
