@@ -78,7 +78,14 @@ def all_queries() -> dict[str, Query]:
 
 
 def _load_all() -> None:
-    # importing the modules populates the registry
-    from . import queries_cep  # noqa: F401
-    from . import queries_relational  # noqa: F401
-    from . import queries_pipeline  # noqa: F401
+    # Importing the modules populates the registry. ORDER AND COUNT ARE
+    # POLICY: the driver's correctness gate evaluates only the FIRST 50
+    # registrations, so (a) total registrations must stay ≤ 50 — adding a
+    # query means consolidating or displacing one, never silently pushing
+    # an existing query past the window — and (b) modules are ordered by
+    # novelty (CEP engine semantics, then pipeline operators, then the
+    # relational surface Catalyst gives for free) so if the count ever
+    # creeps over, the least-novel queries are the ones that drop out.
+    from . import queries_cep  # noqa: F401  (17)
+    from . import queries_pipeline  # noqa: F401  (16)
+    from . import queries_relational  # noqa: F401  (17)

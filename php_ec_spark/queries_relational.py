@@ -157,37 +157,6 @@ def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "rel_broadcast_enrich",
-    doc="Broadcast-join dimension enrichment: orders → customer → nation → region.",
-    oracle="""
-        SELECT r.r_name, o.o_orderpriority,
-               count(*) AS n_orders,
-               round(sum(o.o_totalprice), 2) AS total
-        FROM orders o
-        JOIN customer c ON o.o_custkey = c.c_custkey
-        JOIN nation n   ON c.c_nationkey = n.n_nationkey
-        JOIN region r   ON n.n_regionkey = r.r_regionkey
-        GROUP BY r.r_name, o.o_orderpriority
-    """,
-)
-def rel_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .groupBy("r_name", "o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
-    )
-
-
 # --------------------------------------------------------------------------
 # Windows / sorts / limits / set ops / scalar functions (SURVEY §2.6)
 # --------------------------------------------------------------------------
@@ -220,50 +189,63 @@ def rel_window_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rel_distinct_agg",
-    doc="DISTINCT aggregation (absent in reference, free in Spark).",
+    "rel_orders_priority_stats",
+    doc="DISTINCT aggregation + exact interpolated percentiles per group "
+    "(consolidates rel_distinct_agg + rel_percentiles; Spark percentile ≡ "
+    "DuckDB quantile_cont, bit-stable at 4 dp on both SFs).",
     oracle="""
         SELECT o_orderpriority,
                count(DISTINCT o_custkey) AS n_customers,
-               count(*)                  AS n_orders
+               count(*)                  AS n_orders,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         FROM orders GROUP BY o_orderpriority
     """,
 )
-def rel_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rel_orders_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
         )
     )
 
 
 @register(
     "rel_rollup",
-    doc="ROLLUP grouping sets (absent in reference, free in Spark).",
+    doc="ROLLUP grouping sets over broadcast-joined dimensions "
+    "(consolidates rel_broadcast_enrich: the fact side stays un-broadcast, "
+    "every dim is a BroadcastHashJoin — pinned by tests/test_plans.py).",
     oracle="""
-        SELECT r.r_name, n.n_name,
-               count(*) AS n_customers,
-               round(sum(c.c_acctbal), 2) AS acctbal
-        FROM customer c
-        JOIN nation n ON c.c_nationkey = n.n_nationkey
-        JOIN region r ON n.n_regionkey = r.r_regionkey
-        GROUP BY ROLLUP(r.r_name, n.n_name)
+        SELECT r.r_name, o.o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r.r_name, o.o_orderpriority)
     """,
 )
 def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .rollup("r_name", "n_name")
+        .rollup("r_name", "o_orderpriority")
         .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("acctbal"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
 
@@ -321,73 +303,41 @@ def rel_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rel_semi_join",
-    doc="Left-semi join (EXISTS): customers having at least one returned-flag "
-    "lineitem order (absent join kind in reference, free in Spark).",
+    "rel_semi_anti_join",
+    doc="Left-semi (EXISTS) + left-anti (NOT EXISTS) joins in one result "
+    "(consolidates rel_semi_join + rel_anti_join): mode='semi' = customers "
+    "with a returned-flag lineitem order; mode='anti' = customers with no "
+    "orders at all (absent join kinds in reference, free in Spark).",
     oracle="""
-        SELECT c.c_custkey, c.c_name
+        SELECT 'semi' AS mode, c.c_custkey
         FROM customer c
         WHERE EXISTS (
             SELECT 1 FROM orders o
             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
             WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R'
         )
-    """,
-)
-def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    custs = o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
-    return c.join(custs, c.c_custkey == custs.o_custkey, "left_semi").select(
-        "c_custkey", "c_name"
-    )
-
-
-@register(
-    "rel_anti_join",
-    doc="Left-anti join (NOT EXISTS): customers with no orders at all.",
-    oracle="""
-        SELECT c.c_custkey, c.c_acctbal
+        UNION ALL
+        SELECT 'anti' AS mode, c.c_custkey
         FROM customer c
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         )
     """,
 )
-def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rel_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_acctbal"
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    custs = o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+    semi = (
+        c.join(custs, c.c_custkey == custs.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("mode"), "c_custkey")
     )
-
-
-@register(
-    "rel_props_json",
-    doc="Semi-structured payload access: extract props JSON field, group "
-    "(the reference's schemaless Event payload as a JSON column).",
-    oracle="""
-        SELECT event_type,
-               CAST(count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_k,
-               CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_total
-        FROM events
-        WHERE CAST(props->>'$.k' AS BIGINT) >= 50
-        GROUP BY event_type
-    """,
-)
-def rel_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (
-        e.withColumn("k", k)
-        .filter(F.col("k") >= 50)
-        .groupBy("event_type")
-        .agg(
-            F.countDistinct("k").alias("n_k"),
-            F.sum("k").cast("long").alias("k_total"),
-        )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("mode"), "c_custkey")
     )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -445,72 +395,118 @@ def rel_datetime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_events_stats",
-    doc="incrStat per-event-type counters (A1, CorrelationEngine.php:790-796).",
+    doc="incrStat per-event-type counters (A1, CorrelationEngine.php:790-796) "
+    "+ semi-structured JSON payload access (consolidates rel_props_json: "
+    "n_big_k / big_k_total are conditional aggregates over props->'$.k' ≥ 50, "
+    "the reference's schemaless Event payload as a JSON column).",
     oracle="""
         SELECT event_type, count(*) AS seen,
                count(DISTINCT user_id) AS n_users,
-               round(sum(value), 2) AS value_total
+               round(sum(value), 2) AS value_total,
+               CAST(count(DISTINCT CASE
+                   WHEN CAST(props->>'$.k' AS BIGINT) >= 50
+                   THEN CAST(props->>'$.k' AS BIGINT) END) AS BIGINT) AS n_big_k,
+               CAST(sum(CASE
+                   WHEN CAST(props->>'$.k' AS BIGINT) >= 50
+                   THEN CAST(props->>'$.k' AS BIGINT) END) AS BIGINT) AS big_k_total
         FROM events GROUP BY event_type
     """,
 )
 def rel_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    big_k = F.when(k >= 50, k)
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("seen"),
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 2).alias("value_total"),
+        F.countDistinct(big_k).alias("n_big_k"),
+        F.sum(big_k).cast("long").alias("big_k_total"),
     )
 
 
 @register(
     "rel_events_eps",
-    doc="EPS over tumbling event-time windows (A2/W7 — the Counter ring buffer as window aggs).",
+    doc="EPS counter family (A2/W7, consolidates rel_events_eps + "
+    "rel_events_eps_sliding + rel_events_load): kind='tumble_1h' = tumbling "
+    "event-time windows; kind='slide_1h_15m' = 1 h windows every 15 min (the "
+    "Counter ring buffer's overlapping horizons); kind='load_*' = events/s "
+    "over the trailing 60/900/3600 s of the stream — the Counter::calcLoad "
+    "triple (CorrelationEngine.php:802-813). eps = n_events / window seconds.",
     oracle="""
-        SELECT date_trunc('hour', ts::TIMESTAMP) AS win_start,
-               count(*) AS n_events,
-               round(count(*) / 3600.0, 6) AS eps
-        FROM events GROUP BY 1
-    """,
-)
-def rel_events_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.col("w.start").alias("win_start"),
-            "n_events",
-            F.round(F.col("n_events") / 3600.0, 6).alias("eps"),
-        )
-    )
-
-
-@register(
-    "rel_events_eps_sliding",
-    doc="Sliding-window EPS (A2/W7): 1 h windows every 15 min — the Counter "
-    "ring buffer's multi-horizon load calc as overlapping window aggs.",
-    oracle="""
-        WITH g AS (
+        WITH hi AS (SELECT max(ts::TIMESTAMP) AS h FROM events),
+        g AS (
             SELECT unnest(generate_series(
                 date_trunc('hour', (SELECT min(ts::TIMESTAMP) FROM events)) - INTERVAL 45 MINUTE,
                 (SELECT max(ts::TIMESTAMP) FROM events),
                 INTERVAL 15 MINUTE
             )) AS win_start
         )
-        SELECT g.win_start, count(e.event_id) AS n_events
+        SELECT 'tumble_1h' AS kind,
+               date_trunc('hour', ts::TIMESTAMP) AS win_start,
+               count(*) AS n_events,
+               round(count(*) / 3600.0, 6) AS eps
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'slide_1h_15m' AS kind, g.win_start,
+               count(e.event_id) AS n_events,
+               round(count(e.event_id) / 3600.0, 6) AS eps
         FROM g JOIN events e
           ON e.ts::TIMESTAMP >= g.win_start
          AND e.ts::TIMESTAMP < g.win_start + INTERVAL 1 HOUR
         GROUP BY g.win_start
+        UNION ALL
+        SELECT 'load_' || sec || 's' AS kind,
+               h - to_seconds(sec) AS win_start,
+               CAST(sum(CASE WHEN ts::TIMESTAMP > h - to_seconds(sec) THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+               round(sum(CASE WHEN ts::TIMESTAMP > h - to_seconds(sec) THEN 1 ELSE 0 END) / (sec * 1.0), 6) AS eps
+        FROM events, hi, (VALUES (60), (900), (3600)) AS horizons(sec)
+        GROUP BY h, sec
     """,
 )
-def rel_events_eps_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rel_events_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    return (
+    tumble = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.lit("tumble_1h").alias("kind"),
+            F.col("w.start").alias("win_start"),
+            "n_events",
+            F.round(F.col("n_events") / 3600.0, 6).alias("eps"),
+        )
+    )
+    slide = (
         e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("win_start"), "n_events")
+        .select(
+            F.lit("slide_1h_15m").alias("kind"),
+            F.col("w.start").alias("win_start"),
+            "n_events",
+            F.round(F.col("n_events") / 3600.0, 6).alias("eps"),
+        )
     )
+    # trailing-horizon load: one pass over events against the broadcast max ts
+    hi = e.agg(F.max("ts").alias("h"))
+    j = e.crossJoin(F.broadcast(hi))
+
+    def _n(seconds: int):
+        cutoff = F.col("h") - F.make_interval(secs=F.lit(float(seconds)))
+        return F.sum(F.when(F.col("ts") > cutoff, 1).otherwise(0)).alias(
+            f"n{seconds}"
+        )
+
+    agg = j.groupBy("h").agg(_n(60), _n(900), _n(3600))
+    loads = None
+    for sec in (60, 900, 3600):
+        row = agg.select(
+            F.lit(f"load_{sec}s").alias("kind"),
+            (F.col("h") - F.make_interval(secs=F.lit(float(sec)))).alias("win_start"),
+            F.col(f"n{sec}").alias("n_events"),
+            F.round(F.col(f"n{sec}") / float(sec), 6).alias("eps"),
+        )
+        loads = row if loads is None else loads.unionByName(row)
+    return tumble.unionByName(slide).unionByName(loads)
 
 
 @register(
@@ -548,89 +544,41 @@ def rel_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_events_histogram",
-    doc="Fixed-bucket value histogram (A3, Library/Histogram.php:8-43).",
+    doc="Value histograms (A3, Library/Histogram.php:8-43; consolidates "
+    "rel_pow2_histogram): kind='linear50' = fixed-width /50 buckets; "
+    "kind='pow2' = the reference's exact power-of-two bucket shape "
+    "(inclusive upper bounds, -1 = overflow).",
     oracle="""
-        SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
-        FROM events GROUP BY 1
-    """,
-)
-def rel_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy(
-        F.floor(F.col("value") / 50).cast("long").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n"))
-
-
-@register(
-    "rel_percentiles",
-    doc="Exact interpolated percentiles per group (Spark percentile ≡ "
-    "DuckDB quantile_cont; verified bit-stable at 4 dp on both SFs).",
-    oracle="""
-        SELECT o_orderpriority,
-               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
-        FROM orders GROUP BY o_orderpriority
-    """,
-)
-def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
-    )
-
-
-@register(
-    "rel_events_load",
-    doc="EPS load horizons (A2): events/s over the last 60/900/3600 s of "
-    "the stream — the Counter::calcLoad triple (CorrelationEngine.php:802-813).",
-    oracle="""
-        WITH hi AS (SELECT max(ts::TIMESTAMP) AS h FROM events)
-        SELECT
-            round(sum(CASE WHEN ts::TIMESTAMP > h - INTERVAL 60 SECOND THEN 1 ELSE 0 END) / 60.0, 6)   AS eps_1m,
-            round(sum(CASE WHEN ts::TIMESTAMP > h - INTERVAL 900 SECOND THEN 1 ELSE 0 END) / 900.0, 6) AS eps_15m,
-            round(sum(CASE WHEN ts::TIMESTAMP > h - INTERVAL 3600 SECOND THEN 1 ELSE 0 END) / 3600.0, 6) AS eps_1h
-        FROM events, hi
-    """,
-)
-def rel_events_load(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    hi = e.agg(F.max("ts").alias("h"))
-    j = e.crossJoin(F.broadcast(hi))
-
-    def horizon(seconds: int, alias: str):
-        cutoff = F.col("h") - F.make_interval(secs=F.lit(float(seconds)))
-        return F.round(
-            F.sum(F.when(F.col("ts") > cutoff, 1).otherwise(0)) / float(seconds), 6
-        ).alias(alias)
-
-    return j.agg(horizon(60, "eps_1m"), horizon(900, "eps_15m"), horizon(3600, "eps_1h"))
-
-
-@register(
-    "rel_pow2_histogram",
-    doc="Power-of-two bucket histogram — the reference's exact bucket shape "
-    "(Library/Histogram.php:8-43: inclusive upper bounds, +Inf overflow).",
-    oracle="""
-        SELECT CASE
+        SELECT 'linear50' AS kind,
+               CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
+        FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'pow2' AS kind,
+               CAST(CASE
                  WHEN value <= 1 THEN 1 WHEN value <= 2 THEN 2
                  WHEN value <= 4 THEN 4 WHEN value <= 8 THEN 8
                  WHEN value <= 16 THEN 16 WHEN value <= 32 THEN 32
                  WHEN value <= 64 THEN 64 WHEN value <= 128 THEN 128
                  WHEN value <= 256 THEN 256 WHEN value <= 512 THEN 512
-                 ELSE -1 END AS bucket,
+                 ELSE -1 END AS BIGINT) AS bucket,
                count(*) AS n
-        FROM events GROUP BY 1
+        FROM events GROUP BY 2
     """,
 )
-def rel_pow2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rel_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
+    linear = e.groupBy(
+        F.floor(F.col("value") / 50).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("linear50").alias("kind"), "bucket", "n"
+    )
     bucket = F.lit(-1)
     for b in [512, 256, 128, 64, 32, 16, 8, 4, 2, 1]:
         bucket = F.when(F.col("value") <= b, F.lit(b)).otherwise(bucket)
-    return e.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+    pow2 = e.groupBy(bucket.cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("pow2").alias("kind"), "bucket", "n")
+    return linear.unionByName(pow2)
 
 
 @register(

@@ -45,7 +45,7 @@ class TestPushdownAndPruning:
 
 
 class TestBroadcast:
-    @pytest.mark.parametrize("name", ["rel_q5_region_revenue", "rel_broadcast_enrich"])
+    @pytest.mark.parametrize("name", ["rel_q5_region_revenue", "rel_rollup"])
     def test_dims_broadcast(self, spark, name):
         plan = _plan(spark, name)
         assert "BroadcastHashJoin" in plan
