@@ -98,29 +98,90 @@ def cosine_dup_pairs(
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with cos ≥
     threshold, id_a < id_b.
 
-    Baseline path: exact all-pairs via self-join — correct at any data, the
-    oracle-checkable reference. Scale path: pass ``cluster_col`` (an IVF
-    bucket / coarse-quantizer assignment) to compare only within-bucket
-    pairs — near-dups land in the same bucket when the quantizer has
-    geometric meaning, turning O(n²) into Σ|bucket|².
+    Exact path (default): vectorized GEMM scan — the corpus matrix is
+    broadcast (8·n·dim bytes: 64-dim ⇒ ~2M vectors/GiB), each Arrow batch
+    computes a numpy ``A @ M.T`` block against it, and only pairs within a
+    1e-6 margin of the threshold survive as candidates. The n² similarity
+    space lives inside BLAS blocks, never as Spark rows — no
+    CartesianProduct / BroadcastNestedLoopJoin in the plan, one corpus
+    scan. Candidates are then re-verified JVM-side with the sequential-fold
+    dot product, so the emitted cosine is bit-identical to a plain
+    left-to-right fold (the arithmetic the DuckDB oracle uses) — the GEMM's
+    reordered summation only ever affects the over-generated candidate set.
+
+    Scale note: exact all-pairs is inherently O(n²) FLOPs; this shape keeps
+    it at dense-BLAS speed while the corpus side stays broadcastable. Past
+    that, pass ``cluster_col`` (an IVF bucket / coarse-quantizer
+    assignment) to compare only within-bucket pairs — Σ|bucket|² cost, the
+    approximate contract every 100 TB dedup pipeline actually runs.
     """
-    c = corpus.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-        *([F.col(cluster_col).alias("bucket")] if cluster_col else []),
+    if cluster_col is not None:
+        c = corpus.select(
+            F.col(cluster_col).alias("bucket"),
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        a = c.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = c.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        return (
+            a.join(b, ["bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+            .filter(F.col("cos") >= threshold)
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    pdf = corpus.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    if len(ids) == 0:
+        return spark.createDataFrame([], "id_a long, id_b long, cos double")
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    norms = np.sqrt((M * M).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, M, norms))
+    margin = 1e-6
+
+    def gen_candidates(batches):
+        ids_all, M_all, n_all = bc.value
+        for b_pdf in batches:
+            if len(b_pdf) == 0:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in b_pdf[vec_col]])
+            aid = b_pdf[id_col].to_numpy(dtype=np.int64)
+            an = np.sqrt((A * A).sum(axis=1))
+            # sub-chunk so the score block stays ~512·n doubles
+            for s in range(0, len(A), 512):
+                S = A[s : s + 512] @ M_all.T
+                denom = np.outer(an[s : s + 512], n_all)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, S / denom, 0.0)
+                mask = (cos >= threshold - margin) & (
+                    aid[s : s + 512, None] < ids_all[None, :]
+                )
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    yield pd.DataFrame(
+                        {"id_a": aid[s : s + 512][ii], "id_b": ids_all[jj]}
+                    )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        gen_candidates, schema="id_a long, id_b long"
     )
-    a = c.select(
-        *([F.col("bucket")] if cluster_col else []),
-        F.col("id").alias("id_a"), F.col("v").alias("va"),
+    va = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("va"),
     )
-    b = c.select(
-        *([F.col("bucket")] if cluster_col else []),
-        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vb"),
     )
-    joined = a.join(b, ["bucket"] if cluster_col else []) if cluster_col else a.crossJoin(b)
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cand_a = va.join(F.broadcast(cand), "id_a")  # small: candidates + left vecs
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
+        vb.join(F.broadcast(cand_a), "id_b")
         .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

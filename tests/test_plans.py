@@ -89,6 +89,18 @@ class TestShuffleBudget:
         assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
 
 
+class TestNoCartesianInPairOps:
+    @pytest.mark.parametrize(
+        "name", ["pipe_embedding_dup_pairs", "pipe_minhash_lsh", "pipe_jaccard_pairs"]
+    )
+    def test_no_cartesian_over_corpus(self, spark, name):
+        # pair generation must never materialize the n² space as Spark rows:
+        # candidates come from equi-joins / GEMM blocks, not row cartesians
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
 class TestWholeStageCodegen:
     @pytest.mark.parametrize("name", ["rel_q1_pricing", "pipe_text_stats"])
     def test_codegen_spans_exist(self, spark, name):
