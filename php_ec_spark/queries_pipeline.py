@@ -91,11 +91,42 @@ def pipe_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipe_jaccard_pairs",
     doc="EXACT n-gram Jaccard near-dup pairs via inverted shingle index "
-    "(no all-pairs scan); oracle brute-forces the same definition.",
-    oracle=_PAIRS,
+    "(no all-pairs scan) WITH the max_df stop-shingle guard enabled "
+    "(shingles in >5% of docs are dropped; sizes recomputed in filtered "
+    "space) — the hot-key cap that keeps the join sub-quadratic at scale; "
+    "oracle mirrors the same filtered-space definition.",
+    oracle=_SHINGLES + """
+        , inv AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        ), lim AS (
+            SELECT greatest(1, CAST(floor(0.05 * count(*)) AS BIGINT)) AS max_df
+            FROM documents
+        ), keep AS (
+            SELECT shingle FROM inv GROUP BY shingle
+            HAVING count(*) <= (SELECT max_df FROM lim)
+        ), finv AS (
+            SELECT i.doc_id, i.shingle FROM inv i JOIN keep k USING (shingle)
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM finv GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM finv a JOIN finv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.8
+    """,
 )
 def pipe_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    docs = _docs(spark, sf_dir)
+    # 5% document-frequency cutoff, floor'd exactly like the oracle's
+    # greatest(1, floor(0.05·n)) so both engines drop the same shingles.
+    max_df = max(1, int(docs.count() * 0.05))
+    return jaccard_pairs(docs, threshold=0.8, max_df=max_df)
 
 
 @register(
