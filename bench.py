@@ -41,6 +41,12 @@ def main() -> None:
         .count()
         .count()
     )
+    # ...and the Python/Arrow workers (spark.python.worker.reuse keeps them
+    # alive session-wide, so first-spawn cost is session setup, not query
+    # cost — same bucket as JVM classloading above)
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, schema="id long").count()
     print(f"# warmup: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}

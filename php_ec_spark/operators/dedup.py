@@ -140,32 +140,146 @@ def with_minhash(
     id_col: str = "doc_id",
     out_col: str = "signature",
 ) -> DataFrame:
-    """MinHash signatures: (id, signature array), sig[k] = min over shingles
-    of (a_k·h(s) + b_k) mod p, h = xxhash64 folded into [0, p).
+    """MinHash signatures: (id, signature array), sig[k] = min over distinct
+    word n-gram shingles of (a_k·h(s) + b_k) mod p, h = blake2b-64 folded
+    into [0, p).
 
-    Formulated as explode → groupBy(id) with K min-aggregates: the shingle
-    hash is computed ONCE per shingle (array-expression variants re-evaluate
-    xxhash64 per permutation — measured 3× slower), partial aggregation
-    combines map-side, and the shuffle carries only K longs per document.
+    One scan-local ``mapInPandas`` pass does tokenize → shingle → hash →
+    K-permutation min-fold: the fold is a vectorized numpy segment-min
+    (``np.minimum.reduceat`` over an affine transform of the concatenated
+    hash array), so the K×Σshingles arithmetic runs in C. NO explode, NO
+    shuffle — signatures materialize in the task that read the document, so
+    100 TB of text never moves for signing. (Earlier JVM shapes paid either
+    a K-column hash aggregate + shuffle, or interpreted per-row HOF lambdas
+    for shingling — both measured slower than this single Arrow hop.)
+
+    The signature hash only drives CANDIDATE generation — final pairs are
+    re-verified with exact JVM Jaccard (see :func:`minhash_lsh_pairs`) —
+    so the kernel's shingling need only mirror :func:`with_shingles`
+    (whitespace split, whole-text fallback under ``n`` tokens), which it
+    does. Arithmetic stays in exact int64: a_k, h < 2³¹ ⇒ a_k·h+b_k < 2⁶².
+
+    If the incoming DataFrame has fewer partitions than
+    ``spark.default.parallelism`` (a single parquet row group, say), it is
+    repartitioned first so the kernel parallelizes — a no-op at warehouse
+    scale where scans are already thousands of tasks.
     """
-    sh = with_shingles(df, n=n, text_col=text_col)
-    hashes = F.transform(
-        F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(MH_MOD))
+    import numpy as np
+    import pandas as pd
+
+    def sign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sig = _sig_matrix(pdf[text_col], n, num_hashes)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(sig)})
+
+    return _parallelized(df).select(id_col, text_col).mapInPandas(
+        sign, schema=f"{id_col} long, {out_col} array<long>"
     )
-    exploded = sh.select(F.col(id_col), F.explode(hashes).alias("h"))
-    mins = [
-        F.min((F.lit(_mh_a(k)) * F.col("h") + F.lit(_mh_b(k))) % F.lit(MH_MOD)).alias(
-            f"__s{k}"
+
+
+def _parallelized(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the scan is
+    coarser (e.g. one parquet row group locally) — a no-op at warehouse
+    scale where scans already come in thousands of tasks."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
+def _sig_matrix(texts, n: int, num_hashes: int):
+    """(len(texts) × num_hashes) int64 MinHash signature matrix.
+
+    Python builds the per-doc shingle hash arrays (blake2b-64 folded into
+    [0, p)); the K-permutation min-fold is vectorized numpy — one affine
+    transform + ``np.minimum.reduceat`` segment-min per permutation over
+    the concatenated hash array."""
+    import hashlib
+
+    import numpy as np
+
+    blake = hashlib.blake2b
+    from_bytes = int.from_bytes
+    A = np.array([_mh_a(k) for k in range(num_hashes)], dtype=np.int64)
+    B = np.array([_mh_b(k) for k in range(num_hashes)], dtype=np.int64)
+    sizes = np.empty(len(texts), dtype=np.int64)
+    chunks = []
+    for i, text in enumerate(texts):
+        toks = text.split()
+        if len(toks) < n:
+            sh = (" ".join(toks),)
+        else:
+            sh = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+        hs = np.fromiter(
+            (
+                from_bytes(blake(s.encode(), digest_size=8).digest(), "little") % MH_MOD
+                for s in sh
+            ),
+            dtype=np.int64,
+            count=len(sh),
         )
-        for k in range(num_hashes)
-    ]
-    return (
-        exploded.groupBy(id_col)
-        .agg(*mins)
-        .select(
-            id_col,
-            F.array(*[F.col(f"__s{k}") for k in range(num_hashes)]).alias(out_col),
-        )
+        sizes[i] = len(hs)
+        chunks.append(hs)
+    H = np.concatenate(chunks)  # every doc has ≥1 shingle (fallback)
+    starts = np.zeros(len(sizes), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    sig = np.empty((len(sizes), num_hashes), dtype=np.int64)
+    for k in range(num_hashes):  # K passes keep temporaries at |H| longs
+        sig[:, k] = np.minimum.reduceat((A[k] * H + B[k]) % MH_MOD, starts)
+    return sig
+
+
+def with_band_keys(
+    df: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH band keys, exploded: (doc, band, bh) with ``bands`` rows per doc.
+
+    Same scan-local kernel as :func:`with_minhash`, but the per-band bucket
+    hash (a wrapping-uint64 linear mix of the band's signature rows) is
+    computed inside the kernel too, so the banded table comes out of ONE
+    Arrow pass with no JVM HOF explode / hash-of-slice step afterwards."""
+    import numpy as np
+    import pandas as pd
+
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    # odd multipliers make the per-row mix a bijection mod 2^64
+    C = np.array(
+        [
+            ((2 * _mh_a(101 + r) + 1) * 2_862_933_555_777_941_757) % (1 << 64)
+            for r in range(rows)
+        ],
+        dtype=np.uint64,
+    )
+
+    def band_keys(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sig = _sig_matrix(pdf[text_col], n, num_hashes).astype(np.uint64)
+            n_docs = len(pdf)
+            bh = np.empty((n_docs, bands), dtype=np.uint64)
+            for b in range(bands):
+                block = sig[:, b * rows : (b + 1) * rows]
+                bh[:, b] = (block * C[None, :]).sum(axis=1, dtype=np.uint64)
+            ids = np.repeat(np.asarray(pdf[id_col], dtype=np.int64), bands)
+            yield pd.DataFrame(
+                {
+                    "doc": ids,
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n_docs),
+                    "bh": bh.reshape(-1).view(np.int64),
+                }
+            )
+
+    return _parallelized(df).select(id_col, text_col).mapInPandas(
+        band_keys, schema="doc long, band int, bh long"
     )
 
 
@@ -185,29 +299,14 @@ def minhash_lsh_pairs(
     Output schema matches :func:`jaccard_pairs`.
     """
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    # Materialize the signature index once: it is tiny (K longs per doc) but
-    # its lineage is the full shingle+hash pipeline, which the band self-join
-    # would otherwise recompute on BOTH sides. At warehouse scale this is
-    # "write the signature table, then join it" — localCheckpoint is the
+    # Materialize the banded index once: it is tiny (``bands`` longs per
+    # doc) but its lineage is the full shingle+sign kernel, which the band
+    # self-join would otherwise recompute on BOTH sides. At warehouse scale
+    # this is "write the band table, then join it" — localCheckpoint is the
     # single-job equivalent.
-    sig = (
-        with_minhash(df, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col)
-        .select(F.col(id_col).alias("doc"), "signature")
-        .localCheckpoint(eager=True)
-    )
-    banded = sig.select(
-        "doc",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice("signature", b * rows + 1, rows)).alias("bh"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc", "bk.band", "bk.bh")
+    banded = with_band_keys(
+        df, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
