@@ -49,14 +49,19 @@ def start_correlation(
     and sink progress — the whole SaveHandler/RECOVERY subsystem of the
     reference (Scheduler.php:620-673, 766-884) in one Spark-native knob.
     Restarting with the same checkpoint resumes exactly where processing
-    stopped; inflight actions replay into the idempotent dispatcher, which
-    is the reference's errored-action replay (W12) without the marker-file
-    dance.
+    stopped. The dispatcher anchors its cross-run batch markers and
+    errored-action journal under the same checkpoint dir (unless it was
+    built with its own), so a replayed micro-batch is skipped instead of
+    double-dispatching — the reference's errored-action replay + marker
+    bookkeeping (W12, Scheduler.php:766-884).
     """
     emissions = correlate_stream(
         events, rules, watermark_delay=watermark_delay, clock=clock
     )
     dispatcher = dispatcher or ActionDispatcher()
+    if dispatcher.checkpoint_dir is None:
+        dispatcher.checkpoint_dir = checkpoint_dir
+    dispatcher.replay_errored()
     writer = (
         emissions.writeStream.queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)

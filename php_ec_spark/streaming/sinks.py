@@ -3,31 +3,51 @@
 The reference dispatches Actions to long-lived child processes over
 JSON-RPC (ActionExecutionCoordinator.php:98-296) with optional JSON-schema
 parameter validation (:229-239) and crash-replay of errored actions
-(Scheduler.php:841-884). Spark-native rendering:
+(Scheduler.php:841-884, 766-792). Spark-native rendering:
 
 - :class:`ActionDispatcher` is a ``foreachBatch`` callable. Registered
   actions are either Python callables (closure actions, S7 —
   ClosureActionWrapper.php:24-93) or external commands fed NDJSON on stdin
   (process actions, S6 — one subprocess per batch, batch-vectorized where
   the reference is request-at-a-time).
+- Two dispatch paths, chosen per action:
+  * **driver** (default): rows stream through ``toLocalIterator`` in
+    bounded chunks — the reference's model (actions are centrally
+    dispatched by the scheduler), safe for normal alert-volume output and
+    never holds more than one chunk in driver memory.
+  * **distributed** (``distributed=True``): the action runs executor-side
+    via ``foreachPartition`` — for high-volume per-event emissions where
+    shipping rows to the driver would bottleneck at 100 TB. Requires the
+    action (closure or cmd) to be picklable/installed on executors.
 - Parameter validation (S8) is a minimal typed-schema check (the container
   ships no jsonschema lib): ``{"field": type, ...}`` with required/optional
   markers.
 - Idempotency/at-least-once (W12): foreachBatch may replay a batch after a
-  crash; the dispatcher records the last completed ``batchId`` per action
-  in the driver and skips duplicates within a run, while cross-run replay
-  relies on idempotent action design — the same contract the reference's
-  RECOVERY state imposes on action authors.
+  crash. The dispatcher records completed ``batchId`` markers — in memory
+  within a run, and as marker files under ``checkpoint_dir`` (when given)
+  so a RESTARTED run skips already-dispatched batches, mirroring the
+  reference's completed-request bookkeeping. Failed action payloads are
+  journaled under ``checkpoint_dir/errored/`` and re-attempted by
+  :meth:`replay_errored` (call before restarting sources, as the reference
+  scheduler does) with a 3-attempt halt.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import subprocess
+import uuid
 from dataclasses import dataclass, field
-from typing import Callable, Optional
+from typing import Callable, Iterable, Optional
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Reference parity: RecoveringAction attempts are capped (Scheduler.php:
+#: 766-792 marker/cooldown/halt) — after this many failed replays the
+#: payload is left on disk and reported, never retried again.
+MAX_REPLAY_ATTEMPTS = 3
 
 
 class ActionValidationError(ValueError):
@@ -41,6 +61,7 @@ class ActionSpec:
     cmd: Optional[list[str]] = None  # process action (S6): NDJSON on stdin
     schema: Optional[dict] = None  # S8: {"field": type | (type, "optional")}
     single_shot: bool = False  # new process per batch vs reuse
+    distributed: bool = False  # run on executors via foreachPartition
 
     def validate(self, row: dict) -> None:
         if not self.schema:
@@ -60,6 +81,60 @@ class ActionSpec:
                     f"{getattr(typ, '__name__', typ)}, got {type(row[fname]).__name__}"
                 )
 
+    def dispatch(self, batch: list[dict]) -> None:
+        """Validate + run one group of rows through this action (raises on
+        failure — callers decide quarantine vs journal)."""
+        for row in batch:
+            self.validate(row)
+        if self.fn is not None:
+            self.fn(batch)
+        elif self.cmd is not None:
+            payload = "".join(json.dumps(r, default=str) + "\n" for r in batch)
+            subprocess.run(self.cmd, input=payload.encode(), check=True, timeout=60)
+
+
+def _run_groups(
+    specs_by_rule: dict[str, ActionSpec],
+    default: Optional[ActionSpec],
+    rows: Iterable[dict],
+    want_distributed: bool,
+    chunk_size: int,
+) -> tuple[list[tuple[str, int]], list[tuple[str, int, str, list[dict]]]]:
+    """Route rows to actions and dispatch in bounded chunks.
+
+    Shared by the driver path (iterating ``toLocalIterator``) and the
+    executor path (iterating a partition). Returns (completed, failed)
+    as (action, n) / (action, n, error, rows) tuples.
+    """
+    buf: dict[str, list[dict]] = {}
+    specs: dict[str, ActionSpec] = {}
+    done: dict[str, int] = {}
+    failed: list[tuple[str, int, str, list[dict]]] = []
+
+    def flush(name: str) -> None:
+        batch = buf.pop(name, [])
+        if not batch:
+            return
+        try:
+            specs[name].dispatch(batch)
+            done[name] = done.get(name, 0) + len(batch)
+        except Exception as e:  # quarantine, don't kill the engine
+            # (the reference PANICS on rule/action errors,
+            # Scheduler.php:339-349 — we deliberately soften that)
+            failed.append((name, len(batch), repr(e), batch))
+
+    for row in rows:
+        spec = specs_by_rule.get(row.get("rule")) or default
+        if spec is None or spec.distributed != want_distributed:
+            continue
+        specs[spec.name] = spec
+        buf.setdefault(spec.name, []).append(row)
+        if len(buf[spec.name]) >= chunk_size:
+            flush(spec.name)
+    for name in list(buf):
+        flush(name)
+    return list(done.items()), failed
+
 
 @dataclass
 class ActionDispatcher:
@@ -73,7 +148,9 @@ class ActionDispatcher:
     actions: dict[str, ActionSpec] = field(default_factory=dict)
     default_action: Optional[ActionSpec] = None
     completed: list = field(default_factory=list)  # (batch_id, action, n) log
-    failed: list = field(default_factory=list)
+    failed: list = field(default_factory=list)  # (batch_id, action, n, err)
+    checkpoint_dir: Optional[str] = None  # cross-run batch markers + journal
+    chunk_size: int = 10_000  # driver path holds at most this many rows
     _done_batches: set = field(default_factory=set)
 
     def register(
@@ -84,9 +161,13 @@ class ActionDispatcher:
         schema: Optional[dict] = None,
         rules: Optional[list[str]] = None,
         single_shot: bool = False,
+        distributed: bool = False,
     ) -> "ActionDispatcher":
         """register_action analog (Scheduler.php:316-319 / AEC.php:89-92)."""
-        spec = ActionSpec(name=name, fn=fn, cmd=cmd, schema=schema, single_shot=single_shot)
+        spec = ActionSpec(
+            name=name, fn=fn, cmd=cmd, schema=schema,
+            single_shot=single_shot, distributed=distributed,
+        )
         if rules is None:
             self.default_action = spec
         else:
@@ -94,36 +175,144 @@ class ActionDispatcher:
                 self.actions[r] = spec
         return self
 
-    def __call__(self, df: DataFrame, batch_id: int = -1) -> None:
-        if batch_id >= 0 and batch_id in self._done_batches:
-            return  # intra-run replay dedup (W12)
-        rows = [r.asDict() for r in df.collect()]
-        by_action: dict[str, list[dict]] = {}
-        specs: dict[str, ActionSpec] = {}
-        for row in rows:
-            spec = self.actions.get(row.get("rule")) or self.default_action
-            if spec is None:
-                continue
-            by_action.setdefault(spec.name, []).append(row)
-            specs[spec.name] = spec
-        for name, batch in by_action.items():
-            spec = specs[name]
-            try:
-                for row in batch:
-                    spec.validate(row)
-                if spec.fn is not None:
-                    spec.fn(batch)
-                elif spec.cmd is not None:
-                    payload = "".join(
-                        json.dumps(r, default=str) + "\n" for r in batch
-                    )
-                    subprocess.run(
-                        spec.cmd, input=payload.encode(), check=True, timeout=60
-                    )
-                self.completed.append((batch_id, name, len(batch)))
-            except Exception as e:  # quarantine, don't kill the engine
-                # (the reference PANICS on rule/action errors,
-                # Scheduler.php:339-349 — we deliberately soften that)
-                self.failed.append((batch_id, name, len(batch), repr(e)))
-        if batch_id >= 0:
+    # -- cross-run batch markers (W12) -----------------------------------
+
+    def _marker(self, batch_id: int) -> Optional[str]:
+        if self.checkpoint_dir is None:
+            return None
+        return os.path.join(self.checkpoint_dir, "actions", f"batch_{batch_id}.done")
+
+    def _batch_done(self, batch_id: int) -> bool:
+        if batch_id in self._done_batches:
+            return True
+        marker = self._marker(batch_id)
+        if marker and os.path.exists(marker):
             self._done_batches.add(batch_id)
+            return True
+        return False
+
+    def _mark_done(self, batch_id: int) -> None:
+        self._done_batches.add(batch_id)
+        marker = self._marker(batch_id)
+        if marker:
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                f.write("done\n")
+            os.replace(tmp, marker)  # atomic: a crash never leaves half-markers
+
+    # -- errored-action journal + replay (Scheduler.php:841-884) ---------
+
+    def _journal_failure(self, action: str, batch: list[dict]) -> None:
+        if self.checkpoint_dir is None:
+            return
+        d = os.path.join(self.checkpoint_dir, "errored")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{action}-{uuid.uuid4().hex}.json")
+        with open(path + ".tmp", "w") as f:
+            json.dump({"action": action, "attempts": 1, "rows": batch}, f, default=str)
+        os.replace(path + ".tmp", path)
+
+    def replay_errored(self) -> dict[str, int]:
+        """Re-attempt journaled failed actions; call BEFORE starting sources
+        (reference replays errored actions first, Scheduler.php:841-884).
+
+        Returns {"replayed": n, "halted": m}. A payload that has failed
+        MAX_REPLAY_ATTEMPTS times is left on disk (``.halted``) and never
+        retried — the reference's marker/halt behavior.
+        """
+        out = {"replayed": 0, "halted": 0}
+        if self.checkpoint_dir is None:
+            return out
+        d = os.path.join(self.checkpoint_dir, "errored")
+        if not os.path.isdir(d):
+            return out
+        by_name = {s.name: s for s in self.actions.values()}
+        if self.default_action is not None:
+            by_name.setdefault(self.default_action.name, self.default_action)
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".json"):
+                continue
+            path = os.path.join(d, fname)
+            with open(path) as f:
+                entry = json.load(f)
+            spec = by_name.get(entry["action"])
+            try:
+                if spec is None:
+                    raise KeyError(f"action {entry['action']!r} no longer registered")
+                spec.dispatch(entry["rows"])
+                os.remove(path)
+                out["replayed"] += 1
+            except Exception as e:
+                entry["attempts"] = entry.get("attempts", 1) + 1
+                entry["last_error"] = repr(e)
+                if entry["attempts"] >= MAX_REPLAY_ATTEMPTS:
+                    os.replace(path, path + ".halted")
+                    out["halted"] += 1
+                    self.failed.append((-1, entry["action"], len(entry["rows"]), repr(e)))
+                with open(path if entry["attempts"] < MAX_REPLAY_ATTEMPTS
+                          else path + ".halted", "w") as f:
+                    json.dump(entry, f, default=str)
+        return out
+
+    # -- dispatch --------------------------------------------------------
+
+    def __call__(self, df: DataFrame, batch_id: int = -1) -> None:
+        if batch_id >= 0 and self._batch_done(batch_id):
+            return  # intra- and cross-run replay dedup (W12)
+        specs_by_rule = dict(self.actions)
+        default = self.default_action
+        chunk = self.chunk_size
+
+        dist_rules = [r for r, s in specs_by_rule.items() if s.distributed]
+        drv_rules = [r for r, s in specs_by_rule.items() if not s.distributed]
+        known = list(specs_by_rule)
+
+        # executor path: high-volume actions run where the data already is —
+        # rows never cross to the driver (ADVICE: no collect in this path)
+        dist_df = None
+        if dist_rules or (default is not None and default.distributed):
+            cond = F.col("rule").isin(dist_rules) if dist_rules else F.lit(False)
+            if default is not None and default.distributed:
+                cond = cond | ~F.col("rule").isin(known)
+            dist_df = df.filter(cond)
+
+        if dist_df is not None:
+            def run_partition(rows) -> Iterable[tuple]:
+                done, failed = _run_groups(
+                    specs_by_rule, default,
+                    (r.asDict() for r in rows), True, chunk,
+                )
+                for name, n in done:
+                    yield ("ok", name, n, "")
+                for name, n, err, _batch in failed:
+                    # executor-side journal is impossible (no shared disk
+                    # contract) — report back via the result rows instead
+                    yield ("err", name, n, err)
+
+            results = (
+                dist_df.rdd.mapPartitions(run_partition).collect()
+                if not dist_df.isStreaming else []
+            )
+            agg_ok: dict[str, int] = {}
+            for status, name, n, err in results:
+                if status == "ok":
+                    agg_ok[name] = agg_ok.get(name, 0) + n
+                else:
+                    self.failed.append((batch_id, name, n, err))
+            for name, n in agg_ok.items():
+                self.completed.append((batch_id, name, n))
+
+        # driver path: bounded chunks through toLocalIterator — at most
+        # ``chunk_size`` buffered rows per action, never a full collect
+        if drv_rules or (default is not None and not default.distributed):
+            rows = (r.asDict() for r in df.toLocalIterator())
+            done, failed = _run_groups(specs_by_rule, default, rows, False, chunk)
+            for name, n in done:
+                self.completed.append((batch_id, name, n))
+            for name, n, err, batch in failed:
+                self.failed.append((batch_id, name, n, err))
+                self._journal_failure(name, batch)
+
+        if batch_id >= 0:
+            self._mark_done(batch_id)

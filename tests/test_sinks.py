@@ -1,0 +1,168 @@
+"""ActionDispatcher paths: chunked driver dispatch, executor-side
+distributed dispatch, cross-run batch markers, errored-action replay
+(SURVEY S6-S8, W12; reference ActionExecutionCoordinator.php:98-296,
+Scheduler.php:766-884)."""
+
+import json
+import os
+
+import pytest
+
+from php_ec_spark.streaming.sinks import ActionDispatcher
+
+
+def _emissions(spark, n=5, rule="r1"):
+    return spark.createDataFrame(
+        [(rule, str(i), "completed", i) for i in range(n)],
+        "rule string, key string, outcome string, last_event_id long",
+    )
+
+
+class TestDriverPath:
+    def test_chunked_dispatch_never_buffers_more_than_chunk(self, spark):
+        calls: list[int] = []
+        rows_seen: list[dict] = []
+
+        def act(rows):
+            calls.append(len(rows))
+            rows_seen.extend(rows)
+
+        d = ActionDispatcher(chunk_size=2)
+        d.register("a", fn=act, rules=["r1"])
+        d(_emissions(spark, n=5), batch_id=0)
+        assert sum(calls) == 5 and max(calls) <= 2
+        assert {r["key"] for r in rows_seen} == {"0", "1", "2", "3", "4"}
+        # one aggregated completed entry per action per batch
+        assert d.completed == [(0, "a", 5)]
+
+    def test_failed_chunk_quarantined_not_fatal(self, spark):
+        def bad(rows):
+            raise RuntimeError("boom")
+
+        d = ActionDispatcher()
+        d.register("bad", fn=bad, rules=["r1"])
+        d(_emissions(spark, n=3), batch_id=0)
+        assert d.completed == []
+        assert len(d.failed) == 1 and d.failed[0][1] == "bad"
+
+
+class TestDistributedPath:
+    def test_runs_on_executors_without_driver_collect(self, spark, tmp_path):
+        out = tmp_path / "sink"
+        out.mkdir()
+
+        def write_rows(rows, _out=str(out)):
+            # executor-side: local[*] shares the filesystem with the test
+            path = os.path.join(_out, f"{os.getpid()}-{id(rows)}.json")
+            with open(path, "w") as f:
+                json.dump(rows, f, default=str)
+
+        d = ActionDispatcher()
+        d.register("dist", fn=write_rows, rules=["r1"], distributed=True)
+        d(_emissions(spark, n=20).repartition(4), batch_id=0)
+        got = []
+        for fname in os.listdir(out):
+            with open(out / fname) as f:
+                got.extend(r["key"] for r in json.load(f))
+        assert sorted(got, key=int) == [str(i) for i in range(20)]
+        assert sum(n for _b, _a, n in d.completed) == 20
+
+    def test_distributed_failure_reported_to_driver_log(self, spark):
+        def bad(rows):
+            raise RuntimeError("exec-side boom")
+
+        d = ActionDispatcher()
+        d.register("bad", fn=bad, rules=["r1"], distributed=True)
+        d(_emissions(spark, n=3), batch_id=0)
+        assert d.completed == []
+        assert d.failed and "exec-side boom" in d.failed[0][3]
+
+    def test_mixed_routing_driver_and_executor(self, spark, tmp_path):
+        marker = tmp_path / "dist_rows.jsonl"
+        driver_rows: list[dict] = []
+
+        def dist(rows, _p=str(marker)):
+            with open(_p, "a") as f:
+                for r in rows:
+                    f.write(json.dumps(r, default=str) + "\n")
+
+        d = ActionDispatcher()
+        d.register("dist", fn=dist, rules=["hot"], distributed=True)
+        d.register("drv", fn=lambda rows: driver_rows.extend(rows), rules=["cold"])
+        df = _emissions(spark, n=4, rule="hot").unionByName(
+            _emissions(spark, n=3, rule="cold")
+        )
+        d(df, batch_id=0)
+        assert len(driver_rows) == 3 and all(r["rule"] == "cold" for r in driver_rows)
+        with open(marker) as f:
+            dist_rows = [json.loads(line) for line in f]
+        assert len(dist_rows) == 4 and all(r["rule"] == "hot" for r in dist_rows)
+
+
+class TestCrossRunMarkers:
+    def test_restarted_dispatcher_skips_done_batch(self, spark, tmp_path):
+        seen1, seen2 = [], []
+        d1 = ActionDispatcher(checkpoint_dir=str(tmp_path))
+        d1.register("a", fn=lambda rows: seen1.extend(rows), rules=["r1"])
+        d1(_emissions(spark), batch_id=7)
+        assert len(seen1) == 5
+
+        # fresh dispatcher, same checkpoint dir = a restarted run replaying
+        # the same micro-batch: must NOT double-dispatch (W12)
+        d2 = ActionDispatcher(checkpoint_dir=str(tmp_path))
+        d2.register("a", fn=lambda rows: seen2.extend(rows), rules=["r1"])
+        d2(_emissions(spark), batch_id=7)
+        assert seen2 == [] and d2.completed == []
+        # ...but a NEW batch id goes through
+        d2(_emissions(spark), batch_id=8)
+        assert len(seen2) == 5
+
+    def test_no_checkpoint_dir_keeps_in_memory_dedup_only(self, spark):
+        seen = []
+        d = ActionDispatcher()
+        d.register("a", fn=lambda rows: seen.extend(rows), rules=["r1"])
+        d(_emissions(spark), batch_id=1)
+        d(_emissions(spark), batch_id=1)
+        assert len(seen) == 5
+
+
+class TestErroredReplay:
+    def test_journal_then_replay_succeeds(self, spark, tmp_path):
+        state = {"fail": True}
+        seen: list[dict] = []
+
+        def flaky(rows):
+            if state["fail"]:
+                raise RuntimeError("transient")
+            seen.extend(rows)
+
+        d = ActionDispatcher(checkpoint_dir=str(tmp_path))
+        d.register("flaky", fn=flaky, rules=["r1"])
+        d(_emissions(spark, n=3), batch_id=0)
+        assert d.failed and not seen
+        errored = os.listdir(tmp_path / "errored")
+        assert len(errored) == 1
+
+        # next run: the action works again; replay before sources start
+        state["fail"] = False
+        out = d.replay_errored()
+        assert out == {"replayed": 1, "halted": 0}
+        assert len(seen) == 3
+        assert os.listdir(tmp_path / "errored") == []
+
+    def test_halt_after_max_attempts(self, spark, tmp_path):
+        def always_bad(rows):
+            raise RuntimeError("permanent")
+
+        d = ActionDispatcher(checkpoint_dir=str(tmp_path))
+        d.register("bad", fn=always_bad, rules=["r1"])
+        d(_emissions(spark, n=2), batch_id=0)
+        assert len(os.listdir(tmp_path / "errored")) == 1
+
+        # journaled with attempts=1; two failed replays reach the 3-attempt
+        # halt (Scheduler.php:766-792) and the payload is parked, not retried
+        assert d.replay_errored() == {"replayed": 0, "halted": 0}
+        assert d.replay_errored() == {"replayed": 0, "halted": 1}
+        files = os.listdir(tmp_path / "errored")
+        assert len(files) == 1 and files[0].endswith(".halted")
+        assert d.replay_errored() == {"replayed": 0, "halted": 0}
