@@ -20,13 +20,17 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..engine.streaming import correlate_stream
 from ..rules.base import Rule
+from .jsonrpc import JsonRpcActionProcess, JsonRpcProcessSource, jsonrpc_source
 from .sinks import ActionDispatcher
 from .sources import heartbeat_source, ndjson_dir_source, rate_event_source
 
 __all__ = [
     "ActionDispatcher",
+    "JsonRpcActionProcess",
+    "JsonRpcProcessSource",
     "correlate_stream",
     "heartbeat_source",
+    "jsonrpc_source",
     "ndjson_dir_source",
     "rate_event_source",
     "start_correlation",

@@ -1,0 +1,327 @@
+"""Drop-in NDJSON JSON-RPC process protocol (SURVEY §4 DSv2 extension).
+
+The reference's entire I/O surface speaks newline-delimited JSON-RPC 2.0
+over stdio; this module implements the same wire protocol so an existing
+php-ec source or action binary plugs in UNMODIFIED:
+
+- **Sources** (SourceExecutionCoordinator.php:253-296): the child writes
+  notifications to stdout — ``handle`` (params.event = the event object),
+  ``checkpoint`` (params = opaque checkpoint state), ``log`` (logLevel /
+  message / context). On restart the engine hands the last checkpoint back
+  via the ``PHPEC_CHECKPOINT`` env var (Scheduler.php:74,
+  SourceExecutionCoordinator.php:204). Implemented as a PySpark Python
+  Data Source (:class:`JsonRpcProcessSource`) whose
+  ``SimpleDataSourceStreamReader`` owns the child process, buffers events
+  between micro-batches, persists checkpoints, and prunes on commit.
+- **Actions** (ActionExecutionCoordinator.php:98-296, ActionHelper.php:
+  42-220): the engine keeps ONE long-lived child per action, sends
+  ``{"method": "run", "params": vars, "id": uid}`` requests on stdin, and
+  tracks completed/failed per request id from the JSON-RPC responses on
+  stdout. Implemented by :class:`JsonRpcActionProcess`; shutdown follows
+  the reference contract (close stdin → child flushes and exits).
+
+Events cross the source boundary as raw JSON strings (arbitrary key-value
+payloads, like the reference's Event): parse downstream with
+``F.from_json`` / :func:`php_ec_spark.model.events_from_json`.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shlex
+import subprocess
+import threading
+import uuid
+from collections import deque
+from typing import Iterator, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+log = logging.getLogger("php_ec_spark.jsonrpc")
+
+#: Wire constants (Scheduler.php:206-218)
+METHOD_HANDLE = "handle"
+METHOD_CHECKPOINT = "checkpoint"
+METHOD_LOG = "log"
+METHOD_RUN = "run"
+CHECKPOINT_VARNAME = "PHPEC_CHECKPOINT"
+
+_LOG_LEVELS = {
+    "debug": logging.DEBUG, "info": logging.INFO, "notice": logging.INFO,
+    "warning": logging.WARNING, "error": logging.ERROR,
+    "critical": logging.CRITICAL, "alert": logging.CRITICAL,
+    "emergency": logging.CRITICAL,
+}
+
+
+def _forward_log(params: dict) -> None:
+    level = _LOG_LEVELS.get(str(params.get("logLevel", "info")).lower(), logging.INFO)
+    log.log(level, "%s %s", params.get("message"), params.get("context") or "")
+
+
+class _JsonRpcSimpleReader(SimpleDataSourceStreamReader):
+    """Owns the source child process for the lifetime of the query.
+
+    Offsets are a dense per-event sequence number assigned as notifications
+    arrive; events stay buffered until ``commit`` so an uncommitted batch
+    can be replayed (``readBetweenOffsets``) after a failure — Spark's
+    at-least-once replay window standing in for the reference's
+    save-state/RECOVERY cycle.
+    """
+
+    def __init__(self, options: dict) -> None:
+        raw_cmd = options["cmd"]
+        self._cmd = (
+            json.loads(raw_cmd) if raw_cmd.lstrip().startswith("[")
+            else shlex.split(raw_cmd)
+        )
+        self._ckpt_file = options.get("checkpointfile")
+        env = {**os.environ, **json.loads(options.get("env", "{}"))}
+        ckpt = self._load_checkpoint()
+        if ckpt is not None:
+            env[CHECKPOINT_VARNAME] = json.dumps(ckpt)
+        self._lock = threading.Lock()
+        self._buf: deque[tuple[int, str]] = deque()
+        self._seq = 0
+        self._proc = subprocess.Popen(
+            self._cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            env=env, text=True,
+        )
+        threading.Thread(target=self._pump, daemon=True).start()
+
+    # -- child stdout → buffer -------------------------------------------
+
+    def _pump(self) -> None:
+        assert self._proc.stdout is not None
+        for line in self._proc.stdout:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rpc = json.loads(line)
+            except ValueError:
+                log.warning("source child wrote non-JSON line: %.200s", line)
+                continue
+            method = rpc.get("method")
+            params = rpc.get("params") or {}
+            if method == METHOD_HANDLE:
+                event = params.get("event")
+                if not isinstance(event, dict):
+                    log.error("handle notification without event object: %.200s", line)
+                    continue
+                with self._lock:
+                    self._seq += 1
+                    self._buf.append((self._seq, json.dumps(event)))
+            elif method == METHOD_CHECKPOINT:
+                self._save_checkpoint(params)
+            elif method == METHOD_LOG:
+                _forward_log(params)
+            else:
+                log.error("unknown json-rpc method from source child: %r", method)
+
+    # -- checkpoint file (PHPEC_CHECKPOINT round-trip) -------------------
+
+    def _load_checkpoint(self):
+        if self._ckpt_file and os.path.exists(self._ckpt_file):
+            with open(self._ckpt_file) as f:
+                return json.load(f)
+        return None
+
+    def _save_checkpoint(self, params) -> None:
+        if not self._ckpt_file:
+            return
+        tmp = self._ckpt_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.replace(tmp, self._ckpt_file)
+
+    # -- SimpleDataSourceStreamReader contract ---------------------------
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        s = start["seq"]
+        with self._lock:
+            rows = [r for r in self._buf if r[0] > s]
+        end = rows[-1][0] if rows else s
+        return iter(rows), {"seq": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        with self._lock:
+            return iter([r for r in self._buf if start["seq"] < r[0] <= end["seq"]])
+
+    def commit(self, end: dict) -> None:
+        e = end["seq"]
+        with self._lock:
+            while self._buf and self._buf[0][0] <= e:
+                self._buf.popleft()
+
+    def __del__(self) -> None:  # best-effort child teardown at query stop
+        proc = getattr(self, "_proc", None)
+        if proc is not None and proc.poll() is None:
+            proc.terminate()
+
+    # Spark pickles the reader into the executor-side read function; the
+    # executor copy serves rows from Spark's prefetch cache, never from the
+    # child — strip live handles (lock/process/buffer) from the pickle.
+    def __getstate__(self) -> dict:
+        state = self.__dict__.copy()
+        state.pop("_lock", None)
+        state.pop("_proc", None)
+        state["_buf"] = deque()
+        return state
+
+    def __setstate__(self, state: dict) -> None:
+        self.__dict__.update(state)
+        self._lock = threading.Lock()
+        self._proc = None
+
+
+class JsonRpcProcessSource(DataSource):
+    """``spark.readStream.format("phpec_jsonrpc")`` — reference source
+    binaries speak their native protocol into a Spark stream.
+
+    Options: ``cmd`` (argv as a JSON array, or a shell-ish string),
+    ``checkpointFile`` (where source checkpoint params persist and are
+    handed back via PHPEC_CHECKPOINT on restart), ``env`` (JSON object of
+    extra env vars)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "phpec_jsonrpc"
+
+    def schema(self) -> str:
+        return "seq long, value string"
+
+    def simpleStreamReader(self, schema) -> _JsonRpcSimpleReader:
+        return _JsonRpcSimpleReader(self.options)
+
+
+def jsonrpc_source(
+    spark: SparkSession,
+    cmd: list[str] | str,
+    checkpoint_file: Optional[str] = None,
+    env: Optional[dict] = None,
+) -> DataFrame:
+    """Streaming DataFrame of (seq, value-JSON) rows from a JSON-RPC source
+    child — the drop-in for the reference's input process config
+    (Scheduler::setInputProcesses)."""
+    spark.dataSource.register(JsonRpcProcessSource)
+    reader = (
+        spark.readStream.format("phpec_jsonrpc")
+        .option("cmd", json.dumps(cmd) if isinstance(cmd, list) else cmd)
+    )
+    if checkpoint_file:
+        reader = reader.option("checkpointFile", checkpoint_file)
+    if env:
+        reader = reader.option("env", json.dumps(env))
+    return reader.load()
+
+
+class JsonRpcActionProcess:
+    """ONE long-lived child per action with per-request bookkeeping —
+    the reference's ActionExecutionCoordinator model (AEC.php:138-175):
+    requests go out on stdin with unique ids; responses on stdout mark
+    each request completed (result) or failed (error).
+    """
+
+    def __init__(self, cmd: list[str], env: Optional[dict] = None,
+                 timeout: float = 30.0) -> None:
+        self.timeout = timeout
+        self.completed: int = 0
+        self.failed: int = 0
+        self._pending: dict[str, dict] = {}  # id -> {"done": Event, ...}
+        self._lock = threading.Lock()
+        self._proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            env={**os.environ, **(env or {})}, text=True, bufsize=1,
+        )
+        threading.Thread(target=self._pump, daemon=True).start()
+
+    def _pump(self) -> None:
+        assert self._proc.stdout is not None
+        for line in self._proc.stdout:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rpc = json.loads(line)
+            except ValueError:
+                log.warning("action child wrote non-JSON line: %.200s", line)
+                continue
+            if rpc.get("method") == METHOD_LOG:  # notification, no id
+                _forward_log(rpc.get("params") or {})
+                continue
+            rid = rpc.get("id")
+            with self._lock:
+                entry = self._pending.pop(rid, None)
+            if entry is None:
+                log.warning("action response for unknown request id %r", rid)
+                continue
+            entry["response"] = rpc
+            entry["done"].set()
+
+    def run(self, params: dict) -> object:
+        """Send one ``run`` request and wait for its response (the
+        reference is request-at-a-time per action child). Raises on
+        JSON-RPC error, timeout, or child death — callers quarantine."""
+        rid = uuid.uuid4().hex
+        entry = {"done": threading.Event()}
+        with self._lock:
+            self._pending[rid] = entry
+        req = {"jsonrpc": "2.0", "method": METHOD_RUN, "params": params, "id": rid}
+        try:
+            assert self._proc.stdin is not None
+            self._proc.stdin.write(json.dumps(req, default=str) + "\n")
+            self._proc.stdin.flush()
+        except (BrokenPipeError, ValueError) as e:
+            with self._lock:
+                self._pending.pop(rid, None)
+            self.failed += 1
+            raise RuntimeError(f"action child gone: {e!r}") from e
+        if not entry["done"].wait(self.timeout):
+            with self._lock:
+                self._pending.pop(rid, None)
+            self.failed += 1
+            raise TimeoutError(f"action request {rid} timed out after {self.timeout}s")
+        resp = entry["response"]
+        if "error" in resp:
+            self.failed += 1
+            raise RuntimeError(f"action returned error: {resp['error']!r}")
+        self.completed += 1
+        return resp.get("result")
+
+    def shutdown(self, grace: float = 5.0) -> None:
+        """Close stdin (ActionHelper's shutdown signal: the child flushes
+        and stops), then terminate if it lingers."""
+        try:
+            if self._proc.stdin is not None:
+                self._proc.stdin.close()
+        except OSError:
+            pass
+        try:
+            self._proc.wait(grace)
+        except subprocess.TimeoutExpired:
+            self._proc.terminate()
+
+
+#: long-lived action children, keyed by argv — module-level so picklable
+#: ActionSpec instances (driver or executor side) share one child per
+#: distinct command, like the reference's one-process-per-action model
+_RPC_PROCS: dict[tuple, JsonRpcActionProcess] = {}
+_RPC_PROCS_LOCK = threading.Lock()
+
+
+def rpc_action_process(cmd: list[str], timeout: float = 30.0) -> JsonRpcActionProcess:
+    key = tuple(cmd)
+    with _RPC_PROCS_LOCK:
+        proc = _RPC_PROCS.get(key)
+        if proc is None or proc._proc.poll() is not None:
+            proc = JsonRpcActionProcess(list(cmd), timeout=timeout)
+            _RPC_PROCS[key] = proc
+        return proc

@@ -62,6 +62,7 @@ class ActionSpec:
     schema: Optional[dict] = None  # S8: {"field": type | (type, "optional")}
     single_shot: bool = False  # new process per batch vs reuse
     distributed: bool = False  # run on executors via foreachPartition
+    rpc: bool = False  # cmd speaks the reference's JSON-RPC (long-lived child)
 
     def validate(self, row: dict) -> None:
         if not self.schema:
@@ -88,6 +89,15 @@ class ActionSpec:
             self.validate(row)
         if self.fn is not None:
             self.fn(batch)
+        elif self.cmd is not None and self.rpc:
+            # drop-in for php-ec action binaries: ONE long-lived child per
+            # action, request-at-a-time with per-request completion
+            # bookkeeping (ActionExecutionCoordinator.php:138-175)
+            from .jsonrpc import rpc_action_process
+
+            proc = rpc_action_process(self.cmd)
+            for row in batch:
+                proc.run(row)
         elif self.cmd is not None:
             payload = "".join(json.dumps(r, default=str) + "\n" for r in batch)
             subprocess.run(self.cmd, input=payload.encode(), check=True, timeout=60)
@@ -162,11 +172,12 @@ class ActionDispatcher:
         rules: Optional[list[str]] = None,
         single_shot: bool = False,
         distributed: bool = False,
+        rpc: bool = False,
     ) -> "ActionDispatcher":
         """register_action analog (Scheduler.php:316-319 / AEC.php:89-92)."""
         spec = ActionSpec(
             name=name, fn=fn, cmd=cmd, schema=schema,
-            single_shot=single_shot, distributed=distributed,
+            single_shot=single_shot, distributed=distributed, rpc=rpc,
         )
         if rules is None:
             self.default_action = spec

@@ -1,0 +1,116 @@
+"""Drop-in JSON-RPC protocol compatibility (SURVEY §4 extension).
+
+A Python stand-in speaking the reference's exact wire protocol
+(tests/scripts/Source/CountToTen.php, tests/scripts/Actions/
+logToScheduler.php) runs unmodified against the engine: sources through
+the `phpec_jsonrpc` Python Data Source, actions through the long-lived
+JsonRpcActionProcess with per-request bookkeeping."""
+
+import json
+import os
+import sys
+import time
+
+import pytest
+
+SCRIPTS = os.path.join(os.path.dirname(__file__), "scripts")
+COUNT_SOURCE = [sys.executable, os.path.join(SCRIPTS, "count_source.py")]
+ECHO_ACTION = [sys.executable, os.path.join(SCRIPTS, "echo_action.py")]
+
+
+def _collect_stream(spark, df, ckpt_dir, name, want, timeout=90):
+    q = (
+        df.writeStream.queryName(name)
+        .format("memory")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            got = spark.sql(f"SELECT * FROM {name}").count()
+            if got >= want:
+                break
+            time.sleep(0.3)
+        return spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+
+
+class TestJsonRpcSource:
+    def test_reference_protocol_source_end_to_end(self, spark, tmp_path):
+        """CountToTen-equivalent child → handle notifications become stream
+        rows; checkpoint notifications persist; log notifications forward."""
+        from php_ec_spark.streaming.jsonrpc import jsonrpc_source
+
+        ckpt_file = str(tmp_path / "source.ckpt")
+        df = jsonrpc_source(spark, COUNT_SOURCE, checkpoint_file=ckpt_file)
+        rows = _collect_stream(
+            spark, df, str(tmp_path / "q1"), "jsonrpc_counts", want=10
+        )
+        events = sorted(json.loads(r.value)["value"] for r in rows)
+        assert events == list(range(1, 11))
+        # the child's checkpoint notifications reached the checkpoint file
+        with open(ckpt_file) as f:
+            assert json.load(f) == {"last": 10}
+
+    def test_restart_hands_checkpoint_back_via_env(self, spark, tmp_path):
+        """Second run resumes where the checkpoint left off — the
+        PHPEC_CHECKPOINT round-trip (Scheduler.php:74, SEC.php:204)."""
+        from php_ec_spark.streaming.jsonrpc import jsonrpc_source
+
+        ckpt_file = str(tmp_path / "source.ckpt")
+        with open(ckpt_file, "w") as f:
+            json.dump({"last": 7}, f)
+        df = jsonrpc_source(
+            spark, COUNT_SOURCE, checkpoint_file=ckpt_file,
+            env={"COUNT_LIMIT": "12"},
+        )
+        rows = _collect_stream(
+            spark, df, str(tmp_path / "q2"), "jsonrpc_resume", want=5
+        )
+        events = sorted(json.loads(r.value)["value"] for r in rows)
+        assert events == [8, 9, 10, 11, 12]  # resumed AFTER the checkpoint
+
+
+class TestJsonRpcAction:
+    def test_long_lived_child_per_request_bookkeeping(self):
+        from php_ec_spark.streaming.jsonrpc import JsonRpcActionProcess
+
+        proc = JsonRpcActionProcess(ECHO_ACTION, timeout=15)
+        try:
+            assert proc.run({"note": "first"}) is True
+            assert proc.run({"note": "second"}) is True
+            with pytest.raises(RuntimeError, match="requested failure"):
+                proc.run({"boom": True})
+            assert proc.completed == 2 and proc.failed == 1
+            assert proc._proc.poll() is None  # same child, still alive
+        finally:
+            proc.shutdown()
+        assert proc._proc.poll() is not None  # stdin EOF → clean exit
+
+    def test_dispatcher_routes_through_rpc_action(self, spark):
+        from php_ec_spark.streaming.sinks import ActionDispatcher
+
+        d = ActionDispatcher()
+        d.register("php_action", cmd=ECHO_ACTION, rules=["r1"], rpc=True)
+        df = spark.createDataFrame(
+            [("r1", "a", "completed"), ("r1", "b", "completed")],
+            "rule string, key string, outcome string",
+        )
+        d(df, batch_id=0)
+        assert d.completed == [(0, "php_action", 2)] and not d.failed
+
+    def test_dispatcher_quarantines_rpc_error(self, spark):
+        from php_ec_spark.streaming.sinks import ActionDispatcher
+
+        d = ActionDispatcher()
+        d.register("php_action", cmd=ECHO_ACTION, rules=["r1"], rpc=True)
+        df = spark.createDataFrame(
+            [("r1", "a", "completed", True)],
+            "rule string, key string, outcome string, boom boolean",
+        )
+        d(df, batch_id=0)
+        assert d.completed == [] and len(d.failed) == 1
+        assert "requested failure" in d.failed[0][3]
