@@ -142,6 +142,35 @@ def _cron_field_pred(
     return col.isin(sorted(allowed))
 
 
+#: Cron special-token sugar (Rule/Cron.php:38-45): macro tokens expand to
+#: standard 5-field expressions; @reboot/@shutdown fire on the engine's
+#: control messages instead of the clock (Cron.php:50-51, 118-132).
+CRON_TOKEN_EXPRESSIONS = {
+    "@yearly": "0 0 1 1 *",
+    "@annually": "0 0 1 1 *",
+    "@monthly": "0 0 1 * *",
+    "@weekly": "0 0 * * 0",
+    "@daily": "0 0 * * *",
+    "@midnight": "0 0 * * *",
+    "@hourly": "0 * * * *",
+}
+
+
+def _scheduled_emissions(fires: DataFrame, name: str) -> DataFrame:
+    """Emission-schema rows for a set of fire_ts values."""
+    return fires.select(
+        F.lit(name).alias("rule"),
+        F.lit(None).cast("string").alias("key"),
+        F.lit("scheduled").alias("outcome"),
+        F.col("fire_ts"),
+        F.lit(None).cast("long").alias("start_event_id"),
+        F.lit(None).cast("long").alias("last_event_id"),
+        F.lit(None).cast("long").alias("n_events"),
+        F.lit(None).cast("double").alias("value_sum"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+
+
 def cron_expression_fires(
     events: DataFrame,
     expression: str,
@@ -152,11 +181,33 @@ def cron_expression_fires(
     (Rule/Cron.php:32-234, tz-aware next-run calc at :192-218).
 
     5-field cron (minute hour day-of-month month day-of-week) with
-    ``*``, lists, ranges and steps. Relational evaluation: one bounds
-    aggregate, a minute-granularity ``sequence()``, then field predicates —
-    at a 30-day span that's 43 k candidate rows, trivially parallel, no
-    driver-side loop. ``tz`` evaluates the fields in a zone while fire_ts
-    stays UTC (the reference's DateTimeZone handling)."""
+    ``*``, lists, ranges and steps, plus the reference's special tokens
+    (Cron.php:38-51): ``@hourly``/``@daily``/``@midnight``/``@weekly``/
+    ``@monthly``/``@yearly``/``@annually`` expand to their 5-field
+    equivalents; ``@reboot``/``@shutdown`` fire on the engine lifecycle
+    control messages (run the events through
+    :func:`php_ec_spark.model.with_control_messages` first in batch
+    replay, mirroring the scheduler's boot/stop injections).
+
+    Relational evaluation: one bounds aggregate, a minute-granularity
+    ``sequence()``, then field predicates — at a 30-day span that's 43 k
+    candidate rows, trivially parallel, no driver-side loop. ``tz``
+    evaluates the fields in a zone while fire_ts stays UTC (the
+    reference's DateTimeZone handling)."""
+    from ..model import CONTROL_MSG_RESTORED, CONTROL_MSG_START, CONTROL_MSG_STOP
+
+    expression = expression.strip()
+    if expression in ("@reboot", "@shutdown"):
+        wanted = (
+            [CONTROL_MSG_START, CONTROL_MSG_RESTORED]
+            if expression == "@reboot"  # Cron.php initialAcceptedEvents()
+            else [CONTROL_MSG_STOP]
+        )
+        fires = events.filter(F.col("event_type").isin(wanted)).select(
+            F.col("ts").alias("fire_ts")
+        )
+        return _scheduled_emissions(fires, name)
+    expression = CRON_TOKEN_EXPRESSIONS.get(expression, expression)
     fields = expression.split()
     if len(fields) != 5:
         raise ValueError(f"cron expression needs 5 fields, got {expression!r}")
@@ -182,17 +233,7 @@ def cron_expression_fires(
     for p in preds:
         if p is not None:
             cand = cand.filter(p)
-    return cand.select(
-        F.lit(name).alias("rule"),
-        F.lit(None).cast("string").alias("key"),
-        F.lit("scheduled").alias("outcome"),
-        F.col("fire_ts"),
-        F.lit(None).cast("long").alias("start_event_id"),
-        F.lit(None).cast("long").alias("last_event_id"),
-        F.lit(None).cast("long").alias("n_events"),
-        F.lit(None).cast("double").alias("value_sum"),
-        F.lit(None).cast("string").alias("payload"),
-    )
+    return _scheduled_emissions(cand, name)
 
 
 def cron_fires(
@@ -215,14 +256,4 @@ def cron_fires(
             F.sequence(first, F.col("hi"), F.expr(f"INTERVAL {every}"))
         ).alias("fire_ts")
     )
-    return fires.select(
-        F.lit(name).alias("rule"),
-        F.lit(None).cast("string").alias("key"),
-        F.lit("scheduled").alias("outcome"),
-        F.col("fire_ts"),
-        F.lit(None).cast("long").alias("start_event_id"),
-        F.lit(None).cast("long").alias("last_event_id"),
-        F.lit(None).cast("long").alias("n_events"),
-        F.lit(None).cast("double").alias("value_sum"),
-        F.lit(None).cast("string").alias("payload"),
-    )
+    return _scheduled_emissions(fires, name)

@@ -454,29 +454,49 @@ def cep_cron_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cep_cron_expr",
-    doc="W9: full cron-expression rule ('30 */6 * * *') over the event-time "
-    "span — relational evaluation of Rule/Cron.php's schedule calc.",
+    doc="W9: cron-expression rules over the event-time span — a full "
+    "5-field expression ('30 */6 * * *'), the '@daily' macro token, and "
+    "'@reboot' firing on the injected Start control message "
+    "(Rule/Cron.php:32-234 schedule calc + :38-51 special tokens).",
     oracle="""
-        SELECT 'cron6h' AS rule, CAST(NULL AS VARCHAR) AS key,
-               'scheduled' AS outcome, g.fire_ts,
-               CAST(NULL AS BIGINT) AS start_event_id,
-               CAST(NULL AS BIGINT) AS last_event_id,
-               CAST(NULL AS BIGINT) AS n_events,
-               CAST(NULL AS DOUBLE) AS value_sum
-        FROM (
+        WITH g AS (
             SELECT unnest(generate_series(
                 date_trunc('minute', (SELECT min(ts::TIMESTAMP) FROM events)),
                 (SELECT max(ts::TIMESTAMP) FROM events),
                 INTERVAL 1 MINUTE
             )) AS fire_ts
-        ) g
-        WHERE minute(g.fire_ts) = 30 AND hour(g.fire_ts) % 6 = 0
+        ), fires AS (
+            SELECT 'cron6h' AS rule, fire_ts FROM g
+            WHERE minute(fire_ts) = 30 AND hour(fire_ts) % 6 = 0
+            UNION ALL
+            SELECT 'daily' AS rule, fire_ts FROM g
+            WHERE minute(fire_ts) = 0 AND hour(fire_ts) = 0
+            UNION ALL
+            -- @reboot = the boot-time Start control row, injected at the
+            -- stream's min ts (Scheduler.php:730-737)
+            SELECT 'boot' AS rule,
+                   (SELECT min(ts::TIMESTAMP) FROM events) AS fire_ts
+        )
+        SELECT rule, CAST(NULL AS VARCHAR) AS key,
+               'scheduled' AS outcome, fire_ts,
+               CAST(NULL AS BIGINT) AS start_event_id,
+               CAST(NULL AS BIGINT) AS last_event_id,
+               CAST(NULL AS BIGINT) AS n_events,
+               CAST(NULL AS DOUBLE) AS value_sum
+        FROM fires
     """,
 )
 def cep_cron_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events(spark, sf_dir)
-    return cron_expression_fires(events, "30 */6 * * *", name="cron6h").select(
-        *_EMIT_COLS, F.col("value_sum")
+    expr6 = cron_expression_fires(events, "30 */6 * * *", name="cron6h")
+    daily = cron_expression_fires(events, "@daily", name="daily")
+    boot = cron_expression_fires(
+        with_control_messages(spark, events), "@reboot", name="boot"
+    )
+    return (
+        expr6.unionByName(daily)
+        .unionByName(boot)
+        .select(*_EMIT_COLS, F.col("value_sum"))
     )
 
 

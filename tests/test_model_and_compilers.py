@@ -195,6 +195,46 @@ class TestCronExpressions:
                  cron_expression_fires(ev, "0 9 * * *", tz="Asia/Tokyo").collect()]
         assert len(fires) == 1 and fires[0].hour == 0
 
+    def test_macro_tokens_expand(self, spark):
+        """Cron.php:38-45 sugar: @hourly ≡ '0 * * * *', @daily ≡ '0 0 * * *'."""
+        from php_ec_spark.functions import cron_expression_fires
+
+        ev = self._span(spark, "2024-01-01 00:00:00", "2024-01-03 00:00:00")
+        for token, expr in [("@hourly", "0 * * * *"), ("@daily", "0 0 * * *"),
+                            ("@weekly", "0 0 * * 0")]:
+            a = [r["fire_ts"] for r in
+                 cron_expression_fires(ev, token).orderBy("fire_ts").collect()]
+            b = [r["fire_ts"] for r in
+                 cron_expression_fires(ev, expr).orderBy("fire_ts").collect()]
+            assert a == b and (token == "@weekly" or len(a) > 0)
+
+    def test_reboot_fires_on_start_control_row(self, spark):
+        """@reboot ≡ fire when the initialisation event arrives
+        (Cron.php:50,118-132 — initialAcceptedEvents)."""
+        from php_ec_spark.functions import cron_expression_fires
+        from php_ec_spark.model import with_control_messages
+
+        ev = self._span(spark, "2024-01-01 05:00:00", "2024-01-02 00:00:00")
+        fires = cron_expression_fires(
+            with_control_messages(spark, ev), "@reboot", name="boot"
+        ).collect()
+        assert len(fires) == 1
+        assert str(fires[0]["fire_ts"]) == "2024-01-01 05:00:00"
+        assert fires[0]["rule"] == "boot" and fires[0]["outcome"] == "scheduled"
+        # without the control injection there is nothing to fire on
+        assert cron_expression_fires(ev, "@reboot").count() == 0
+
+    def test_shutdown_fires_on_stop_control_row(self, spark):
+        from php_ec_spark.functions import cron_expression_fires
+        from php_ec_spark.model import with_control_messages
+
+        ev = self._span(spark, "2024-01-01 05:00:00", "2024-01-02 00:00:00")
+        fires = cron_expression_fires(
+            with_control_messages(spark, ev), "@shutdown"
+        ).collect()
+        assert len(fires) == 1
+        assert str(fires[0]["fire_ts"]) == "2024-01-02 00:00:00"
+
 
 class TestPrioritySuppressCompiler:
     def test_matches_state_machine(self, spark):
