@@ -25,10 +25,16 @@ from ..rules.base import Rule
 from .batch import EMISSION_SCHEMA, correlate
 
 
+#: Outcome → code for derived-event ids; unknown outcomes take code 4, so
+#: the stride below must stay 5.
+OUTCOME_CODES = {"completed": 0, "timeout": 1, "progress": 2, "scheduled": 3}
+_OUTCOME_STRIDE = 5
+
+
 def emissions_to_events(
     emissions: DataFrame,
-    id_offset: int = 1_000_000_000,
     key_cols: "dict[str, str] | None" = None,
+    rule_index: "dict[str, int] | None" = None,
 ) -> DataFrame:
     """Default derived-event mapping: one event per emission.
 
@@ -37,12 +43,34 @@ def emissions_to_events(
     value_sum. The emission's correlation key is projected back into every
     key column the rule set uses (``key_cols`` maps column name → Spark
     type; default ``{'user_id': 'bigint'}``) so downstream rules keyed on
-    any of those columns resolve. event_id is offset from the triggering
-    event id so derived ids can't collide with source ids (deterministic,
-    unlike a global counter)."""
+    any of those columns resolve.
+
+    Derived event ids live in the NEGATIVE id space, folded from
+    (last_event_id, rule, outcome):
+
+        id = −(((last_event_id·n_rules + rule_idx))·5 + outcome_code) − 2
+
+    so they can never collide with non-negative source ids (a fixed
+    positive offset could), two emissions off the same trigger (different
+    rules, or timeout+progress from one event) get DISTINCT ids, and the
+    (ts, event_id) ordering tie-break stays deterministic. Exact integer
+    arithmetic — reproducible in plain SQL, no hashing. ``rule_index``
+    (rule name → dense index) comes from the rule set;
+    without it all rules share index 0 (still injective per outcome)."""
     key_cols = key_cols or {"user_id": "bigint"}
+    rule_index = rule_index or {}
+    n_rules = max(len(rule_index), 1)
+    ridx = F.lit(0)
+    for name, i in rule_index.items():
+        ridx = F.when(F.col("rule") == name, F.lit(i)).otherwise(ridx)
+    ocode = F.lit(4)
+    for name, c in OUTCOME_CODES.items():
+        ocode = F.when(F.col("outcome") == name, F.lit(c)).otherwise(ocode)
+    derived_id = (
+        -((F.col("last_event_id") * n_rules + ridx) * _OUTCOME_STRIDE + ocode) - 2
+    )
     return emissions.select(
-        (F.col("last_event_id") + F.lit(id_offset)).alias("event_id"),
+        derived_id.cast("bigint").alias("event_id"),
         F.col("fire_ts").alias("ts"),
         *[
             F.col("key").cast(dtype).alias(name)
@@ -81,7 +109,10 @@ def chain_correlate(
         key_cols = {
             r.key: src_types.get(r.key, "bigint") for r in rules if r.key is not None
         } or {"user_id": "bigint"}
-        to_events = lambda em: emissions_to_events(em, key_cols=key_cols)  # noqa: E731
+        rule_index = {r.name: i for i, r in enumerate(rules)}
+        to_events = lambda em: emissions_to_events(  # noqa: E731
+            em, key_cols=key_cols, rule_index=rule_index
+        )
     all_emissions: Optional[DataFrame] = None
     current = events
     for _ in range(max_depth):

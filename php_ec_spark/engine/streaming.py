@@ -131,7 +131,12 @@ def correlate_stream(
     watermark advance (deterministic, replay-safe); ``"processing"`` =
     TickClock semantics, timers fire on wall time — php-ec live mode, for
     deployments where absence must be detected even when the stream goes
-    completely quiet.
+    completely quiet. LIVE-INGEST ONLY: deadlines are still event-ts +
+    timeout, but compared against wall clock — replaying or backfilling
+    historical data under ``"processing"`` makes every pending instance
+    look already-expired and it times out immediately (the same trap
+    php-ec live mode has when fed old data). Replay/backfill must use
+    ``clock="event"``.
 
     Rules are grouped by correlation key exactly like the batch engine;
     suppression across differently-keyed rules is rejected. The caller

@@ -100,8 +100,10 @@ def cep_seq_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cep_funnel_3step",
     headline=True,
-    doc="J1 general: 3-step funnel signup→click→purchase, 12 h per step "
-    "(per-key applyInPandas state machine).",
+    doc="J1 general: 3-step funnel signup→click→purchase, 12 h per step — "
+    "compiled to the relational window plan (one window pass + one "
+    "self-join per extra step; no Python operators, pinned by "
+    "tests/test_plans.py).",
     oracle="""
         WITH e AS (
             SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type, value
@@ -383,8 +385,11 @@ def cep_validate_enrich_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'pay_check' AS rule, key, outcome, fire_ts, start_event_id,
                last_event_id, n_events, value_sum FROM base
         UNION ALL
+        -- derived id fold (engine/chain.py emissions_to_events): pay_check
+        -- is rule index 0 of 2, outcome 'timeout' has code 1, stride 5
         SELECT 'reminder', key, 'completed', fire_ts,
-               last_event_id + 1000000000, last_event_id + 1000000000,
+               -((last_event_id * 2 + 0) * 5 + 1) - 2,
+               -((last_event_id * 2 + 0) * 5 + 1) - 2,
                CAST(1 AS BIGINT), value_sum
         FROM base WHERE outcome = 'timeout'
     """,
