@@ -185,7 +185,10 @@ def correlate_stream(
             part = part.filter(F.col("event_type").isin(sorted(needed_types)))
         cols = ["event_id", "ts", "event_type", "value"]
         if key_col is not None:
-            part = part.select(key_col, *cols)
+            # the key may BE one of the engine columns (e.g. rules keyed on
+            # event_type) — don't select it twice or pandas hands the
+            # handler a 2-D block for that name
+            part = part.select(key_col, *[c for c in cols if c != key_col])
             grouped = part.groupBy(key_col)
         else:
             part = part.select(F.lit(1).alias("__k"), *cols)

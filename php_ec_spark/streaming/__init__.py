@@ -13,7 +13,9 @@ Maps the reference's scheduler plumbing onto Structured Streaming:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
@@ -26,6 +28,7 @@ from .sources import heartbeat_source, ndjson_dir_source, rate_event_source
 
 __all__ = [
     "ActionDispatcher",
+    "CorrelationGroup",
     "JsonRpcActionProcess",
     "JsonRpcProcessSource",
     "correlate_stream",
@@ -34,6 +37,7 @@ __all__ = [
     "ndjson_dir_source",
     "rate_event_source",
     "start_correlation",
+    "start_correlations",
 ]
 
 
@@ -75,3 +79,82 @@ def start_correlation(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+@dataclass
+class CorrelationGroup:
+    """Handle over one streaming query per correlation-key column.
+
+    Spark allows a single ``applyInPandasWithState`` per streaming query,
+    so a rule set keyed on several columns runs as several queries
+    (see correlate_stream's guard). This groups them: per-key dispatchers,
+    combined completed/failed views, await/stop across the set — the
+    orchestration the reference scheduler does across its rule instances.
+    """
+
+    queries: dict[Optional[str], StreamingQuery] = field(default_factory=dict)
+    dispatchers: dict[Optional[str], ActionDispatcher] = field(default_factory=dict)
+
+    @property
+    def completed(self) -> list:
+        """(key_col, batch_id, action, n) across every query."""
+        return [
+            (k, *entry) for k, d in self.dispatchers.items() for entry in d.completed
+        ]
+
+    @property
+    def failed(self) -> list:
+        return [
+            (k, *entry) for k, d in self.dispatchers.items() for entry in d.failed
+        ]
+
+    def await_all(self, timeout: Optional[float] = None) -> None:
+        for q in self.queries.values():
+            q.awaitTermination(timeout=timeout)
+
+    def stop_all(self) -> None:
+        for q in self.queries.values():
+            q.stop()
+
+
+def start_correlations(
+    events: DataFrame,
+    rules: Sequence[Rule],
+    checkpoint_root: str,
+    dispatcher_factory: Optional[Callable[[Optional[str]], ActionDispatcher]] = None,
+    watermark_delay: str = "0 seconds",
+    query_name: str = "php-ec-correlation",
+    trigger_once: bool = False,
+    clock: str = "event",
+) -> CorrelationGroup:
+    """Start one correlation query PER KEY COLUMN in the rule set.
+
+    Rules are partitioned by their correlation key column; each partition
+    gets its own streaming query (Spark's one-stateful-op-per-query
+    limit), its own checkpoint subdir under ``checkpoint_root``, and its
+    own dispatcher (``dispatcher_factory(key_col)`` if given, else a fresh
+    :class:`ActionDispatcher` — separate dispatchers keep per-query batch
+    ids from colliding in the cross-run markers). Returns a
+    :class:`CorrelationGroup` with combined emission bookkeeping.
+    """
+    by_key: dict[Optional[str], list[Rule]] = {}
+    for r in rules:
+        by_key.setdefault(r.key, []).append(r)
+    group = CorrelationGroup()
+    for key_col, group_rules in by_key.items():
+        tag = key_col if key_col is not None else "__keyless__"
+        dispatcher = (
+            dispatcher_factory(key_col) if dispatcher_factory else ActionDispatcher()
+        )
+        group.dispatchers[key_col] = dispatcher
+        group.queries[key_col] = start_correlation(
+            events,
+            group_rules,
+            os.path.join(checkpoint_root, f"key_{tag}"),
+            dispatcher=dispatcher,
+            watermark_delay=watermark_delay,
+            query_name=f"{query_name}-{tag}",
+            trigger_once=trigger_once,
+            clock=clock,
+        )
+    return group

@@ -305,3 +305,53 @@ def test_action_validation_quarantines_bad_rows(spark, stream_dirs):
     )
     q.awaitTermination(timeout=120)
     assert d.failed and not d.completed  # validation failed, engine survived
+
+
+def test_multi_key_orchestration_two_concurrent_queries(spark, stream_dirs):
+    """Rules keyed on DIFFERENT columns run as one query per key column
+    (Spark's one-applyInPandasWithState limit), orchestrated by
+    start_correlations with combined bookkeeping."""
+    from php_ec_spark.streaming import start_correlations
+
+    src, ckpt = stream_dirs
+    _write_ndjson(
+        src / "01.json",
+        [
+            _ev(0, "2024-01-01T00:00:00Z", 1, "signup"),
+            _ev(1, "2024-01-01T00:00:05Z", 1, "purchase"),
+            _ev(2, "2024-01-01T00:00:06Z", 2, "signup"),
+            _ev(3, "2024-01-01T00:00:09Z", 2, "purchase"),
+        ],
+    )
+    from php_ec_spark.rules import match_single
+
+    rules = [
+        # keyed on user_id: classic per-user funnel
+        sequence_rule("pay", ["signup", "purchase"], key="user_id", timeout="PT1H"),
+        # keyed on event_type: one single-match instance per type
+        match_single("per_type", ["*"], key="event_type"),
+    ]
+    per_user: list[dict] = []
+    per_type: list[dict] = []
+    sinks = {"user_id": per_user, "event_type": per_type}
+
+    def factory(key_col):
+        d = ActionDispatcher()
+        d.register("collect", fn=sinks[key_col].extend)
+        return d
+
+    group = start_correlations(
+        ndjson_dir_source(spark, str(src)), rules, str(ckpt),
+        dispatcher_factory=factory, trigger_once=True,
+    )
+    assert sorted(group.queries) == ["event_type", "user_id"]
+    group.await_all(timeout=120)
+
+    assert {(r["rule"], r["key"]) for r in per_user} == {("pay", "1"), ("pay", "2")}
+    assert all(r["outcome"] == "completed" for r in per_user)
+    # per_type single-matches once per event_type key
+    assert {r["key"] for r in per_type} == {"signup", "purchase"}
+    assert all(r["rule"] == "per_type" and r["n_events"] == 1 for r in per_type)
+    # combined views carry the key-column tag
+    assert {k for k, *_ in group.completed} == {"user_id", "event_type"}
+    assert group.failed == []
