@@ -1,0 +1,154 @@
+"""Runtime metrics / observability (SURVEY §2 "Statistics / metrics",
+step 9 ops parity).
+
+Reference surface being re-expressed:
+
+- ``incrStat`` counters, group→name→int, kept inside the engine and
+  reported at shutdown/save (CorrelationEngine.php:790-796, 179-384).
+- EPS self-measurement: a 3600-slot 1-second ring buffer with
+  ``calcLoad()`` over the last 60/900/3600 s (src/Counter.php:19-157,
+  CorrelationEngine.php:802-813).
+
+Spark-native rendering: metrics ride the EXISTING jobs via ``df.observe``
+(aggregates evaluated inline with whatever action runs — no extra pass
+over the data, exactly what a scan-side counter costs the reference), and
+a :class:`EngineMetrics` ``StreamingQueryListener`` accumulates per-batch
+progress — Spark already measures input/processed rows per second per
+micro-batch, so the ring buffer becomes a bounded progress history with
+``calc_load`` horizons computed over it.
+
+Batch stat SNAPSHOT queries (per-type seen counts, histograms, EPS
+windows) live in queries_relational/queries_cep — this module is the
+LIVE path.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+#: Reference calcLoad horizons, seconds (Counter.php / management server)
+LOAD_HORIZONS = (60, 900, 3600)
+
+
+def engine_metric_exprs(
+    outcomes: Sequence[str] = ("completed", "timeout", "progress", "scheduled"),
+) -> list[Column]:
+    """incrStat-style aggregate expressions for an EMISSION stream:
+    total + per-outcome counts + event-time bounds (the counters the
+    reference bumps in handleEmit, CorrelationEngine.php:384)."""
+    exprs = [
+        F.count(F.lit(1)).alias("n_emissions"),
+        F.min("fire_ts").alias("first_fire_ts"),
+        F.max("fire_ts").alias("last_fire_ts"),
+    ]
+    for o in outcomes:
+        exprs.append(
+            F.sum(F.when(F.col("outcome") == o, 1).otherwise(0)).alias(f"n_{o}")
+        )
+    return exprs
+
+
+def event_metric_exprs() -> list[Column]:
+    """'seen' side counters for an event stream (CorrelationEngine.php:179)."""
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("max_ts"),
+        F.approx_count_distinct("event_type").alias("n_event_types"),
+    ]
+
+
+def observe_batch(df: DataFrame, exprs: Optional[Sequence[Column]] = None,
+                  name: str = "phpec") -> tuple[DataFrame, Observation]:
+    """Attach engine metrics to a BATCH DataFrame; metrics materialize with
+    the caller's own action (no extra job). Returns (df, observation) —
+    read ``observation.get`` after the action."""
+    obs = Observation(name)
+    cols = list(exprs) if exprs is not None else event_metric_exprs()
+    return df.observe(obs, *cols), obs
+
+
+def observe_stream(df: DataFrame, exprs: Optional[Sequence[Column]] = None,
+                   name: str = "phpec") -> DataFrame:
+    """Attach engine metrics to a STREAMING DataFrame; values surface in
+    every micro-batch's progress event (pair with :class:`EngineMetrics`)."""
+    cols = list(exprs) if exprs is not None else engine_metric_exprs()
+    return df.observe(name, *cols)
+
+
+class EngineMetrics(StreamingQueryListener):
+    """Live engine metrics: Spark's per-batch progress stream folded into
+    the reference's Counter/stat shape.
+
+    Register with ``spark.streams.addListener(metrics)``. Progress history
+    is a bounded ring (like the 3600-slot Counter);
+    :meth:`calc_load` derives events/sec over the trailing horizons and
+    :meth:`stats` aggregates observed incrStat counters across batches.
+    """
+
+    def __init__(self, history: int = 3600) -> None:
+        self._progress: deque = deque(maxlen=history)
+
+    # -- listener hooks ---------------------------------------------------
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        observed = {}
+        for obs_name, row in (p.observedMetrics or {}).items():
+            observed[obs_name] = row.asDict() if hasattr(row, "asDict") else dict(row)
+        self._progress.append(
+            {
+                "wall_ts": time.time(),
+                "query": p.name,
+                "batch_id": p.batchId,
+                "num_input_rows": p.numInputRows or 0,
+                "input_rows_per_second": p.inputRowsPerSecond or 0.0,
+                "processed_rows_per_second": p.processedRowsPerSecond or 0.0,
+                "observed": observed,
+            }
+        )
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    # -- Counter.php parity ----------------------------------------------
+
+    def calc_load(self, horizons: Sequence[int] = LOAD_HORIZONS) -> dict[int, float]:
+        """events/sec over each trailing wall-clock horizon — the
+        reference's calcLoad(60/900/3600) from its 1-second ring buffer."""
+        now = time.time()
+        out = {}
+        for h in horizons:
+            rows = sum(
+                p["num_input_rows"] for p in self._progress
+                if p["wall_ts"] >= now - h
+            )
+            out[h] = rows / h
+        return out
+
+    def stats(self) -> dict[str, int]:
+        """Observed incrStat counters summed across the retained history
+        (numeric metrics only; ts bounds are skipped)."""
+        agg: dict[str, int] = {}
+        for p in self._progress:
+            for metrics in p["observed"].values():
+                for k, v in metrics.items():
+                    if isinstance(v, (int, float)) and not isinstance(v, bool):
+                        agg[k] = agg.get(k, 0) + v
+        return agg
+
+    @property
+    def last_progress(self) -> Optional[dict]:
+        return self._progress[-1] if self._progress else None
