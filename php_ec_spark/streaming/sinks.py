@@ -67,6 +67,21 @@ class ActionSpec:
     def validate(self, row: dict) -> None:
         if not self.schema:
             return
+        if isinstance(self.schema, dict) and (
+            "type" in self.schema or "properties" in self.schema
+            or "required" in self.schema
+        ):
+            # full JSON-Schema document, the reference's native contract
+            # (AEC.php:230-239); nulls are absent keys JSON-wise
+            from .schema import validate_json_schema
+
+            inst = {k: v for k, v in row.items() if v is not None}
+            errs = validate_json_schema(inst, self.schema)
+            if errs:
+                raise ActionValidationError(
+                    f"action {self.name}: invalid params: " + "; ".join(errs)
+                )
+            return
         for fname, spec in self.schema.items():
             optional = isinstance(spec, tuple) and "optional" in spec[1:]
             typ = spec[0] if isinstance(spec, tuple) else spec

@@ -166,3 +166,63 @@ class TestErroredReplay:
         files = os.listdir(tmp_path / "errored")
         assert len(files) == 1 and files[0].endswith(".halted")
         assert d.replay_errored() == {"replayed": 0, "halted": 0}
+
+
+class TestJsonSchemaValidation:
+    """S8: the reference validates action params against a JSON-Schema
+    document (AEC.php:230-239) — the mini validator covers the used subset."""
+
+    SCHEMA = {
+        "type": "object",
+        "required": ["rule", "key"],
+        "properties": {
+            "rule": {"type": "string"},
+            "key": {"type": "string", "minLength": 1},
+            "outcome": {"enum": ["completed", "timeout"]},
+            "n_events": {"type": "integer", "minimum": 1},
+        },
+    }
+
+    def test_valid_rows_dispatch(self, spark):
+        seen = []
+        d = ActionDispatcher()
+        d.register("a", fn=seen.extend, schema=self.SCHEMA, rules=["r1"])
+        df = spark.createDataFrame(
+            [("r1", "k", "completed", 2)],
+            "rule string, key string, outcome string, n_events long",
+        )
+        d(df, batch_id=0)
+        assert len(seen) == 1 and not d.failed
+
+    def test_schema_violations_quarantine(self, spark):
+        d = ActionDispatcher()
+        d.register("a", fn=lambda rows: None, schema=self.SCHEMA, rules=["r1"])
+        df = spark.createDataFrame(
+            [("r1", "k", "exploded", 0)],  # bad enum + minimum
+            "rule string, key string, outcome string, n_events long",
+        )
+        d(df, batch_id=0)
+        assert len(d.failed) == 1
+        err = d.failed[0][3]
+        assert "enum" in err and "minimum" in err
+
+    def test_unit_validator_nested(self):
+        from php_ec_spark.streaming.schema import validate_json_schema
+
+        schema = {
+            "type": "object",
+            "required": ["tags"],
+            "properties": {
+                "tags": {"type": "array", "minItems": 1,
+                         "items": {"type": "string", "pattern": "^[a-z]+$"}},
+                "level": {"type": ["integer", "null"], "maximum": 5},
+            },
+            "additionalProperties": False,
+        }
+        assert validate_json_schema({"tags": ["ab"], "level": 3}, schema) == []
+        errs = validate_json_schema({"tags": [], "level": 9, "x": 1}, schema)
+        assert any("minItems" in e for e in errs)
+        assert any("maximum" in e for e in errs)
+        assert any("additional properties" in e for e in errs)
+        errs = validate_json_schema({"tags": ["AB!"]}, schema)
+        assert any("pattern" in e for e in errs)
