@@ -169,15 +169,19 @@ def compile_keyless_counter(events: DataFrame, rule: Rule) -> DataFrame:
 def compile_sequence(events: DataFrame, rule: Rule) -> DataFrame:
     """Window plan for an N-step sequence A→B→…→Z with per-step timeout.
 
-    ONE window pass (one shuffle on the key) annotates every row with the
-    first following event of each later step type; each additional step
-    beyond the second is an equi-join on the unique event id to pick up the
-    successor info computed on the predecessor's row. No Python anywhere;
-    per-step timeout semantics are exactly acceptEventTime
-    (AEventProcessor.php:357-396): step i+1 accepted iff its ts ≤ step_i.ts
-    + timeout; the first failing step times the instance out at
-    step_i.ts + timeout (fired there even past end-of-stream, matching the
-    batch drain).
+    ONE shuffle on the key, NO joins, any N: each starter row gets the
+    per-key sorted array of each successor type's (ts, id, value) structs
+    (whole-partition window aggregates — the same single exchange), and the
+    chain is chased with JVM array HOFs: step i+1 = first element of its
+    type's array strictly after step i in (ts, event_id) stream order.
+    The n² successor space never materializes as rows; per-key arrays are
+    bounded by that key's own event count (funnel keys are users/sessions,
+    so small — a hot key degrades this scan exactly as it degrades the
+    window sort it replaced). No Python anywhere; per-step timeout
+    semantics are exactly acceptEventTime (AEventProcessor.php:357-396):
+    step i+1 accepted iff its ts ≤ step_i.ts + timeout; the first failing
+    step times the instance out at step_i.ts + timeout (fired there even
+    past end-of-stream, matching the batch drain).
     """
     assert is_relational_compilable(rule), rule
     types = [g[0] for g in rule.events]
@@ -188,35 +192,50 @@ def compile_sequence(events: DataFrame, rule: Rule) -> DataFrame:
     relevant = events.filter(F.col("event_type").isin(types)).select(
         key, "event_id", "ts", "event_type", "value"
     )
-    w = (
-        Window.partitionBy(key)
-        .orderBy("ts", "event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
-    )
-    # first following event per successor type, one window pass for all
+    # per-key successor arrays: one unordered whole-partition window frame
+    # per distinct successor type, all in the same exchange
+    wp = Window.partitionBy(key)
     base = relevant
     for t in set(types[1:]):
         base = base.withColumn(
-            f"__next_{t}",
-            F.min(
-                F.when(F.col("event_type") == t, F.struct("ts", "event_id", "value"))
-            ).over(w),
+            f"__arr_{t}",
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("event_type") == t, F.struct("ts", "event_id", "value")
+                    )
+                ).over(wp)
+            ),
         )
 
-    # chase the chain: e0 = the A row; e{i} = first types[i] after e{i-1}
     cur = base.filter(F.col("event_type") == types[0]).select(
         F.col(key).cast("string").alias("key"),
         F.col("event_id").alias("e0_id"),
         F.col("ts").alias("e0_ts"),
         F.col("value").alias("e0_val"),
-        F.col(f"__next_{types[1]}").alias("__succ"),
+        *[F.col(f"__arr_{t}") for t in set(types[1:])],
     )
+
+    def first_after(arr_col: str, ts_col: str, id_col: str):
+        # first array element strictly after (ts, id) in stream order; the
+        # array is sorted, F.get returns null past the end (ANSI-safe).
+        # NB: the lambda must take exactly ONE arg — PySpark inspects arity,
+        # so capture the outer columns via closure, not default args.
+        ts, eid = F.col(ts_col), F.col(id_col)
+        return F.get(
+            F.filter(
+                F.col(arr_col),
+                lambda x: (x["ts"] > ts) | ((x["ts"] == ts) & (x["event_id"] > eid)),
+            ),
+            0,
+        )
+
     for i in range(1, n):
+        succ = first_after(f"__arr_{types[i]}", f"e{i-1}_ts", f"e{i-1}_id")
         cur = (
-            cur.withColumn(f"e{i}_ts", F.col("__succ.ts"))
-            .withColumn(f"e{i}_id", F.col("__succ.event_id"))
-            .withColumn(f"e{i}_val", F.col("__succ.value"))
-            .drop("__succ")
+            cur.withColumn(f"e{i}_ts", succ["ts"])
+            .withColumn(f"e{i}_id", succ["event_id"])
+            .withColumn(f"e{i}_val", succ["value"])
         )
         if timeout_s is not None:
             deadline = F.col(f"e{i-1}_ts") + F.make_interval(
@@ -228,14 +247,7 @@ def compile_sequence(events: DataFrame, rule: Rule) -> DataFrame:
         # a failed step nulls the rest of the chain
         for c in (f"e{i}_ts", f"e{i}_id", f"e{i}_val"):
             cur = cur.withColumn(c, F.when(ok, F.col(c)))
-        if i < n - 1:
-            succ_src = base.filter(F.col("event_type") == types[i]).select(
-                F.col("event_id").alias("__join_id"),
-                F.col(f"__next_{types[i + 1]}").alias("__succ"),
-            )
-            cur = cur.join(
-                succ_src, cur[f"e{i}_id"] == succ_src["__join_id"], "left"
-            ).drop("__join_id")
+    cur = cur.drop(*[f"__arr_{t}" for t in set(types[1:])])
 
     # consumed = 1 + number of non-null chain steps
     consumed = F.lit(1)
