@@ -115,10 +115,60 @@ def extract_image_meta(blobs: DataFrame, fake: bool = True) -> DataFrame:
     return blobs.select("item_id", "content").mapInPandas(run, IMAGE_META_SCHEMA)
 
 
-def frame_sample(blobs: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling — stub. Real implementation would mapInPandas
-    over ffmpeg; here it exists to pin the operator signature."""
-    raise NotImplementedError(
-        "frame sampling requires a video codec library not present in this "
-        "environment; signature kept for API completeness"
-    )
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_ms", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+#: fake-codec parameters: a "video" is its payload cut into fixed-size
+#: frames at 25 fps — enough structure to exercise the real plumbing
+#: (per-item fan-out, Arrow binary transfer, bounded batches)
+_FAKE_FRAME_BYTES = 256
+_FAKE_FRAME_MS = 40
+
+
+def frame_sample(
+    blobs: DataFrame, every_n: int = 10, fake: bool = True
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of each video payload.
+
+    One blob row fans out to ~frames/every_n frame rows inside the SAME
+    Arrow batch — bytes never cross the boundary row-at-a-time, and the
+    fan-out happens where the blob already lives (no shuffle; downstream
+    per-frame work inherits the scan partitioning). The real decoder would
+    hand each payload to ffmpeg here; this container ships no codec libs,
+    so ``fake=True`` (default) runs a deterministic stand-in — the payload
+    cut into 256-byte frames at 25 fps — keeping schema, batch shape and
+    fan-out identical to the real path. ``fake=False`` raises, documenting
+    the environment gap exactly like :func:`decode_image`.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real frame sampling requires a video codec library (ffmpeg) "
+            "not present in this environment; pass fake=True for the "
+            "deterministic stand-in"
+        )
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"item_id": [], "frame_idx": [], "frame_ms": [], "frame_bytes": []}
+            for item_id, content in zip(pdf["item_id"], pdf["content"]):
+                content = bytes(content)
+                n_frames = max(1, len(content) // _FAKE_FRAME_BYTES)
+                for i in range(0, n_frames, every_n):
+                    out["item_id"].append(int(item_id))
+                    out["frame_idx"].append(i)
+                    out["frame_ms"].append(i * _FAKE_FRAME_MS)
+                    out["frame_bytes"].append(
+                        content[i * _FAKE_FRAME_BYTES:(i + 1) * _FAKE_FRAME_BYTES]
+                    )
+            if out["item_id"]:
+                yield pd.DataFrame(out)
+
+    return blobs.select("item_id", "content").mapInPandas(run, FRAME_SCHEMA)

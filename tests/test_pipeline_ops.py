@@ -258,6 +258,35 @@ class TestMultimodal:
         assert row["head_byte"] == txt.encode()[0]
         assert 1 <= row["width"] <= 640 and 1 <= row["height"] <= 480
 
+    def test_frame_sample_fanout_and_bytes(self, spark, docs):
+        from php_ec_spark.operators.multimodal import (
+            _FAKE_FRAME_BYTES,
+            _FAKE_FRAME_MS,
+            frame_sample,
+        )
+
+        frames = frame_sample(attach_blob(docs), every_n=3).collect()
+        by_item = {}
+        for r in frames:
+            by_item.setdefault(r["item_id"], []).append(r)
+        texts = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+        assert set(by_item) == set(texts)  # every payload fans out
+        for item_id, rows in by_item.items():
+            content = texts[item_id]
+            n_frames = max(1, len(content) // _FAKE_FRAME_BYTES)
+            assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] \
+                == list(range(0, n_frames, 3))
+            for r in rows:
+                assert r["frame_ms"] == r["frame_idx"] * _FAKE_FRAME_MS
+                lo = r["frame_idx"] * _FAKE_FRAME_BYTES
+                assert bytes(r["frame_bytes"]) == content[lo:lo + _FAKE_FRAME_BYTES]
+
+    def test_frame_sample_real_path_documents_env_gap(self, spark, docs):
+        from php_ec_spark.operators.multimodal import frame_sample
+
+        with pytest.raises(NotImplementedError):
+            frame_sample(attach_blob(docs), fake=False)
+
 
 class TestRangePredicates:
     def test_inclusive_exclusive(self, spark):

@@ -74,6 +74,13 @@ class TestShuffleBudget:
         plan = _plan(spark, "cep_seq_two_step")
         assert plan.count("Exchange hashpartitioning") == 1
 
+    def test_n_step_funnel_single_shuffle_no_joins(self, spark):
+        # the N-way chase is array HOFs over one window exchange — adding
+        # steps must never add joins or shuffles
+        plan = _plan(spark, "cep_funnel_3step")
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+
     def test_keyless_counter_uses_partial_agg(self, spark):
         from php_ec_spark.engine.relational import compile_keyless_counter
         from php_ec_spark.model import load_events
