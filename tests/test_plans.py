@@ -43,6 +43,18 @@ class TestPushdownAndPruning:
         plan = _plan(spark, "cep_seq_two_step")
         assert "PushedFilters" in plan and "In(event_type" in plan
 
+    def test_cosine_topk_query_filter_pushed(self, spark):
+        # the 10-vector query side must prune at the embeddings scan, not
+        # after reading the full corpus twice
+        plan = _plan(spark, "pipe_cosine_topk")
+        assert "PushedFilters: [IsNotNull(vec_id), LessThan(vec_id" in plan
+
+    def test_text_stats_reads_only_needed_columns(self, spark):
+        # documents has lang/source/text columns; token stats needs id+text
+        plan = _plan(spark, "pipe_text_stats")
+        read = plan[plan.index("ReadSchema"):].split("\n")[0]
+        assert "text" in read and "lang" not in read and "source" not in read
+
 
 class TestBroadcast:
     @pytest.mark.parametrize("name", ["rel_q5_region_revenue", "rel_rollup"])
