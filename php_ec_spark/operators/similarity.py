@@ -66,7 +66,54 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cos, rank), rank 1..k, self-matches
     excluded. cos is rounded to 6 dp and ranking is by (rounded cos DESC,
     neighbor_id) so order is deterministic across engines.
+
+    Shape: the query matrix is broadcast, the corpus is scanned ONCE with
+    candidates generated per Arrow batch by a dense numpy GEMM (each batch
+    keeps its per-query top k+pad — the global top-k is a subset of the
+    per-batch top-k, and the pad absorbs GEMM-vs-fold float reordering,
+    ~1e-15 ≪ the 6 dp rounding). Candidates (O(batches·|q|·k) rows) are
+    then re-scored JVM-side with the sequential-fold dot product, so
+    emitted cosines are bit-identical to the oracle arithmetic. Shuffled
+    volume is candidates only — never |corpus|·|queries|.
     """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    q_pdf = queries.select(id_col, vec_col).toPandas()  # small side by contract
+    if len(q_pdf) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
+    qids = q_pdf[id_col].to_numpy(dtype=np.int64)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    bq = spark.sparkContext.broadcast((qids, Q, qn))
+    pad = 16
+
+    def gen_candidates(batches):
+        q_ids, Qm, q_norms = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            nid = pdf[id_col].to_numpy(dtype=np.int64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            denom = np.outer(cn, q_norms)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom > 0, (C @ Qm.T) / denom, -np.inf)
+            S[nid[:, None] == q_ids[None, :]] = -np.inf  # self-matches out
+            take = min(k + pad, len(nid))
+            top = np.argpartition(-S, take - 1, axis=0)[:take]  # per-query cols
+            qcol = np.broadcast_to(q_ids, top.shape)
+            yield pd.DataFrame(
+                {"query_id": qcol.reshape(-1), "neighbor_id": nid[top].reshape(-1)}
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        gen_candidates, schema="query_id long, neighbor_id long"
+    )
+    # exact JVM re-score of the small candidate set (oracle arithmetic)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
@@ -77,8 +124,8 @@ def cosine_topk(
     )
     cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     scored = (
-        c.join(F.broadcast(q))  # broadcast nested-loop: one pass over corpus
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
