@@ -34,6 +34,7 @@ import shlex
 import subprocess
 import threading
 import uuid
+import zlib
 from collections import deque
 from typing import Iterator, Optional, Tuple
 
@@ -80,6 +81,10 @@ class _JsonRpcSimpleReader(SimpleDataSourceStreamReader):
         )
         self._ckpt_file = options.get("checkpointfile")
         env = {**os.environ, **json.loads(options.get("env", "{}"))}
+        # S12 parity: PHP's zlib.deflate stream filter is raw DEFLATE
+        # (RFC 1951), signalled by PHPEC_RPC_COMPRESSION=1
+        # (SourceExecutionCoordinator.php:238-245)
+        self._compressed = env.get("PHPEC_RPC_COMPRESSION") == "1"
         ckpt = self._load_checkpoint()
         if ckpt is not None:
             env[CHECKPOINT_VARNAME] = json.dumps(ckpt)
@@ -87,16 +92,32 @@ class _JsonRpcSimpleReader(SimpleDataSourceStreamReader):
         self._buf: deque[tuple[int, str]] = deque()
         self._seq = 0
         self._proc = subprocess.Popen(
-            self._cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-            env=env, text=True,
+            self._cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env
         )
         threading.Thread(target=self._pump, daemon=True).start()
 
     # -- child stdout → buffer -------------------------------------------
 
-    def _pump(self) -> None:
+    def _lines(self):
+        """NDJSON lines from the child's stdout, optionally decompressing a
+        raw-DEFLATE stream (the reference's RPC compression)."""
         assert self._proc.stdout is not None
-        for line in self._proc.stdout:
+        decomp = zlib.decompressobj(-zlib.MAX_WBITS) if self._compressed else None
+        pending = b""
+        while True:
+            chunk = self._proc.stdout.read(65536)
+            if not chunk:
+                if decomp is not None:
+                    pending += decomp.flush()
+                if pending.strip():
+                    yield pending
+                return
+            pending += decomp.decompress(chunk) if decomp else chunk
+            *lines, pending = pending.split(b"\n")
+            yield from lines
+
+    def _pump(self) -> None:
+        for line in self._lines():
             line = line.strip()
             if not line:
                 continue

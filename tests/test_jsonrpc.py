@@ -73,6 +73,23 @@ class TestJsonRpcSource:
         events = sorted(json.loads(r.value)["value"] for r in rows)
         assert events == [8, 9, 10, 11, 12]  # resumed AFTER the checkpoint
 
+    def test_deflate_compressed_stream(self, spark, tmp_path):
+        """S12: PHPEC_RPC_COMPRESSION=1 → the child's stdout is raw DEFLATE
+        (SourceExecutionCoordinator.php:238-245); the reader decompresses
+        transparently."""
+        from php_ec_spark.streaming.jsonrpc import jsonrpc_source
+
+        df = jsonrpc_source(
+            spark, COUNT_SOURCE,
+            checkpoint_file=str(tmp_path / "c.ckpt"),
+            env={"PHPEC_RPC_COMPRESSION": "1", "COUNT_LIMIT": "6"},
+        )
+        rows = _collect_stream(
+            spark, df, str(tmp_path / "q3"), "jsonrpc_deflate", want=6
+        )
+        events = sorted(json.loads(r.value)["value"] for r in rows)
+        assert events == [1, 2, 3, 4, 5, 6]
+
 
 class TestJsonRpcAction:
     def test_long_lived_child_per_request_bookkeeping(self):
