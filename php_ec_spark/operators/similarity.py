@@ -37,6 +37,14 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _cos(a: Column, b: Column) -> Column:
+    """Sequential-fold cosine, 0.0 for zero-norm vectors (ANSI mode makes
+    the bare division a DIVIDE_BY_ZERO error; a zero vector is similar to
+    nothing, matching the GEMM stages' denom>0 guard)."""
+    na, nb = _norm(a), _norm(b)
+    return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
 def with_unit_vec(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit") -> DataFrame:
     """Pre-normalize embeddings to unit length (cosine ⇒ plain dot product).
 
@@ -113,7 +121,19 @@ def cosine_topk(
     cand = corpus.select(id_col, vec_col).mapInPandas(
         gen_candidates, schema="query_id long, neighbor_id long"
     )
-    # exact JVM re-score of the small candidate set (oracle arithmetic)
+    return _exact_rerank(corpus, queries, cand, k, vec_col, id_col)
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """JVM re-score of a small (query_id, neighbor_id) candidate set with
+    the sequential-fold dot product (oracle arithmetic), ranked to top-k."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
@@ -122,10 +142,14 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     )
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    cos = _cos(F.col("qv"), F.col("cv"))
     scored = (
         c.join(F.broadcast(cand), "neighbor_id")
         .join(F.broadcast(q), "query_id")
+        # the GEMM mask only demotes self-matches to -inf; when a batch
+        # group is smaller than k+pad they still reach the candidate set,
+        # so the exclusion must be re-applied here
+        .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -170,7 +194,7 @@ def cosine_dup_pairs(
         )
         a = c.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
         b = c.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
-        cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        cos = _cos(F.col("va"), F.col("vb"))
         return (
             a.join(b, ["bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
@@ -225,7 +249,7 @@ def cosine_dup_pairs(
         F.col(id_col).alias("id_b"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vb"),
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    cos = _cos(F.col("va"), F.col("vb"))
     cand_a = va.join(F.broadcast(cand), "id_a")  # small: candidates + left vecs
     return (
         vb.join(F.broadcast(cand_a), "id_b")
@@ -272,7 +296,14 @@ def ivf_topk(
     The corpus side is filtered by (query, cluster) assignment BEFORE any
     distance math — at scale, with the corpus written partitioned by
     cluster, this is partition pruning: each query reads nprobe/C of data.
+    Scoring inside the probed clusters runs as the same per-batch numpy
+    GEMM + JVM exact re-rank as :func:`cosine_topk`, restricted per row to
+    the queries probing that row's cluster.
     """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
     cents = build_centroids(corpus, cluster_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -289,16 +320,51 @@ def ivf_topk(
         .filter(F.col("crank") <= nprobe)
         .select("query_id", "qv", "cluster")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(cluster_col).alias("cluster"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    p_pdf = probes.toPandas()  # |queries|·nprobe rows — broadcast side
+    if len(p_pdf) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
+    qids = p_pdf["query_id"].to_numpy(dtype=np.int64)
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in p_pdf["qv"]])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    by_cluster: dict = {}
+    for i, cl in enumerate(p_pdf["cluster"]):
+        by_cluster.setdefault(cl, []).append(i)
+    bq = spark.sparkContext.broadcast((qids, Q, qn, by_cluster))
+    pad = 16
+
+    def gen_candidates(batches):
+        q_ids, Qm, q_norms, probing = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_q, out_n = [], []
+            for cl, grp in pdf.groupby(cluster_col, sort=False):
+                idxs = probing.get(cl)
+                if not idxs:
+                    continue  # cluster probed by no query: pruned entirely
+                C = np.stack([np.asarray(v, dtype=np.float64) for v in grp[vec_col]])
+                nid = grp[id_col].to_numpy(dtype=np.int64)
+                cn = np.sqrt((C * C).sum(axis=1))
+                sub_ids, sub_Q, sub_n = q_ids[idxs], Qm[idxs], q_norms[idxs]
+                denom = np.outer(cn, sub_n)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = np.where(denom > 0, (C @ sub_Q.T) / denom, -np.inf)
+                S[nid[:, None] == sub_ids[None, :]] = -np.inf
+                take = min(k + pad, len(nid))
+                top = np.argpartition(-S, take - 1, axis=0)[:take]
+                out_q.append(np.broadcast_to(sub_ids, top.shape).reshape(-1))
+                out_n.append(nid[top].reshape(-1))
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                    }
+                )
+
+    cand = corpus.select(id_col, cluster_col, vec_col).mapInPandas(
+        gen_candidates, schema="query_id long, neighbor_id long"
     )
-    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    scored = (
-        c.join(F.broadcast(probes), "cluster")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
-    )
-    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)
+    return _exact_rerank(corpus, queries, cand, k, vec_col, id_col)

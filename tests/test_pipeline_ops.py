@@ -100,6 +100,16 @@ class TestDedup:
 
 
 class TestSimilarity:
+    def test_topk_small_corpus_excludes_self(self, spark):
+        """Regression: when a whole Arrow batch is smaller than the GEMM
+        candidate take, -inf-masked self-matches reach the candidate set
+        and must be dropped by the exact re-rank."""
+        rows = [(i, [float(i == j) for j in range(4)]) for i in range(6)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = cosine_topk(df, df.filter(F.col("vec_id") < 2), k=3).collect()
+        assert all(r.neighbor_id != r.query_id for r in out)
+        assert {r.query_id for r in out} == {0, 1}
+
     def test_ivf_recall_on_clustered_data(self, spark):
         """On data with real cluster structure, probing 2 of 8 buckets must
         recover nearly all true neighbors. (The driver's embeddings table is
