@@ -1,0 +1,77 @@
+"""End-to-end training-data pipeline composition: the operators compose
+into the curation flow a real 100 TB pipeline runs — exact dedup →
+near-dup cluster survivor pick → language/quality gates → token budget —
+with every stage a DataFrame transform on one lineage (single job, no
+intermediate materialization)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from php_ec_spark.operators.dedup import dedup_clusters, exact_dedup
+from php_ec_spark.operators.text import (
+    with_bpe_token_count,
+    with_lang_id,
+    with_quality_score,
+    with_token_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_curation_pipeline_composes(spark, docs):
+    # 1) exact dedup: survivor id per normalized-text group
+    survivors = exact_dedup(docs).select("doc_id")
+    stage1 = docs.join(survivors, "doc_id", "left_semi")
+
+    # 2) near-dup clusters at J>=0.8: keep the min-id representative
+    clusters = dedup_clusters(stage1, threshold=0.8)
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    stage2 = stage1.join(reps, "doc_id", "left_semi")
+
+    # 3) annotate: language, quality, tokens — all codegen column ops
+    annotated = with_bpe_token_count(
+        with_quality_score(with_lang_id(with_token_stats(stage2)))
+    )
+
+    # 4) gates a curation run would apply
+    curated = annotated.filter(
+        (F.col("pred_lang") != "und")
+        & (F.col("quality_score") >= 0.2)
+        & (F.col("n_bpe_tokens") >= 5)
+    )
+
+    rows = curated.select(
+        "doc_id", "pred_lang", "quality_score", "n_bpe_tokens"
+    ).collect()
+
+    n_docs = docs.count()
+    n1 = stage1.count()
+    n2 = stage2.count()
+    # each stage only removes rows, never duplicates or invents them
+    assert n_docs >= n1 >= n2 >= len(rows) > 0
+
+    # survivors are exactly one per near-dup cluster
+    assert n2 == clusters.select("cluster_id").distinct().count()
+
+    # annotations behaved like column functions (no row fanout/loss)
+    assert annotated.count() == n2
+    assert all(r.n_bpe_tokens >= 5 and r.quality_score >= 0.2 for r in rows)
+
+
+def test_pipeline_is_one_spark_job_shape(spark, docs):
+    """The composed pipeline stays declarative: one explain-able plan, type
+    filters and projections visible to Catalyst (no collect between
+    stages except dedup_clusters' bounded label-propagation loop)."""
+    survivors = exact_dedup(docs).select("doc_id")
+    stage1 = docs.join(survivors, "doc_id", "left_semi")
+    annotated = with_quality_score(with_token_stats(stage1))
+    plan = annotated._jdf.queryExecution().executedPlan().toString()
+    # (AQE hides WholeStageCodegen spans until execution; assert structure)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(doc_id)]" in plan
