@@ -131,3 +131,94 @@ class TestJsonRpcAction:
         d(df, batch_id=0)
         assert d.completed == [] and len(d.failed) == 1
         assert "requested failure" in d.failed[0][3]
+
+
+class TestReaderRobustness:
+    """Direct SimpleDataSourceStreamReader contract tests — no Spark query,
+    just the reader object against pathological children."""
+
+    def _reader(self, script, env=None, ckpt=None):
+        from php_ec_spark.streaming.jsonrpc import _JsonRpcSimpleReader
+
+        opts = {"cmd": json.dumps([sys.executable, "-c", script])}
+        if env:
+            opts["env"] = json.dumps(env)
+        if ckpt:
+            opts["checkpointfile"] = ckpt
+        return _JsonRpcSimpleReader(opts)
+
+    def _drain(self, reader, want, timeout=20):
+        rows, off = [], reader.initialOffset()
+        deadline = time.time() + timeout
+        while len(rows) < want and time.time() < deadline:
+            it, off = reader.read(off)
+            rows.extend(it)
+            time.sleep(0.05)
+        return rows, off
+
+    def test_garbage_interleaved_with_valid(self):
+        script = r'''
+import json, sys
+print("this is not json")
+print(json.dumps({"jsonrpc":"2.0","method":"handle","params":{"event":{"v":1}}}))
+print("{broken json")
+print(json.dumps({"jsonrpc":"2.0","method":"handle","params":{"event":"not-a-dict"}}))
+print(json.dumps({"jsonrpc":"2.0","method":"wat","params":{}}))
+print(json.dumps({"jsonrpc":"2.0","method":"handle","params":{"event":{"v":2}}}))
+'''
+        r = self._reader(script)
+        rows, _ = self._drain(r, want=2)
+        assert [json.loads(v)["v"] for _s, v in rows] == [1, 2]
+
+    def test_offsets_replay_and_commit_prune(self):
+        script = r'''
+import json
+for i in range(5):
+    print(json.dumps({"jsonrpc":"2.0","method":"handle","params":{"event":{"v":i}}}))
+'''
+        r = self._reader(script)
+        rows, off = self._drain(r, want=5)
+        assert off == {"seq": 5} and len(rows) == 5
+        # replay window: uncommitted ranges must be re-readable
+        replay = list(r.readBetweenOffsets({"seq": 1}, {"seq": 3}))
+        assert [s for s, _v in replay] == [2, 3]
+        r.commit({"seq": 3})
+        assert [s for s, _v in list(r.readBetweenOffsets({"seq": 0}, {"seq": 5}))] == [4, 5]
+        # reading past the end returns the same offset, empty iterator
+        it, off2 = r.read({"seq": 5})
+        assert list(it) == [] and off2 == {"seq": 5}
+
+    def test_reader_pickles_without_live_handles(self):
+        import pickle
+
+        script = r'''
+import json
+print(json.dumps({"jsonrpc":"2.0","method":"handle","params":{"event":{"v":1}}}))
+'''
+        r = self._reader(script)
+        self._drain(r, want=1)
+        clone = pickle.loads(pickle.dumps(r))
+        assert clone._proc is None
+        assert list(clone._buf) == []  # executor copy serves from cache only
+        it, off = clone.read({"seq": 0})
+        assert list(it) == []
+
+    def test_compressed_chunk_boundaries(self, tmp_path):
+        # sync-flush between every record → decompressor must handle
+        # records split across arbitrary chunk boundaries
+        script = r'''
+import json, os, sys, zlib
+c = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+out = sys.stdout.buffer
+for i in range(20):
+    data = (json.dumps({"jsonrpc":"2.0","method":"handle","params":{"event":{"v":i}}}) + "\n").encode()
+    for b in (data[:7], data[7:]):
+        out.write(c.compress(b))
+    if i % 3 == 0:
+        out.write(c.flush(zlib.Z_SYNC_FLUSH))
+out.write(c.flush())
+out.flush()
+'''
+        r = self._reader(script, env={"PHPEC_RPC_COMPRESSION": "1"})
+        rows, _ = self._drain(r, want=20)
+        assert [json.loads(v)["v"] for _s, v in rows] == list(range(20))
