@@ -407,12 +407,22 @@ def dedup_clusters(
     )
 
 
+#: SimHash width. 60 bits = 15 hex chars of md5: the token hash
+#: (conv(substr(md5(t),1,15),16,10)) computes IDENTICALLY in Spark and
+#: DuckDB, so the whole fingerprint is oracle-reproducible — xxhash64 was
+#: marginally cheaper but exists only in Spark.
+SIMHASH_BITS = 60
+
+
 def with_simhash(
     df: DataFrame, text_col: str = "text", out_col: str = "simhash"
 ) -> DataFrame:
-    """64-bit SimHash fingerprint: per-token xxhash64 bit votes → sign bits."""
+    """60-bit SimHash fingerprint: per-token md5-derived bit votes → sign
+    bits. Exact int64 arithmetic, reproducible in plain SQL."""
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
 
     def vote(j: int):
         return lambda acc, h: acc + F.when(
@@ -420,7 +430,7 @@ def with_simhash(
         ).otherwise(-1)
 
     fp: Column = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(SIMHASH_BITS):
         votes = F.aggregate(hashes, F.lit(0), vote(j))
         fp = fp.bitwiseOR(
             F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
@@ -438,13 +448,16 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: chunk-banded candidates, Hamming verify.
 
-    Hamming ≤ 3 over 64 bits ⇒ at least one of the 4 16-bit chunks is equal
+    Hamming ≤ 3 over 60 bits ⇒ at least one of the 4 15-bit chunks is equal
     (pigeonhole), so candidates come from 4 equi-joins on chunk value — no
     all-pairs scan. Output: (doc_a, doc_b, hamming).
     """
+    assert max_hamming <= 3  # pigeonhole bound for 4 chunks
     sim = with_simhash(df, text_col=text_col).select(
         F.col(id_col).alias("doc"), "simhash"
     )
+    chunk_bits = SIMHASH_BITS // 4
+    chunk_mask = (1 << chunk_bits) - 1
     chunks = sim.select(
         "doc",
         "simhash",
@@ -453,8 +466,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("simhash", 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", chunk_bits * c)
+                        .bitwiseAND(F.lit(chunk_mask))
                         .alias("cv"),
                     )
                     for c in range(4)

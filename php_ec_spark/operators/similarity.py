@@ -275,7 +275,10 @@ def build_centroids(
     )
     return (
         exploded.groupBy("cluster", "pos")
-        .agg(F.avg("val").alias("m"))
+        # mean of doubles is partition-order-dependent in the last ulp;
+        # rounding to 6 dp makes the centroid reproducible across engines
+        # and runs, so downstream probe ranking is deterministic
+        .agg(F.round(F.avg("val"), 6).alias("m"))
         .groupBy("cluster")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cluster", F.transform("pm", lambda s: s["m"]).alias("centroid"))
@@ -309,9 +312,7 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
     )
-    qcos = _dot(F.col("qv"), F.col("centroid")) / (
-        _norm(F.col("qv")) * _norm(F.col("centroid"))
-    )
+    qcos = F.round(_cos(F.col("qv"), F.col("centroid")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cluster"))
     probes = (
         q.join(F.broadcast(cents))

@@ -173,12 +173,37 @@ def pipe_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipe_simhash",
-    doc="SimHash near-dup candidates (Hamming ≤ 3 via 16-bit chunk banding). "
-    "Token hash is Spark xxhash64 — not reproducible in DuckDB, rows-only check.",
-    oracle=None,
+    doc="SimHash near-dup pairs (Hamming ≤ 3 via 15-bit chunk banding, "
+    "full recall by pigeonhole). The 60-bit fingerprint is built from "
+    "md5-derived token hashes that compute identically in both engines, "
+    "so the oracle brute-forces the exact same pair set.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+            FROM documents
+        ), th AS (
+            SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+            FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+        ), bits AS (
+            SELECT doc_id, j.j,
+                   CASE WHEN sum(CASE WHEN (h >> j.j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                        THEN (1::BIGINT << j.j) ELSE 0 END AS bitval
+            FROM th, (SELECT unnest(range(0, 60)) AS j) j
+            GROUP BY doc_id, j.j
+        ), fp AS (
+            SELECT doc_id, sum(bitval)::BIGINT AS simhash FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
 )
 def pipe_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 @register(
@@ -365,8 +390,57 @@ def pipe_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipe_ann_ivf",
     doc="IVF-bucketed approximate top-k (probe 2 of C clusters): the 100 TB "
-    "path where the cluster column prunes partitions. Approximate ⇒ rows-only.",
-    oracle=None,
+    "path where the cluster column prunes partitions. Approximate w.r.t. "
+    "exact search but fully DETERMINISTIC — centroids round to 6 dp on "
+    "both engines, probe ranking ties break on cluster id, so the oracle "
+    "replicates the probe + in-cluster top-k exactly.",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ), dim AS (
+            SELECT max(len(v)) AS d FROM e
+        ), pos AS (
+            SELECT e.label, u.pos, e.v[u.pos] AS val
+            FROM e, dim, LATERAL (SELECT unnest(range(1, d + 1)) AS pos) u
+        ), cm AS (
+            SELECT label, pos, round(avg(val), 6) AS m
+            FROM pos GROUP BY label, pos
+        ), cent AS (
+            SELECT label AS cluster, list(m ORDER BY pos) AS centroid
+            FROM cm GROUP BY label
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+        ), pq AS (
+            SELECT q.query_id, q.qv, c.cluster,
+                   round(
+                       list_dot_product(q.qv, c.centroid)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(c.centroid, c.centroid))), 6
+                   ) AS ccos
+            FROM q, cent c
+        ), pr AS (
+            SELECT pq.*, row_number() OVER (
+                PARTITION BY query_id ORDER BY ccos DESC, cluster
+            ) AS crank
+            FROM pq
+        ), s AS (
+            SELECT p.query_id, e.vec_id AS neighbor_id,
+                   round(
+                       list_dot_product(p.qv, e.v)
+                       / (sqrt(list_dot_product(p.qv, p.qv))
+                          * sqrt(list_dot_product(e.v, e.v))), 6
+                   ) AS cos
+            FROM pr p JOIN e ON e.label = p.cluster AND e.vec_id <> p.query_id
+            WHERE p.crank <= 2
+        ), r AS (
+            SELECT s.*, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+            ) AS rank
+            FROM s
+        )
+        SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5
+    """,
 )
 def pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
