@@ -418,26 +418,55 @@ def with_simhash(
     df: DataFrame, text_col: str = "text", out_col: str = "simhash"
 ) -> DataFrame:
     """60-bit SimHash fingerprint: per-token md5-derived bit votes → sign
-    bits. Exact int64 arithmetic, reproducible in plain SQL."""
-    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-    hashes = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    bits, appended as ``out_col``.
+
+    Scan-local Arrow kernel (same shape as :func:`with_minhash`): per doc,
+    hash the distinct whitespace tokens with md5 (15 hex chars → int64 —
+    the arithmetic DuckDB reproduces with ('0x'||substr(md5,1,15))::BIGINT),
+    then the 60 bit-votes are one numpy broadcast. A column-expression
+    formulation (60 HOF aggregates per row) measured ~77 s at sf0.1; the
+    kernel is the identical function in vectorized form.
+
+    Tokenization mirrors the SQL both engines agreed on —
+    split(trim(text), '\\s+') keeps leading/trailing empty tokens when the
+    text has non-space edge whitespace, and an all-space text yields the
+    single empty token.
+    """
+    import hashlib
+    import re
+
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.LongType())]
     )
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    md5 = hashlib.md5
+    ws = re.compile(r"\s+")
 
-    def vote(j: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            fps = np.empty(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                t2 = text.strip(" ")  # SQL trim() strips spaces only
+                toks = set(ws.split(t2)) if t2 else {""}
+                hs = np.fromiter(
+                    (int(md5(t.encode()).hexdigest()[:15], 16) for t in toks),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                fps[i] = int(((votes > 0).astype(np.uint64) << shifts).sum())
+            out = pdf.copy()
+            out[out_col] = fps
+            yield out
 
-    fp: Column = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        votes = F.aggregate(hashes, F.lit(0), vote(j))
-        fp = fp.bitwiseOR(
-            F.when(votes > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return df.withColumn(out_col, fp)
+    return _parallelized(df).mapInPandas(kern, out_schema)
 
 
 def simhash_pairs(
