@@ -368,3 +368,71 @@ class TestControlMessages:
         df = _mk(spark, []).limit(0)
         out = with_control_messages(spark, df).collect()
         assert {r["event_type"] for r in out} == {CONTROL_MSG_START, CONTROL_MSG_STOP}
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+class TestCronFuzz:
+    """cron_expression_fires vs an INDEPENDENT minute-loop evaluator (no
+    engine code shared): random field specs over a 3-day span."""
+
+    def _py_fires(self, expr, start, end):
+        import datetime as dt
+
+        def field_ok(spec, value, lo, hi, dow=False):
+            if spec == "*":
+                return True
+            allowed = set()
+            for part in spec.split(","):
+                step = 1
+                if "/" in part:
+                    part, s = part.split("/", 1)
+                    step = int(s)
+                if part == "*":
+                    rng = range(lo, hi + 1)
+                elif "-" in part:
+                    a, b = part.split("-", 1)
+                    rng = range(int(a), int(b) + 1)
+                else:
+                    rng = range(int(part), int(part) + 1)
+                vals = [v for v in rng if (v - rng.start) % step == 0]
+                allowed.update((v % 7 for v in vals) if dow else vals)
+            return value in allowed
+
+        m, h, dom, mon, dow = expr.split()
+        out, t = [], start.replace(second=0, microsecond=0)
+        while t <= end:
+            # python weekday(): Mon=0..Sun=6; cron: Sun=0
+            cron_dow = (t.weekday() + 1) % 7
+            if (field_ok(m, t.minute, 0, 59) and field_ok(h, t.hour, 0, 23)
+                    and field_ok(dom, t.day, 1, 31) and field_ok(mon, t.month, 1, 12)
+                    and field_ok(dow, cron_dow, 0, 7, dow=True)):
+                out.append(t)
+            t += dt.timedelta(minutes=1)
+        return out
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        minute=st.sampled_from(["*", "0", "30", "*/15", "10-40/10", "5,35"]),
+        hour=st.sampled_from(["*", "0", "12", "*/6", "8-18/3", "1,13"]),
+        dow=st.sampled_from(["*", "0", "1-5", "5-7", "*/2"]),
+    )
+    def test_expression_fuzz_vs_minute_loop(self, spark, minute, hour, dow):
+        import datetime as dt
+
+        from php_ec_spark.functions import cron_expression_fires
+
+        expr = f"{minute} {hour} * * {dow}"
+        ev = TestCronExpressions._span(
+            TestCronExpressions(), spark,
+            "2024-03-30 06:30:00", "2024-04-02 01:10:00",  # month boundary
+        )
+        got = [r["fire_ts"] for r in
+               cron_expression_fires(ev, expr).orderBy("fire_ts").collect()]
+        want = self._py_fires(
+            expr, dt.datetime(2024, 3, 30, 6, 30), dt.datetime(2024, 4, 2, 1, 10)
+        )
+        assert got == want, expr

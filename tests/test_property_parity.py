@@ -158,3 +158,33 @@ class TestPropertyParity:
         assert _rows(compile_priority_suppress(df, rules)) == _rows(
             correlate_state_machine(df, rules)
         )
+
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        evs=EVENTS,
+        sup=st.tuples(st.booleans(), st.booleans(), st.booleans()),
+    )
+    def test_priority_suppress_parity(self, spark, evs, sup):
+        """Random suppression flags over a 3-rule single-match stack (the
+        shape is_priority_suppress_set admits — stateless, non-continuous):
+        the relational plan must equal the serial state machine for every
+        flag combination (F8 ordering semantics)."""
+        from php_ec_spark.engine.relational import (
+            compile_priority_suppress,
+            is_priority_suppress_set,
+        )
+        from php_ec_spark.rules import match_single
+
+        rules = [
+            match_single("r_a", ["a"], key="user_id", suppress=sup[0]),
+            match_single("r_bc", ["b", "c"], key="user_id", suppress=sup[1]),
+            match_single("r_all", ["*"], key="user_id", suppress=sup[2]),
+        ]
+        assert is_priority_suppress_set(rules)
+        df = _df(spark, evs)
+        assert _rows(compile_priority_suppress(df, rules)) == _rows(
+            correlate_state_machine(df, rules)
+        )
