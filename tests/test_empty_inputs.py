@@ -1,0 +1,76 @@
+"""Empty-input behavior across the public surface: every operator must
+return an empty, correctly-typed result — not crash — when fed an empty
+stream/corpus (the reference engine idles on an empty source)."""
+
+from pyspark.sql import functions as F
+
+from php_ec_spark.engine import correlate, correlate_state_machine
+from php_ec_spark.rules import match_single_continuously, sequence_rule
+
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+DOCS_DDL = "doc_id long, text string, lang string, source string"
+EMB_DDL = "vec_id long, embedding array<float>, label int"
+
+
+def _empty(spark, ddl):
+    return spark.createDataFrame([], ddl)
+
+
+class TestEmptyEvents:
+    def test_correlate_empty_stream(self, spark):
+        rules = [
+            sequence_rule("s", ["a", "b"], key="user_id", timeout="PT10S"),
+            match_single_continuously("g", ["*"], key="user_id", timeout="PT5S"),
+        ]
+        out = correlate(_empty(spark, EVENTS_DDL), rules)
+        assert out.count() == 0
+        assert "rule" in out.columns and "fire_ts" in out.columns
+
+    def test_state_machine_empty_stream(self, spark):
+        rules = [sequence_rule("s", ["a", "b"], key="user_id", timeout="PT10S")]
+        assert correlate_state_machine(_empty(spark, EVENTS_DDL), rules).count() == 0
+
+    def test_cron_over_empty_stream(self, spark):
+        from php_ec_spark.functions import cron_expression_fires, cron_fires
+
+        assert cron_fires(_empty(spark, EVENTS_DDL)).count() == 0
+        assert cron_expression_fires(_empty(spark, EVENTS_DDL), "0 * * * *").count() == 0
+
+    def test_chain_correlate_empty_stream(self, spark):
+        from php_ec_spark.engine.chain import chain_correlate
+
+        rules = [sequence_rule("s", ["a", "b"], key="user_id", timeout="PT10S")]
+        assert chain_correlate(_empty(spark, EVENTS_DDL), rules).count() == 0
+
+
+class TestEmptyCorpus:
+    def test_dedup_ops_empty_docs(self, spark):
+        from php_ec_spark.operators.dedup import (
+            dedup_clusters,
+            exact_dedup,
+            jaccard_pairs,
+            minhash_lsh_pairs,
+            simhash_pairs,
+        )
+
+        docs = _empty(spark, DOCS_DDL)
+        assert exact_dedup(docs).count() == 0
+        assert jaccard_pairs(docs).count() == 0
+        assert minhash_lsh_pairs(docs).count() == 0
+        assert simhash_pairs(docs).count() == 0
+        assert dedup_clusters(docs).count() == 0
+
+    def test_similarity_empty_corpus_or_queries(self, spark):
+        from php_ec_spark.operators.similarity import cosine_dup_pairs, cosine_topk
+
+        emb = _empty(spark, EMB_DDL)
+        assert cosine_topk(emb, emb, k=3).count() == 0
+        assert cosine_dup_pairs(emb, threshold=0.5).count() == 0
+
+    def test_text_ops_empty_docs(self, spark):
+        from php_ec_spark.operators.text import with_lang_id, with_token_stats
+
+        docs = _empty(spark, DOCS_DDL)
+        assert with_token_stats(docs).count() == 0
+        assert with_lang_id(docs).count() == 0
