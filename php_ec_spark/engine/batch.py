@@ -198,6 +198,13 @@ def correlate(events: DataFrame, rules: Sequence[Rule], historical: bool = False
 
     if not rules:
         return events.sparkSession.createDataFrame([], EMISSION_SCHEMA)
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        # emissions are keyed by rule name — duplicates would silently merge
+        # (reference throws on duplicate rule registration too,
+        # EngineTest::testEngineThrowsOnDuplicateRuleClassString)
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate rule names: {dupes}")
     if any(r.suppress for r in rules):
         # suppression makes rule-list order semantic across ALL rules
         # (CorrelationEngine.php:231-236). Stateless rule sets compile to

@@ -156,6 +156,10 @@ def correlate_stream(
     """
     if not rules:
         raise ValueError("correlate_stream needs at least one rule")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate rule names: {dupes}")
     by_key: dict[Optional[str], list[Rule]] = {}
     for r in rules:
         by_key.setdefault(r.key, []).append(r)

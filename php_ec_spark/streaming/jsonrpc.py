@@ -63,6 +63,29 @@ def _forward_log(params: dict) -> None:
     log.log(level, "%s %s", params.get("message"), params.get("context") or "")
 
 
+def _ndjson_lines(stream, compressed: bool):
+    """NDJSON lines from a binary stream, optionally inflating raw DEFLATE
+    (RFC 1951 — what PHP's zlib.deflate stream filter produces, S12).
+
+    Reads with ``read1`` (at-most-n, returns what's available) — a plain
+    ``read(n)`` blocks until n bytes arrive, deadlocking interactive
+    request/response pipes."""
+    read = getattr(stream, "read1", stream.read)
+    decomp = zlib.decompressobj(-zlib.MAX_WBITS) if compressed else None
+    pending = b""
+    while True:
+        chunk = read(65536)
+        if not chunk:
+            if decomp is not None:
+                pending += decomp.flush()
+            if pending.strip():
+                yield pending
+            return
+        pending += decomp.decompress(chunk) if decomp else chunk
+        *lines, pending = pending.split(b"\n")
+        yield from lines
+
+
 class _JsonRpcSimpleReader(SimpleDataSourceStreamReader):
     """Owns the source child process for the lifetime of the query.
 
@@ -98,26 +121,8 @@ class _JsonRpcSimpleReader(SimpleDataSourceStreamReader):
 
     # -- child stdout → buffer -------------------------------------------
 
-    def _lines(self):
-        """NDJSON lines from the child's stdout, optionally decompressing a
-        raw-DEFLATE stream (the reference's RPC compression)."""
-        assert self._proc.stdout is not None
-        decomp = zlib.decompressobj(-zlib.MAX_WBITS) if self._compressed else None
-        pending = b""
-        while True:
-            chunk = self._proc.stdout.read(65536)
-            if not chunk:
-                if decomp is not None:
-                    pending += decomp.flush()
-                if pending.strip():
-                    yield pending
-                return
-            pending += decomp.decompress(chunk) if decomp else chunk
-            *lines, pending = pending.split(b"\n")
-            yield from lines
-
     def _pump(self) -> None:
-        for line in self._lines():
+        for line in _ndjson_lines(self._proc.stdout, self._compressed):
             line = line.strip()
             if not line:
                 continue
@@ -257,16 +262,21 @@ class JsonRpcActionProcess:
         self.failed: int = 0
         self._pending: dict[str, dict] = {}  # id -> {"done": Event, ...}
         self._lock = threading.Lock()
+        full_env = {**os.environ, **(env or {})}
+        # S12: compression applies to BOTH directions of the action pipe
+        # (RPCCompressionTest: testActionWithCompressionExecutesSuccessfully)
+        self._compressed = full_env.get("PHPEC_RPC_COMPRESSION") == "1"
+        self._comp = (
+            zlib.compressobj(wbits=-zlib.MAX_WBITS) if self._compressed else None
+        )
         self._proc = subprocess.Popen(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
-            env={**os.environ, **(env or {})}, text=True, bufsize=1,
+            stderr=subprocess.DEVNULL, env=full_env,
         )
         threading.Thread(target=self._pump, daemon=True).start()
 
     def _pump(self) -> None:
-        assert self._proc.stdout is not None
-        for line in self._proc.stdout:
+        for line in _ndjson_lines(self._proc.stdout, self._compressed):
             line = line.strip()
             if not line:
                 continue
@@ -298,7 +308,10 @@ class JsonRpcActionProcess:
         req = {"jsonrpc": "2.0", "method": METHOD_RUN, "params": params, "id": rid}
         try:
             assert self._proc.stdin is not None
-            self._proc.stdin.write(json.dumps(req, default=str) + "\n")
+            data = (json.dumps(req, default=str) + "\n").encode()
+            if self._comp is not None:
+                data = self._comp.compress(data) + self._comp.flush(zlib.Z_SYNC_FLUSH)
+            self._proc.stdin.write(data)
             self._proc.stdin.flush()
         except (BrokenPipeError, ValueError) as e:
             with self._lock:

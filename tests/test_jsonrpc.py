@@ -222,3 +222,23 @@ out.flush()
         r = self._reader(script, env={"PHPEC_RPC_COMPRESSION": "1"})
         rows, _ = self._drain(r, want=20)
         assert [json.loads(v)["v"] for _s, v in rows] == list(range(20))
+
+
+class TestRpcCompressionParity:
+    """RPCCompressionTest analogs: sources and actions work with AND
+    without PHPEC_RPC_COMPRESSION (the without- cases are covered by every
+    other test in this file)."""
+
+    def test_action_with_compression_executes(self):
+        from php_ec_spark.streaming.jsonrpc import JsonRpcActionProcess
+
+        proc = JsonRpcActionProcess(
+            ECHO_ACTION, env={"PHPEC_RPC_COMPRESSION": "1"}, timeout=15
+        )
+        try:
+            assert proc.run({"note": "compressed"}) is True
+            with pytest.raises(RuntimeError, match="requested failure"):
+                proc.run({"boom": True})
+            assert proc.completed == 1 and proc.failed == 1
+        finally:
+            proc.shutdown()

@@ -355,3 +355,56 @@ def test_multi_key_orchestration_two_concurrent_queries(spark, stream_dirs):
     # combined views carry the key-column tag
     assert {k for k, *_ in group.completed} == {"user_id", "event_type"}
     assert group.failed == []
+
+
+def test_duplicate_rule_names_rejected(spark, stream_dirs):
+    """EngineTest::testEngineThrowsOnDuplicateRuleClassString parity:
+    emissions are keyed by rule name, so duplicates must be rejected in
+    both engines, not silently merged."""
+    from php_ec_spark.engine import correlate
+    from php_ec_spark.engine.streaming import correlate_stream
+
+    src, _ckpt = stream_dirs
+    rules = [
+        sequence_rule("pay", ["signup", "purchase"], key="user_id", timeout="PT1H"),
+        sequence_rule("pay", ["click", "purchase"], key="user_id", timeout="PT1H"),
+    ]
+    batch_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+    )
+    with pytest.raises(ValueError, match="duplicate rule names.*pay"):
+        correlate(batch_events, rules)
+    _write_ndjson(src / "01.json", [_ev(0, "2024-01-01T00:00:00Z", 1, "signup")])
+    with pytest.raises(ValueError, match="duplicate rule names.*pay"):
+        correlate_stream(ndjson_dir_source(spark, str(src)), rules)
+
+
+def test_heartbeat_source_pulses_in_band(spark, stream_dirs):
+    """W10: heartbeat rows arrive as in-band control events on the rate
+    schedule (HeartbeatTest::testHeartbeatPulseOnSchedule...)."""
+    from php_ec_spark.model import CONTROL_MSG_HEARTBEAT
+    from php_ec_spark.streaming import heartbeat_source
+
+    _src, ckpt = stream_dirs
+    hb = heartbeat_source(spark, every_seconds=1)
+    q = (
+        hb.writeStream.queryName("hb_test").format("memory")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM hb_test").count() >= 2:
+                break
+            time.sleep(0.3)
+        rows = spark.sql("SELECT * FROM hb_test ORDER BY value").collect()
+    finally:
+        q.stop()
+    assert len(rows) >= 2
+    assert all(r.event_type == CONTROL_MSG_HEARTBEAT for r in rows)
+    assert all(r.event_id <= -1000 for r in rows)  # negative id space
+    seqs = [r.value for r in rows]
+    assert seqs == sorted(seqs)
