@@ -119,6 +119,21 @@ class MemoryEngine:
         )
         return events.join(dim, on == F.col("__mem_key"), "left").drop("__mem_key")
 
+    def purge_expired(self, now: Optional[Column] = None) -> "MemoryEngine":
+        """Physically drop expired entries (ArrayBackend::purgeExpired) —
+        ``live`` already filters them lazily; purging bounds the entries
+        table between checkpoints."""
+        return MemoryEngine(self.spark, self.live(now), generation=self.generation)
+
+    def clear(self, ns: Optional[str] = None) -> "MemoryEngine":
+        """Drop every entry, or one namespace (ArrayBackend::clear)."""
+        kept = (
+            self.entries.filter(F.col("namespace") != ns)
+            if ns is not None
+            else self.spark.createDataFrame([], MEMORY_SCHEMA)
+        )
+        return MemoryEngine(self.spark, kept, generation=self.generation)
+
     # -- persistence (S10) ---------------------------------------------------
     def save(self, path: str) -> None:
         """Persist persistent-flagged entries (JsonFileBackend.php:38-108 →

@@ -205,6 +205,37 @@ class TestMemory:
         live = {r.key: r.value for r in mem.namespace("ns", now=F.lit(now)).collect()}
         assert live == {"k1": "v2"}
 
+    def test_purge_and_clear(self, spark):
+        """ArrayBackend purgeExpired/clear analogs (reference MemoryTest)."""
+        now = dt.datetime(2024, 1, 1, 12, 0, 0)
+        writes = spark.createDataFrame(
+            [
+                ("a", "k1", "v1", None, False, 1),
+                ("a", "k2", "old", now - dt.timedelta(hours=1), False, 2),
+                ("b", "k3", "v3", None, False, 3),
+            ],
+            "namespace string, key string, value string, expires_at timestamp, "
+            "persistent boolean, write_seq long",
+        )
+        mem = MemoryEngine(spark).apply_writes(writes)
+        assert mem.entries.count() == 3
+        purged = mem.purge_expired(now=F.lit(now))
+        assert purged.entries.count() == 2  # expired row physically gone
+        assert {r.key for r in purged.namespace("a", now=F.lit(now)).collect()} == {"k1"}
+
+        only_b = purged.clear(ns="a")
+        assert {r.namespace for r in only_b.entries.collect()} == {"b"}
+        assert only_b.clear().entries.count() == 0
+        # generation survives clears: later writes still beat earlier ones
+        again = only_b.clear().apply_writes(
+            spark.createDataFrame(
+                [("a", "k1", "v9", None, False, 1)],
+                "namespace string, key string, value string, expires_at timestamp, "
+                "persistent boolean, write_seq long",
+            )
+        )
+        assert {r.value for r in again.namespace("a", now=F.lit(now)).collect()} == {"v9"}
+
     def test_writes_from_emissions_roundtrip(self, spark):
         """Rule emissions become memory writes: the last completed match per
         key is readable back through the memory namespace (J6 write path)."""
