@@ -41,6 +41,19 @@ def main() -> None:
         .count()
         .count()
     )
+    # ...join codegen paths too (BroadcastHashJoin + SortMergeJoin JIT):
+    # without this, the first join-heavy query pays ~1-2s of one-time
+    # compilation that no steady-state deployment would see
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(20000)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), (orders.o_custkey % 25) == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("l_extendedprice"))
+        .count()
+    )
+    li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey).count()
     # ...and the Python/Arrow workers (spark.python.worker.reuse keeps them
     # alive session-wide, so first-spawn cost is session setup, not query
     # cost — same bucket as JVM classloading above)
@@ -49,14 +62,15 @@ def main() -> None:
     ).mapInPandas(lambda it: it, schema="id long").count()
     print(f"# warmup: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
 
-    # two measured iterations per query, report the min — steady-state cost
-    # (scheduler noise on a shared box swings single runs by 2×; the min is
+    # N measured iterations per query, report the min — steady-state cost
+    # (noisy-neighbor CPU on this box swings single runs by 2×; the min is
     # the reproducible number a tuned deployment would see)
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
     total = 0.0
     for name, q in sorted(headline.items()):
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(iters):
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             n = df.count()
@@ -84,7 +98,7 @@ def main() -> None:
         match_single_continuously("gap", ["*"], key="user_id", timeout="PT6H"),
     ]
     eps = 0.0
-    for _ in range(2):  # same min-of-two policy as the headline queries
+    for _ in range(iters):  # same min-of-N policy as the headline queries
         t0 = time.perf_counter()
         correlate_state_machine(events, sm_rules).count()
         eps = max(eps, n_events / (time.perf_counter() - t0))
