@@ -120,6 +120,26 @@ class TestNoCartesianInPairOps:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestCatalogWideLint:
+    """Every registered query, not just the hand-picked ones above: no plan
+    in the catalog may contain a row-space cartesian or a row-at-a-time
+    Python eval. These are the two shapes that silently stop scaling —
+    CartesianProduct is O(n²) rows, BatchEvalPython is pickled per-row
+    Python in the hot path (Arrow/Pandas eval is fine)."""
+
+    def test_no_cartesian_or_rowwise_python_anywhere(self, spark):
+        bad: list[str] = []
+        for name, q in sorted(all_queries().items()):
+            plan = (
+                q.spark(spark, SF)._jdf.queryExecution().executedPlan().toString()
+            )
+            if "CartesianProduct" in plan:
+                bad.append(f"{name}: CartesianProduct")
+            if "BatchEvalPython" in plan:
+                bad.append(f"{name}: BatchEvalPython (row-at-a-time UDF)")
+        assert not bad, bad
+
+
 class TestWholeStageCodegen:
     @pytest.mark.parametrize("name", ["rel_q1_pricing", "pipe_text_stats"])
     def test_codegen_spans_exist(self, spark, name):
