@@ -44,6 +44,11 @@ def _with_session_defaults(fn: Callable[[SparkSession, str], DataFrame]):
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # TIMESTAMP(µs, isAdjustedToUTC=false) parquet columns must read as
+        # session-TZ TIMESTAMP (UTC), not TIMESTAMP_NTZ — matches DuckDB's
+        # naive-UTC timestamps and keeps ts arithmetic (casts to double,
+        # unix_timestamp) legal.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "query")

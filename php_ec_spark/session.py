@@ -41,6 +41,10 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.session.timeZone", "UTC")
+        # Read µs-naive parquet timestamps as UTC TIMESTAMP, not NTZ
+        # (DuckDB-oracle parity; NTZ forbids the double casts our clock
+        # arithmetic uses).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
