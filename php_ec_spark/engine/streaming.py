@@ -39,14 +39,29 @@ STATE_SCHEMA = T.StructType([T.StructField("blob", T.StringType())])
 
 
 def _make_stateful_handler(
-    rules: Sequence[Rule], historical: bool, clock: str, keyless: bool = False
+    rules: Sequence[Rule],
+    historical: bool,
+    clock: str,
+    keyless: bool = False,
+    restore_bc=None,
 ):
     def handle(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        blob = state.get[0] if state.exists else None
+        restore_key = "__all__" if keyless else str(key[0])
+        in_restore = restore_bc is not None and restore_key in restore_bc.value
+        if state.exists:
+            blob = state.get[0]
+        else:
+            # warm start (restore-then-go-live, Scheduler.php:695-947): first
+            # touch of a key whose state was snapshotted resumes its in-flight
+            # instances. Only consulted while the key has NO store state —
+            # once touched, restorable keys always persist at least an
+            # empty-marker blob (below) so drained instances cannot
+            # resurrect on a later batch.
+            blob = restore_bc.value.get(restore_key) if in_restore else None
         # keyless rules group on a synthetic constant — their emissions must
         # carry key=NULL exactly like the batch engine, not the constant
         core = EngineCore.from_state(
@@ -95,6 +110,11 @@ def _make_stateful_handler(
                     wm_ms = state.getCurrentWatermarkMs()
                     # event-time timers must be > watermark; clamp forward
                     state.setTimeoutTimestamp(max(nxt // 1_000_000, wm_ms + 1))
+        elif in_restore:
+            # tombstone: restorable key with nothing live — keep an
+            # empty-state marker (O(|snapshot|) store entries) so the
+            # broadcast snapshot is never re-applied after a drain
+            state.update(("",))
         elif state.exists:
             state.remove()
 
@@ -122,6 +142,7 @@ def correlate_stream(
     historical: bool = False,
     prefilter_types: bool = False,
     clock: str = "event",
+    initial_state: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Run rules over a STREAMING events DataFrame; returns the emission
     stream (append mode).
@@ -143,6 +164,21 @@ def correlate_stream(
     starts the query (see :func:`php_ec_spark.streaming.start_correlation`)
     with a checkpointLocation — that checkpoint IS the reference's
     save-state file, done properly.
+
+    ``initial_state`` warm-starts the state store from a batch snapshot
+    (``engine.streaming_tws.snapshot_state`` output: ``__key string, blob
+    string``): the reference's restore-savefile-then-go-live boot sequence
+    (Scheduler.php:695-947). The snapshot is collected and broadcast —
+    driver-sized, exactly like the reference's single gzip-JSON save file
+    (FileAdapter.php:73-233); a restored key's instances resume on its
+    first incoming event. CAVEAT (applyInPandasWithState has no initial
+    timer registration): a restored key that never receives another event
+    never fires its pending timeouts — touch every restored key by
+    injecting one in-band ``CONTROL_MSG_RESTORED`` kick row per key into
+    the source (the reference does the same at boot, Scheduler.php:730-737;
+    '*'-rules see it, other rules ignore it). The transformWithState
+    backend (engine.streaming_tws) arms restored timers natively where its
+    runtime is available.
 
     ``prefilter_types`` is OFF by default, deliberately: Catalyst pushes an
     event-type filter BELOW the EventTimeWatermark node, so events no rule
@@ -174,6 +210,15 @@ def correlate_stream(
             "correlate_stream/start_correlation per key column"
         )
 
+    restore_bc = None
+    if initial_state is not None:
+        snap = {
+            r["__key"]: r["blob"]
+            for r in initial_state.select("__key", "blob").collect()
+            if r["blob"]
+        }
+        restore_bc = events.sparkSession.sparkContext.broadcast(snap)
+
     src = events.withWatermark("ts", watermark_delay)
     outs = []
     for key_col, group_rules in by_key.items():
@@ -200,7 +245,11 @@ def correlate_stream(
         outs.append(
             grouped.applyInPandasWithState(
                 _make_stateful_handler(
-                    list(group_rules), historical, clock, keyless=key_col is None
+                    list(group_rules),
+                    historical,
+                    clock,
+                    keyless=key_col is None,
+                    restore_bc=restore_bc,
                 ),
                 outputStructType=EMISSION_SCHEMA,
                 stateStructType=STATE_SCHEMA,
