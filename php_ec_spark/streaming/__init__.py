@@ -50,6 +50,7 @@ def start_correlation(
     query_name: str = "php-ec-correlation",
     trigger_once: bool = False,
     clock: str = "event",
+    initial_state: Optional[DataFrame] = None,
 ) -> StreamingQuery:
     """Source → correlation engine → action sink, checkpointed.
 
@@ -57,14 +58,22 @@ def start_correlation(
     and sink progress — the whole SaveHandler/RECOVERY subsystem of the
     reference (Scheduler.php:620-673, 766-884) in one Spark-native knob.
     Restarting with the same checkpoint resumes exactly where processing
-    stopped. The dispatcher anchors its cross-run batch markers and
+    stopped. ``initial_state`` (an ``engine.snapshot_state`` DataFrame)
+    warm-starts a FRESH checkpoint from a batch replay of history — the
+    reference's restore-savefile-then-go-live boot (Scheduler.php:695-947);
+    see correlate_stream's docstring for the quiet-key kick caveat.
+    The dispatcher anchors its cross-run batch markers and
     errored-action journal under the same checkpoint dir (unless it was
     built with its own), so a replayed micro-batch is skipped instead of
     double-dispatching — the reference's errored-action replay + marker
     bookkeeping (W12, Scheduler.php:766-884).
     """
     emissions = correlate_stream(
-        events, rules, watermark_delay=watermark_delay, clock=clock
+        events,
+        rules,
+        watermark_delay=watermark_delay,
+        clock=clock,
+        initial_state=initial_state,
     )
     dispatcher = dispatcher or ActionDispatcher()
     if dispatcher.checkpoint_dir is None:
@@ -126,6 +135,7 @@ def start_correlations(
     query_name: str = "php-ec-correlation",
     trigger_once: bool = False,
     clock: str = "event",
+    history: Optional[DataFrame] = None,
 ) -> CorrelationGroup:
     """Start one correlation query PER KEY COLUMN in the rule set.
 
@@ -136,7 +146,15 @@ def start_correlations(
     :class:`ActionDispatcher` — separate dispatchers keep per-query batch
     ids from colliding in the cross-run markers). Returns a
     :class:`CorrelationGroup` with combined emission bookkeeping.
+
+    ``history`` (a BATCH DataFrame of past events) warm-starts every
+    query: each key group batch-replays it via ``engine.snapshot_state``
+    and seeds its state store, so live queries continue mid-sequence
+    instead of starting cold — the reference's boot-time restore
+    (Scheduler.php:695-947) across the whole rule set.
     """
+    from ..engine.streaming_tws import snapshot_state
+
     by_key: dict[Optional[str], list[Rule]] = {}
     for r in rules:
         by_key.setdefault(r.key, []).append(r)
@@ -156,5 +174,8 @@ def start_correlations(
             query_name=f"{query_name}-{tag}",
             trigger_once=trigger_once,
             clock=clock,
+            initial_state=(
+                snapshot_state(history, group_rules) if history is not None else None
+            ),
         )
     return group

@@ -191,6 +191,188 @@ class TestWarmStartStream:
         assert u1 == [("completed", 1, 10)]
 
 
+class TestSnapshotRoundtripFuzz:
+    """Serialize → restore mid-stream must be invisible: for ANY event
+    stream and ANY split point, (handle prefix, to_state, from_state,
+    handle suffix) emits exactly what an uninterrupted run emits."""
+
+    def test_roundtrip_any_split(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        rules = lambda: [  # noqa: E731
+            sequence_rule("s3", ["a", "b", "c"], key="user_id", timeout="PT25S"),
+            sequence_rule("s2", ["b", "a"], key="user_id", timeout="PT10S"),
+        ]
+        t0 = 1704067200
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            evs=st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=60),
+                    st.sampled_from(["a", "b", "c"]),
+                ),
+                min_size=1,
+                max_size=12,
+            ),
+            cut=st.integers(min_value=0, max_value=12),
+        )
+        def run(evs, cut):
+            evs = sorted(
+                (int((t0 + s) * 1e9), i, t) for i, (s, t) in enumerate(evs)
+            )
+            cut = min(cut, len(evs))
+
+            full = EngineCore(rules(), "k")
+            for ts, i, t in evs:
+                full.handle((i, ts, t, float(i)))
+            full.fire_due(None)
+            want = full.take_rows()
+
+            head = EngineCore(rules(), "k")
+            for ts, i, t in evs[:cut]:
+                head.handle((i, ts, t, float(i)))
+            got = head.take_rows()
+            tail = EngineCore.from_state(rules(), "k", head.to_state())
+            for ts, i, t in evs[cut:]:
+                tail.handle((i, ts, t, float(i)))
+            tail.fire_due(None)
+            got += tail.take_rows()
+            assert got == want
+
+        run()
+
+
+class TestWarmStartBoundaryFuzz:
+    """Spark-level: for random streams and a random snapshot boundary,
+    snapshot(history) + warm-started live stream must emit exactly the
+    post-boundary suffix of an uninterrupted batch replay. Each example
+    costs a full streaming query, so examples are few but adversarial
+    (duplicate timestamps, boundary on a timestamp tie, interleaved keys).
+    """
+
+    def _expected(self, rules, evs_hist, evs_live, kicks, sentinel_ns):
+        """Uninterrupted EngineCore replay per key, dropping everything
+        emitted while the history prefix was processed."""
+        import pandas as pd
+
+        by_key: dict = {}
+        for phase, evs in (("h", evs_hist), ("l", kicks + evs_live)):
+            for ev in sorted(evs, key=lambda e: (e[1], e[0])):
+                by_key.setdefault(ev[4], []).append((phase, ev))
+        rows = []
+        for key, seq in by_key.items():
+            core = EngineCore(rules(), key)
+            for phase, (i, ts, t, v, _u) in seq:
+                core.handle((i, ts, t, v))
+                if phase == "h":
+                    core.take_rows()  # pre-boundary emissions don't re-emit
+                else:
+                    rows.extend(core.take_rows())
+            core.fire_due(sentinel_ns)  # global watermark passes everything
+            rows.extend(core.take_rows())
+        return sorted(
+            (r[0], r[1], r[2], str(pd.to_datetime(r[3], unit="ns")), r[4], r[5], r[6])
+            for r in rows
+        )
+
+    def test_boundary_parity(self, spark, tmp_path):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        rules = lambda: [  # noqa: E731
+            sequence_rule("seq", ["a", "b"], key="user_id", timeout="PT20S"),
+        ]
+        t0 = 1704067200
+
+        @settings(
+            max_examples=3, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            evs=st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=50),
+                    st.integers(min_value=1, max_value=2),
+                    st.sampled_from(["a", "b"]),
+                ),
+                min_size=2,
+                max_size=8,
+            ),
+            cut_frac=st.floats(min_value=0.2, max_value=0.8),
+        )
+        def run(evs, cut_frac):
+            evs = sorted(enumerate(evs), key=lambda p: (p[1][0], p[0]))
+            all_evs = [
+                (i, int((t0 + s) * 1e9), t, float(i), u)
+                for i, (_o, (s, u, t)) in enumerate(evs)
+            ]
+            cut = max(1, int(len(all_evs) * cut_frac))
+            hist, live = all_evs[:cut], all_evs[cut:]
+            cut_ns = hist[-1][1]
+            sentinel_ns = int((t0 + 4 * 3600) * 1e9)
+
+            import datetime as dt
+
+            hist_df = spark.createDataFrame(
+                [
+                    (i, dt.datetime.utcfromtimestamp(ts / 1e9), u, t, v, None)
+                    for i, ts, t, v, u in hist
+                ],
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string",
+            )
+            snapshot = snapshot_state(hist_df, rules())
+            snap_keys = [r["__key"] for r in snapshot.collect()]
+            kicks = [
+                (-(j + 1), cut_ns, CONTROL_MSG_RESTORED, None, int(k))
+                for j, k in enumerate(sorted(snap_keys))
+            ]
+
+            src = tmp_path / f"fz-{uuid.uuid4().hex[:8]}"
+            src.mkdir()
+            def jrow(i, ts_ns, t, v, u):
+                iso = dt.datetime.utcfromtimestamp(ts_ns / 1e9).strftime(
+                    "%Y-%m-%dT%H:%M:%SZ"
+                )
+                return {"event_id": i, "ts": iso, "user_id": u,
+                        "event_type": t, "value": v, "props": None}
+            chunks = [
+                [jrow(*e) for e in kicks + live],
+                [jrow(99, sentinel_ns, "zzz", 0.0, 1)],
+            ]
+            for i, chunk in enumerate(chunks):
+                with open(src / f"{i:02d}.json", "w") as f:
+                    for r in chunk:
+                        f.write(json.dumps(r) + "\n")
+                time.sleep(0.05)
+
+            emissions = correlate_stream(
+                ndjson_dir_source(spark, str(src), max_files_per_trigger=1),
+                rules(),
+                initial_state=snapshot,
+            )
+            collected: list = []
+            q = (
+                emissions.writeStream
+                .option("checkpointLocation", str(tmp_path / f"ck-{uuid.uuid4().hex[:8]}"))
+                .outputMode("append")
+                .foreachBatch(lambda df, _b: collected.extend(df.collect()))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(timeout=180)
+            got = sorted(
+                (r["rule"], r["key"], r["outcome"], str(r["fire_ts"]),
+                 r["start_event_id"], r["last_event_id"], r["n_events"])
+                for r in collected
+            )
+            assert got == self._expected(rules, hist, live, kicks, sentinel_ns)
+
+        run()
+
+
 class TestTwsGate:
     def test_tws_raises_cleanly_without_protobuf(self, spark):
         """transformWithState needs protobuf; without it the entry must
