@@ -13,6 +13,7 @@ Maps the reference's scheduler plumbing onto Structured Streaming:
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Sequence
@@ -36,6 +37,7 @@ __all__ = [
     "jsonrpc_source",
     "ndjson_dir_source",
     "rate_event_source",
+    "start_chained_correlation",
     "start_correlation",
     "start_correlations",
 ]
@@ -88,6 +90,98 @@ def start_correlation(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_chained_correlation(
+    events: DataFrame,
+    rules: Sequence[Rule],
+    checkpoint_dir: str,
+    chain_dir: str,
+    dispatcher: Optional[ActionDispatcher] = None,
+    watermark_delay: str = "1 day",
+    clock: str = "processing",
+    trigger_interval: str = "500 milliseconds",
+    query_name: str = "php-ec-chained",
+    to_events: Optional[Callable[[DataFrame], DataFrame]] = None,
+) -> StreamingQuery:
+    """LIVE rule chaining (J5): emissions become events the SAME query
+    consumes on a later trigger.
+
+    The reference re-injects rule-emitted events into its engine on the
+    next loop tick (CorrelationEngine.php:372-391, Scheduler.php:800-814).
+    Streaming analog: the source is ``events`` unioned with an NDJSON
+    stream over ``chain_dir``; each micro-batch's emissions are (a)
+    dispatched as actions and (b) rendered to derived events
+    (``engine.emissions_to_events`` — '<rule>:<outcome>' types, negative
+    collision-free ids) and appended to ``chain_dir``, where the file
+    source picks them up on the next trigger — the futureTick deferral as
+    a file-fed feedback loop, offset-tracked and replay-safe through the
+    checkpoint.
+
+    Defaults encode the live-mode contract:
+
+    - ``clock="processing"`` — chaining is a live-engine behavior
+      (TickClock); derived events carry PAST event times (a timeout's
+      fire_ts is its deadline), which event-time timers have already swept
+      past. Deterministic batch replay of chains is ``chain_correlate``.
+    - ``watermark_delay="1 day"`` — the late-row bound must cover the
+      whole event-time span a chain can reach back to, or re-injected
+      events get dropped as late; size it to the longest rule timeout
+      chain.
+
+    A rule set that consumes its own derived types can loop forever —
+    exactly like the reference (no depth cap in live mode); batch
+    ``chain_correlate`` is the capped variant.
+    """
+    from ..engine.chain import emissions_to_events
+
+    os.makedirs(chain_dir, exist_ok=True)
+    spark = events.sparkSession
+    src = events.unionByName(ndjson_dir_source(spark, chain_dir))
+    emissions = correlate_stream(
+        src, rules, watermark_delay=watermark_delay, clock=clock
+    )
+
+    if to_events is None:
+        src_types = dict(events.dtypes)
+        key_cols = {
+            r.key: src_types.get(r.key, "bigint") for r in rules if r.key is not None
+        } or {"user_id": "bigint"}
+        rule_index = {r.name: i for i, r in enumerate(rules)}
+        to_events = lambda em: emissions_to_events(  # noqa: E731
+            em, key_cols=key_cols, rule_index=rule_index
+        )
+
+    dispatcher = dispatcher or ActionDispatcher()
+    if dispatcher.checkpoint_dir is None:
+        dispatcher.checkpoint_dir = checkpoint_dir
+    dispatcher.replay_errored()
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df = df.localCheckpoint(eager=True)  # dispatch + re-render, one compute
+        dispatcher(df, batch_id)
+        derived = to_events(df).collect()
+        if not derived:
+            return
+        # atomic tmp+rename so the file source never reads a half-written
+        # batch (the reference's save-file discipline, FileAdapter.php:164-197)
+        path = os.path.join(chain_dir, f"derived_{batch_id:010d}.json")
+        with open(path + ".tmp", "w") as f:
+            for r in derived:
+                d = r.asDict()
+                ts = d["ts"]
+                d["ts"] = ts.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z" if ts else None
+                f.write(json.dumps(d, default=str) + "\n")
+        os.replace(path + ".tmp", path)
+
+    return (
+        emissions.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .foreachBatch(sink)
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )
 
 
 @dataclass

@@ -1,0 +1,82 @@
+"""Live rule chaining (J5): a rule's emission re-enters the SAME streaming
+query as a derived event on a later trigger.
+
+The scenario is the reference's canonical online-shop chain
+(examples/online_shop): CheckOrderPayment times out → emits a derived
+timeout event → OrderPaymentReminder consumes it. Here both rules run in
+one processing-clock streaming query whose foreachBatch sink writes
+derived events back into the unioned chain directory —
+CorrelationEngine.php:372-391's futureTick re-injection as a checkpointed
+file feedback loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from php_ec_spark.rules import match_single, sequence_rule
+from php_ec_spark.streaming import (
+    ActionDispatcher,
+    ndjson_dir_source,
+    start_chained_correlation,
+)
+
+
+class TestChainedStreaming:
+    def test_timeout_chains_into_reminder(self, spark, tmp_path):
+        src = tmp_path / f"src-{uuid.uuid4().hex[:8]}"
+        chain = tmp_path / "chain"
+        src.mkdir()
+        # order placed, never paid; event time is past, so the processing
+        # clock (TickClock — live mode) times it out on the next tick
+        with open(src / "orders.json", "w") as f:
+            f.write(json.dumps({
+                "event_id": 1, "ts": "2024-01-01T00:00:00Z", "user_id": 42,
+                "event_type": "order_placed", "value": 99.5, "props": None,
+            }) + "\n")
+
+        rules = [
+            sequence_rule(
+                "check_payment", ["order_placed", "payment"],
+                key="user_id", timeout="PT20S",
+            ),
+            # consumes the DERIVED type '<rule>:<outcome>'
+            match_single("reminder", ["check_payment:timeout"], key="user_id"),
+        ]
+        seen: list = []
+        dispatcher = ActionDispatcher()
+        dispatcher.register("capture", fn=lambda rows: seen.extend(rows))
+
+        q = start_chained_correlation(
+            ndjson_dir_source(spark, str(src)),
+            rules,
+            checkpoint_dir=str(tmp_path / "ck"),
+            chain_dir=str(chain),
+            dispatcher=dispatcher,
+            trigger_interval="300 milliseconds",
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if any(r["rule"] == "reminder" for r in seen):
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
+
+        by_rule = {r["rule"]: r for r in seen}
+        assert set(by_rule) == {"check_payment", "reminder"}
+        t = by_rule["check_payment"]
+        # fire_ts is the event-time deadline even under the processing clock
+        assert t["outcome"] == "timeout" and str(t["fire_ts"]).startswith(
+            "2024-01-01 00:00:20"
+        )
+        r = by_rule["reminder"]
+        assert r["outcome"] == "completed" and r["key"] == "42"
+        # the reminder consumed a DERIVED event: negative collision-free id
+        assert r["last_event_id"] < 0
+        # and the derived file itself landed in the chain dir
+        assert any(p.endswith(".json") for p in os.listdir(chain))
