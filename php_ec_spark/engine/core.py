@@ -94,6 +94,18 @@ class EngineCore:
         self.live: dict[str, List[_Instance]] = {r.name: [] for r in rules}
         self.seq = 0
         self.rows: list = []
+        # LOWER BOUND on the earliest live deadline (None = no deadlines).
+        # fire_due early-returns on it — the common per-event call fires
+        # nothing, and scanning every instance each event measured ~15% of
+        # the hot loop. Staleness is only ever DOWNWARD (an instance leaving
+        # without a scan leaves the bound low), which is safe: a low bound
+        # causes a scan, never a missed firing. Every deadline assignment
+        # must go through _note_deadline to preserve the invariant.
+        self._min_deadline: Optional[int] = None
+
+    def _note_deadline(self, d: Optional[int]) -> None:
+        if d is not None and (self._min_deadline is None or d < self._min_deadline):
+            self._min_deadline = d
 
     # -- emission ---------------------------------------------------------
     def _emit(self, rule: Rule, outcome: str, fire_ns: int, inst: _Instance) -> None:
@@ -136,6 +148,9 @@ class EngineCore:
     def fire_due(self, limit_ns: Optional[int]) -> None:
         """Fire every pending timeout with deadline ≤ limit (None = all) in
         single engine-wide deadline order (CorrelationEngine.php:517-521)."""
+        md = self._min_deadline
+        if md is None or (limit_ns is not None and md > limit_ns):
+            return  # nothing can be due (md is a lower bound on all deadlines)
         due = [
             (inst.deadline_ns, inst.seq, r, inst)
             for r in self.rules
@@ -146,6 +161,13 @@ class EngineCore:
         for deadline, _, r, inst in sorted(due, key=lambda x: (x[0], x[1])):
             self.live[r.name].remove(inst)
             self._emit(r, "timeout", deadline, inst)
+        remaining = [
+            inst.deadline_ns
+            for r in self.rules
+            for inst in self.live[r.name]
+            if inst.deadline_ns is not None
+        ]
+        self._min_deadline = min(remaining) if remaining else None
 
     def next_deadline(self) -> Optional[int]:
         """Earliest pending deadline — the streaming timer to arm
@@ -210,8 +232,10 @@ class EngineCore:
                 if inst.consume(ev):
                     self.live[r.name].remove(inst)
                     self._emit(r, "completed", t, inst)
-                elif r.emit_progress:
-                    self._emit(r, "progress", t, inst)
+                else:
+                    self._note_deadline(inst.deadline_ns)
+                    if r.emit_progress:
+                        self._emit(r, "progress", t, inst)
             # per-class dedup (CorrelationEngine.php:252-254)
             group0 = r.events[0]
             if not handled and (ev[2] in group0 or EVENT_MATCH_ANY in group0):
@@ -227,6 +251,7 @@ class EngineCore:
                         self._emit(r, "completed", t, inst)
                     else:
                         self.live[r.name].append(inst)
+                        self._note_deadline(inst.deadline_ns)
                         if r.emit_progress:
                             self._emit(r, "progress", t, inst)
             if handled and r.suppress:
@@ -272,5 +297,7 @@ class EngineCore:
                 # dropped-rule state: the reference aliases UndefinedRule
                 # (functions.php:159-166) — we drop the instance explicitly.
                 continue
-            core.live[rule.name].append(_Instance.from_state(rule, s))
+            inst = _Instance.from_state(rule, s)
+            core.live[rule.name].append(inst)
+            core._note_deadline(inst.deadline_ns)
         return core

