@@ -62,6 +62,41 @@ def with_unit_vec(df: DataFrame, vec_col: str = "embedding", out_col: str = "uni
     ).drop("__norm")
 
 
+def _collect_matrix(corpus: DataFrame, id_col: str, vec_col: str):
+    """Assemble (ids, M, norms) for broadcasting WITHOUT a full-corpus
+    ``toPandas``: each Arrow batch is packed executor-side into one compact
+    (int64-bytes, float64-bytes) row, so what crosses to the driver is the
+    raw 8·n·(d+1) bytes a Spark broadcast fundamentally requires — never
+    per-row pandas objects (which cost ~10× that in driver heap). Returns
+    (ids, M, norms) or None for an empty corpus."""
+    import numpy as np
+    import pandas as pd
+
+    def pack(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            yield pd.DataFrame(
+                {"ids": [ids.tobytes()], "mat": [M.tobytes()], "dim": [M.shape[1]]}
+            )
+
+    blocks = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(pack, schema="ids binary, mat binary, dim int")
+        .collect()
+    )
+    if not blocks:
+        return None
+    ids = np.concatenate([np.frombuffer(r.ids, dtype=np.int64) for r in blocks])
+    M = np.vstack(
+        [np.frombuffer(r.mat, dtype=np.float64).reshape(-1, r.dim) for r in blocks]
+    )
+    norms = np.sqrt((M * M).sum(axis=1))
+    return ids, M, norms
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -170,9 +205,12 @@ def cosine_dup_pairs(
     threshold, id_a < id_b.
 
     Exact path (default): vectorized GEMM scan — the corpus matrix is
-    broadcast (8·n·dim bytes: 64-dim ⇒ ~2M vectors/GiB), each Arrow batch
-    computes a numpy ``A @ M.T`` block against it, and only pairs within a
-    1e-6 margin of the threshold survive as candidates. The n² similarity
+    broadcast (8·n·dim bytes: 64-dim ⇒ ~2M vectors/GiB), assembled from
+    executor-packed binary blocks (:func:`_collect_matrix`) so the driver
+    holds only the raw broadcast payload, never a pandas round-trip of the
+    corpus; each Arrow batch computes a numpy ``A @ M.T`` block against it,
+    and only pairs within a 1e-6 margin of the threshold survive as
+    candidates. The n² similarity
     space lives inside BLAS blocks, never as Spark rows — no
     CartesianProduct / BroadcastNestedLoopJoin in the plan, one corpus
     scan. Candidates are then re-verified JVM-side with the sequential-fold
@@ -206,13 +244,10 @@ def cosine_dup_pairs(
     import pandas as pd
 
     spark = corpus.sparkSession
-    pdf = corpus.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy(dtype=np.int64)
-    if len(ids) == 0:
+    packed = _collect_matrix(corpus, id_col, vec_col)
+    if packed is None:
         return spark.createDataFrame([], "id_a long, id_b long, cos double")
-    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-    norms = np.sqrt((M * M).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, M, norms))
+    bc = spark.sparkContext.broadcast(packed)
     margin = 1e-6
 
     def gen_candidates(batches):

