@@ -13,7 +13,6 @@ Maps the reference's scheduler plumbing onto Structured Streaming:
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Sequence
@@ -113,10 +112,17 @@ def start_chained_correlation(
     stream over ``chain_dir``; each micro-batch's emissions are (a)
     dispatched as actions and (b) rendered to derived events
     (``engine.emissions_to_events`` — '<rule>:<outcome>' types, negative
-    collision-free ids) and appended to ``chain_dir``, where the file
-    source picks them up on the next trigger — the futureTick deferral as
-    a file-fed feedback loop, offset-tracked and replay-safe through the
-    checkpoint.
+    collision-free ids) and written EXECUTOR-SIDE as NDJSON part files
+    into ``chain_dir`` (atomic task-commit renames; ``_SUCCESS`` /
+    ``_temporary`` are underscore-prefixed, invisible to the file source),
+    where the file source picks them up on the next trigger — the
+    futureTick deferral as a file-fed feedback loop, offset-tracked and
+    replay-safe through the checkpoint. A rule emitting per-event never
+    funnels through the driver, and timestamps format under the UTC
+    session timezone (never the driver-local tz). Retention: the chain
+    source runs with ``cleanSource=delete``, so derived files are removed
+    once their batch commits — the feedback dir does not grow without
+    bound.
 
     Defaults encode the live-mode contract:
 
@@ -137,7 +143,9 @@ def start_chained_correlation(
 
     os.makedirs(chain_dir, exist_ok=True)
     spark = events.sparkSession
-    src = events.unionByName(ndjson_dir_source(spark, chain_dir))
+    src = events.unionByName(
+        ndjson_dir_source(spark, chain_dir, clean_source="delete")
+    )
     emissions = correlate_stream(
         src, rules, watermark_delay=watermark_delay, clock=clock
     )
@@ -160,19 +168,20 @@ def start_chained_correlation(
     def sink(df: DataFrame, batch_id: int) -> None:
         df = df.localCheckpoint(eager=True)  # dispatch + re-render, one compute
         dispatcher(df, batch_id)
-        derived = to_events(df).collect()
-        if not derived:
-            return
-        # atomic tmp+rename so the file source never reads a half-written
-        # batch (the reference's save-file discipline, FileAdapter.php:164-197)
-        path = os.path.join(chain_dir, f"derived_{batch_id:010d}.json")
-        with open(path + ".tmp", "w") as f:
-            for r in derived:
-                d = r.asDict()
-                ts = d["ts"]
-                d["ts"] = ts.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z" if ts else None
-                f.write(json.dumps(d, default=str) + "\n")
-        os.replace(path + ".tmp", path)
+        if df.isEmpty():  # JVM-side limit-1 probe on the checkpointed batch
+            return  # no derived file — quiet batches leave the chain dir alone
+        # Derived events re-enter executor-side: written straight to the
+        # chain dir as NDJSON part files. Task-commit renames are atomic,
+        # so the file source never sees a half-written file (the
+        # reference's save-file discipline, FileAdapter.php:164-197), and
+        # the JSON writer formats ts in the UTC session timezone — a
+        # driver-local tz can never shift re-injected event times.
+        (
+            to_events(df)
+            .write.mode("append")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+            .json(chain_dir)
+        )
 
     return (
         emissions.writeStream.queryName(query_name)

@@ -32,16 +32,24 @@ def ndjson_dir_source(
     spark: SparkSession,
     path: str,
     max_files_per_trigger: int | None = None,
+    clean_source: str | None = None,
 ) -> DataFrame:
     """Stream events from newline-delimited JSON files appearing in ``path``.
 
     Schema is the canonical envelope; ``ts`` accepts ISO-8601 strings.
     ``maxFilesPerTrigger`` is the backpressure knob (W13 — replaces the
     reference's SIGSTOP memory-pressure dance, Scheduler/MemoryManager.php).
+    ``clean_source`` ("delete" | "archive" | "off") is the retention knob:
+    Spark's file-source cleaner removes/archives input files once their
+    batch commits, so a feedback directory (live chaining) or a busy spool
+    dir doesn't grow without bound. Only committed files are touched —
+    restart-from-checkpoint never needs them again.
     """
     reader = spark.readStream.schema(EVENT_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if clean_source is not None:
+        reader = reader.option("cleanSource", clean_source)
     return reader.json(path)
 
 

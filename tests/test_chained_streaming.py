@@ -78,5 +78,66 @@ class TestChainedStreaming:
         assert r["outcome"] == "completed" and r["key"] == "42"
         # the reminder consumed a DERIVED event: negative collision-free id
         assert r["last_event_id"] < 0
-        # and the derived file itself landed in the chain dir
-        assert any(p.endswith(".json") for p in os.listdir(chain))
+
+    def test_high_volume_chain_no_driver_materialization(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A batch emitting 100k derived events must flow back through the
+        chain dir entirely executor-side: collect/toPandas/toLocalIterator
+        are booby-trapped for the whole run, and the feedback is verified
+        by the source's own progress (original n + re-injected n input
+        rows). Afterwards cleanSource=delete must shrink the chain dir back
+        — the feedback loop cannot grow without bound."""
+        src = tmp_path / "src"
+        chain = tmp_path / "chain"
+        src.mkdir()
+        n = 100_000
+        # 1000 keys × 100 events: emission volume is per-EVENT (match_single
+        # fires per click), group count stays realistic for the state op
+        with open(src / "bulk.json", "w") as f:
+            for i in range(n):
+                f.write(json.dumps({
+                    "event_id": i, "ts": "2024-01-01T00:00:00Z",
+                    "user_id": i % 1000,
+                    "event_type": "click", "value": 1.0, "props": None,
+                }) + "\n")
+
+        from pyspark.sql import DataFrame
+
+        def boom(self, *a, **k):
+            raise AssertionError("driver materialization in chain path")
+
+        monkeypatch.setattr(DataFrame, "collect", boom)
+        monkeypatch.setattr(DataFrame, "toPandas", boom)
+        monkeypatch.setattr(DataFrame, "toLocalIterator", boom)
+
+        q = start_chained_correlation(
+            ndjson_dir_source(spark, str(src)),
+            [match_single("m", ["click"], key="user_id")],
+            checkpoint_dir=str(tmp_path / "ck"),
+            chain_dir=str(chain),
+            trigger_interval="300 milliseconds",
+        )
+        try:
+            deadline = time.time() + 180
+            total_in = 0
+            while time.time() < deadline:
+                assert q.exception() is None, q.exception()
+                total_in = sum(
+                    p["numInputRows"] for p in (q.recentProgress or [])
+                )
+                if total_in >= 2 * n:
+                    break
+                time.sleep(0.5)
+            assert total_in >= 2 * n, total_in  # n original + n re-injected
+            # retention: once the derived batch commits, the file-source
+            # cleaner deletes the consumed part files (async, so poll)
+            sweep_deadline = time.time() + 90
+            while time.time() < sweep_deadline:
+                parts = [p for p in os.listdir(chain) if p.startswith("part-")]
+                if not parts:
+                    break
+                time.sleep(0.5)
+            assert not parts, parts
+        finally:
+            q.stop()
