@@ -233,15 +233,20 @@ def correlate_stream(
         if prefilter_types and not unrestricted:
             part = part.filter(F.col("event_type").isin(sorted(needed_types)))
         cols = ["event_id", "ts", "event_type", "value"]
+        # group on the SPARK-cast string key (exactly what the batch
+        # engine and snapshot_state's __key use) so restore-blob lookup,
+        # emission keys, and payload callbacks agree across engines for
+        # every key type — str(True) is "True" but CAST(true AS STRING)
+        # is "true", and bool/decimal/timestamp keys would otherwise skip
+        # their restore silently. Aliasing also means a key that IS an
+        # engine column (e.g. event_type) never selects twice.
         if key_col is not None:
-            # the key may BE one of the engine columns (e.g. rules keyed on
-            # event_type) — don't select it twice or pandas hands the
-            # handler a 2-D block for that name
-            part = part.select(key_col, *[c for c in cols if c != key_col])
-            grouped = part.groupBy(key_col)
+            part = part.select(
+                F.col(key_col).cast("string").alias("__key"), *cols
+            )
         else:
-            part = part.select(F.lit(1).alias("__k"), *cols)
-            grouped = part.groupBy("__k")
+            part = part.select(F.lit("__all__").alias("__key"), *cols)
+        grouped = part.groupBy("__key")
         outs.append(
             grouped.applyInPandasWithState(
                 _make_stateful_handler(

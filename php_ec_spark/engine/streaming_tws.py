@@ -220,9 +220,18 @@ def snapshot_state(
 
     Same physical shape as the batch engine: one shuffle on the key,
     per-partition consecutive-key iteration, Arrow-batched.
+
+    Replays with ``prefilter_types=False`` — the same default as
+    ``correlate_stream`` and for the same reason: the engine's clock
+    advances on EVERY event (CorrelationEngine.php:199). Dropping
+    unconsumed-type history would keep alive an instance whose deadline
+    expired after the key's last consumed-type event; the uninterrupted
+    engine fires-and-discards it during replay, so the snapshot must too —
+    otherwise the warm-started query re-emits a timeout history already
+    reported.
     """
     key_col = _single_key_col(rules)
-    src, _keyless = _project(events, rules, prefilter_types=True)
+    src, _keyless = _project(events, rules, prefilter_types=False)
     spark = events.sparkSession
     try:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -287,8 +296,15 @@ def correlate_stream_tws(
     ``initial_state`` is a batch DataFrame shaped like
     :func:`snapshot_state`'s output; its blobs seed the state store before
     the first micro-batch (restore-then-go-live, Scheduler.php:695-947).
-    Requires the RocksDB state store provider — set automatically on the
-    session (transformWithState does not run on the HDFS-backed provider).
+
+    .. warning:: transformWithState requires the RocksDB state store
+       provider. ``spark.sql.streaming.stateStore.providerClass`` is a
+       SESSION-WIDE setting: if it is not already RocksDB, this function
+       sets it (and emits a ``UserWarning``), which affects EVERY streaming
+       query started on the session afterwards — including
+       applyInPandasWithState queries, which also run fine on RocksDB but
+       will no longer use the HDFS-backed default. Set the provider in the
+       session builder to make the choice explicit and silence the warning.
 
     Keeps correlate_stream's clock contract: ``clock="event"`` for
     deterministic replay/backfill, ``clock="processing"`` for live absence
@@ -313,7 +329,20 @@ def correlate_stream_tws(
         dupes = sorted({n for n in names if names.count(n) > 1})
         raise ValueError(f"duplicate rule names: {dupes}")
     spark = events.sparkSession
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
+    current = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    if current != _ROCKSDB:
+        import warnings
+
+        warnings.warn(
+            "correlate_stream_tws is switching the SESSION-WIDE state store "
+            f"provider ({current or 'default'} -> RocksDB); every streaming "
+            "query started on this session afterwards uses RocksDB. Set "
+            "spark.sql.streaming.stateStore.providerClass in the session "
+            "builder to silence this.",
+            UserWarning,
+            stacklevel=2,
+        )
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB)
 
     src, keyless = _project(events, rules, prefilter_types)
     # watermark AFTER the projection so ts survives the select; the

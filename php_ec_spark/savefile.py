@@ -1,0 +1,241 @@
+"""php-ec save-file importer — the migration last mile.
+
+A live reference deployment persists its state as a (gzip'd) JSON document
+written by SaveHandler/FileAdapter (reference src/SaveHandler/FileAdapter.php:
+73-233, gzip header sniffing at :220-223) with three sections built by
+Scheduler::buildState (Scheduler.php:666-673):
+
+- ``engine``  — CorrelationEngine::getState (CorrelationEngine.php:644-673):
+  ``matchers`` = incomplete state machines as ``{"c": phpClass, "s":
+  AEventProcessor::__serialize()}`` (AEventProcessor.php:435-466: consumed
+  event object-ids, instance id, actionFired/isTimedOut flags, context,
+  RFC3339 timeout), ``events`` = ``{obj_id: Event::__serialize()}``
+  (Event.php:147-158: ``event`` type, RFC3339 ``datetime``, free-form
+  props), plus ``statistics``.
+- ``scheduler`` — Scheduler::getState (Scheduler.php:1048-1070): source
+  checkpoints (S5) and errored action commands (W12) among runtime gauges.
+- ``memory`` — MemoryEngine::getState (Memory/MemoryEngine.php:157-160):
+  ``{namespace, key, value, expiresAt}`` entries.
+
+:func:`import_savefile` turns that document into this engine's shapes:
+per-key-column ``initial_state`` DataFrames (``snapshot_state`` schema) for
+:func:`~php_ec_spark.engine.streaming.correlate_stream`, a seeded
+:class:`~php_ec_spark.memory.MemoryEngine`, and the raw statistics /
+checkpoints / errored-action payloads.
+
+Mid-flight matchers are reconstructed by REPLAY: each saved matcher's
+consumed event chain is mapped to the canonical envelope and re-run through
+a fresh :class:`EngineCore` under the mapped rule, which rebuilds the chain,
+group index, and pending deadline from first principles. This is exact
+whenever the mapped rule declares the same event groups and timeout as the
+reference class it replaces (the importer cannot check PHP semantics — the
+rule_map IS the migration contract).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .engine.core import EngineCore
+from .engine.streaming_tws import SNAPSHOT_SCHEMA
+from .memory import MEMORY_SCHEMA, MemoryEngine
+from .rules.base import Rule
+
+
+def load_savefile(path: str) -> dict:
+    """Read a reference save file: gzip-sniffed exactly like
+    FileAdapter::loadState (FileAdapter.php:212-233)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    return json.loads(raw)
+
+
+def _parse_iso(s: str) -> datetime:
+    """RFC3339 (the reference's DATETIME_SERIALISATION_FORMAT /
+    DateTimeInterface::ATOM variants), normalized to naive UTC."""
+    d = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if d.tzinfo is not None:
+        d = d.astimezone(timezone.utc).replace(tzinfo=None)
+    return d
+
+
+def default_event_mapper(obj_id: str, ev: dict) -> dict:
+    """Reference ``Event::__serialize()`` dict → canonical envelope.
+
+    ``event`` → event_type, ``datetime`` → ts; ``id`` becomes event_id when
+    integral, else a negative synthetic id derived from the saved object id
+    (collision-free within one import). ``user_id``/``value`` map when
+    present; every other property lands in ``props`` as JSON.
+    """
+    known = {"id", "event", "datetime", "receivedTime", "user_id", "value"}
+    try:
+        eid = int(ev.get("id"))
+    except (TypeError, ValueError):
+        eid = -1_000_000_000 - int(obj_id)
+    value = ev.get("value")
+    try:
+        value = float(value) if value is not None else None
+    except (TypeError, ValueError):
+        value = None
+    user_id = ev.get("user_id")
+    try:
+        user_id = int(user_id) if user_id is not None else None
+    except (TypeError, ValueError):
+        user_id = None
+    extras = {k: v for k, v in ev.items() if k not in known}
+    return {
+        "event_id": eid,
+        "ts": _parse_iso(ev["datetime"]),
+        "user_id": user_id,
+        "event_type": ev["event"],
+        "value": value,
+        "props": json.dumps(extras, sort_keys=True) if extras else None,
+    }
+
+
+@dataclass
+class ImportedState:
+    """Everything a migration needs, in this engine's native shapes."""
+
+    #: key column → snapshot DataFrame (``__key string, blob string``);
+    #: feed each to correlate_stream(initial_state=...) for its key column.
+    initial_states: dict[Optional[str], DataFrame] = field(default_factory=dict)
+    #: seeded collective memory (J6/S10), expiry preserved.
+    memory: Optional[MemoryEngine] = None
+    #: CorrelationEngine statistics section, verbatim.
+    statistics: dict = field(default_factory=dict)
+    #: source name → checkpoint value (S5) — hand to PHPEC_CHECKPOINT when
+    #: restarting the same producer binaries under the JSON-RPC source.
+    source_checkpoints: dict = field(default_factory=dict)
+    #: errored action commands awaiting replay (W12), verbatim.
+    errored_actions: list = field(default_factory=list)
+    #: matcher classes present in the save file but absent from rule_map —
+    #: inspect before going live; the reference skips UndefinedRule the
+    #: same way (CorrelationEngine.php:755-758).
+    unmapped_classes: list = field(default_factory=list)
+
+
+def import_savefile(
+    spark: SparkSession,
+    path: str,
+    rules: Sequence[Rule],
+    rule_map: dict[str, str],
+    event_mapper: Callable[[str, dict], dict] = default_event_mapper,
+) -> ImportedState:
+    """Parse a reference save file into warm-start state.
+
+    ``rule_map`` maps the PHP matcher class name (the ``"c"`` entry,
+    e.g. ``"App\\Rules\\CheckOrderPayment"``) to the name of the
+    :class:`Rule` in ``rules`` that re-expresses it. Saved matchers of
+    unmapped classes are reported, not imported.
+
+    Replay reconstruction: all imported matchers' consumed events are
+    grouped per (key column, key value), deduplicated by saved object id,
+    sorted by (ts, event_id), and run through one :class:`EngineCore` per
+    key holding every mapped rule of that key column — rebuilding chains,
+    awaiting-group indexes, and deadlines. Completed/drained instances
+    (possible when mapped rule semantics differ from the PHP class) simply
+    emit nothing and leave no state.
+    """
+    doc = load_savefile(path)
+    engine_state = doc.get("engine", {}) or {}
+    scheduler_state = doc.get("scheduler", {}) or {}
+
+    by_name = {r.name: r for r in rules}
+    events_section: dict = engine_state.get("events", {}) or {}
+    envelopes: dict[str, dict] = {}
+
+    # (key_col, key value) → {obj_id: envelope}
+    grouped: dict[Optional[str], dict[object, dict[str, dict]]] = {}
+    unmapped: list[str] = []
+    for entry in engine_state.get("matchers", []) or []:
+        cls = entry.get("c")
+        rule_name = rule_map.get(cls)
+        if rule_name is None or rule_name not in by_name:
+            if cls not in unmapped:
+                unmapped.append(cls)
+            continue
+        rule = by_name[rule_name]
+        for obj_id in entry.get("s", {}).get("events", []) or []:
+            obj_id = str(obj_id)
+            ev = events_section.get(obj_id)
+            if ev is None:
+                continue
+            if obj_id not in envelopes:
+                envelopes[obj_id] = event_mapper(obj_id, ev)
+            env = envelopes[obj_id]
+            key_val = "__all__" if rule.key is None else env.get(rule.key)
+            grouped.setdefault(rule.key, {}).setdefault(
+                str(key_val), {}
+            )[obj_id] = env
+
+    rules_by_key: dict[Optional[str], list[Rule]] = {}
+    for r in rules:
+        rules_by_key.setdefault(r.key, []).append(r)
+
+    initial_states: dict[Optional[str], DataFrame] = {}
+    for key_col, keys in grouped.items():
+        rows = []
+        for key_val, evs in keys.items():
+            core = EngineCore(
+                rules_by_key[key_col], None if key_col is None else key_val
+            )
+            replay = sorted(
+                evs.values(), key=lambda e: (e["ts"], e["event_id"])
+            )
+            for env in replay:
+                ts_ns = int(env["ts"].timestamp() * 1e9)
+                core.handle(
+                    (env["event_id"], ts_ns, env["event_type"], env["value"])
+                )
+                core.take_rows()  # import wants state, not re-emissions
+            if core.has_live():
+                rows.append((key_val, core.to_state()))
+        if rows:
+            initial_states[key_col] = spark.createDataFrame(
+                rows, SNAPSHOT_SCHEMA
+            )
+
+    memory = None
+    mem_entries = doc.get("memory", []) or []
+    if mem_entries:
+        mem_rows = []
+        for i, m in enumerate(mem_entries):
+            if not isinstance(m, dict) or "namespace" not in m or "key" not in m:
+                continue
+            expires = m.get("expiresAt")
+            mem_rows.append(
+                (
+                    str(m["namespace"]),
+                    str(m["key"]),
+                    json.dumps(m.get("value"), sort_keys=True),
+                    _parse_iso(expires) if expires else None,
+                    bool(m.get("persistent", True)),
+                    0,
+                    i,
+                )
+            )
+        memory = MemoryEngine(
+            spark, spark.createDataFrame(mem_rows, MEMORY_SCHEMA)
+        )
+
+    return ImportedState(
+        initial_states=initial_states,
+        memory=memory,
+        statistics=engine_state.get("statistics", {}) or {},
+        source_checkpoints=(
+            (scheduler_state.get("input", {}) or {}).get("checkpoints", {}) or {}
+        ),
+        errored_actions=(
+            (scheduler_state.get("actions", {}) or {}).get("errored", []) or []
+        ),
+        unmapped_classes=unmapped,
+    )

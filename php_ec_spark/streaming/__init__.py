@@ -254,9 +254,59 @@ def start_correlations(
     query: each key group batch-replays it via ``engine.snapshot_state``
     and seeds its state store, so live queries continue mid-sequence
     instead of starting cold — the reference's boot-time restore
-    (Scheduler.php:695-947) across the whole rule set.
+    (Scheduler.php:695-947) across the whole rule set. Restored keys are
+    ALSO kicked automatically: one in-band ``CONTROL_MSG_RESTORED`` row
+    per snapshot key (the reference's restore control message,
+    Scheduler.php:730-737) is written to a per-query kick spool and
+    unioned into the source, so deadlines armed in history fire even if
+    the live stream stays quiet (applyInPandasWithState cannot arm timers
+    for untouched keys). Exception: rules keyed ON ``event_type`` cannot
+    be kicked without forging a real event type — those groups get a
+    ``UserWarning`` and first-touch restore semantics.
     """
-    from ..engine.streaming_tws import snapshot_state
+    import json as _json
+    import uuid as _uuid
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from ..engine.streaming_tws import SNAPSHOT_SCHEMA, snapshot_state
+    from ..model import CONTROL_MSG_RESTORED
+
+    spark = events.sparkSession
+    hist_max_iso: Optional[str] = None
+    if history is not None:
+        # format under the UTC session tz in Spark — a driver-side
+        # strftime would shift by the driver's local tz
+        hist_max_iso = history.agg(
+            F.date_format(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+        ).first()[0]
+
+    def _kick_rows(keys: list, key_col: Optional[str]) -> Optional[list[dict]]:
+        rows = []
+        for j, k in enumerate(sorted(keys)):
+            row = {
+                "event_id": -10_000_000 - (j + 1),  # negative control id space
+                "ts": hist_max_iso or "1970-01-01T00:00:00.000000Z",
+                "user_id": None,
+                "event_type": CONTROL_MSG_RESTORED,
+                "value": None,
+                "props": None,
+            }
+            if key_col is None or k == "__all__":
+                pass  # keyless group: any row touches the constant key
+            elif key_col == "event_type":
+                return None  # unkickable: the key IS the control channel
+            elif key_col == "user_id":
+                row["user_id"] = int(k)
+            elif key_col == "value":
+                row["value"] = float(k)
+            elif key_col == "props":
+                row["props"] = k
+            else:
+                return None  # key outside the envelope — cannot synthesize
+            rows.append(row)
+        return rows
 
     by_key: dict[Optional[str], list[Rule]] = {}
     for r in rules:
@@ -268,8 +318,34 @@ def start_correlations(
             dispatcher_factory(key_col) if dispatcher_factory else ActionDispatcher()
         )
         group.dispatchers[key_col] = dispatcher
+
+        src = events
+        init = None
+        if history is not None:
+            snap_rows = snapshot_state(history, group_rules).collect()
+            if snap_rows:
+                init = spark.createDataFrame(snap_rows, SNAPSHOT_SCHEMA)
+                kicks = _kick_rows([r["__key"] for r in snap_rows], key_col)
+                if kicks is None:
+                    warnings.warn(
+                        f"cannot synthesize restore kicks for key column "
+                        f"{key_col!r}; restored keys resume on first touch "
+                        "and quiet-stream deadlines stay unarmed",
+                        UserWarning,
+                        stacklevel=2,
+                    )
+                else:
+                    kick_dir = os.path.join(checkpoint_root, f"kicks_{tag}")
+                    os.makedirs(kick_dir, exist_ok=True)
+                    p = os.path.join(kick_dir, f"kick_{_uuid.uuid4().hex}.json")
+                    with open(p + ".tmp", "w") as f:
+                        for row in kicks:
+                            f.write(_json.dumps(row) + "\n")
+                    os.replace(p + ".tmp", p)
+                    src = events.unionByName(ndjson_dir_source(spark, kick_dir))
+
         group.queries[key_col] = start_correlation(
-            events,
+            src,
             group_rules,
             os.path.join(checkpoint_root, f"key_{tag}"),
             dispatcher=dispatcher,
@@ -277,8 +353,6 @@ def start_correlations(
             query_name=f"{query_name}-{tag}",
             trigger_once=trigger_once,
             clock=clock,
-            initial_state=(
-                snapshot_state(history, group_rules) if history is not None else None
-            ),
+            initial_state=init,
         )
     return group

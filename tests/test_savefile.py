@@ -1,0 +1,213 @@
+"""php-ec save-file import: a synthesized reference-format gzip save file
+(FileAdapter.php:73-233 shape) round-trips into warm-start state — a
+mid-flight sequence saved by the PHP engine completes on a live event in
+the Spark engine."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import time
+import uuid
+
+import pytest
+
+from php_ec_spark.engine.core import EngineCore
+from php_ec_spark.engine.streaming import correlate_stream
+from php_ec_spark.rules import sequence_rule
+from php_ec_spark.savefile import import_savefile, load_savefile
+from php_ec_spark.streaming import ndjson_dir_source
+
+RULES = lambda: [  # noqa: E731
+    sequence_rule(
+        "check_payment", ["order_placed", "payment"], key="user_id", timeout="PT20S"
+    ),
+]
+RULE_MAP = {"App\\Rules\\CheckOrderPayment": "check_payment"}
+
+
+def _savefile_doc() -> dict:
+    """What Scheduler::buildState writes: two mid-flight CheckOrderPayment
+    matchers (u42, u7), one matcher of an unmapped class, statistics,
+    source checkpoints, errored actions, and memory entries."""
+    return {
+        "engine": {
+            "eventstream_live": True,
+            "matchers": [
+                {
+                    "c": "App\\Rules\\CheckOrderPayment",
+                    "s": {
+                        "events": [101],
+                        "id": "0191-a",
+                        "actionFired": False,
+                        "isTimedOut": False,
+                        "context": {},
+                        "timeout": "2024-01-01T00:00:20+00:00",
+                    },
+                },
+                {
+                    "c": "App\\Rules\\CheckOrderPayment",
+                    "s": {
+                        "events": [102],
+                        "id": "0191-b",
+                        "actionFired": False,
+                        "isTimedOut": False,
+                        "context": {},
+                        "timeout": "2024-01-01T00:00:25+00:00",
+                    },
+                },
+                {
+                    "c": "App\\Rules\\SomethingElse",
+                    "s": {"events": [103], "id": "0191-c"},
+                },
+            ],
+            "events": {
+                "101": {
+                    "id": 1,
+                    "event": "order_placed",
+                    "datetime": "2024-01-01T00:00:00.000+00:00",
+                    "user_id": 42,
+                    "value": 99.5,
+                    "sku": "A-1",
+                },
+                "102": {
+                    "id": 2,
+                    "event": "order_placed",
+                    "datetime": "2024-01-01T00:00:05.000+00:00",
+                    "user_id": 7,
+                    "value": 10.0,
+                },
+                "103": {
+                    "id": 3,
+                    "event": "unrelated",
+                    "datetime": "2024-01-01T00:00:06.000+00:00",
+                },
+            },
+            "statistics": {"seen": {"order_placed": 2}},
+        },
+        "scheduler": {
+            "state": "RUNNING",
+            "input": {
+                "running": ["orders_feed"],
+                "checkpoints": {"orders_feed": {"offset": 12345}},
+            },
+            "actions": {"inflight": [], "errored": [{"cmd": "notify", "n": 1}]},
+        },
+        "memory": [
+            {
+                "namespace": "thresholds",
+                "key": "max_order",
+                "value": 500,
+                "expiresAt": None,
+            },
+            {
+                "namespace": "thresholds",
+                "key": "stale",
+                "value": 1,
+                "expiresAt": "2000-01-01T00:00:00+00:00",  # long expired
+            },
+        ],
+    }
+
+
+@pytest.fixture()
+def savefile(tmp_path):
+    p = tmp_path / "php-ce.state"
+    p.write_bytes(gzip.compress(json.dumps(_savefile_doc()).encode(), 2))
+    return str(p)
+
+
+class TestImport:
+    def test_load_handles_gzip_and_plain(self, tmp_path, savefile):
+        assert load_savefile(savefile)["scheduler"]["state"] == "RUNNING"
+        plain = tmp_path / "plain.state"
+        plain.write_text(json.dumps(_savefile_doc()))
+        assert load_savefile(str(plain))["scheduler"]["state"] == "RUNNING"
+
+    def test_matchers_become_resumable_blobs(self, spark, savefile):
+        imp = import_savefile(spark, savefile, RULES(), RULE_MAP)
+        snap = {
+            r["__key"]: r["blob"]
+            for r in imp.initial_states["user_id"].collect()
+        }
+        assert sorted(snap) == ["42", "7"]
+        # u42's half-matched chain completes on a live payment, exactly as
+        # an uninterrupted engine would have
+        core = EngineCore.from_state(RULES(), "42", snap["42"])
+        assert core.next_deadline() == int((1704067200 + 20) * 1e9)
+        core.handle((10, int((1704067200 + 15) * 1e9), "payment", 5.0))
+        rows = core.take_rows()
+        assert [(r[0], r[2], r[4], r[5]) for r in rows] == [
+            ("check_payment", "completed", 1, 10)
+        ]
+
+    def test_sidecar_sections_surface(self, spark, savefile):
+        imp = import_savefile(spark, savefile, RULES(), RULE_MAP)
+        assert imp.statistics == {"seen": {"order_placed": 2}}
+        assert imp.source_checkpoints == {"orders_feed": {"offset": 12345}}
+        assert imp.errored_actions == [{"cmd": "notify", "n": 1}]
+        assert imp.unmapped_classes == ["App\\Rules\\SomethingElse"]
+
+    def test_memory_entries_seed_engine_with_ttl(self, spark, savefile):
+        imp = import_savefile(spark, savefile, RULES(), RULE_MAP)
+        live = {
+            (r["namespace"], r["key"]): r["value"]
+            for r in imp.memory.live().collect()
+        }
+        # expired entry dropped by TTL, live entry readable
+        assert live == {("thresholds", "max_order"): "500"}
+
+    def test_stream_resumes_from_savefile(self, spark, tmp_path, savefile):
+        """The migration boot: import → correlate_stream(initial_state=...)
+        → the sequence the PHP engine had half-matched completes on a live
+        payment; the untouched u7 instance times out at its history-armed
+        deadline once the watermark passes."""
+        from php_ec_spark.model import CONTROL_MSG_RESTORED
+
+        imp = import_savefile(spark, savefile, RULES(), RULE_MAP)
+
+        src = tmp_path / f"live-{uuid.uuid4().hex[:8]}"
+        src.mkdir()
+        chunks = [
+            [
+                {"event_id": -1, "ts": "2024-01-01T00:00:06Z", "user_id": 7,
+                 "event_type": CONTROL_MSG_RESTORED, "value": None, "props": None},
+                {"event_id": 10, "ts": "2024-01-01T00:00:15Z", "user_id": 42,
+                 "event_type": "payment", "value": 99.5, "props": None},
+            ],
+            [
+                {"event_id": 99, "ts": "2024-01-01T03:00:00Z", "user_id": 1,
+                 "event_type": "zzz", "value": 0.0, "props": None},
+            ],
+        ]
+        for i, chunk in enumerate(chunks):
+            with open(src / f"{i:02d}.json", "w") as f:
+                for r in chunk:
+                    f.write(json.dumps(r) + "\n")
+            time.sleep(0.05)
+
+        emissions = correlate_stream(
+            ndjson_dir_source(spark, str(src), max_files_per_trigger=1),
+            RULES(),
+            initial_state=imp.initial_states["user_id"],
+        )
+        collected: list = []
+        q = (
+            emissions.writeStream
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .foreachBatch(lambda df, _b: collected.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=180)
+
+        got = sorted(
+            (r["rule"], r["key"], r["outcome"], str(r["fire_ts"]),
+             r["start_event_id"], r["last_event_id"])
+            for r in collected
+        )
+        assert got == [
+            ("check_payment", "42", "completed", "2024-01-01 00:00:15", 1, 10),
+            ("check_payment", "7", "timeout", "2024-01-01 00:00:25", 2, 2),
+        ]

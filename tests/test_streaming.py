@@ -357,6 +357,52 @@ def test_multi_key_orchestration_two_concurrent_queries(spark, stream_dirs):
     assert group.failed == []
 
 
+def test_warm_start_quiet_stream_fires_restored_deadlines(spark, stream_dirs):
+    """start_correlations(history=...) must inject its own
+    CONTROL_MSG_RESTORED kick rows: restored keys on a COMPLETELY quiet
+    stream (the source dir stays empty forever) still fire their
+    history-armed timeouts, exactly as the docstring promises."""
+    import datetime as dt
+
+    from php_ec_spark.streaming import start_correlations
+
+    src, ckpt = stream_dirs  # src stays EMPTY — the live stream is quiet
+    base = dt.datetime(2024, 1, 1)
+    history = spark.createDataFrame(
+        [(1, base, 1, "signup", 1.0, None), (2, base, 2, "signup", 2.0, None)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    seen: list = []
+
+    def factory(_key_col):
+        d = ActionDispatcher()
+        d.register("capture", fn=seen.extend)
+        return d
+
+    rules = [
+        sequence_rule("pay", ["signup", "purchase"], key="user_id", timeout="PT20S")
+    ]
+    # processing clock: deadlines (2024 + 20 s) are long past wall time, so
+    # the auto-kick's first touch arms and the next tick fires
+    group = start_correlations(
+        ndjson_dir_source(spark, str(src)), rules, str(ckpt),
+        dispatcher_factory=factory, clock="processing", history=history,
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and len(seen) < 2:
+            time.sleep(0.3)
+    finally:
+        group.stop_all()
+
+    got = sorted((r["rule"], r["key"], r["outcome"], str(r["fire_ts"])) for r in seen)
+    assert got == [
+        ("pay", "1", "timeout", "2024-01-01 00:00:20"),
+        ("pay", "2", "timeout", "2024-01-01 00:00:20"),
+    ]
+
+
 def test_duplicate_rule_names_rejected(spark, stream_dirs):
     """EngineTest::testEngineThrowsOnDuplicateRuleClassString parity:
     emissions are keyed by rule name, so duplicates must be rejected in

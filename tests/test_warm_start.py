@@ -76,6 +76,28 @@ class TestSnapshotState:
         full.handle((10, t0 + int(10e9), "b", 5.0))
         assert resumed.take_rows() == full.take_rows()
 
+    def test_unconsumed_history_advances_replay_clock(self, spark):
+        """The engine clock advances on EVERY event, consumed or not
+        (CorrelationEngine.php:199). An unconsumed-type event past a key's
+        deadline must fire-and-discard the pending instance during replay —
+        were history prefiltered to consumed types, the instance would
+        survive into the snapshot and the warm-started query would re-emit
+        a timeout the history replay already reported."""
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, base, 1, "a", 1.0, None),  # deadline base+20s
+            # unconsumed type, 60s later: replay must sweep the deadline
+            (2, base + dt.timedelta(seconds=60), 1, "zzz_unconsumed", 0.0, None),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        assert snapshot_state(df, RULES()).collect() == []
+
     def test_keyless_snapshot_key(self, spark):
         # a→c never completes in history (no c) → three live instances
         # under the single synthetic key
