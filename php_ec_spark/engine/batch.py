@@ -119,10 +119,20 @@ def _make_partition_runner(rules: Sequence[Rule], historical: bool):
 
 
 def correlate_state_machine(
-    events: DataFrame, rules: Sequence[Rule], historical: bool = False
+    events: DataFrame,
+    rules: Sequence[Rule],
+    historical: bool = False,
+    skew_warn_ratio: Optional[float] = None,
 ) -> DataFrame:
     """General path: partition by correlation key, run the state machine
     over each key's time-ordered rows.
+
+    ``skew_warn_ratio`` (opt-in; costs one extra aggregation job) runs
+    :func:`php_ec_spark.metrics.warn_if_skewed` per key column before
+    compiling — a key holding that fraction of rows degrades this path
+    toward one task (keys never split), and the warning names the
+    mitigations (finer key; ``layout.with_salt``/``salted_agg`` for
+    keyless commutative aggregates).
 
     Physical shape: ``repartition(key) → sortWithinPartitions(key, ts,
     event_id) → mapInPandas`` — one shuffle (same as groupBy) but the
@@ -149,6 +159,13 @@ def correlate_state_machine(
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     except ValueError:  # e.g. "auto" on managed platforms
         n_parts = spark.sparkContext.defaultParallelism
+
+    if skew_warn_ratio is not None:
+        from ..metrics import warn_if_skewed
+
+        for key_col in by_key:
+            if key_col is not None:
+                warn_if_skewed(events, key_col, warn_ratio=skew_warn_ratio)
 
     outs = []
     for key_col, group_rules in by_key.items():

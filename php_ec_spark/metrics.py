@@ -82,6 +82,69 @@ def observe_stream(df: DataFrame, exprs: Optional[Sequence[Column]] = None,
     return df.observe(name, *cols)
 
 
+def partition_row_counts(df: DataFrame) -> DataFrame:
+    """Physical partition → row count (one tiny aggregation job). Run on a
+    repartitioned DataFrame to see how the shuffle actually balanced."""
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .count()
+        .orderBy(F.col("count").desc())
+    )
+
+
+def key_skew(events: DataFrame, key_col: str, top_n: int = 5) -> dict:
+    """Hot-key telemetry for the stateful paths (one aggregation job).
+
+    The state machine's degradation unit is the KEY, not the partition —
+    a key never splits across tasks, so a key holding half the rows caps
+    parallelism at ~2× regardless of partition count (batch.py's
+    documented single-hot-key mode). Returns ``{"total", "top":
+    [(key, n), ...], "max_share"}`` where ``max_share`` is the hottest
+    key's row fraction.
+    """
+    total_row = events.groupBy().count().collect()[0]
+    total = total_row["count"]
+    top = [
+        (r[key_col], r["n"])
+        for r in events.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col(key_col))
+        .limit(top_n)
+        .collect()
+    ]
+    return {
+        "total": total,
+        "top": top,
+        "max_share": (top[0][1] / total) if top and total else 0.0,
+    }
+
+
+def warn_if_skewed(
+    events: DataFrame, key_col: str, warn_ratio: float = 0.3
+) -> dict:
+    """Run :func:`key_skew` and emit a ``UserWarning`` when the hottest key
+    exceeds ``warn_ratio`` of all rows. Costs one aggregation job — call it
+    on a sample or at onboarding time, not per micro-batch. Mitigations in
+    the warning: keyless aggregates can salt (``layout.with_salt`` /
+    ``salted_agg``); keyed correlation semantics require per-key serial
+    order, so the fix is a finer correlation key or rule redesign."""
+    skew = key_skew(events, key_col)
+    if skew["max_share"] >= warn_ratio:
+        import warnings
+
+        hot, n = skew["top"][0]
+        warnings.warn(
+            f"correlation key {key_col}={hot!r} holds {n}/{skew['total']} rows "
+            f"({skew['max_share']:.0%}) — a single key never splits across "
+            "tasks, so this caps the stateful path's parallelism. For "
+            "keyless/commutative aggregates use layout.with_salt/salted_agg; "
+            "for keyed correlation pick a finer key or split the rule.",
+            UserWarning,
+            stacklevel=2,
+        )
+    return skew
+
+
 class EngineMetrics(StreamingQueryListener):
     """Live engine metrics: Spark's per-batch progress stream folded into
     the reference's Counter/stat shape.

@@ -67,12 +67,16 @@ def with_shingles(
     Documents with fewer than ``n`` tokens get their whole token sequence as
     a single shingle so they still participate in dedup.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # The token array MUST be a real column: inlining the split into the
+    # per-shingle lambda makes every slice re-run the regex split — O(T²)
+    # regex work per document (measured 6× slower at sf0.1).
+    d = df.withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+    toks = F.col("__toks")
     ngrams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return df.withColumn(out_col, F.array_distinct(ngrams))
+    return d.withColumn(out_col, F.array_distinct(ngrams)).drop("__toks")
 
 
 def jaccard_pairs(
@@ -94,7 +98,17 @@ def jaccard_pairs(
     sh = with_shingles(df, n=n, text_col=text_col).select(
         F.col(id_col).alias("doc"), "shingles", F.size("shingles").alias("n_sh")
     )
-    inv = sh.select("doc", "n_sh", F.explode("shingles").alias("shingle"))
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # size(shingles) > 0 filter and push it below the projection with the
+    # whole shingle expression RE-INLINED — the O(T²) split-per-slice work,
+    # computed a second time per row (measured ~5 s of the sf0.1 runtime).
+    # The array is never empty (with_shingles emits ≥1 shingle), so the
+    # two are equivalent here and no null rows appear.
+    inv = sh.select("doc", "n_sh", F.explode_outer("shingles").alias("shingle"))
+    # The inverted index feeds several branches (df-cut, sizes, both join
+    # sides); checkpoint the lineage so shingle generation runs ONCE per
+    # action instead of once per branch (lazy — nothing runs at build time).
+    inv = inv.localCheckpoint(eager=False)
     if max_df is not None:
         freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
         inv = inv.join(freq.filter(F.col("df_count") <= max_df), "shingle", "left_semi")
@@ -103,6 +117,17 @@ def jaccard_pairs(
         # union would mix filtered intersections with unfiltered sizes.
         sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n_f"))
         inv = inv.drop("n_sh").join(sizes, "doc").withColumnRenamed("n_f", "n_sh")
+    # Pin real parallelism on the join key: the inverted index is small in
+    # BYTES (AQE would coalesce it to one partition) but the shingle
+    # self-join EXPLODES rows — Σ df² per shingle — so the explosion must
+    # run wide. An explicit numbered repartition is exempt from AQE
+    # coalescing, and both join sides inherit it (no extra exchange).
+    spark = df.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        n_parts = spark.sparkContext.defaultParallelism
+    inv = inv.repartition(n_parts, "shingle")
     a = inv.select(
         F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
     )
@@ -385,21 +410,23 @@ def dedup_clusters(
             .groupBy(F.col("dst").alias("doc2"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the old label through the round so convergence is a cheap
+        # filter+take(1) on the already-checkpointed frame, not another join
         new_labels = (
             labels.join(neighbor_min, labels.doc == F.col("doc2"), "left")
             .select(
                 "doc",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .take(1)
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("new_label") != F.col("old_label")
+        ).take(1)
+        labels = new_labels.select("doc", F.col("new_label").alias("label"))
         if not changed:
             break
     return labels.select(

@@ -362,6 +362,7 @@ def cep_validate_enrich_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cep_chain_reinject",
+    headline=True,
     doc="J5: rule chaining — pay_check timeouts become derived events that a "
     "reminder rule consumes on the next engine pass "
     "(CorrelationEngine.php:372-391; online-shop example).",

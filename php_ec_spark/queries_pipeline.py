@@ -90,6 +90,7 @@ def pipe_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipe_jaccard_pairs",
+    headline=True,
     doc="EXACT n-gram Jaccard near-dup pairs via inverted shingle index "
     "(no all-pairs scan) WITH the max_df stop-shingle guard enabled "
     "(shingles in >5% of docs are dropped; sizes recomputed in filtered "
@@ -142,6 +143,7 @@ def pipe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipe_dedup_clusters",
+    headline=True,
     doc="Near-dup clusters: connected components over the >=0.8 Jaccard "
     "pair graph via iterative min-label propagation (the non-SQL-shaped "
     "algorithm); oracle derives identical labels with a recursive CTE.",
@@ -173,6 +175,7 @@ def pipe_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipe_simhash",
+    headline=True,
     doc="SimHash near-dup pairs (Hamming ≤ 3 via 15-bit chunk banding, "
     "full recall by pigeonhole). The 60-bit fingerprint is built from "
     "md5-derived token hashes that compute identically in both engines, "

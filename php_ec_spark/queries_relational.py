@@ -164,6 +164,7 @@ def rel_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_window_top2_orders",
+    headline=True,
     doc="Window ranking: top-2 orders per customer by price (raw doubles, int tie-break).",
     oracle="""
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

@@ -310,22 +310,27 @@ class ActionDispatcher:
                     (r.asDict() for r in rows), True, chunk,
                 )
                 for name, n in done:
-                    yield ("ok", name, n, "")
-                for name, n, err, _batch in failed:
-                    # executor-side journal is impossible (no shared disk
-                    # contract) — report back via the result rows instead
-                    yield ("err", name, n, err)
+                    yield ("ok", name, n, "", None)
+                for name, n, err, batch in failed:
+                    # executors have no shared-disk journal contract, so
+                    # FAILED payloads (and only those — volume bounded by
+                    # failure count) ship back in the status rows; the
+                    # driver journals them below, unifying replay_errored()
+                    # across both dispatch paths (W12)
+                    yield ("err", name, n, err, json.dumps(batch, default=str))
 
             results = (
                 dist_df.rdd.mapPartitions(run_partition).collect()
                 if not dist_df.isStreaming else []
             )
             agg_ok: dict[str, int] = {}
-            for status, name, n, err in results:
+            for status, name, n, err, payload in results:
                 if status == "ok":
                     agg_ok[name] = agg_ok.get(name, 0) + n
                 else:
                     self.failed.append((batch_id, name, n, err))
+                    if payload:
+                        self._journal_failure(name, json.loads(payload))
             for name, n in agg_ok.items():
                 self.completed.append((batch_id, name, n))
 

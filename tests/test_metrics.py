@@ -13,6 +13,51 @@ from php_ec_spark.metrics import (
 )
 
 
+class TestKeySkewTelemetry:
+    def _skewed(self, spark, n=1000):
+        # user 7 holds 50% of all rows; the rest spread over 100 users
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            (i, base + dt.timedelta(seconds=i),
+             7 if i % 2 == 0 else 1000 + (i % 100),  # 7 ∉ the cold-key range
+             "click", 1.0, None)
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    def test_key_skew_reports_hot_key_share(self, spark):
+        from php_ec_spark.metrics import key_skew
+
+        skew = key_skew(self._skewed(spark), "user_id")
+        assert skew["total"] == 1000
+        assert skew["top"][0][0] == 7 and skew["top"][0][1] == 500
+        assert abs(skew["max_share"] - 0.5) < 1e-9
+
+    def test_state_machine_warns_on_50pct_key(self, spark):
+        import pytest as _pytest
+
+        from php_ec_spark.engine.batch import correlate_state_machine
+        from php_ec_spark.rules import match_single
+
+        rules = [match_single("m", ["click"], key="user_id")]
+        ev = self._skewed(spark)
+        with _pytest.warns(UserWarning, match="user_id=7 .*50%.*with_salt"):
+            correlate_state_machine(ev, rules, skew_warn_ratio=0.3)
+        # balanced data at the same threshold stays quiet
+        import warnings as _warnings
+
+        balanced = ev.withColumn("user_id", (ev.event_id % 100).cast("long"))
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error", UserWarning)
+            correlate_state_machine(balanced, rules, skew_warn_ratio=0.3)
+
+
 class TestBatchObserve:
     def test_metrics_ride_the_existing_action(self, spark, events):
         df, obs = observe_batch(events)

@@ -150,6 +150,48 @@ class TestErroredReplay:
         assert len(seen) == 3
         assert os.listdir(tmp_path / "errored") == []
 
+    def test_distributed_failure_journaled_and_replayed_after_restart(
+        self, spark, tmp_path
+    ):
+        """W12 unification: a FAILED distributed action's payload ships
+        back in the status rows and lands in the same checkpoint_dir/
+        errored/ journal as driver-path failures — a restarted run replays
+        it exactly like the reference's errored-action recovery."""
+        import glob
+
+        flag = tmp_path / "fail.flag"
+        flag.write_text("1")
+        sink_dir = tmp_path / "sunk"
+        sink_dir.mkdir()
+
+        def sometimes(rows, _flag=str(flag), _out=str(sink_dir)):
+            # executor-side in run 1 (flag present → fail), driver-side
+            # replay in run 2 (flag removed → write through)
+            if os.path.exists(_flag):
+                raise RuntimeError("downstream outage")
+            with open(os.path.join(_out, f"{os.getpid()}-{id(rows)}.json"), "w") as f:
+                json.dump(rows, f, default=str)
+
+        d1 = ActionDispatcher(checkpoint_dir=str(tmp_path))
+        d1.register("notify", fn=sometimes, rules=["r1"], distributed=True)
+        d1(_emissions(spark, n=4).repartition(2), batch_id=0)
+        assert d1.completed == [] and d1.failed
+        journal = os.listdir(tmp_path / "errored")
+        assert journal and all(f.startswith("notify-") for f in journal)
+
+        # restart: outage over, fresh dispatcher replays the journal
+        flag.unlink()
+        d2 = ActionDispatcher(checkpoint_dir=str(tmp_path))
+        d2.register("notify", fn=sometimes, rules=["r1"], distributed=True)
+        out = d2.replay_errored()
+        assert out["replayed"] == len(journal) and out["halted"] == 0
+        assert os.listdir(tmp_path / "errored") == []
+        replayed = []
+        for fname in glob.glob(str(sink_dir / "*.json")):
+            with open(fname) as f:
+                replayed.extend(r["key"] for r in json.load(f))
+        assert sorted(replayed, key=int) == ["0", "1", "2", "3"]
+
     def test_halt_after_max_attempts(self, spark, tmp_path):
         def always_bad(rows):
             raise RuntimeError("permanent")
