@@ -215,3 +215,116 @@ class EngineMetrics(StreamingQueryListener):
     @property
     def last_progress(self) -> Optional[dict]:
         return self._progress[-1] if self._progress else None
+
+
+class ManagementServer:
+    """Management/status HTTP endpoint (S13) — the reference runs a small
+    HTTP server whose index page renders scheduler state: running mode,
+    engine statistics, load, input/action process status
+    (Management/Server.php:17-60, Actions/Index.php). Spark already ships
+    the deep UI; this endpoint serves the php-ec-shaped summary for the
+    dashboards/health checks a migrating deployment already points at it.
+
+    stdlib-only (ThreadingHTTPServer on a daemon thread):
+
+    - ``GET /status`` → JSON: uptime, calcLoad horizons, summed incrStat
+      counters, last micro-batch progress, active streaming queries.
+    - ``GET /``       → minimal HTML rendering of the same (the reference
+      serves an HTML index too).
+
+    Bind ``port=0`` to let the OS pick (returned by :meth:`start`); the
+    reference reads HOST/PORT from env, so the caller decides policy.
+    """
+
+    def __init__(
+        self,
+        metrics: EngineMetrics,
+        spark=None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ) -> None:
+        self.metrics = metrics
+        self.spark = spark
+        self.host = host
+        self.port = port
+        self._httpd = None
+        self._thread = None
+        self._started_at = time.time()
+
+    # -- payload ----------------------------------------------------------
+    def status(self) -> dict:
+        queries = []
+        if self.spark is not None:
+            for q in self.spark.streams.active:
+                queries.append(
+                    {"name": q.name, "id": str(q.id), "isActive": q.isActive}
+                )
+        return {
+            "state": "RUNNING",
+            "uptime_msec": int((time.time() - self._started_at) * 1000),
+            "load": {str(h): v for h, v in self.metrics.calc_load().items()},
+            "statistics": self.metrics.stats(),
+            "last_progress": self.metrics.last_progress,
+            "queries": queries,
+        }
+
+    # -- lifecycle --------------------------------------------------------
+    def start(self) -> int:
+        import json as _json
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # no stderr chatter per request
+                pass
+
+            def _send(self, code: int, ctype: str, body: bytes) -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802 (http.server API)
+                if self.path == "/status":
+                    body = _json.dumps(server.status(), default=str).encode()
+                    self._send(200, "application/json", body)
+                elif self.path == "/":
+                    s = server.status()
+                    rows = "".join(
+                        f"<tr><td>{k}</td><td>{v}</td></tr>"
+                        for k, v in sorted(s["statistics"].items())
+                    )
+                    load = " / ".join(
+                        f"{h}s: {v:.2f}" for h, v in sorted(
+                            ((int(k), v) for k, v in s["load"].items())
+                        )
+                    )
+                    html = (
+                        "<html><head><title>spark-ec status</title></head><body>"
+                        f"<h1>spark-ec</h1><p>state: {s['state']} — uptime "
+                        f"{s['uptime_msec']} ms</p><p>load (events/s): {load}</p>"
+                        f"<h2>statistics</h2><table>{rows}</table>"
+                        f"<h2>queries</h2><pre>{_json.dumps(s['queries'])}</pre>"
+                        "</body></html>"
+                    ).encode()
+                    self._send(200, "text/html", html)
+                else:
+                    self._send(404, "text/plain", b"not found")
+
+        import threading
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None

@@ -121,6 +121,11 @@ class ImportedState:
     #: inspect before going live; the reference skips UndefinedRule the
     #: same way (CorrelationEngine.php:755-758).
     unmapped_classes: list = field(default_factory=list)
+    #: matchers/events stored in the PRE-2022 format (PHP `serialize()`
+    #: strings, CorrelationEngine.php:688-696/727-732) — unparseable
+    #: without a PHP runtime; re-save with a current reference build
+    #: (loading+saving upgrades the format) and re-import.
+    legacy_entries: int = 0
 
 
 def import_savefile(
@@ -156,7 +161,11 @@ def import_savefile(
     # (key_col, key value) → {obj_id: envelope}
     grouped: dict[Optional[str], dict[object, dict[str, dict]]] = {}
     unmapped: list[str] = []
+    legacy = 0
     for entry in engine_state.get("matchers", []) or []:
+        if isinstance(entry, str):  # pre-2022 PHP-serialize() matcher blob
+            legacy += 1
+            continue
         cls = entry.get("c")
         rule_name = rule_map.get(cls)
         if rule_name is None or rule_name not in by_name:
@@ -164,10 +173,17 @@ def import_savefile(
                 unmapped.append(cls)
             continue
         rule = by_name[rule_name]
-        for obj_id in entry.get("s", {}).get("events", []) or []:
+        state = entry.get("s", {})
+        if isinstance(state, str):  # legacy per-matcher blob inside new list
+            legacy += 1
+            continue
+        for obj_id in state.get("events", []) or []:
             obj_id = str(obj_id)
             ev = events_section.get(obj_id)
             if ev is None:
+                continue
+            if isinstance(ev, str):  # legacy PHP-serialize() event blob
+                legacy += 1
                 continue
             if obj_id not in envelopes:
                 envelopes[obj_id] = event_mapper(obj_id, ev)
@@ -238,4 +254,5 @@ def import_savefile(
             (scheduler_state.get("actions", {}) or {}).get("errored", []) or []
         ),
         unmapped_classes=unmapped,
+        legacy_entries=legacy,
     )

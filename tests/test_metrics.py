@@ -58,6 +58,49 @@ class TestKeySkewTelemetry:
             correlate_state_machine(balanced, rules, skew_warn_ratio=0.3)
 
 
+class TestManagementServer:
+    def test_status_endpoint_serves_engine_state(self, spark):
+        """S13: the stdlib management server serves the php-ec-shaped
+        status document (Management/Server.php / Actions/Index.php) over
+        HTTP — JSON at /status, HTML index at /."""
+        import urllib.request
+
+        from php_ec_spark.metrics import EngineMetrics, ManagementServer
+
+        metrics = EngineMetrics()
+        # seed one synthetic progress entry so stats/load are non-trivial
+        metrics._progress.append(
+            {"wall_ts": time.time(), "query": "q", "batch_id": 1,
+             "num_input_rows": 120, "input_rows_per_second": 10.0,
+             "processed_rows_per_second": 10.0,
+             "observed": {"phpec": {"n_emissions": 3}}}
+        )
+        srv = ManagementServer(metrics, spark=spark)
+        port = srv.start()
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/status", timeout=10
+            ) as r:
+                doc = json.loads(r.read())
+            assert doc["state"] == "RUNNING" and doc["uptime_msec"] >= 0
+            assert set(doc["load"]) == {"60", "900", "3600"}
+            assert doc["load"]["60"] >= 120 / 60 * 0.99
+            assert doc["statistics"] == {"n_emissions": 3}
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=10
+            ) as r:
+                html = r.read().decode()
+            assert "spark-ec" in html and "n_emissions" in html
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/nope", timeout=10
+            ) as r:
+                pass
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        finally:
+            srv.stop()
+
+
 class TestBatchObserve:
     def test_metrics_ride_the_existing_action(self, spark, events):
         df, obs = observe_batch(events)

@@ -141,6 +141,24 @@ class TestImport:
             ("check_payment", "completed", 1, 10)
         ]
 
+    def test_legacy_php_serialized_entries_counted_not_fatal(self, spark, tmp_path):
+        """Pre-2022 save files store matchers/events as PHP serialize()
+        strings (CorrelationEngine.php:688-696) — unparseable without PHP;
+        the importer must skip-and-count them, never crash."""
+        doc = _savefile_doc()
+        doc["engine"]["matchers"].append('O:8:"stdClass":0:{}')
+        doc["engine"]["matchers"].append(
+            {"c": "App\\Rules\\CheckOrderPayment", "s": 'a:0:{}'}
+        )
+        p = tmp_path / "legacy.state"
+        p.write_bytes(gzip.compress(json.dumps(doc).encode(), 2))
+        imp = import_savefile(spark, str(p), RULES(), RULE_MAP)
+        assert imp.legacy_entries == 2
+        # the modern entries still import fully
+        assert sorted(
+            r["__key"] for r in imp.initial_states["user_id"].collect()
+        ) == ["42", "7"]
+
     def test_sidecar_sections_surface(self, spark, savefile):
         imp = import_savefile(spark, savefile, RULES(), RULE_MAP)
         assert imp.statistics == {"seen": {"order_placed": 2}}
