@@ -113,10 +113,13 @@ def chain_correlate(
         to_events = lambda em: emissions_to_events(  # noqa: E731
             em, key_cols=key_cols, rule_index=rule_index
         )
+    from ..rules.base import EVENT_MATCH_ANY
+
     all_emissions: Optional[DataFrame] = None
     current = events
+    active = list(rules)
     for _ in range(max_depth):
-        emitted = correlate(current, rules, historical=historical)
+        emitted = correlate(current, active, historical=historical)
         emitted = emitted.localCheckpoint(eager=True)
         if not emitted.take(1):
             break
@@ -124,6 +127,25 @@ def chain_correlate(
             emitted if all_emissions is None else all_emissions.unionByName(emitted)
         )
         current = to_events(emitted)
+        # Round pruning: later rounds see ONLY this round's derived types,
+        # so a rule with no type overlap cannot start, consume, or suppress
+        # anything — drop it from the next pass (and stop outright when no
+        # rule overlaps, saving the would-be-empty correlate round). One
+        # tiny distinct job over the checkpointed emissions pays for whole
+        # compile+execute rounds. Any-group intersection is deliberately a
+        # SUPERSET of the startable rules — never skips a relevant one.
+        derived_types = {
+            r[0] for r in current.select("event_type").distinct().collect()
+        }
+        active = [
+            r for r in rules
+            if any(
+                EVENT_MATCH_ANY in g or (set(g) & derived_types)
+                for g in r.events
+            )
+        ]
+        if not active:
+            break
     if all_emissions is None:
         return spark.createDataFrame([], EMISSION_SCHEMA)
     return all_emissions

@@ -138,6 +138,30 @@ class TestNoDriverMaterialization:
         assert q.columns == ["id_a", "id_b", "cos"]
 
 
+class TestShingleComputedOnce:
+    def test_inverted_index_plan_runs_split_once(self, spark):
+        """Two past pathologies, pinned: (a) inlining the token split into
+        the per-shingle slice lambda re-ran the regex O(T²) per doc; (b)
+        plain explode made InferFiltersFromGenerate push a size()>0 filter
+        that re-inlined the whole shingle expression below the projection.
+        Either regression shows up as a second split() in the optimized
+        plan of the un-checkpointed inverted index."""
+        from pyspark.sql import functions as F
+
+        from php_ec_spark.operators.dedup import with_shingles
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        sh = with_shingles(docs).select(
+            F.col("doc_id").alias("doc"), "shingles",
+            F.size("shingles").alias("n_sh"),
+        )
+        inv = sh.select(
+            "doc", "n_sh", F.explode_outer("shingles").alias("shingle")
+        )
+        plan = str(inv._jdf.queryExecution().optimizedPlan())
+        assert plan.count("split(") == 1, plan
+
+
 class TestCatalogWideLint:
     """Every registered query, not just the hand-picked ones above: no plan
     in the catalog may contain a row-space cartesian or a row-at-a-time
