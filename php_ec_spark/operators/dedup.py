@@ -148,6 +148,54 @@ def jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥
+    ``min_hits`` distinct word ``n``-grams with a held-out benchmark set —
+    the standard 13-gram overlap rule for cleaning pretraining corpora
+    before evaluation.
+
+    Shape: the benchmark's distinct n-grams (tiny vs the corpus — eval
+    sets are fixed-size) become a broadcast-able exact-match set; the
+    corpus side explodes its own n-grams once and LEFT-JOINs against it —
+    100 TB of corpus text streams through a map-side broadcast probe, no
+    corpus shuffle at all when the benchmark set fits in memory, else a
+    plain equi-join on the 32-byte md5 of the n-gram. Returns
+    ``(doc_id, n_hits, contaminated)`` for EVERY corpus doc.
+    """
+    bench_grams = (
+        with_shingles(benchmark, n=n, text_col=text_col, out_col="__g")
+        .select(F.explode_outer("__g").alias("gram"))
+        .select(F.md5("gram").alias("gh"))
+        .distinct()
+    )
+    corpus_grams = (
+        with_shingles(corpus, n=n, text_col=text_col, out_col="__g")
+        .select(F.col(id_col), F.explode_outer("__g").alias("gram"))
+        .select(id_col, F.md5("gram").alias("gh"))
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
 def _mh_a(k: int) -> int:
     # deterministic odd multipliers / offsets for permutation k
     return (2_654_435_761 * (k + 1) + 1) % MH_MOD or 1

@@ -1,0 +1,84 @@
+"""Sampling and mixing for training-data pipelines.
+
+The operations a data-mixing stage runs before tokenization: seeded
+per-stratum downsampling (quality/source quotas) and weighted interleave
+of several corpora into one stream. Everything is expression-level —
+deterministic given the seed, no Python in the row path, no shuffle beyond
+what the caller's downstream already needs.
+
+Determinism contract: sampling hashes ``(id, seed)`` with xxhash64 rather
+than using ``rand()`` — the same row keeps the same fate across retries,
+partitionings, and re-runs, which is what makes 100 TB sampling jobs
+resumable and their outputs reproducible.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: xxhash64 output spans the full signed-64 space; this maps it to [0, 1).
+_HASH_SPAN = float(1 << 64)
+
+
+def _u(df_col, seed: int):
+    """Deterministic uniform [0,1) from a column + seed."""
+    return (F.xxhash64(df_col, F.lit(seed)) / _HASH_SPAN) + 0.5
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep each stratum at its quota: ``fractions`` maps stratum value →
+    keep-probability (missing strata keep everything).
+
+    Unlike ``DataFrame.sampleBy``, the keep decision is a pure hash of
+    ``(id, seed)`` — re-running the job, changing partitioning, or
+    retrying a task can never change which rows survive.
+    """
+    frac = None
+    for value, p in sorted(fractions.items()):
+        cond = F.col(strata_col).cast("string") == str(value)
+        frac = F.when(cond, F.lit(float(p))) if frac is None else frac.when(
+            cond, F.lit(float(p))
+        )
+    frac = F.lit(1.0) if frac is None else frac.otherwise(F.lit(1.0))
+    return df.filter(_u(F.col(id_col), seed) < frac)
+
+
+def weighted_mix(
+    sources: Mapping[str, DataFrame],
+    weights: Mapping[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+    source_col: str = "mix_source",
+) -> DataFrame:
+    """Mix corpora at target weights into one stream.
+
+    Each source keeps rows with probability ``weight[name] /
+    max(weights)`` (the largest-weight source passes whole; the others
+    thin deterministically), then everything unions with a ``mix_source``
+    tag. This yields the requested RELATIVE mixture without knowing
+    corpus sizes — per-epoch repetition factors are the trainer's job.
+    """
+    if set(sources) != set(weights):
+        raise ValueError(
+            f"sources/weights keys differ: {sorted(sources)} vs {sorted(weights)}"
+        )
+    top = max(weights.values())
+    if top <= 0:
+        raise ValueError("weights must include a positive value")
+    out = None
+    for name in sorted(sources):
+        keep_p = weights[name] / top
+        part = sources[name].withColumn(source_col, F.lit(name))
+        if keep_p < 1.0:
+            part = part.filter(_u(F.col(id_col), seed) < F.lit(keep_p))
+        out = part if out is None else out.unionByName(part)
+    return out

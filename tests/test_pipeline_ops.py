@@ -173,6 +173,82 @@ class TestSimilarity:
         assert bucketed == {p for p in exact if lab[p[0]] == lab[p[1]]}
 
 
+class TestDecontamination:
+    def test_benchmark_ngram_overlap_flags_docs(self, spark):
+        from php_ec_spark.operators.dedup import decontaminate
+
+        secret = " ".join(f"w{i}" for i in range(13))  # a 13-gram
+        corpus = spark.createDataFrame(
+            [
+                (0, f"prefix text {secret} suffix text here"),  # contaminated
+                (1, "totally unrelated content with many words in it"),
+                (2, f"{secret} {secret}"),  # shares several grams
+            ],
+            "doc_id long, text string",
+        )
+        benchmark = spark.createDataFrame(
+            [(100, f"question about {secret} indeed")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in decontaminate(corpus, benchmark).collect()}
+        assert out[0].contaminated and out[0].n_hits >= 1
+        assert not out[1].contaminated and out[1].n_hits == 0
+        assert out[2].contaminated
+        assert len(out) == 3  # every corpus doc present
+
+    def test_min_hits_threshold(self, spark):
+        from php_ec_spark.operators.dedup import decontaminate
+
+        secret = " ".join(f"w{i}" for i in range(13))
+        corpus = spark.createDataFrame(
+            [(0, f"a b {secret} c d")], "doc_id long, text string"
+        )
+        benchmark = spark.createDataFrame(
+            [(9, secret)], "doc_id long, text string"
+        )
+        strict = decontaminate(corpus, benchmark, min_hits=10).collect()[0]
+        assert strict.n_hits >= 1 and not strict.contaminated
+
+
+class TestSamplingAndMixing:
+    def _docs(self, spark, n=4000):
+        return spark.createDataFrame(
+            [(i, "en" if i % 4 else "de", f"text {i}") for i in range(n)],
+            "doc_id long, lang string, text string",
+        )
+
+    def test_stratified_sample_is_deterministic_and_on_quota(self, spark):
+        from php_ec_spark.operators.sampling import stratified_sample
+
+        docs = self._docs(spark)
+        out1 = stratified_sample(docs, {"en": 0.25}, "lang", seed=7)
+        out2 = stratified_sample(docs, {"en": 0.25}, "lang", seed=7)
+        ids1 = {r.doc_id for r in out1.collect()}
+        assert ids1 == {r.doc_id for r in out2.collect()}  # retry-stable
+        n_en = sum(1 for r in out1.collect() if r.lang == "en")
+        assert abs(n_en / 3000 - 0.25) < 0.05  # quota honored ±5 pp
+        # unlisted stratum keeps everything
+        assert sum(1 for i in ids1 if i % 4 == 0) == 1000
+
+    def test_weighted_mix_tags_and_thins(self, spark):
+        import pytest as _pytest
+
+        from php_ec_spark.operators.sampling import weighted_mix
+
+        a = self._docs(spark, 2000).select("doc_id", "text")
+        b = self._docs(spark, 2000).select("doc_id", "text")
+        out = weighted_mix({"web": a, "code": b}, {"web": 1.0, "code": 0.5},
+                           seed=3).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.mix_source, 0)
+            by_src[r.mix_source] += 1
+        assert by_src["web"] == 2000  # top-weight source passes whole
+        assert abs(by_src["code"] / 2000 - 0.5) < 0.06
+        with _pytest.raises(ValueError, match="keys differ"):
+            weighted_mix({"web": a}, {"web": 1.0, "code": 0.5})
+
+
 class TestAsofJoin:
     def test_orders_by_time_not_value(self, spark):
         """The carried struct must order by (on, tie), not by the value
