@@ -69,8 +69,9 @@ def main() -> None:
         # queries × iterations would stack gigabytes of dead cache and the
         # GC pressure bleeds into later measurements. A real deployment
         # runs one query per job — sweeping between queries measures that.
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist(False)
+        from php_ec_spark.session import release_checkpoint_caches
+
+        release_checkpoint_caches(spark)
 
     # N measured iterations per query, report the min — steady-state cost
     # (noisy-neighbor CPU on this box swings single runs by 2×; the min is

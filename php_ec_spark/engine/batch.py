@@ -160,13 +160,6 @@ def correlate_state_machine(
     except ValueError:  # e.g. "auto" on managed platforms
         n_parts = spark.sparkContext.defaultParallelism
 
-    if skew_warn_ratio is not None:
-        from ..metrics import warn_if_skewed
-
-        for key_col in by_key:
-            if key_col is not None:
-                warn_if_skewed(events, key_col, warn_ratio=skew_warn_ratio)
-
     outs = []
     for key_col, group_rules in by_key.items():
         needed_types = set()
@@ -180,6 +173,13 @@ def correlate_state_machine(
         if not unrestricted:
             # prune the scan: only event types any rule can consume
             src = src.filter(F.col("event_type").isin(sorted(needed_types)))
+        if skew_warn_ratio is not None and key_col is not None:
+            # measure the stream this path actually shuffles — the
+            # type-FILTERED rows; the raw table's hot key may be cold here
+            # (and vice versa)
+            from ..metrics import warn_if_skewed
+
+            warn_if_skewed(src, key_col, warn_ratio=skew_warn_ratio)
         key_expr = (
             F.col(key_col).cast("string") if key_col is not None else F.lit(None).cast("string")
         )

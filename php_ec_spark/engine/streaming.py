@@ -50,7 +50,10 @@ def _make_stateful_handler(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        restore_key = "__all__" if keyless else str(key[0])
+        # the projection groups on the Spark-cast string key (keyless rules
+        # on the literal "__all__"), so key[0] IS the snapshot __key —
+        # including None for null-key groups; no Python str() re-encoding
+        restore_key = key[0]
         in_restore = restore_bc is not None and restore_key in restore_bc.value
         if state.exists:
             blob = state.get[0]

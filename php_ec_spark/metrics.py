@@ -100,18 +100,23 @@ def key_skew(events: DataFrame, key_col: str, top_n: int = 5) -> dict:
     parallelism at ~2× regardless of partition count (batch.py's
     documented single-hot-key mode). Returns ``{"total", "top":
     [(key, n), ...], "max_share"}`` where ``max_share`` is the hottest
-    key's row fraction.
+    key's row fraction. The input is scanned ONCE: per-key counts persist
+    (bounded by key cardinality, far smaller than the events), and both
+    the total and the top-N derive from that cached frame.
     """
-    total_row = events.groupBy().count().collect()[0]
-    total = total_row["count"]
-    top = [
-        (r[key_col], r["n"])
-        for r in events.groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col(key_col))
-        .limit(top_n)
-        .collect()
-    ]
+    grouped = (
+        events.groupBy(key_col).agg(F.count(F.lit(1)).alias("n")).persist()
+    )
+    try:
+        total = grouped.agg(F.sum("n").alias("t")).collect()[0]["t"] or 0
+        top = [
+            (r[key_col], r["n"])
+            for r in grouped.orderBy(F.col("n").desc(), F.col(key_col))
+            .limit(top_n)
+            .collect()
+        ]
+    finally:
+        grouped.unpersist()
     return {
         "total": total,
         "top": top,

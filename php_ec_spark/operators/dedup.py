@@ -94,6 +94,12 @@ def jaccard_pairs(
     ``max_df`` (optional) drops shingles appearing in more than that many
     docs — the standard stop-shingle guard against quadratic hot keys.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+
+    Session note: the inverted index is ``localCheckpoint()``-ed (lazily)
+    so its one compute feeds every downstream branch; the checkpoint
+    blocks stay pinned after the action. Long-lived sessions issuing many
+    calls should sweep with ``session.release_checkpoint_caches`` between
+    queries (the bench harness does).
     """
     sh = with_shingles(df, n=n, text_col=text_col).select(
         F.col(id_col).alias("doc"), "shingles", F.size("shingles").alias("n_sh")
@@ -155,6 +161,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_hits: int = 1,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing ≥
     ``min_hits`` distinct word ``n``-grams with a held-out benchmark set —
@@ -162,12 +169,15 @@ def decontaminate(
     before evaluation.
 
     Shape: the benchmark's distinct n-grams (tiny vs the corpus — eval
-    sets are fixed-size) become a broadcast-able exact-match set; the
-    corpus side explodes its own n-grams once and LEFT-JOINs against it —
-    100 TB of corpus text streams through a map-side broadcast probe, no
-    corpus shuffle at all when the benchmark set fits in memory, else a
-    plain equi-join on the 32-byte md5 of the n-gram. Returns
-    ``(doc_id, n_hits, contaminated)`` for EVERY corpus doc.
+    sets are fixed-size) become an exact-match probe set; the corpus side
+    explodes its own n-grams once and left-semi-joins against it. With
+    ``broadcast_benchmark=True`` (default — right for real eval suites)
+    100 TB of corpus text streams through a map-side broadcast probe with
+    no corpus shuffle; set it ``False`` for a pathologically large
+    benchmark set and the same semantics run as a plain equi-join on the
+    32-byte md5 of the n-gram instead of forcing an over-threshold
+    broadcast. Returns ``(doc_id, n_hits, contaminated)`` for EVERY
+    corpus doc.
     """
     bench_grams = (
         with_shingles(benchmark, n=n, text_col=text_col, out_col="__g")
@@ -180,8 +190,9 @@ def decontaminate(
         .select(F.col(id_col), F.explode_outer("__g").alias("gram"))
         .select(id_col, F.md5("gram").alias("gh"))
     )
+    probe = F.broadcast(bench_grams) if broadcast_benchmark else bench_grams
     hits = (
-        corpus_grams.join(F.broadcast(bench_grams), "gh", "left_semi")
+        corpus_grams.join(probe, "gh", "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

@@ -23,9 +23,14 @@ from pyspark.sql import functions as F
 _HASH_SPAN = float(1 << 64)
 
 
-def _u(df_col, seed: int):
-    """Deterministic uniform [0,1) from a column + seed."""
-    return (F.xxhash64(df_col, F.lit(seed)) / _HASH_SPAN) + 0.5
+def _u(df_col, seed: int, op: str):
+    """Deterministic uniform [0,1) from a column + seed + operator tag.
+
+    The tag domain-separates the hash: stratified_sample and weighted_mix
+    at the same seed draw INDEPENDENT uniforms, so composing them
+    multiplies keep rates instead of collapsing to min(rates) (identical
+    hashes would make the second filter a no-op on survivors)."""
+    return (F.xxhash64(df_col, F.lit(op), F.lit(seed)) / _HASH_SPAN) + 0.5
 
 
 def stratified_sample(
@@ -49,7 +54,7 @@ def stratified_sample(
             cond, F.lit(float(p))
         )
     frac = F.lit(1.0) if frac is None else frac.otherwise(F.lit(1.0))
-    return df.filter(_u(F.col(id_col), seed) < frac)
+    return df.filter(_u(F.col(id_col), seed, "stratified_sample") < frac)
 
 
 def weighted_mix(
@@ -79,6 +84,6 @@ def weighted_mix(
         keep_p = weights[name] / top
         part = sources[name].withColumn(source_col, F.lit(name))
         if keep_p < 1.0:
-            part = part.filter(_u(F.col(id_col), seed) < F.lit(keep_p))
+            part = part.filter(_u(F.col(id_col), seed, "weighted_mix") < F.lit(keep_p))
         out = part if out is None else out.unionByName(part)
     return out

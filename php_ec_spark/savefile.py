@@ -43,7 +43,6 @@ from typing import Callable, Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from .engine.core import EngineCore
-from .engine.streaming_tws import SNAPSHOT_SCHEMA
 from .memory import MEMORY_SCHEMA, MemoryEngine
 from .rules.base import Rule
 
@@ -79,7 +78,13 @@ def default_event_mapper(obj_id: str, ev: dict) -> dict:
     try:
         eid = int(ev.get("id"))
     except (TypeError, ValueError):
-        eid = -1_000_000_000 - int(obj_id)
+        try:
+            eid = -1_000_000_000 - int(obj_id)
+        except (TypeError, ValueError):
+            # non-numeric saved object ids (hash-style) — still deterministic
+            import zlib
+
+            eid = -1_000_000_000 - zlib.crc32(str(obj_id).encode())
     value = ev.get("value")
     try:
         value = float(value) if value is not None else None
@@ -197,6 +202,12 @@ def import_savefile(
     for r in rules:
         rules_by_key.setdefault(r.key, []).append(r)
 
+    #: Spark type of each envelope column a rule may key on — snapshot keys
+    #: must be the SPARK cast-to-string of the native value (what the
+    #: streaming engines group on), not Python str(): Java Double.toString
+    #: switches to E-notation at 1e7 where Python doesn't, etc.
+    _KEY_TYPES = {"user_id": "bigint", "value": "double"}
+
     initial_states: dict[Optional[str], DataFrame] = {}
     for key_col, keys in grouped.items():
         rows = []
@@ -208,7 +219,12 @@ def import_savefile(
                 evs.values(), key=lambda e: (e["ts"], e["event_id"])
             )
             for env in replay:
-                ts_ns = int(env["ts"].timestamp() * 1e9)
+                # ts is naive UTC; a bare .timestamp() would re-interpret
+                # it in the driver's LOCAL timezone and shift every replayed
+                # deadline by the UTC offset
+                ts_ns = int(
+                    env["ts"].replace(tzinfo=timezone.utc).timestamp() * 1e9
+                )
                 core.handle(
                     (env["event_id"], ts_ns, env["event_type"], env["value"])
                 )
@@ -216,8 +232,25 @@ def import_savefile(
             if core.has_live():
                 rows.append((key_val, core.to_state()))
         if rows:
-            initial_states[key_col] = spark.createDataFrame(
-                rows, SNAPSHOT_SCHEMA
+            ktype = _KEY_TYPES.get(key_col, "string")
+            typed = spark.createDataFrame(
+                [
+                    (
+                        None
+                        if k in (None, "None", "__all__") and key_col is not None
+                        else k,
+                        b,
+                    )
+                    for k, b in rows
+                ],
+                "__k string, blob string",
+            )
+            # round-trip the key through the native type so the stored
+            # __key equals the Spark CAST the live query's grouping uses
+            from pyspark.sql import functions as F
+
+            initial_states[key_col] = typed.select(
+                F.col("__k").cast(ktype).cast("string").alias("__key"), "blob"
             )
 
     memory = None

@@ -101,3 +101,21 @@ def register_views(
     Catalyst provides the whole relational layer for free)."""
     for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+
+
+def release_checkpoint_caches(spark: SparkSession) -> int:
+    """Unpersist every RDD pinned in the block manager — primarily the
+    ``localCheckpoint()`` lineages the iterative/multi-branch operators
+    (``jaccard_pairs`` inverted index, ``dedup_clusters`` label rounds,
+    ``chain_correlate`` fixpoint rounds) leave behind after their action
+    completes. A one-query-per-job deployment never needs this; call it
+    between queries in a long-lived session (notebook, service, benchmark
+    harness) so dead checkpoint blocks don't accumulate into GC pressure.
+    Returns the number of RDDs released. Only call AFTER the results built
+    on those checkpoints have been fully consumed — a localCheckpoint
+    cannot be recomputed once its blocks are gone."""
+    released = 0
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist(False)
+        released += 1
+    return released

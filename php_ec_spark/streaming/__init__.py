@@ -170,18 +170,42 @@ def start_chained_correlation(
         dispatcher(df, batch_id)
         if df.isEmpty():  # JVM-side limit-1 probe on the checkpointed batch
             return  # no derived file — quiet batches leave the chain dir alone
-        # Derived events re-enter executor-side: written straight to the
-        # chain dir as NDJSON part files. Task-commit renames are atomic,
-        # so the file source never sees a half-written file (the
-        # reference's save-file discipline, FileAdapter.php:164-197), and
-        # the JSON writer formats ts in the UTC session timezone — a
+        # Derived events re-enter executor-side: written as NDJSON part
+        # files into a hidden staging dir (underscore prefix — invisible
+        # to the file source even mid-write), then renamed by the driver
+        # to DETERMINISTIC per-batch names. Replay safety: a re-run of
+        # batch N produces the same file paths, and the file source's
+        # seen-files log ignores an already-processed path even after
+        # cleanSource deleted it — so a crash between write and checkpoint
+        # commit can never double-inject derived events (the same
+        # guarantee the old single-file os.replace gave, kept while the
+        # DATA path stays executor-side; the rename is metadata-only).
+        # The JSON writer formats ts in the UTC session timezone — a
         # driver-local tz can never shift re-injected event times.
+        staging = os.path.join(chain_dir, f"_staging_{batch_id}")
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)  # replay leftovers
         (
             to_events(df)
-            .write.mode("append")
+            .write.mode("overwrite")
             .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
-            .json(chain_dir)
+            .json(staging)
         )
+        # drop any not-yet-consumed files a crashed run left for THIS batch
+        # (a replay may split into a different part count; a stale higher
+        # index would otherwise re-add rows the new files already carry)
+        prefix = f"derived_{batch_id:010d}_"
+        for old in os.listdir(chain_dir):
+            if old.startswith(prefix):
+                os.remove(os.path.join(chain_dir, old))
+        for i, p in enumerate(sorted(os.listdir(staging))):
+            if p.startswith("part-") and os.path.getsize(os.path.join(staging, p)):
+                os.replace(
+                    os.path.join(staging, p),
+                    os.path.join(chain_dir, f"derived_{batch_id:010d}_{i:04d}.json"),
+                )
+        shutil.rmtree(staging, ignore_errors=True)
 
     return (
         emissions.writeStream.queryName(query_name)
@@ -284,7 +308,8 @@ def start_correlations(
 
     def _kick_rows(keys: list, key_col: Optional[str]) -> Optional[list[dict]]:
         rows = []
-        for j, k in enumerate(sorted(keys)):
+        ordered = sorted(keys, key=lambda x: (x is None, str(x)))
+        for j, k in enumerate(ordered):
             row = {
                 "event_id": -10_000_000 - (j + 1),  # negative control id space
                 "ts": hist_max_iso or "1970-01-01T00:00:00.000000Z",
@@ -297,6 +322,8 @@ def start_correlations(
                 pass  # keyless group: any row touches the constant key
             elif key_col == "event_type":
                 return None  # unkickable: the key IS the control channel
+            elif k is None:
+                pass  # null-key group: the NULL key column already matches
             elif key_col == "user_id":
                 row["user_id"] = int(k)
             elif key_col == "value":

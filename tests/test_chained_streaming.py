@@ -134,7 +134,9 @@ class TestChainedStreaming:
             # cleaner deletes the consumed part files (async, so poll)
             sweep_deadline = time.time() + 90
             while time.time() < sweep_deadline:
-                parts = [p for p in os.listdir(chain) if p.startswith("part-")]
+                parts = [
+                    p for p in os.listdir(chain) if p.startswith("derived_")
+                ]
                 if not parts:
                     break
                 time.sleep(0.5)

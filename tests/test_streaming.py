@@ -369,7 +369,10 @@ def test_warm_start_quiet_stream_fires_restored_deadlines(spark, stream_dirs):
     src, ckpt = stream_dirs  # src stays EMPTY — the live stream is quiet
     base = dt.datetime(2024, 1, 1)
     history = spark.createDataFrame(
-        [(1, base, 1, "signup", 1.0, None), (2, base, 2, "signup", 2.0, None)],
+        [(1, base, 1, "signup", 1.0, None), (2, base, 2, "signup", 2.0, None),
+         # NULL correlation key: snapshot emits __key NULL; the kick spool
+         # must carry a NULL-key row and sorting must not choke on None
+         (3, base, None, "signup", 3.0, None)],
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
@@ -391,13 +394,17 @@ def test_warm_start_quiet_stream_fires_restored_deadlines(spark, stream_dirs):
     )
     try:
         deadline = time.time() + 120
-        while time.time() < deadline and len(seen) < 2:
+        while time.time() < deadline and len(seen) < 3:
             time.sleep(0.3)
     finally:
         group.stop_all()
 
-    got = sorted((r["rule"], r["key"], r["outcome"], str(r["fire_ts"])) for r in seen)
+    got = sorted(
+        ((r["rule"], r["key"], r["outcome"], str(r["fire_ts"])) for r in seen),
+        key=lambda t: (t[1] is not None, str(t[1])),
+    )
     assert got == [
+        ("pay", None, "timeout", "2024-01-01 00:00:20"),
         ("pay", "1", "timeout", "2024-01-01 00:00:20"),
         ("pay", "2", "timeout", "2024-01-01 00:00:20"),
     ]
