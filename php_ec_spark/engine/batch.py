@@ -154,11 +154,10 @@ def correlate_state_machine(
     if len(by_key) > 1 and any(r.suppress for r in rules):
         raise ValueError("suppressing rules must share one correlation key column")
 
+    from ..session import shuffle_partitions
+
     spark = events.sparkSession
-    try:
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    except ValueError:  # e.g. "auto" on managed platforms
-        n_parts = spark.sparkContext.defaultParallelism
+    n_parts = shuffle_partitions(spark)
 
     outs = []
     for key_col, group_rules in by_key.items():

@@ -230,13 +230,12 @@ def snapshot_state(
     otherwise the warm-started query re-emits a timeout history already
     reported.
     """
+    from ..session import shuffle_partitions
+
     key_col = _single_key_col(rules)
     src, _keyless = _project(events, rules, prefilter_types=False)
     spark = events.sparkSession
-    try:
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    except ValueError:
-        n_parts = spark.sparkContext.defaultParallelism
+    n_parts = shuffle_partitions(spark)
     part = src.repartition(n_parts, "__key").sortWithinPartitions(
         "__key", "ts", "event_id"
     )

@@ -128,12 +128,9 @@ def jaccard_pairs(
     # self-join EXPLODES rows — Σ df² per shingle — so the explosion must
     # run wide. An explicit numbered repartition is exempt from AQE
     # coalescing, and both join sides inherit it (no extra exchange).
-    spark = df.sparkSession
-    try:
-        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    except ValueError:
-        n_parts = spark.sparkContext.defaultParallelism
-    inv = inv.repartition(n_parts, "shingle")
+    from ..session import shuffle_partitions
+
+    inv = inv.repartition(shuffle_partitions(df.sparkSession), "shingle")
     a = inv.select(
         F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
     )

@@ -266,7 +266,12 @@ def import_savefile(
                     str(m["namespace"]),
                     str(m["key"]),
                     json.dumps(m.get("value"), sort_keys=True),
-                    _parse_iso(expires) if expires else None,
+                    # tz-AWARE so TimestampType.toInternal converts from
+                    # true UTC — a naive value would be read in driver-local
+                    # time and shift the expiry by the host's UTC offset
+                    _parse_iso(expires).replace(tzinfo=timezone.utc)
+                    if expires
+                    else None,
                     bool(m.get("persistent", True)),
                     0,
                     i,

@@ -103,6 +103,18 @@ def register_views(
         df.createOrReplaceTempView(name)
 
 
+def shuffle_partitions(spark: SparkSession, default: int = 32) -> int:
+    """Resolve ``spark.sql.shuffle.partitions`` as an int, falling back to
+    the cluster's default parallelism when the value is non-numeric
+    (managed platforms set "auto"). The one place the operators that pin
+    an explicit repartition width (state machine, snapshot builder,
+    inverted-index join) read it from."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 def release_checkpoint_caches(spark: SparkSession) -> int:
     """Unpersist every RDD pinned in the block manager — primarily the
     ``localCheckpoint()`` lineages the iterative/multi-branch operators

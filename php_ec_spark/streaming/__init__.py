@@ -282,11 +282,17 @@ def start_correlations(
     ALSO kicked automatically: one in-band ``CONTROL_MSG_RESTORED`` row
     per snapshot key (the reference's restore control message,
     Scheduler.php:730-737) is written to a per-query kick spool and
-    unioned into the source, so deadlines armed in history fire even if
-    the live stream stays quiet (applyInPandasWithState cannot arm timers
-    for untouched keys). Exception: rules keyed ON ``event_type`` cannot
-    be kicked without forging a real event type — those groups get a
-    ``UserWarning`` and first-touch restore semantics.
+    unioned into the source, arming every restored key's pending timer on
+    the first trigger (applyInPandasWithState cannot arm timers for
+    untouched keys). WHEN the armed timer fires follows the clock
+    contract: under ``clock="processing"`` deadlines fire on wall time —
+    a fully quiet stream still times out (the reference's absence
+    detection); under the default ``clock="event"`` timers fire when the
+    WATERMARK passes the deadline, and the kicks only advance it to max
+    history time — deadlines beyond that still wait for live traffic,
+    exactly like any event-time timeout. Exception: rules keyed ON
+    ``event_type`` cannot be kicked without forging a real event type —
+    those groups get a ``UserWarning`` and first-touch restore semantics.
     """
     import json as _json
     import uuid as _uuid
