@@ -79,6 +79,67 @@ class TestChainedStreaming:
         # the reminder consumed a DERIVED event: negative collision-free id
         assert r["last_event_id"] < 0
 
+    def test_restart_resumes_chain_without_duplicates(self, spark, tmp_path):
+        """Kill the chained query mid-chain (after the timeout fires, maybe
+        before the reminder consumes the derived event) and restart on the
+        same checkpoint + chain dir: the chain completes and the reminder
+        fires EXACTLY once across both runs — deterministic derived-file
+        names + the dispatcher's cross-run batch markers make replayed
+        batches idempotent end to end."""
+        src = tmp_path / "src"
+        chain = tmp_path / "chain"
+        src.mkdir()
+        with open(src / "orders.json", "w") as f:
+            f.write(json.dumps({
+                "event_id": 1, "ts": "2024-01-01T00:00:00Z", "user_id": 42,
+                "event_type": "order_placed", "value": 99.5, "props": None,
+            }) + "\n")
+        rules = lambda: [  # noqa: E731
+            sequence_rule("check_payment", ["order_placed", "payment"],
+                          key="user_id", timeout="PT20S"),
+            match_single("reminder", ["check_payment:timeout"], key="user_id"),
+        ]
+
+        seen1: list = []
+        d1 = ActionDispatcher()
+        d1.register("capture", fn=seen1.extend)
+        q1 = start_chained_correlation(
+            ndjson_dir_source(spark, str(src)), rules(),
+            checkpoint_dir=str(tmp_path / "ck"), chain_dir=str(chain),
+            dispatcher=d1, trigger_interval="300 milliseconds",
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline and not any(
+                r["rule"] == "check_payment" for r in seen1
+            ):
+                time.sleep(0.2)
+        finally:
+            q1.stop()  # mid-chain kill
+
+        seen2: list = []
+        d2 = ActionDispatcher()
+        d2.register("capture", fn=seen2.extend)
+        q2 = start_chained_correlation(
+            ndjson_dir_source(spark, str(src)), rules(),
+            checkpoint_dir=str(tmp_path / "ck"), chain_dir=str(chain),
+            dispatcher=d2, trigger_interval="300 milliseconds",
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline and not any(
+                r["rule"] == "reminder" for r in seen1 + seen2
+            ):
+                time.sleep(0.3)
+        finally:
+            q2.stop()
+
+        every = seen1 + seen2
+        reminders = [r for r in every if r["rule"] == "reminder"]
+        timeouts = [r for r in every if r["rule"] == "check_payment"]
+        assert len(reminders) == 1 and reminders[0]["outcome"] == "completed"
+        assert len(timeouts) == 1 and timeouts[0]["outcome"] == "timeout"
+
     def test_high_volume_chain_no_driver_materialization(
         self, spark, tmp_path, monkeypatch
     ):
