@@ -441,9 +441,13 @@ def dedup_clusters(
     verified). Components are found by iterative min-label propagation —
     each round is one join + aggregate, lineage truncated per round; rounds
     needed = graph diameter (near-dup clusters are tiny, so 2-3 in
-    practice, ``max_iters`` is a backstop). This is the deliberately
-    non-SQL-shaped algorithm of the operator set — the DuckDB oracle uses a
-    recursive CTE to derive the same labeling.
+    practice, ``max_iters`` is a backstop). The propagation frame holds
+    ONLY nodes that appear in some pair — at corpus scale the dup-involved
+    subset is a sliver of the data, so each round costs O(|edges|), not
+    O(|docs|); the untouched majority joins back as self-labeled
+    singletons at the end. This is the deliberately non-SQL-shaped
+    algorithm of the operator set — the DuckDB oracle uses a recursive CTE
+    to derive the same labeling.
     Output: (doc_id, cluster_id) for EVERY document; singletons label
     themselves.
     """
@@ -457,9 +461,13 @@ def dedup_clusters(
         )
         .localCheckpoint(eager=True)
     )
-    labels = df.select(
-        F.col(id_col).alias("doc"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    # both edge directions exist, so src alone covers every paired node
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc)
@@ -485,8 +493,17 @@ def dedup_clusters(
         labels = new_labels.select("doc", F.col("new_label").alias("label"))
         if not changed:
             break
-    return labels.select(
-        F.col("doc").alias(id_col), F.col("label").alias("cluster_id")
+    # singletons (the vast majority at scale) never entered the loop:
+    # join the converged component labels back over the full corpus
+    return (
+        df.select(F.col(id_col))
+        .join(
+            labels.withColumnRenamed("doc", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+        )
     )
 
 
