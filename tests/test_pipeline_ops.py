@@ -196,6 +196,58 @@ class TestDecontamination:
         assert out[2].contaminated
         assert len(out) == 3  # every corpus doc present
 
+    def test_matches_duckdb_oracle_on_real_docs(self, spark):
+        """Unregistered-operator oracle discipline: the same 13-gram
+        overlap flags computed in DuckDB over the driver's documents table
+        (benchmark = 5 held-out docs) must match exactly."""
+        import duckdb
+
+        from php_ec_spark.operators.dedup import decontaminate
+
+        sf = "/root/testdata/sf0.001/documents.parquet"
+        docs = spark.read.parquet(sf)
+        bench_ids = [r.doc_id for r in docs.limit(5).collect()]
+        got = {
+            (r.doc_id, r.n_hits, r.contaminated)
+            for r in decontaminate(
+                docs, docs.filter(F.col("doc_id").isin(bench_ids))
+            ).collect()
+        }
+        ids = ",".join(map(str, bench_ids))
+        want = {
+            tuple(r)
+            for r in duckdb.sql(f"""
+                WITH tok AS (
+                    SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM '{sf}'
+                ), sh AS (
+                    SELECT doc_id,
+                           CASE WHEN len(toks) < 13
+                                THEN [array_to_string(toks, ' ')]
+                                ELSE list_distinct([
+                                    array_to_string(toks[i:i+12], ' ')
+                                    for i in range(1, len(toks) - 11)
+                                ])
+                           END AS grams
+                    FROM tok
+                ), bg AS (
+                    SELECT DISTINCT unnest(grams) AS g FROM sh
+                    WHERE doc_id IN ({ids})
+                ), cg AS (
+                    SELECT doc_id, unnest(grams) AS g FROM sh
+                ), hits AS (
+                    SELECT doc_id, count(*) AS n_hits
+                    FROM cg WHERE g IN (SELECT g FROM bg)
+                    GROUP BY doc_id
+                )
+                SELECT d.doc_id,
+                       coalesce(h.n_hits, 0) AS n_hits,
+                       coalesce(h.n_hits, 0) >= 1 AS contaminated
+                FROM '{sf}' d LEFT JOIN hits h USING (doc_id)
+            """).fetchall()
+        }
+        assert got == want and len(got) == docs.count()
+
     def test_min_hits_threshold(self, spark):
         from php_ec_spark.operators.dedup import decontaminate
 

@@ -141,6 +141,38 @@ class TestImport:
             ("check_payment", "completed", 1, 10)
         ]
 
+    def test_import_blobs_equal_snapshot_state_of_equivalent_history(
+        self, spark, savefile
+    ):
+        """The importer's replay IS snapshot_state's replay: a savefile
+        synthesized from some history must produce byte-identical state
+        blobs to snapshot_state over that same history — the invariant
+        that makes 'restore from PHP savefile' and 'warm start from batch
+        history' the same machine."""
+        import datetime as dt
+
+        from php_ec_spark.engine import snapshot_state
+
+        base = dt.datetime(2024, 1, 1)
+        history = spark.createDataFrame(
+            [
+                (1, base, 42, "order_placed", 99.5, None),
+                (2, base + dt.timedelta(seconds=5), 7, "order_placed", 10.0, None),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        want = {
+            r["__key"]: r["blob"]
+            for r in snapshot_state(history, RULES()).collect()
+        }
+        imp = import_savefile(spark, savefile, RULES(), RULE_MAP)
+        got = {
+            r["__key"]: r["blob"]
+            for r in imp.initial_states["user_id"].collect()
+        }
+        assert got == want
+
     def test_legacy_php_serialized_entries_counted_not_fatal(self, spark, tmp_path):
         """Pre-2022 save files store matchers/events as PHP serialize()
         strings (CorrelationEngine.php:688-696) — unparseable without PHP;
