@@ -118,6 +118,21 @@ class ActionSpec:
             subprocess.run(self.cmd, input=payload.encode(), check=True, timeout=60)
 
 
+def _utc_naive(v):
+    """Undo PySpark's local-timezone rendering of TimestampType: Row
+    conversion (``fromInternal``) turns the internal UTC micros into a
+    NAIVE datetime in the host's local tz, so on a non-UTC driver or
+    executor every action payload timestamp is shifted by the UTC offset.
+    A naive datetime is re-read as local time and converted back to naive
+    UTC — actions always see the same UTC wall time the engine computed
+    (Event.php:63-80 normalizes to UTC the same way)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime) and v.tzinfo is None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
 def _run_groups(
     specs_by_rule: dict[str, ActionSpec],
     default: Optional[ActionSpec],
@@ -128,7 +143,8 @@ def _run_groups(
     """Route rows to actions and dispatch in bounded chunks.
 
     Shared by the driver path (iterating ``toLocalIterator``) and the
-    executor path (iterating a partition). Returns (completed, failed)
+    executor path (iterating a partition); timestamps are normalized to
+    UTC either way (:func:`_utc_naive`). Returns (completed, failed)
     as (action, n) / (action, n, error, rows) tuples.
     """
     buf: dict[str, list[dict]] = {}
@@ -152,6 +168,7 @@ def _run_groups(
         spec = specs_by_rule.get(row.get("rule")) or default
         if spec is None or spec.distributed != want_distributed:
             continue
+        row = {k: _utc_naive(v) for k, v in row.items()}
         specs[spec.name] = spec
         buf.setdefault(spec.name, []).append(row)
         if len(buf[spec.name]) >= chunk_size:
