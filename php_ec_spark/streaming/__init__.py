@@ -263,6 +263,7 @@ def start_correlations(
     trigger_once: bool = False,
     clock: str = "event",
     history: Optional[DataFrame] = None,
+    initial_states: Optional[dict] = None,
 ) -> CorrelationGroup:
     """Start one correlation query PER KEY COLUMN in the rule set.
 
@@ -293,6 +294,20 @@ def start_correlations(
     exactly like any event-time timeout. Exception: rules keyed ON
     ``event_type`` cannot be kicked without forging a real event type —
     those groups get a ``UserWarning`` and first-touch restore semantics.
+
+    ``initial_states`` (mutually exclusive with ``history``) warm-starts
+    from ALREADY-BUILT snapshots instead: a dict of key column →
+    snapshot DataFrame, exactly what
+    :func:`php_ec_spark.savefile.import_savefile` returns — the one-liner
+    migration boot from a reference save file::
+
+        imp = import_savefile(spark, "/var/php-ce.state", rules, rule_map)
+        start_correlations(events, rules, ckpt, clock="processing",
+                           initial_states=imp.initial_states)
+
+    Kick rows are injected the same way (their ts defaults to epoch when
+    no history exists to date them — only watermark advance is affected,
+    and only under the event clock).
     """
     import json as _json
     import uuid as _uuid
@@ -302,6 +317,9 @@ def start_correlations(
 
     from ..engine.streaming_tws import SNAPSHOT_SCHEMA, snapshot_state
     from ..model import CONTROL_MSG_RESTORED
+
+    if history is not None and initial_states is not None:
+        raise ValueError("pass history OR initial_states, not both")
 
     spark = events.sparkSession
     hist_max_iso: Optional[str] = None
@@ -354,28 +372,33 @@ def start_correlations(
 
         src = events
         init = None
+        snap_rows = None
         if history is not None:
             snap_rows = snapshot_state(history, group_rules).collect()
             if snap_rows:
                 init = spark.createDataFrame(snap_rows, SNAPSHOT_SCHEMA)
-                kicks = _kick_rows([r["__key"] for r in snap_rows], key_col)
-                if kicks is None:
-                    warnings.warn(
-                        f"cannot synthesize restore kicks for key column "
-                        f"{key_col!r}; restored keys resume on first touch "
-                        "and quiet-stream deadlines stay unarmed",
-                        UserWarning,
-                        stacklevel=2,
-                    )
-                else:
-                    kick_dir = os.path.join(checkpoint_root, f"kicks_{tag}")
-                    os.makedirs(kick_dir, exist_ok=True)
-                    p = os.path.join(kick_dir, f"kick_{_uuid.uuid4().hex}.json")
-                    with open(p + ".tmp", "w") as f:
-                        for row in kicks:
-                            f.write(_json.dumps(row) + "\n")
-                    os.replace(p + ".tmp", p)
-                    src = events.unionByName(ndjson_dir_source(spark, kick_dir))
+        elif initial_states is not None and initial_states.get(key_col) is not None:
+            init = initial_states[key_col]
+            snap_rows = init.select("__key", "blob").collect()
+        if snap_rows:
+            kicks = _kick_rows([r["__key"] for r in snap_rows], key_col)
+            if kicks is None:
+                warnings.warn(
+                    f"cannot synthesize restore kicks for key column "
+                    f"{key_col!r}; restored keys resume on first touch "
+                    "and quiet-stream deadlines stay unarmed",
+                    UserWarning,
+                    stacklevel=2,
+                )
+            else:
+                kick_dir = os.path.join(checkpoint_root, f"kicks_{tag}")
+                os.makedirs(kick_dir, exist_ok=True)
+                p = os.path.join(kick_dir, f"kick_{_uuid.uuid4().hex}.json")
+                with open(p + ".tmp", "w") as f:
+                    for row in kicks:
+                        f.write(_json.dumps(row) + "\n")
+                os.replace(p + ".tmp", p)
+                src = events.unionByName(ndjson_dir_source(spark, kick_dir))
 
         group.queries[key_col] = start_correlation(
             src,

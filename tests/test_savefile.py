@@ -207,6 +207,50 @@ class TestImport:
         # expired entry dropped by TTL, live entry readable
         assert live == {("thresholds", "max_order"): "500"}
 
+    def test_one_liner_migration_boot(self, spark, tmp_path, savefile):
+        """The documented migration one-liner: import_savefile →
+        start_correlations(initial_states=...) on a QUIET live stream
+        under the processing clock — both mid-flight instances saved by
+        the PHP engine time out at their history-armed deadlines, no
+        manual kicks, no history DataFrame."""
+        import time
+
+        from php_ec_spark.streaming import (
+            ActionDispatcher,
+            start_correlations,
+        )
+
+        imp = import_savefile(spark, savefile, RULES(), RULE_MAP)
+        src = tmp_path / "live"
+        src.mkdir()
+        seen: list = []
+
+        def factory(_k):
+            d = ActionDispatcher()
+            d.register("capture", fn=seen.extend)
+            return d
+
+        group = start_correlations(
+            ndjson_dir_source(spark, str(src)), RULES(),
+            str(tmp_path / "ck"),
+            dispatcher_factory=factory, clock="processing",
+            initial_states=imp.initial_states,
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline and len(seen) < 2:
+                time.sleep(0.3)
+        finally:
+            group.stop_all()
+
+        got = sorted(
+            (r["rule"], r["key"], r["outcome"], str(r["fire_ts"])) for r in seen
+        )
+        assert got == [
+            ("check_payment", "42", "timeout", "2024-01-01 00:00:20"),
+            ("check_payment", "7", "timeout", "2024-01-01 00:00:25"),
+        ]
+
     def test_stream_resumes_from_savefile(self, spark, tmp_path, savefile):
         """The migration boot: import → correlate_stream(initial_state=...)
         → the sequence the PHP engine had half-matched completes on a live
