@@ -131,6 +131,11 @@ class ImportedState:
     #: without a PHP runtime; re-save with a current reference build
     #: (loading+saving upgrades the format) and re-import.
     legacy_entries: int = 0
+    #: max event time among imported matcher chains, ISO-8601 UTC — pass
+    #: as ``start_correlations(kick_ts=...)`` so restore kicks carry a
+    #: sane event time (an epoch-dated kick would make a match-any rule
+    #: open an instance whose deadline is decades past).
+    max_event_iso: Optional[str] = None
 
 
 def import_savefile(
@@ -209,6 +214,7 @@ def import_savefile(
     _KEY_TYPES = {"user_id": "bigint", "value": "double"}
 
     initial_states: dict[Optional[str], DataFrame] = {}
+    max_event_ts: Optional[datetime] = None
     for key_col, keys in grouped.items():
         rows = []
         for key_val, evs in keys.items():
@@ -219,6 +225,8 @@ def import_savefile(
                 evs.values(), key=lambda e: (e["ts"], e["event_id"])
             )
             for env in replay:
+                if max_event_ts is None or env["ts"] > max_event_ts:
+                    max_event_ts = env["ts"]
                 # ts is naive UTC; a bare .timestamp() would re-interpret
                 # it in the driver's LOCAL timezone and shift every replayed
                 # deadline by the UTC offset
@@ -293,4 +301,9 @@ def import_savefile(
         ),
         unmapped_classes=unmapped,
         legacy_entries=legacy,
+        max_event_iso=(
+            max_event_ts.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+            if max_event_ts is not None
+            else None
+        ),
     )

@@ -264,6 +264,7 @@ def start_correlations(
     clock: str = "event",
     history: Optional[DataFrame] = None,
     initial_states: Optional[dict] = None,
+    kick_ts: Optional[str] = None,
 ) -> CorrelationGroup:
     """Start one correlation query PER KEY COLUMN in the rule set.
 
@@ -298,16 +299,23 @@ def start_correlations(
     ``initial_states`` (mutually exclusive with ``history``) warm-starts
     from ALREADY-BUILT snapshots instead: a dict of key column →
     snapshot DataFrame, exactly what
-    :func:`php_ec_spark.savefile.import_savefile` returns — the one-liner
-    migration boot from a reference save file::
+    :func:`php_ec_spark.savefile.import_savefile` returns — the
+    two-liner migration boot from a reference save file::
 
         imp = import_savefile(spark, "/var/php-ce.state", rules, rule_map)
         start_correlations(events, rules, ckpt, clock="processing",
-                           initial_states=imp.initial_states)
+                           initial_states=imp.initial_states,
+                           kick_ts=imp.max_event_iso)
 
-    Kick rows are injected the same way (their ts defaults to epoch when
-    no history exists to date them — only watermark advance is affected,
-    and only under the event clock).
+    ``kick_ts`` (ISO-8601 UTC) dates the injected kick rows when there is
+    no ``history`` to derive it from. Pass the importer's
+    ``max_event_iso``: kicks are REAL events to the engine, so a
+    match-any rule would consume an epoch-dated kick and open an instance
+    whose deadline is decades past — dating kicks at the last saved event
+    time keeps that instance's deadline where an uninterrupted engine
+    would have put it. ``initial_states`` keys that match no rule key
+    column are reported with a ``UserWarning`` (a typoed column would
+    otherwise silently cold-start the migration).
     """
     import json as _json
     import uuid as _uuid
@@ -322,13 +330,29 @@ def start_correlations(
         raise ValueError("pass history OR initial_states, not both")
 
     spark = events.sparkSession
-    hist_max_iso: Optional[str] = None
+    hist_max_iso: Optional[str] = kick_ts
     if history is not None:
         # format under the UTC session tz in Spark — a driver-side
         # strftime would shift by the driver's local tz
         hist_max_iso = history.agg(
             F.date_format(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
         ).first()[0]
+
+    by_key_cols = {r.key for r in rules}
+    if initial_states is not None:
+        stray = sorted(
+            str(k) for k in initial_states if k not in by_key_cols
+        )
+        if stray:
+            import warnings
+
+            warnings.warn(
+                f"initial_states keys {stray} match no rule key column "
+                f"({sorted(map(str, by_key_cols))}) — those snapshots are "
+                "ignored and their keys cold-start",
+                UserWarning,
+                stacklevel=2,
+            )
 
     def _kick_rows(keys: list, key_col: Optional[str]) -> Optional[list[dict]]:
         rows = []
@@ -379,7 +403,9 @@ def start_correlations(
                 init = spark.createDataFrame(snap_rows, SNAPSHOT_SCHEMA)
         elif initial_states is not None and initial_states.get(key_col) is not None:
             init = initial_states[key_col]
-            snap_rows = init.select("__key", "blob").collect()
+            # keys only — the blobs stay out of this collect (they cross
+            # to the driver once, in correlate_stream's restore broadcast)
+            snap_rows = init.select("__key").collect()
         if snap_rows:
             kicks = _kick_rows([r["__key"] for r in snap_rows], key_col)
             if kicks is None:

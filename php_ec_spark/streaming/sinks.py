@@ -34,6 +34,7 @@ parameter validation (:229-239) and crash-replay of errored actions
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import subprocess
@@ -126,8 +127,6 @@ def _utc_naive(v):
     A naive datetime is re-read as local time and converted back to naive
     UTC — actions always see the same UTC wall time the engine computed
     (Event.php:63-80 normalizes to UTC the same way)."""
-    import datetime as _dt
-
     if isinstance(v, _dt.datetime) and v.tzinfo is None:
         return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
     return v

@@ -221,6 +221,7 @@ class TestImport:
         )
 
         imp = import_savefile(spark, savefile, RULES(), RULE_MAP)
+        assert imp.max_event_iso == "2024-01-01T00:00:05.000000Z"
         src = tmp_path / "live"
         src.mkdir()
         seen: list = []
@@ -235,6 +236,7 @@ class TestImport:
             str(tmp_path / "ck"),
             dispatcher_factory=factory, clock="processing",
             initial_states=imp.initial_states,
+            kick_ts=imp.max_event_iso,
         )
         try:
             deadline = time.time() + 120

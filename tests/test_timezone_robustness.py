@@ -51,7 +51,8 @@ doc = {
          "expiresAt": "2000-01-01T00:00:00+00:00"},
     ],
 }
-path = tempfile.mktemp()
+workdir = tempfile.mkdtemp()
+path = os.path.join(workdir, "php-ce.state")
 with open(path, "wb") as f:
     f.write(gzip.compress(json.dumps(doc).encode(), 2))
 
@@ -81,6 +82,8 @@ assert snap == want, (snap, want)
 # 3. memory TTL: the 2000-expired entry is dropped, the no-expiry one lives
 live = {(r["namespace"], r["key"]) for r in imp.memory.live().collect()}
 assert live == {("t", "live")}, live
+import shutil
+shutil.rmtree(workdir, ignore_errors=True)
 print("TZ-OK")
 '''
 
@@ -131,19 +134,22 @@ t = by_rule["check_payment"]
 assert str(t["fire_ts"]).startswith("2024-01-01 00:00:20"), t
 r = by_rule["reminder"]
 assert r["outcome"] == "completed" and r["last_event_id"] < 0, r
+import shutil
+shutil.rmtree(tmp, ignore_errors=True)
 print("TZ-CHAIN-OK")
 '''
 
 
 def _run_tz_subprocess(script: str, marker: str) -> None:
     env = {**os.environ, "TZ": "America/New_York"}
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         [sys.executable, "-c", script],
         env=env,
         capture_output=True,
         text=True,
         timeout=300,
-        cwd="/root/repo",
+        cwd=repo_root,
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert marker in out.stdout
