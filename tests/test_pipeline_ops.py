@@ -282,6 +282,25 @@ class TestSamplingAndMixing:
         # unlisted stratum keeps everything
         assert sum(1 for i in ids1 if i % 4 == 0) == 1000
 
+    def test_composed_samplers_multiply_rates(self, spark):
+        """Domain separation: stratified_sample then weighted_mix at the
+        SAME seed must keep ~p1·p2 of rows (identical hashes would make
+        the second filter a no-op on survivors → min(p1, p2))."""
+        from php_ec_spark.operators.sampling import (
+            stratified_sample,
+            weighted_mix,
+        )
+
+        docs = self._docs(spark, 8000).select("doc_id", "lang", "text")
+        halved = stratified_sample(
+            docs, {"en": 0.5, "de": 0.5}, "lang", seed=0
+        )
+        mixed = weighted_mix(
+            {"a": halved, "b": docs.limit(0)}, {"a": 0.5, "b": 1.0}, seed=0
+        )
+        kept = mixed.filter("mix_source = 'a'").count()
+        assert abs(kept / 8000 - 0.25) < 0.04, kept / 8000
+
     def test_weighted_mix_tags_and_thins(self, spark):
         import pytest as _pytest
 
