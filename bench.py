@@ -54,6 +54,23 @@ def main() -> None:
         .count()
     )
     li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey).count()
+    # ...and the array-HOF / generate / semi-join shapes the dedup pipeline
+    # compiles (transform+slice+array_join+array_distinct+explode_outer):
+    # their first-compile costs ~8 s that no steady-state deployment pays
+    from php_ec_spark.operators.dedup import with_shingles
+
+    docs_w = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(500)
+    sh_w = with_shingles(docs_w).select(
+        F.col("doc_id").alias("doc"), F.explode_outer("shingles").alias("s")
+    )
+    (
+        sh_w.join(
+            sh_w.groupBy("s").count().filter("count <= 100"), "s", "left_semi"
+        )
+        .groupBy("doc")
+        .count()
+        .count()
+    )
     # ...and the Python/Arrow workers (spark.python.worker.reuse keeps them
     # alive session-wide, so first-spawn cost is session setup, not query
     # cost — same bucket as JVM classloading above)
