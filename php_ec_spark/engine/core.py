@@ -37,25 +37,26 @@ class _Instance:
         self.no_timeout = no_timeout
 
     def wants(self, etype: str) -> bool:
-        group = self.rule.events[self.gi]
-        return etype in group or EVENT_MATCH_ANY in group
+        rule = self.rule
+        return rule._group_any[self.gi] or etype in rule._group_sets[self.gi]
 
     def consume(self, ev: tuple) -> bool:
         """Consume one event; returns True when the instance completed."""
+        rule = self.rule
         self.chain.append(ev)
-        limit = self.rule.chain_limit
+        limit = rule.chain_limit
         if limit is not None and len(self.chain) > limit:
             del self.chain[: len(self.chain) - limit]
-        at_last_group = self.gi == len(self.rule.events) - 1
-        if at_last_group and not self.rule.continuous:
+        at_last_group = self.gi == len(rule.events) - 1
+        if at_last_group and not rule.continuous:
             self.deadline_ns = None
             return True
         if not at_last_group:
             self.gi += 1
-        timeout_s = self.rule.timeout_s
+        timeout_ns = rule._timeout_ns
         self.deadline_ns = (
-            ev[1] + int(timeout_s * 1e9)
-            if timeout_s is not None and not self.no_timeout
+            ev[1] + timeout_ns
+            if timeout_ns is not None and not self.no_timeout
             else None
         )
         return False
@@ -210,6 +211,7 @@ class EngineCore:
         """One event through every rule in declared order
         (CorrelationEngine.php:171-328). ev = (event_id, ts_ns, type, value)."""
         t = ev[1]
+        etype = ev[2]
         # batch clock: fire timeouts up to t − 1 ms (CorrelationEngine.php:191-202)
         self.fire_due(t - _MS)
         suppressed = False
@@ -217,28 +219,36 @@ class EngineCore:
             if suppressed:
                 break
             handled = False
-            for inst in list(self.live[r.name]):
-                if not inst.wants(ev[2]):
-                    continue
-                if inst.deadline_ns is not None and t > inst.deadline_ns:
-                    # acceptEventTime failed ⇒ instance times out now
-                    # (AEventProcessor.php:357-396); fire_ts is the deadline.
-                    self.live[r.name].remove(inst)
-                    self._emit(r, "timeout", inst.deadline_ns, inst)
-                    continue
-                if r.accept is not None and not self._safe_accept(r, ev, inst.chain):
-                    continue
-                handled = True
-                if inst.consume(ev):
-                    self.live[r.name].remove(inst)
-                    self._emit(r, "completed", t, inst)
-                else:
-                    self._note_deadline(inst.deadline_ns)
-                    if r.emit_progress:
-                        self._emit(r, "progress", t, inst)
+            live_r = self.live[r.name]
+            if live_r:
+                # survivor-list rewrite instead of copy + O(n) remove():
+                # instance churn (complete/timeout) is the common case for
+                # short sequences, and list.remove scans measured on the
+                # per-event hot path.
+                survivors = []
+                for inst in live_r:
+                    if not inst.wants(etype):
+                        survivors.append(inst)
+                        continue
+                    if inst.deadline_ns is not None and t > inst.deadline_ns:
+                        # acceptEventTime failed ⇒ instance times out now
+                        # (AEventProcessor.php:357-396); fire_ts is the deadline.
+                        self._emit(r, "timeout", inst.deadline_ns, inst)
+                        continue
+                    if r.accept is not None and not self._safe_accept(r, ev, inst.chain):
+                        survivors.append(inst)
+                        continue
+                    handled = True
+                    if inst.consume(ev):
+                        self._emit(r, "completed", t, inst)
+                    else:
+                        survivors.append(inst)
+                        self._note_deadline(inst.deadline_ns)
+                        if r.emit_progress:
+                            self._emit(r, "progress", t, inst)
+                self.live[r.name] = survivors
             # per-class dedup (CorrelationEngine.php:252-254)
-            group0 = r.events[0]
-            if not handled and (ev[2] in group0 or EVENT_MATCH_ANY in group0):
+            if not handled and (r._group_any[0] or etype in r._group_sets[0]):
                 if r.accept is None or self._safe_accept(r, ev, []):
                     inst = _Instance(
                         r,

@@ -132,6 +132,19 @@ class Rule:
         # per-event hot path (EngineCore.consume), and re-running the
         # ISO-8601 regex there measured ~30% of the whole state machine
         object.__setattr__(self, "_timeout_s", parse_duration(self.timeout))
+        # hot-path precomputes (EngineCore handles one event per call; at
+        # 100 TB the Python state machine is the throughput ceiling, so
+        # per-event attribute/property work is paid millions of times):
+        # deadline arithmetic in integer ns, and per-group membership as
+        # frozenset + match-any flag instead of tuple scans.
+        ts = self._timeout_s
+        object.__setattr__(self, "_timeout_ns", None if ts is None else int(ts * 1e9))
+        object.__setattr__(
+            self, "_group_sets", tuple(frozenset(g) for g in self.events)
+        )
+        object.__setattr__(
+            self, "_group_any", tuple(EVENT_MATCH_ANY in g for g in self.events)
+        )
 
     @property
     def timeout_s(self) -> Optional[float]:

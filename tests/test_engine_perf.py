@@ -1,0 +1,76 @@
+"""Pinned throughput floor for the state-machine hot loop.
+
+The per-event Python cost of ``EngineCore.handle`` is the engine's
+throughput ceiling at scale (the Spark plan around it is one shuffle +
+one mapInPandas; at 100 TB the partition runner is where the cycles go).
+BENCH_r03→r04 showed a 21% eps drift that turned out to be measurement
+noise (cold-plan first iteration in the bench loop) — this test pins the
+PURE-PYTHON cost so a real hot-loop regression can never hide behind
+box noise again.
+
+Floor calibration: the runner sustains ~330k events/s single-threaded on
+this box (post round-5 hot-loop opts; ~250k before them). The floor is
+set at 100k — ~3.3× headroom for CI noise — so it only trips on a real
+algorithmic regression (e.g. reintroducing per-event regex parsing or
+O(n) list removal), not on a slow runner box.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pytest
+
+from php_ec_spark.engine.batch import _make_partition_runner
+from php_ec_spark.rules import match_single_continuously, sequence_rule
+
+FLOOR_EPS = 100_000
+N_EVENTS = 60_000
+
+
+def _synth_events(n: int) -> pd.DataFrame:
+    """Deterministic event stream shaped like the bench's: 200 keys,
+    4 event types, sorted (key, ts, event_id) like the partition runner
+    receives post-shuffle."""
+    rows = []
+    types = ("signup", "click", "purchase", "view")
+    for i in range(n):
+        key = f"u{i % 200}"
+        rows.append((key, i, i * 1_000_000_000, types[(i * 7) % 4], float(i % 50)))
+    rows.sort(key=lambda r: (r[0], r[2], r[1]))
+    pdf = pd.DataFrame(rows, columns=["__key", "event_id", "ts", "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="ns")
+    return pdf
+
+
+@pytest.mark.slow
+def test_state_machine_throughput_floor():
+    rules = [
+        match_single_continuously(
+            "roll", ["purchase"], key="user_id", chain_limit=5, emit_final=True
+        ),
+        sequence_rule(
+            "seq", ["signup", "click", "purchase"], key="user_id", timeout="PT12H"
+        ),
+        match_single_continuously("gap", ["*"], key="user_id", timeout="PT6H"),
+    ]
+    runner = _make_partition_runner(rules, False)
+    pdf = _synth_events(N_EVENTS)
+
+    # one warmup (interning, branch warm), then best-of-3 — same policy as
+    # bench.py: the min is the reproducible steady-state number
+    list(runner([pdf]))
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = list(runner([pdf]))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    eps = N_EVENTS / best
+    assert sum(len(o) for o in out) > 0
+    assert eps >= FLOOR_EPS, (
+        f"state-machine hot loop at {eps:,.0f} events/s — below the "
+        f"{FLOOR_EPS:,} floor; a real per-event cost regressed "
+        "(see engine/core.py hot-path notes)"
+    )
