@@ -25,11 +25,22 @@ checkpoints / errored-action payloads.
 
 Mid-flight matchers are reconstructed by REPLAY: each saved matcher's
 consumed event chain is mapped to the canonical envelope and re-run through
-a fresh :class:`EngineCore` under the mapped rule, which rebuilds the chain,
-group index, and pending deadline from first principles. This is exact
-whenever the mapped rule declares the same event groups and timeout as the
-reference class it replaces (the importer cannot check PHP semantics — the
-rule_map IS the migration contract).
+a fresh :class:`EngineCore` under ONLY its mapped rule — mirroring
+CorrelationEngine::setState, which restores each matcher against its own
+class and chain (CorrelationEngine.php:698-758, array_intersect_key) and
+never lets other rules re-consume the replayed events. The per-key
+instances from every matcher of that key are then merged into one state
+blob. This is exact whenever the mapped rule declares the same event
+groups and timeout as the reference class it replaces (the importer cannot
+check PHP semantics — the rule_map IS the migration contract); a semantic
+mismatch is visible as a replay yielding zero or >1 live instances for a
+single saved matcher, never as state fabricated for an unrelated rule.
+
+Large savefiles: replay is CPU-bound (one EngineCore run per matcher), so
+above ``distributed_threshold`` matchers the importer ships the chains to
+executors and rebuilds blobs via the same repartition→sort→``mapInPandas``
+pattern as ``snapshot_state`` (parsing the single gzip JSON document is
+inherently driver-side either way; the replay fan-out is what scales).
 """
 
 from __future__ import annotations
@@ -138,12 +149,74 @@ class ImportedState:
     max_event_iso: Optional[str] = None
 
 
+def _replay_chain(rule: Rule, key_val, chain: list) -> list[dict]:
+    """Re-run ONE saved matcher's consumed chain through a fresh
+    :class:`EngineCore` holding only its mapped rule; returns the live
+    instance-state dicts. chain = [(event_id, ts_ns, event_type, value)]
+    sorted by (ts, event_id). Emissions are discarded — import wants
+    state, not re-fired actions."""
+    core = EngineCore([rule], key_val)
+    for ev in chain:
+        core.handle(ev)
+        core.take_rows()
+    return [inst.to_state() for inst in core.live[rule.name]]
+
+
+def _merge_blob(instances: list[dict]) -> str:
+    """Merge per-matcher instance states into one per-key state blob
+    (the :meth:`EngineCore.to_state` shape). Arming order — the timeout
+    tie-break — is reconstructed as first-consumed-event order, which is
+    the order the live engine would have armed them in."""
+    instances.sort(key=lambda s: (s["chain"][0][1], s["chain"][0][0], s["rule"]))
+    for i, s in enumerate(instances):
+        s["seq"] = i
+    return json.dumps({"seq": len(instances), "instances": instances})
+
+
+def _make_import_runner(rules_by_name: dict[str, Rule]):
+    """mapInPandas runner for the distributed replay path: rows of one
+    key arrive consecutively (repartition + sortWithinPartitions, same
+    contract as the state-machine runner); each row is one saved matcher's
+    (key, rule, chain) — replayed independently, merged per key."""
+    import pandas as pd
+
+    def run(batches):
+        cur_key = None
+        acc: list[dict] = []
+        out: list[tuple] = []
+
+        def flush():
+            if cur_key is not None and acc:
+                out.append((cur_key, _merge_blob(acc)))
+
+        for pdf in batches:
+            for k, rname, chain_json in zip(
+                pdf["__k"], pdf["rule"], pdf["chain"]
+            ):
+                if k != cur_key:
+                    flush()
+                    cur_key, acc = k, []
+                rule = rules_by_name.get(rname)
+                if rule is None:
+                    continue
+                chain = [tuple(e) for e in json.loads(chain_json)]
+                acc.extend(_replay_chain(rule, k, chain))
+        flush()
+        yield pd.DataFrame(out, columns=["__k", "blob"]).astype(
+            {"__k": object, "blob": object}
+        )
+
+    return run
+
+
 def import_savefile(
     spark: SparkSession,
     path: str,
     rules: Sequence[Rule],
     rule_map: dict[str, str],
     event_mapper: Callable[[str, dict], dict] = default_event_mapper,
+    distributed: Optional[bool] = None,
+    distributed_threshold: int = 5000,
 ) -> ImportedState:
     """Parse a reference save file into warm-start state.
 
@@ -152,13 +225,19 @@ def import_savefile(
     :class:`Rule` in ``rules`` that re-expresses it. Saved matchers of
     unmapped classes are reported, not imported.
 
-    Replay reconstruction: all imported matchers' consumed events are
-    grouped per (key column, key value), deduplicated by saved object id,
-    sorted by (ts, event_id), and run through one :class:`EngineCore` per
-    key holding every mapped rule of that key column — rebuilding chains,
-    awaiting-group indexes, and deadlines. Completed/drained instances
-    (possible when mapped rule semantics differ from the PHP class) simply
-    emit nothing and leave no state.
+    Replay reconstruction mirrors CorrelationEngine::setState
+    (CorrelationEngine.php:698-758): each saved matcher's consumed events
+    are sorted by (ts, event_id) and re-run through a core holding ONLY
+    its mapped rule — other rules never see the replayed events, so a
+    rule without a saved matcher can never fabricate an in-flight
+    instance from another matcher's chain. The per-key instance lists are
+    then merged into one blob in first-consumed-event arming order.
+
+    ``distributed`` forces the executor-side replay path (None = auto:
+    used when the savefile holds ≥ ``distributed_threshold`` matchers).
+    Both paths produce identical blobs — the distributed one runs the
+    same ``_replay_chain``/``_merge_blob`` via repartition → sort →
+    ``mapInPandas``, bounding driver work to parsing the JSON document.
     """
     doc = load_savefile(path)
     engine_state = doc.get("engine", {}) or {}
@@ -168,10 +247,13 @@ def import_savefile(
     events_section: dict = engine_state.get("events", {}) or {}
     envelopes: dict[str, dict] = {}
 
-    # (key_col, key value) → {obj_id: envelope}
-    grouped: dict[Optional[str], dict[object, dict[str, dict]]] = {}
+    # key column → [(key value, rule name, chain)] — ONE record per saved
+    # matcher; the matcher's key is taken from its earliest consumed event
+    # (the context-capture event the PHP matcher correlated on)
+    matcher_recs: dict[Optional[str], list[tuple[str, str, list]]] = {}
     unmapped: list[str] = []
     legacy = 0
+    max_event_ts: Optional[datetime] = None
     for entry in engine_state.get("matchers", []) or []:
         if isinstance(entry, str):  # pre-2022 PHP-serialize() matcher blob
             legacy += 1
@@ -187,6 +269,7 @@ def import_savefile(
         if isinstance(state, str):  # legacy per-matcher blob inside new list
             legacy += 1
             continue
+        envs = []
         for obj_id in state.get("events", []) or []:
             obj_id = str(obj_id)
             ev = events_section.get(obj_id)
@@ -197,15 +280,25 @@ def import_savefile(
                 continue
             if obj_id not in envelopes:
                 envelopes[obj_id] = event_mapper(obj_id, ev)
-            env = envelopes[obj_id]
-            key_val = "__all__" if rule.key is None else env.get(rule.key)
-            grouped.setdefault(rule.key, {}).setdefault(
-                str(key_val), {}
-            )[obj_id] = env
-
-    rules_by_key: dict[Optional[str], list[Rule]] = {}
-    for r in rules:
-        rules_by_key.setdefault(r.key, []).append(r)
+            envs.append(envelopes[obj_id])
+        if not envs:
+            continue
+        envs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        chain = []
+        for env in envs:
+            if max_event_ts is None or env["ts"] > max_event_ts:
+                max_event_ts = env["ts"]
+            # ts is naive UTC; a bare .timestamp() would re-interpret it in
+            # the driver's LOCAL timezone and shift every replayed deadline
+            # by the UTC offset
+            ts_ns = int(env["ts"].replace(tzinfo=timezone.utc).timestamp() * 1e9)
+            chain.append((env["event_id"], ts_ns, env["event_type"], env["value"]))
+        key_val = (
+            "__all__" if rule.key is None else str(envs[0].get(rule.key))
+        )
+        matcher_recs.setdefault(rule.key, []).append(
+            (key_val, rule.name, chain)
+        )
 
     #: Spark type of each envelope column a rule may key on — snapshot keys
     #: must be the SPARK cast-to-string of the native value (what the
@@ -213,53 +306,68 @@ def import_savefile(
     #: switches to E-notation at 1e7 where Python doesn't, etc.
     _KEY_TYPES = {"user_id": "bigint", "value": "double"}
 
-    initial_states: dict[Optional[str], DataFrame] = {}
-    max_event_ts: Optional[datetime] = None
-    for key_col, keys in grouped.items():
-        rows = []
-        for key_val, evs in keys.items():
-            core = EngineCore(
-                rules_by_key[key_col], None if key_col is None else key_val
-            )
-            replay = sorted(
-                evs.values(), key=lambda e: (e["ts"], e["event_id"])
-            )
-            for env in replay:
-                if max_event_ts is None or env["ts"] > max_event_ts:
-                    max_event_ts = env["ts"]
-                # ts is naive UTC; a bare .timestamp() would re-interpret
-                # it in the driver's LOCAL timezone and shift every replayed
-                # deadline by the UTC offset
-                ts_ns = int(
-                    env["ts"].replace(tzinfo=timezone.utc).timestamp() * 1e9
-                )
-                core.handle(
-                    (env["event_id"], ts_ns, env["event_type"], env["value"])
-                )
-                core.take_rows()  # import wants state, not re-emissions
-            if core.has_live():
-                rows.append((key_val, core.to_state()))
-        if rows:
-            ktype = _KEY_TYPES.get(key_col, "string")
-            typed = spark.createDataFrame(
-                [
-                    (
-                        None
-                        if k in (None, "None", "__all__") and key_col is not None
-                        else k,
-                        b,
-                    )
-                    for k, b in rows
-                ],
-                "__k string, blob string",
-            )
-            # round-trip the key through the native type so the stored
-            # __key equals the Spark CAST the live query's grouping uses
-            from pyspark.sql import functions as F
+    n_matchers = sum(len(v) for v in matcher_recs.values())
+    use_distributed = (
+        distributed
+        if distributed is not None
+        else n_matchers >= distributed_threshold
+    )
 
-            initial_states[key_col] = typed.select(
-                F.col("__k").cast(ktype).cast("string").alias("__key"), "blob"
+    from pyspark.sql import functions as F
+
+    initial_states: dict[Optional[str], DataFrame] = {}
+    for key_col, recs in matcher_recs.items():
+        if use_distributed:
+            from .session import shuffle_partitions
+
+            rows_df = spark.createDataFrame(
+                [
+                    (k, rname, json.dumps(chain), chain[0][1], chain[0][0])
+                    for k, rname, chain in recs
+                ],
+                "__k string, rule string, chain string, "
+                "first_ts long, first_eid long",
             )
+            runner = _make_import_runner(
+                {r.name: r for r in rules if r.key == key_col}
+            )
+            typed = (
+                rows_df.repartition(shuffle_partitions(spark), "__k")
+                # sort matchers of one key by arming order so merge order
+                # (and thus blob bytes) matches the driver path
+                .sortWithinPartitions("__k", "first_ts", "first_eid")
+                .mapInPandas(runner, "__k string, blob string")
+            )
+        else:
+            per_key: dict[str, list[dict]] = {}
+            for key_val, rname, chain in recs:
+                per_key.setdefault(key_val, []).extend(
+                    _replay_chain(by_name[rname], key_val, chain)
+                )
+            rows = [
+                (key_val, _merge_blob(insts))
+                for key_val, insts in per_key.items()
+                if insts
+            ]
+            if not rows:
+                continue
+            typed = spark.createDataFrame(rows, "__k string, blob string")
+        # round-trip the key through the native type so the stored __key
+        # equals the Spark CAST the live query's grouping uses; keyless
+        # rules keep the literal "__all__" sentinel the streaming engines
+        # group on (engine/streaming.py:251); a saved Python-None key
+        # normalizes back to NULL
+        ktype = _KEY_TYPES.get(key_col, "string")
+        if key_col is None:
+            key_expr = F.col("__k")
+        else:
+            key_expr = F.when(
+                F.col("__k").isin("None", "__all__"),
+                F.lit(None).cast("string"),
+            ).otherwise(F.col("__k").cast(ktype).cast("string"))
+        initial_states[key_col] = typed.select(
+            key_expr.alias("__key"), "blob"
+        )
 
     memory = None
     mem_entries = doc.get("memory", []) or []

@@ -307,3 +307,84 @@ class TestImport:
             ("check_payment", "42", "completed", "2024-01-01 00:00:15", 1, 10),
             ("check_payment", "7", "timeout", "2024-01-01 00:00:25", 2, 2),
         ]
+
+
+class TestPerMatcherReplay:
+    """Replay isolation (CorrelationEngine::setState parity): each saved
+    matcher reconstructs under ONLY its mapped rule."""
+
+    def test_unsaved_rule_gets_no_fabricated_instances(self, spark, savefile):
+        """A rule with no saved matcher — even a match-any one that WOULD
+        consume the replayed events live — must come out of the import
+        with zero in-flight instances; the reference restores only saved
+        matchers (CorrelationEngine.php:698-758)."""
+        from php_ec_spark.rules import match_single_continuously
+
+        rules = RULES() + [
+            match_single_continuously(
+                "greedy", ["*"], key="user_id", timeout="PT1H"
+            ),
+            sequence_rule(
+                "same_types", ["order_placed", "payment"],
+                key="user_id", timeout="PT20S",
+            ),
+        ]
+        imp = import_savefile(spark, savefile, rules, RULE_MAP)
+        for row in imp.initial_states["user_id"].collect():
+            blob = json.loads(row["blob"])
+            rules_in_blob = {i["rule"] for i in blob["instances"]}
+            assert rules_in_blob == {"check_payment"}, (
+                f"key {row['__key']}: fabricated state for {rules_in_blob}"
+            )
+
+    def test_distributed_path_produces_identical_blobs(self, spark, savefile):
+        a = import_savefile(spark, savefile, RULES(), RULE_MAP, distributed=False)
+        b = import_savefile(spark, savefile, RULES(), RULE_MAP, distributed=True)
+        rows_a = {
+            r["__key"]: r["blob"] for r in a.initial_states["user_id"].collect()
+        }
+        rows_b = {
+            r["__key"]: r["blob"] for r in b.initial_states["user_id"].collect()
+        }
+        assert rows_a == rows_b and sorted(rows_a) == ["42", "7"]
+
+    @pytest.mark.slow
+    def test_distributed_import_50k_matchers(self, spark, tmp_path):
+        """A pathological 50k-matcher savefile imports through the
+        executor-side replay path in seconds — the migration path is not
+        driver-bound (round-4 VERDICT item 5)."""
+        import gzip as _gz
+
+        n = 50_000
+        matchers, events = [], {}
+        for i in range(n):
+            oid = str(1000 + i)
+            events[oid] = {
+                "id": i,
+                "event": "order_placed",
+                "datetime": f"2024-01-01T{(i // 3600) % 24:02d}:"
+                f"{(i // 60) % 60:02d}:{i % 60:02d}+00:00",
+                "user_id": i,  # one matcher per key
+                "value": 1.0,
+            }
+            matchers.append(
+                {
+                    "c": "App\\Rules\\CheckOrderPayment",
+                    "s": {"events": [oid], "id": f"m{i}", "actionFired": False,
+                          "isTimedOut": False, "context": {}},
+                }
+            )
+        doc = {
+            "engine": {"matchers": matchers, "events": events, "statistics": {}},
+            "scheduler": {},
+            "memory": [],
+        }
+        p = tmp_path / "big.state"
+        p.write_bytes(_gz.compress(json.dumps(doc).encode(), 1))
+
+        t0 = time.perf_counter()
+        imp = import_savefile(spark, str(p), RULES(), RULE_MAP)  # auto ≥ 5000
+        got = imp.initial_states["user_id"].count()
+        dt = time.perf_counter() - t0
+        assert got == n
+        assert dt < 60, f"50k-matcher import took {dt:.1f}s"
