@@ -296,9 +296,15 @@ class ManagementServer:
                     body = _json.dumps(server.status(), default=str).encode()
                     self._send(200, "application/json", body)
                 elif self.path == "/":
+                    # stat keys, values, and query names are user-defined
+                    # strings — escape before interpolating into markup so
+                    # a name containing '<' can't break or inject into a
+                    # dashboard-embedded status page
+                    from html import escape as _esc
+
                     s = server.status()
                     rows = "".join(
-                        f"<tr><td>{k}</td><td>{v}</td></tr>"
+                        f"<tr><td>{_esc(str(k))}</td><td>{_esc(str(v))}</td></tr>"
                         for k, v in sorted(s["statistics"].items())
                     )
                     load = " / ".join(
@@ -308,10 +314,10 @@ class ManagementServer:
                     )
                     html = (
                         "<html><head><title>spark-ec status</title></head><body>"
-                        f"<h1>spark-ec</h1><p>state: {s['state']} — uptime "
+                        f"<h1>spark-ec</h1><p>state: {_esc(str(s['state']))} — uptime "
                         f"{s['uptime_msec']} ms</p><p>load (events/s): {load}</p>"
                         f"<h2>statistics</h2><table>{rows}</table>"
-                        f"<h2>queries</h2><pre>{_json.dumps(s['queries'])}</pre>"
+                        f"<h2>queries</h2><pre>{_esc(_json.dumps(s['queries']))}</pre>"
                         "</body></html>"
                     ).encode()
                     self._send(200, "text/html", html)

@@ -84,6 +84,12 @@ def weighted_mix(
         keep_p = weights[name] / top
         part = sources[name].withColumn(source_col, F.lit(name))
         if keep_p < 1.0:
-            part = part.filter(_u(F.col(id_col), seed, "weighted_mix") < F.lit(keep_p))
+            # the source name joins the hash domain: corpora routinely
+            # share id spaces (each numbers doc_id from 0), and a
+            # name-blind hash would make keep/drop decisions CORRELATED
+            # across sources instead of independent per-source thinning
+            part = part.filter(
+                _u(F.col(id_col), seed, f"weighted_mix:{name}") < F.lit(keep_p)
+            )
         out = part if out is None else out.unionByName(part)
     return out

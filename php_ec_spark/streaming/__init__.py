@@ -353,6 +353,18 @@ def start_correlations(
                 UserWarning,
                 stacklevel=2,
             )
+    if initial_states is not None and kick_ts is None:
+        # kicks are REAL events: dated at the epoch fallback, a match-any
+        # rule consumes them and opens instances whose deadlines are
+        # decades past — firing spurious timeouts on the first trigger
+        warnings.warn(
+            "initial_states without kick_ts: restore kicks default to "
+            "1970-01-01, which a match-any rule will consume into an "
+            "instantly-expired instance. Pass the importer's "
+            "max_event_iso (or the last processed event time) as kick_ts",
+            UserWarning,
+            stacklevel=2,
+        )
 
     def _kick_rows(keys: list, key_col: Optional[str]) -> Optional[list[dict]]:
         rows = []

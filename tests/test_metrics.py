@@ -100,6 +100,33 @@ class TestManagementServer:
         finally:
             srv.stop()
 
+    def test_html_index_escapes_user_strings(self, spark):
+        """Stat keys / query names are user-defined; markup in them must
+        not break or inject into the HTML index (the JSON /status
+        endpoint is unaffected either way)."""
+        import urllib.request
+
+        from php_ec_spark.metrics import EngineMetrics, ManagementServer
+
+        metrics = EngineMetrics()
+        metrics._progress.append(
+            {"wall_ts": time.time(), "query": "<script>alert(1)</script>",
+             "batch_id": 1, "num_input_rows": 1,
+             "input_rows_per_second": 1.0, "processed_rows_per_second": 1.0,
+             "observed": {"phpec": {"<b>bold_stat</b>": 7}}}
+        )
+        srv = ManagementServer(metrics, spark=spark)
+        port = srv.start()
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/", timeout=10
+            ) as r:
+                html = r.read().decode()
+            assert "<script>" not in html and "<b>bold_stat</b>" not in html
+            assert "&lt;b&gt;bold_stat&lt;/b&gt;" in html
+        finally:
+            srv.stop()
+
 
 class TestBatchObserve:
     def test_metrics_ride_the_existing_action(self, spark, events):

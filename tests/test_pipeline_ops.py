@@ -319,6 +319,29 @@ class TestSamplingAndMixing:
         with _pytest.raises(ValueError, match="keys differ"):
             weighted_mix({"web": a}, {"web": 1.0, "code": 0.5})
 
+    def test_mix_decisions_independent_across_sources(self, spark):
+        """Per-source hash domain: corpora sharing a doc_id space (both
+        numbered from 0) must make INDEPENDENT keep decisions — a
+        name-blind hash keeps the same ids from every source, collapsing
+        the joint survival rate to p instead of p**2."""
+        from php_ec_spark.operators.sampling import weighted_mix
+
+        a = self._docs(spark, 4000).select("doc_id", "text")
+        out = weighted_mix(
+            {"big": a, "s1": a, "s2": a},
+            {"big": 1.0, "s1": 0.5, "s2": 0.5},
+            seed=7,
+        )
+        kept = {
+            r["mix_source"]: set(r["ids"])
+            for r in out.groupBy("mix_source")
+            .agg(F.collect_set("doc_id").alias("ids"))
+            .collect()
+        }
+        overlap = len(kept["s1"] & kept["s2"]) / 4000
+        # independent halves overlap ~25%; correlated ones ~50%
+        assert abs(overlap - 0.25) < 0.05, overlap
+
 
 class TestAsofJoin:
     def test_orders_by_time_not_value(self, spark):
