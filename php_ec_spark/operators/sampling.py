@@ -23,13 +23,30 @@ from pyspark.sql import functions as F
 _HASH_SPAN = float(1 << 64)
 
 
-def _u(df_col, seed: int, op: str):
+def _u(df_col, seed: int, op: str, hash: str = "xxhash64"):
     """Deterministic uniform [0,1) from a column + seed + operator tag.
 
     The tag domain-separates the hash: stratified_sample and weighted_mix
     at the same seed draw INDEPENDENT uniforms, so composing them
     multiplies keep rates instead of collapsing to min(rates) (identical
-    hashes would make the second filter a no-op on survivors)."""
+    hashes would make the second filter a no-op on survivors).
+
+    ``hash="xxhash64"`` (default) is the fast JVM-native path.
+    ``hash="md5"`` is the PORTABLE path: the uniform is the first 8 hex
+    chars of ``md5(concat_ws(':', cast(col as string), op, seed))`` over
+    2^32 — reproducible bit-for-bit in any engine with md5 (DuckDB,
+    Trino, Postgres), for pipelines whose sampling decisions must survive
+    an engine migration or be audited outside Spark. ~2-3× the hash cost
+    of xxhash64; still expression-level, no Python, no shuffle."""
+    if hash == "md5":
+        hx = F.md5(
+            F.concat_ws(":", df_col.cast("string"), F.lit(op), F.lit(str(seed)))
+        )
+        return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") / F.lit(
+            float(1 << 32)
+        )
+    if hash != "xxhash64":
+        raise ValueError(f"unknown hash {hash!r}: use 'xxhash64' or 'md5'")
     return (F.xxhash64(df_col, F.lit(op), F.lit(seed)) / _HASH_SPAN) + 0.5
 
 
@@ -39,6 +56,7 @@ def stratified_sample(
     strata_col: str,
     id_col: str = "doc_id",
     seed: int = 0,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Keep each stratum at its quota: ``fractions`` maps stratum value →
     keep-probability (missing strata keep everything).
@@ -54,7 +72,7 @@ def stratified_sample(
             cond, F.lit(float(p))
         )
     frac = F.lit(1.0) if frac is None else frac.otherwise(F.lit(1.0))
-    return df.filter(_u(F.col(id_col), seed, "stratified_sample") < frac)
+    return df.filter(_u(F.col(id_col), seed, "stratified_sample", hash) < frac)
 
 
 def weighted_mix(
@@ -63,6 +81,7 @@ def weighted_mix(
     id_col: str = "doc_id",
     seed: int = 0,
     source_col: str = "mix_source",
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Mix corpora at target weights into one stream.
 
@@ -89,7 +108,8 @@ def weighted_mix(
             # name-blind hash would make keep/drop decisions CORRELATED
             # across sources instead of independent per-source thinning
             part = part.filter(
-                _u(F.col(id_col), seed, f"weighted_mix:{name}") < F.lit(keep_p)
+                _u(F.col(id_col), seed, f"weighted_mix:{name}", hash)
+                < F.lit(keep_p)
             )
         out = part if out is None else out.unionByName(part)
     return out

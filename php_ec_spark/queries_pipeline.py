@@ -542,3 +542,86 @@ def pipe_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipe_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = attach_blob(_docs(spark, sf_dir))
     return extract_image_meta(blobs, fake=True)
+
+
+@register(
+    "pipe_sample_mix_decon",
+    doc="Sampling/mixing/decontamination in one kind-column result: "
+    "kind='sample' = stratified_sample at per-lang quotas; kind='mix' = "
+    "weighted_mix of two id-overlapping sub-corpora (per-source hash "
+    "domain); kind='decon' = 13-gram benchmark decontamination hits per "
+    "doc (dedup.decontaminate, broadcast probe). All three run the "
+    "PORTABLE md5 hash path so the keep decisions are bit-reproducible "
+    "in DuckDB — the oracle recomputes every decision independently.",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':stratified_sample:7'), 1, 8))::BIGINT
+                       / 4294967296.0 AS u_sample,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':weighted_mix:thin:7'), 1, 8))::BIGINT
+                       / 4294967296.0 AS u_mix
+            FROM documents
+        ),
+        tok13 AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), sh13 AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct([
+                            array_to_string(toks[i:i+12], ' ')
+                            for i in range(1, len(toks) - 11)
+                        ])
+                   END AS shingles
+            FROM tok13
+        ),
+        bgrams AS (
+            SELECT DISTINCT unnest(shingles) AS g FROM sh13 WHERE doc_id % 50 = 0
+        ),
+        cg AS (SELECT doc_id, unnest(shingles) AS g FROM sh13),
+        hits AS (
+            SELECT cg.doc_id, count(*) AS n_hits
+            FROM cg JOIN bgrams USING (g) GROUP BY cg.doc_id
+        )
+        SELECT 'sample' AS kind, doc_id, lang AS tag,
+               CAST(NULL AS BIGINT) AS n_hits
+        FROM u
+        WHERE u_sample < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+                                   ELSE 1.0 END
+        UNION ALL
+        SELECT 'mix' AS kind, doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'web' ELSE 'thin' END AS tag,
+               CAST(NULL AS BIGINT) AS n_hits
+        FROM u
+        WHERE doc_id % 2 = 0 OR u_mix < 0.4
+        UNION ALL
+        SELECT 'decon' AS kind, d.doc_id, CAST(NULL AS VARCHAR) AS tag,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def pipe_sample_mix_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import decontaminate
+    from .operators.sampling import stratified_sample, weighted_mix
+
+    docs = _docs(spark, sf_dir)
+    sample = stratified_sample(
+        docs, {"en": 0.5, "zh": 0.25}, "lang", seed=7, hash="md5"
+    ).select(
+        F.lit("sample").alias("kind"), "doc_id", F.col("lang").alias("tag"),
+        F.lit(None).cast("long").alias("n_hits"),
+    )
+    web = docs.filter(F.col("doc_id") % 2 == 0)
+    thin = docs.filter(F.col("doc_id") % 2 == 1)
+    mix = weighted_mix(
+        {"web": web, "thin": thin}, {"web": 1.0, "thin": 0.4},
+        seed=7, hash="md5",
+    ).select(
+        F.lit("mix").alias("kind"), "doc_id", F.col("mix_source").alias("tag"),
+        F.lit(None).cast("long").alias("n_hits"),
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    decon = decontaminate(docs, bench, n=13).select(
+        F.lit("decon").alias("kind"), "doc_id",
+        F.lit(None).cast("string").alias("tag"), "n_hits",
+    )
+    return sample.unionByName(mix).unionByName(decon)

@@ -399,9 +399,15 @@ def rel_datetime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="incrStat per-event-type counters (A1, CorrelationEngine.php:790-796) "
     "+ semi-structured JSON payload access (consolidates rel_props_json: "
     "n_big_k / big_k_total are conditional aggregates over props->'$.k' ≥ 50, "
-    "the reference's schemaless Event payload as a JSON column).",
+    "the reference's schemaless Event payload as a JSON column) + the "
+    "recent-events ring — kind='recent' rows are the last-100 event log "
+    "(A4, Library/EventLog.php:13-31; was rel_recent_events, consolidated "
+    "to free a driver-window slot).",
     oracle="""
-        SELECT event_type, count(*) AS seen,
+        SELECT 'stats' AS kind, event_type,
+               CAST(NULL AS BIGINT) AS event_id,
+               CAST(NULL AS TIMESTAMP) AS ts,
+               count(*) AS seen,
                count(DISTINCT user_id) AS n_users,
                round(sum(value), 2) AS value_total,
                CAST(count(DISTINCT CASE
@@ -411,19 +417,46 @@ def rel_datetime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                    WHEN CAST(props->>'$.k' AS BIGINT) >= 50
                    THEN CAST(props->>'$.k' AS BIGINT) END) AS BIGINT) AS big_k_total
         FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'recent' AS kind, event_type, event_id, ts::TIMESTAMP AS ts,
+               CAST(NULL AS BIGINT) AS seen, CAST(NULL AS BIGINT) AS n_users,
+               CAST(NULL AS DOUBLE) AS value_total,
+               CAST(NULL AS BIGINT) AS n_big_k, CAST(NULL AS BIGINT) AS big_k_total
+        FROM (
+            SELECT event_type, event_id, ts FROM events
+            ORDER BY ts DESC, event_id DESC LIMIT 100
+        )
     """,
 )
 def rel_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     big_k = F.when(k >= 50, k)
-    return e.groupBy("event_type").agg(
+    stats = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("seen"),
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 2).alias("value_total"),
         F.countDistinct(big_k).alias("n_big_k"),
         F.sum(big_k).cast("long").alias("big_k_total"),
+    ).select(
+        F.lit("stats").alias("kind"), "event_type",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "seen", "n_users", "value_total", "n_big_k", "big_k_total",
     )
+    recent = (
+        e.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+        .select(
+            F.lit("recent").alias("kind"), "event_type", "event_id", "ts",
+            F.lit(None).cast("long").alias("seen"),
+            F.lit(None).cast("long").alias("n_users"),
+            F.lit(None).cast("double").alias("value_total"),
+            F.lit(None).cast("long").alias("n_big_k"),
+            F.lit(None).cast("long").alias("big_k_total"),
+        )
+    )
+    return stats.unionByName(recent)
 
 
 @register(
@@ -580,23 +613,6 @@ def rel_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     ).select(F.lit("pow2").alias("kind"), "bucket", "n")
     return linear.unionByName(pow2)
-
-
-@register(
-    "rel_recent_events",
-    doc="Recent-events ring: last 100 events (A4, Library/EventLog.php:13-31).",
-    oracle="""
-        SELECT event_id, ts::TIMESTAMP AS ts, event_type FROM events
-        ORDER BY ts DESC, event_id DESC LIMIT 100
-    """,
-)
-def rel_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.orderBy(F.col("ts").desc(), F.col("event_id").desc())
-        .limit(100)
-        .select("event_id", "ts", "event_type")
-    )
 
 
 @register(
