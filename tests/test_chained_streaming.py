@@ -204,3 +204,62 @@ class TestChainedStreaming:
             assert not parts, parts
         finally:
             q.stop()
+
+    def test_chain_dir_bounded_across_many_triggers(self, spark, tmp_path):
+        """Retention under sustained chaining: ≥10 triggers each produce
+        derived files; cleanSource=delete must keep the chain dir bounded
+        WHILE the query runs (more distinct derived files must exist over
+        the run than ever coexist), and drain it once quiet."""
+        src = tmp_path / "src"
+        chain = tmp_path / "chain"
+        src.mkdir()
+        n_files, per_file = 12, 2_000
+        for fi in range(n_files):
+            with open(src / f"bulk_{fi:02d}.json", "w") as f:
+                for i in range(per_file):
+                    f.write(json.dumps({
+                        "event_id": fi * per_file + i,
+                        "ts": "2024-01-01T00:00:00Z",
+                        "user_id": i % 200,
+                        "event_type": "click", "value": 1.0, "props": None,
+                    }) + "\n")
+
+        q = start_chained_correlation(
+            ndjson_dir_source(spark, str(src), max_files_per_trigger=1),
+            [match_single("m", ["click"], key="user_id")],
+            checkpoint_dir=str(tmp_path / "ck"),
+            chain_dir=str(chain),
+            trigger_interval="200 milliseconds",
+        )
+        total = n_files * per_file
+        seen_files: set = set()
+        max_present = 0
+        try:
+            deadline = time.time() + 240
+            while time.time() < deadline:
+                assert q.exception() is None, q.exception()
+                parts = [
+                    p for p in os.listdir(chain) if p.startswith("derived_")
+                ]
+                seen_files.update(parts)
+                max_present = max(max_present, len(parts))
+                done = sum(
+                    p["numInputRows"] for p in (q.recentProgress or [])
+                )
+                if done >= 2 * total and not parts:
+                    break
+                time.sleep(0.2)
+            batches = {p["batchId"] for p in (q.recentProgress or [])}
+            assert len(batches) >= 10, sorted(batches)
+            # every source file fed a trigger that wrote derived files...
+            assert len(seen_files) >= n_files, sorted(seen_files)
+            # ...but they never accumulated: consumed batches were swept
+            # while later ones were still being produced
+            assert max_present < len(seen_files), (
+                max_present, len(seen_files)
+            )
+            assert not [
+                p for p in os.listdir(chain) if p.startswith("derived_")
+            ]
+        finally:
+            q.stop()
