@@ -203,10 +203,12 @@ def correlate(events: DataFrame, rules: Sequence[Rule], historical: bool = False
     machine otherwise. Emissions share EMISSION_SCHEMA across strategies."""
     from .relational import (
         compile_gap_sessions,
+        compile_keyed_counter,
         compile_keyless_counter,
         compile_sequence,
         compile_single_match,
         is_gap_sessions,
+        is_keyed_counter,
         is_keyless_counter,
         is_relational_compilable,
         is_single_match,
@@ -243,6 +245,7 @@ def correlate(events: DataFrame, rules: Sequence[Rule], historical: bool = False
     general = [r for r in rules if not _fast(r)]
     outs = [
         compile_keyless_counter(events, r) if is_keyless_counter(r)
+        else compile_keyed_counter(events, r) if is_keyed_counter(r)
         else compile_single_match(events, r) if is_single_match(r)
         else compile_gap_sessions(events, r) if is_gap_sessions(r)
         else compile_sequence(events, r)

@@ -34,7 +34,7 @@ from .batch import EMISSION_SCHEMA
 
 
 def is_relational_compilable(rule: Rule) -> bool:
-    if is_keyless_counter(rule):
+    if is_keyless_counter(rule) or is_keyed_counter(rule):
         return True
     if rule.emit_progress or rule.emit_final or rule.on_complete or rule.on_timeout:
         return False
@@ -109,6 +109,34 @@ def is_keyless_counter(rule: Rule) -> bool:
     )
 
 
+def is_keyed_counter(rule: Rule) -> bool:
+    """Keyed continuous counter — per-key incrStat: one instance per key
+    consuming every matching event forever, reported once at end-of-stream.
+
+    Compiles to ``groupBy(key).agg(...)`` instead of the per-key state
+    machine. The skew story is the point: every aggregate here (count,
+    sum, min_by, max_by, max) supports MAP-SIDE PARTIAL AGGREGATION, so a
+    50% hot key shuffles one partial row per input partition, not 50% of
+    the data to one straggler task — Catalyst's two-stage HashAggregate
+    is the salted_agg pattern built in (pinned by tests/test_plans.py::
+    TestCounterSkewPlans). Rules that need ordered per-event state (chain
+    trims, timeouts, callbacks) keep the state machine, where a hot key
+    genuinely serializes and ``metrics.warn_if_skewed`` flags it."""
+    return (
+        rule.key is not None
+        and rule.continuous
+        and rule.timeout_s is None
+        and rule.chain_limit is None
+        and len(rule.events) == 1
+        and rule.accept is None
+        and not rule.suppress
+        and rule.emit_final
+        and not rule.emit_progress
+        and rule.on_complete is None
+        and rule.on_timeout is None
+    )
+
+
 def _key_expr(rule: Rule):
     if rule.key is None:
         return F.lit(None).cast("string").alias("key")
@@ -156,6 +184,35 @@ def compile_keyless_counter(events: DataFrame, rule: Rule) -> DataFrame:
     return agg.filter(F.col("n_events") > 0).select(
         F.lit(rule.name).alias("rule"),
         F.lit(None).cast("string").alias("key"),
+        F.lit("final").alias("outcome"),
+        F.col("fire_ts"),
+        F.col("start_event_id"),
+        F.col("last_event_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_sum").cast("double").alias("value_sum"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+
+
+def compile_keyed_counter(events: DataFrame, rule: Rule) -> DataFrame:
+    """Keyed continuous counter → two-stage hash aggregate (partial merge
+    map-side). One 'final' emission per key, identical to the state
+    machine's: chain stats over the key's matching events in (ts,
+    event_id) stream order, fired at the key's last event timestamp."""
+    src = _type_filter(events, rule.events[0])
+    order = F.struct("ts", "event_id")
+    agg = src.groupBy(
+        F.col(rule.key).cast("string").alias("key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("value_sum"),
+        F.min_by("event_id", order).alias("start_event_id"),
+        F.max_by("event_id", order).alias("last_event_id"),
+        F.max("ts").alias("fire_ts"),
+    )
+    return agg.select(
+        F.lit(rule.name).alias("rule"),
+        F.col("key"),
         F.lit("final").alias("outcome"),
         F.col("fire_ts"),
         F.col("start_event_id"),
@@ -305,8 +362,8 @@ def compile_two_step_sequence(events: DataFrame, rule: Rule) -> DataFrame:
 def plan_report(rules, historical: bool = False) -> dict[str, str]:
     """Which physical strategy each rule compiles to — the ``.explain()``
     of the rule compiler. Keys are rule names; values are one of
-    ``priority-suppress | keyless-counter | single-match | gap-sessions |
-    sequence-window | state-machine``."""
+    ``priority-suppress | keyless-counter | keyed-counter | single-match |
+    gap-sessions | sequence-window | state-machine``."""
     out: dict[str, str] = {}
     if any(r.suppress for r in rules):
         strat = (
@@ -318,6 +375,8 @@ def plan_report(rules, historical: bool = False) -> dict[str, str]:
             out[r.name] = "state-machine"
         elif is_keyless_counter(r):
             out[r.name] = "keyless-counter"
+        elif is_keyed_counter(r):
+            out[r.name] = "keyed-counter"
         elif not is_relational_compilable(r):
             out[r.name] = "state-machine"
         elif is_single_match(r):

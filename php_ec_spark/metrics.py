@@ -141,9 +141,12 @@ def warn_if_skewed(
         warnings.warn(
             f"correlation key {key_col}={hot!r} holds {n}/{skew['total']} rows "
             f"({skew['max_share']:.0%}) — a single key never splits across "
-            "tasks, so this caps the stateful path's parallelism. For "
-            "keyless/commutative aggregates use layout.with_salt/salted_agg; "
-            "for keyed correlation pick a finer key or split the rule.",
+            "tasks, so this caps the stateful path's parallelism. Counter-"
+            "shaped rules (continuous, no timeout/trim, emit_final) compile "
+            "to skew-neutral two-stage aggregates automatically (engine."
+            "relational.is_keyed_counter); for other commutative aggregates "
+            "use layout.with_salt/salted_agg; for keyed correlation "
+            "semantics pick a finer key or split the rule.",
             UserWarning,
             stacklevel=2,
         )

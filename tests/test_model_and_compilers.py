@@ -287,6 +287,54 @@ class TestPrioritySuppressCompiler:
         assert first_event([]) is None and chain_value_sum([]) is None
 
 
+class TestKeyedCounterParity:
+    """compile_keyed_counter (groupBy + two-stage agg) must emit exactly
+    what the state machine would for the keyed continuous counter shape —
+    per-key chain stats in stream order, fired at the key's last event."""
+
+    CASES = [
+        # several keys, interleaved times, a duplicate timestamp tie
+        [(0, 0, 1, "a", 1), (1, 5, 2, "a", 2), (2, 5, 1, "b", 3),
+         (3, 9, 2, "a", 4), (4, 1, 3, "b", 5), (5, 0, 1, "a", 7)],
+        # single hot key plus a singleton
+        [(0, 0, 1, "a", 1), (1, 1, 1, "a", 1), (2, 2, 1, "a", 1),
+         (3, 3, 1, "a", 1), (4, 4, 2, "a", 9)],
+    ]
+
+    @pytest.mark.parametrize("rows", CASES)
+    def test_matches_state_machine(self, spark, rows):
+        from php_ec_spark.engine.relational import compile_keyed_counter
+
+        rule = match_single_continuously(
+            "cnt", ["*"], key="user_id", emit_final=True
+        )
+        df = _mk(spark, rows)
+        assert _rows(compile_keyed_counter(df, rule)) == _rows(
+            correlate_state_machine(df, [rule])
+        )
+
+    def test_type_filtered_counter(self, spark):
+        from php_ec_spark.engine.relational import compile_keyed_counter
+
+        rule = match_single_continuously(
+            "cnt", ["a"], key="user_id", emit_final=True
+        )
+        df = _mk(spark, self.CASES[0])
+        assert _rows(compile_keyed_counter(df, rule)) == _rows(
+            correlate_state_machine(df, [rule])
+        )
+
+    def test_correlate_routes_keyed_counter_off_state_machine(self, spark):
+        rule = match_single_continuously(
+            "cnt", ["*"], key="user_id", emit_final=True
+        )
+        plan = (
+            correlate(_mk(spark, self.CASES[0]), [rule])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+
+
 class TestPlanReport:
     def test_strategies(self):
         from php_ec_spark.engine import plan_report
@@ -301,6 +349,7 @@ class TestPlanReport:
             match_single_continuously("gap", ["*"], key="user_id", timeout="PT1M"),
             match_single("one", ["a"], key="user_id"),
             match_single_continuously("cnt", ["*"], key=None, emit_final=True),
+            match_single_continuously("kcnt", ["*"], key="user_id", emit_final=True),
             sequence_rule("dup", ["a", "a"], key="user_id", timeout="PT1M"),
         ]
         assert plan_report(rules) == {
@@ -308,6 +357,7 @@ class TestPlanReport:
             "gap": "gap-sessions",
             "one": "single-match",
             "cnt": "keyless-counter",
+            "kcnt": "keyed-counter",
             "dup": "state-machine",  # repeated types need per-class dedup
         }
         # historical mode pushes timeout-bearing H_I_T rules off the window plan

@@ -108,6 +108,65 @@ class TestShuffleBudget:
         assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan
 
 
+class TestCounterSkewPlans:
+    """Skew-neutrality of the counter compiles: a 50% hot key must shuffle
+    per-partition PARTIALS, not rows — the two-stage HashAggregate
+    (partial -> final) IS the salted_agg pattern, emitted by Catalyst for
+    every aggregate these paths use (count/sum/min_by/max_by/max)."""
+
+    def _hot_df(self, spark):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        base = dt.datetime(2024, 1, 1)
+        # 50% of rows on user 7, rest spread over 1000 keys
+        return (
+            spark.range(20_000)
+            .select(
+                F.col("id").alias("event_id"),
+                (F.lit(base) + F.make_interval(secs=F.col("id"))).alias("ts"),
+                F.when(F.col("id") % 2 == 0, F.lit(7))
+                .otherwise(F.col("id") % 1000)
+                .alias("user_id"),
+                F.lit("click").alias("event_type"),
+                F.lit(1.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+        )
+
+    def test_keyed_counter_two_stage_agg_under_hot_key(self, spark):
+        from php_ec_spark.engine.relational import compile_keyed_counter
+        from php_ec_spark.rules import match_single_continuously
+
+        rule = match_single_continuously(
+            "cnt", ["*"], key="user_id", emit_final=True
+        )
+        df = compile_keyed_counter(self._hot_df(spark), rule)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+        # partial aggregate BEFORE the exchange, final after — the hot key
+        # crosses the wire as one row per input partition (min_by/max_by
+        # order by a struct, so Catalyst picks SortAggregate; the partial/
+        # final split is what matters)
+        n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
+        assert n_aggs >= 2 and "partial_" in plan, plan
+        hot = {r["key"]: r["n_events"] for r in df.collect()}["7"]
+        assert hot == 10_000 + 20  # 50% hot + its share of id % 1000
+
+    def test_keyless_counter_two_stage_agg_under_hot_key(self, spark):
+        from php_ec_spark.engine.relational import compile_keyless_counter
+        from php_ec_spark.rules import match_single_continuously
+
+        rule = match_single_continuously("c", ["*"], key=None, emit_final=True)
+        plan = (
+            compile_keyless_counter(self._hot_df(spark), rule)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
+        assert n_aggs >= 2 and "partial_" in plan, plan
+
+
 class TestNoCartesianInPairOps:
     @pytest.mark.parametrize(
         "name", ["pipe_embedding_dup_pairs", "pipe_minhash_lsh", "pipe_jaccard_pairs"]
