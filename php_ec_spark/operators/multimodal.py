@@ -5,12 +5,15 @@ typed metadata struct; heavy per-item work (decode, resize, frame-sample,
 feature-extract) runs in Arrow-batched ``mapInPandas`` so bytes never cross
 the JVM↔Python boundary row-at-a-time.
 
-This container ships no codec libraries (PIL/opencv/ffmpeg), so the actual
-decode is STUBBED: :func:`decode_image` raises ``NotImplementedError``
-unless a deterministic fake decoder is requested. The Spark-side plumbing —
-schema, batching, UDF signature, partitioning — is real and tested; the
-fake decoder derives metadata purely from the bytes so results are
-oracle-checkable.
+Codec availability is probed at call time: where Pillow is installed,
+:func:`decode_image` with ``fake=False`` decodes real image dimensions
+(``PIL.Image.open`` over the payload bytes — lazy header parse, no full
+raster decode for dimensions). This container ships no codec libraries
+(PIL/opencv/ffmpeg), so without Pillow the real path raises
+``NotImplementedError`` and the deterministic fake decoder carries the
+oracle-checkable tests; the PIL-path test auto-activates wherever Pillow
+exists (tests/test_pipeline_ops.py). The Spark-side plumbing — schema,
+batching, UDF signature, partitioning — is identical either way.
 """
 
 from __future__ import annotations
@@ -74,18 +77,33 @@ def attach_blob(
     )
 
 
+def pil_available() -> bool:
+    """Whether the optional Pillow dependency is importable here."""
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def decode_image(content: bytes, fake: bool = False) -> tuple[int, int]:
-    """Decode image dimensions. Real decode needs PIL — not in this
-    container; stubbed per the driver brief."""
+    """Decode image dimensions: real (Pillow, when installed) or the
+    deterministic fake for codec-less environments / oracle checks."""
     if not fake:
         try:
-            from PIL import Image  # noqa: F401
-        except ImportError as e:  # pragma: no cover - container has no PIL
+            from PIL import Image
+        except ImportError as e:
             raise NotImplementedError(
-                "real image decode requires PIL, which this environment "
-                "does not ship; pass fake=True for the deterministic stub"
+                "real image decode requires Pillow (optional dependency, "
+                "not shipped in this environment); pass fake=True for the "
+                "deterministic stub"
             ) from e
-        raise NotImplementedError("real decode path not wired in this build")
+        import io
+
+        with Image.open(io.BytesIO(content)) as im:
+            # .size parses only the header — no raster decode for dims
+            return im.width, im.height
     # deterministic fake: dimensions derived from content bytes
     n = len(content)
     return (n % 640) + 1, (n % 480) + 1

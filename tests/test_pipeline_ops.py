@@ -492,9 +492,37 @@ class TestMemory:
 
 
 class TestMultimodal:
-    def test_real_decode_is_stubbed(self):
+    def test_real_decode_gates_without_pil(self):
+        from php_ec_spark.operators.multimodal import pil_available
+
+        if pil_available():
+            pytest.skip("Pillow present: real decode active, gate untestable")
         with pytest.raises(NotImplementedError):
             decode_image(b"xx", fake=False)
+
+    def test_real_decode_with_pil(self, spark, docs):
+        """Activates wherever Pillow is installed (auto-skips in codec-less
+        containers): real bytes through the SAME mapInPandas plumbing the
+        fake path uses, real dimensions out."""
+        from php_ec_spark.operators.multimodal import pil_available
+
+        if not pil_available():
+            pytest.skip("Pillow not installed in this environment")
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (37, 21)).save(buf, format="PNG")
+        png = buf.getvalue()
+        assert decode_image(png, fake=False) == (37, 21)
+        blobs = spark.createDataFrame(
+            [(1, "image", bytearray(png), ("image/png", "t"))],
+            "item_id long, modality string, content binary, "
+            "meta struct<mime:string,source:string>",
+        )
+        row = extract_image_meta(blobs, fake=False).first()
+        assert (row["width"], row["height"]) == (37, 21)
 
     def test_fake_decode_plumbing(self, spark, docs):
         meta = extract_image_meta(attach_blob(docs), fake=True)
