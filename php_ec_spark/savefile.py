@@ -147,6 +147,15 @@ class ImportedState:
     #: sane event time (an epoch-dated kick would make a match-any rule
     #: open an instance whose deadline is decades past).
     max_event_iso: Optional[str] = None
+    #: migration-contract violations caught at import: saved matchers whose
+    #: PHP-armed timeout disagrees (>1 s) with the deadline the mapped rule
+    #: re-derives from the same chain — the mapped rule's TIMEOUT/EVENTS
+    #: differ from the PHP class it claims to replace. Tuples of
+    #: ``(php_class, rule_name, key, saved_iso, replayed_iso)``;
+    #: ``replayed_iso`` is None when replay armed no deadline at all.
+    #: Driver-path only (the small-file fast path every real migration
+    #: hits first); inspect before going live.
+    timeout_mismatches: list = field(default_factory=list)
 
 
 def _replay_chain(rule: Rule, key_val, chain: list) -> list[dict]:
@@ -247,10 +256,11 @@ def import_savefile(
     events_section: dict = engine_state.get("events", {}) or {}
     envelopes: dict[str, dict] = {}
 
-    # key column → [(key value, rule name, chain)] — ONE record per saved
-    # matcher; the matcher's key is taken from its earliest consumed event
-    # (the context-capture event the PHP matcher correlated on)
-    matcher_recs: dict[Optional[str], list[tuple[str, str, list]]] = {}
+    # key column → [(key value, rule name, chain, saved timeout, php
+    # class)] — ONE record per saved matcher; the matcher's key is taken
+    # from its earliest consumed event (the context-capture event the PHP
+    # matcher correlated on)
+    matcher_recs: dict[Optional[str], list[tuple]] = {}
     unmapped: list[str] = []
     legacy = 0
     max_event_ts: Optional[datetime] = None
@@ -297,7 +307,7 @@ def import_savefile(
             "__all__" if rule.key is None else str(envs[0].get(rule.key))
         )
         matcher_recs.setdefault(rule.key, []).append(
-            (key_val, rule.name, chain)
+            (key_val, rule.name, chain, state.get("timeout"), cls)
         )
 
     #: Spark type of each envelope column a rule may key on — snapshot keys
@@ -316,6 +326,16 @@ def import_savefile(
     from pyspark.sql import functions as F
 
     initial_states: dict[Optional[str], DataFrame] = {}
+    timeout_mismatches: list = []
+
+    def _iso_ns(ns: Optional[int]) -> Optional[str]:
+        if ns is None:
+            return None
+        return (
+            datetime.fromtimestamp(ns / 1e9, tz=timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+        )
+
     for key_col, recs in matcher_recs.items():
         if use_distributed:
             from .session import shuffle_partitions
@@ -323,7 +343,7 @@ def import_savefile(
             rows_df = spark.createDataFrame(
                 [
                     (k, rname, json.dumps(chain), chain[0][1], chain[0][0])
-                    for k, rname, chain in recs
+                    for k, rname, chain, _to, _cls in recs
                 ],
                 "__k string, rule string, chain string, "
                 "first_ts long, first_eid long",
@@ -340,10 +360,34 @@ def import_savefile(
             )
         else:
             per_key: dict[str, list[dict]] = {}
-            for key_val, rname, chain in recs:
-                per_key.setdefault(key_val, []).extend(
-                    _replay_chain(by_name[rname], key_val, chain)
-                )
+            for key_val, rname, chain, saved_to, cls in recs:
+                insts = _replay_chain(by_name[rname], key_val, chain)
+                per_key.setdefault(key_val, []).extend(insts)
+                if saved_to:
+                    # migration-contract check: the PHP engine saved the
+                    # armed deadline (AEventProcessor::__serialize); the
+                    # mapped rule must re-derive the same one from the
+                    # same chain, else its TIMEOUT/EVENTS differ from the
+                    # class it claims to replace (>1 s tolerance absorbs
+                    # sub-second serialization rounding)
+                    try:
+                        want_ns = int(
+                            _parse_iso(saved_to)
+                            .replace(tzinfo=timezone.utc)
+                            .timestamp() * 1e9
+                        )
+                    except ValueError:
+                        want_ns = None
+                    if want_ns is not None:
+                        got = [
+                            i["deadline_ns"] for i in insts
+                            if i["deadline_ns"] is not None
+                        ]
+                        got_ns = min(got) if got else None
+                        if got_ns is None or abs(got_ns - want_ns) > 1_000_000_000:
+                            timeout_mismatches.append(
+                                (cls, rname, key_val, saved_to, _iso_ns(got_ns))
+                            )
             rows = [
                 (key_val, _merge_blob(insts))
                 for key_val, insts in per_key.items()
@@ -397,6 +441,19 @@ def import_savefile(
             spark, spark.createDataFrame(mem_rows, MEMORY_SCHEMA)
         )
 
+    if timeout_mismatches:
+        import warnings
+
+        warnings.warn(
+            f"{len(timeout_mismatches)} saved matcher(s) re-derived a "
+            "DIFFERENT deadline than the PHP engine had armed — the "
+            "mapped rule's TIMEOUT/EVENTS disagree with the class it "
+            "replaces (first: "
+            f"{timeout_mismatches[0]!r}). Inspect "
+            "ImportedState.timeout_mismatches before going live.",
+            UserWarning,
+            stacklevel=2,
+        )
     return ImportedState(
         initial_states=initial_states,
         memory=memory,
@@ -409,6 +466,7 @@ def import_savefile(
         ),
         unmapped_classes=unmapped,
         legacy_entries=legacy,
+        timeout_mismatches=timeout_mismatches,
         max_event_iso=(
             max_event_ts.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
             if max_event_ts is not None

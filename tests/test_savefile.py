@@ -348,6 +348,35 @@ class TestPerMatcherReplay:
         }
         assert rows_a == rows_b and sorted(rows_a) == ["42", "7"]
 
+    def test_timeout_mismatch_flags_contract_violation(self, spark, tmp_path):
+        """The PHP engine saved an armed deadline; a mapped rule whose
+        TIMEOUT differs re-derives a different one from the same chain —
+        the importer must flag it (and stay quiet when they agree, as in
+        the standard fixture)."""
+        import warnings as _warnings
+
+        doc = _savefile_doc()
+        # u42's matcher claims a deadline 60s after its event; the mapped
+        # rule arms PT20S -> mismatch. u7's stays consistent (+20s).
+        doc["engine"]["matchers"][0]["s"]["timeout"] = "2024-01-01T00:01:00+00:00"
+        p = tmp_path / "drift.state"
+        p.write_bytes(gzip.compress(json.dumps(doc).encode(), 2))
+        with _warnings.catch_warnings(record=True) as w:
+            _warnings.simplefilter("always")
+            imp = import_savefile(spark, str(p), RULES(), RULE_MAP)
+        assert len(imp.timeout_mismatches) == 1
+        cls, rname, key, saved, got = imp.timeout_mismatches[0]
+        assert (cls, rname, key) == (
+            "App\\Rules\\CheckOrderPayment", "check_payment", "42"
+        )
+        assert saved.startswith("2024-01-01T00:01:00")
+        assert got.startswith("2024-01-01T00:00:20")
+        assert any("deadline" in str(x.message) for x in w)
+
+    def test_consistent_savefile_has_no_mismatches(self, spark, savefile):
+        imp = import_savefile(spark, savefile, RULES(), RULE_MAP)
+        assert imp.timeout_mismatches == []
+
     @pytest.mark.slow
     def test_distributed_import_50k_matchers(self, spark, tmp_path):
         """A pathological 50k-matcher savefile imports through the
