@@ -188,3 +188,22 @@ class TestPropertyParity:
         assert _rows(compile_priority_suppress(df, rules)) == _rows(
             correlate_state_machine(df, rules)
         )
+
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(evs=EVENTS)
+    def test_keyed_counter_parity(self, spark, evs):
+        """The round-5 keyed-counter compile (two-stage aggregate) must be
+        emission-identical to the state machine on adversarial streams —
+        duplicate timestamps, interleaved keys, type-filtered subsets."""
+        from php_ec_spark.engine.relational import compile_keyed_counter
+
+        rule = match_single_continuously(
+            "cnt", ["a", "b"], key="user_id", emit_final=True
+        )
+        df = _df(spark, evs)
+        assert _rows(compile_keyed_counter(df, rule)) == _rows(
+            correlate_state_machine(df, [rule])
+        )
