@@ -199,6 +199,29 @@ def correlate_stream(
     if len(set(names)) != len(names):
         dupes = sorted({n for n in names if names.count(n) > 1})
         raise ValueError(f"duplicate rule names: {dupes}")
+    unbounded = [
+        r.name for r in rules
+        if r.continuous and r.chain_limit is None and r.timeout_s is None
+    ]
+    if unbounded:
+        import warnings
+
+        # a continuous matcher keeps its whole consumed chain in per-key
+        # state; with no timeout (which would rotate instances) and no
+        # trim, a long-lived streaming key accumulates state forever —
+        # the same leak a never-trimming php-ec rule has
+        # (AEventProcessor::trimEventChain exists exactly for this,
+        # AEventProcessor.php:321-332), but in the state store where it
+        # also bloats every checkpoint. Batch runs are immune (state dies
+        # at end-of-stream).
+        warnings.warn(
+            f"continuous rule(s) {unbounded} have no chain_limit and no "
+            "timeout: per-key state grows unboundedly for long-lived "
+            "streaming keys. Set chain_limit (trimEventChain) to bound "
+            "the rolling buffer",
+            UserWarning,
+            stacklevel=2,
+        )
     by_key: dict[Optional[str], list[Rule]] = {}
     for r in rules:
         by_key.setdefault(r.key, []).append(r)

@@ -461,3 +461,30 @@ def test_heartbeat_source_pulses_in_band(spark, stream_dirs):
     assert all(r.event_id <= -1000 for r in rows)  # negative id space
     seqs = [r.value for r in rows]
     assert seqs == sorted(seqs)
+
+
+def test_unbounded_continuous_rule_warns(spark, tmp_path):
+    """A continuous rule with neither chain_limit nor timeout accumulates
+    per-key state forever on a live stream — construction must warn."""
+    import warnings
+
+    from php_ec_spark.engine.streaming import correlate_stream
+    from php_ec_spark.rules import match_single_continuously
+    from php_ec_spark.streaming import ndjson_dir_source
+
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = ndjson_dir_source(spark, str(src))
+    rule = match_single_continuously("acc", ["*"], key="user_id", emit_final=True)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        correlate_stream(stream, [rule])
+    assert any("chain_limit" in str(x.message) for x in w)
+    # trimmed variant stays quiet
+    trimmed = match_single_continuously(
+        "roll", ["*"], key="user_id", chain_limit=5, emit_final=True
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        correlate_stream(stream, [trimmed])
+    assert not [x for x in w if "chain_limit" in str(x.message)]
