@@ -90,3 +90,47 @@ def test_query_parity(name, spark, ddb):
     odf = ddb.execute(q.oracle).df()
     problems = _compare(name, sdf, odf)
     assert not problems, "\n".join(problems)
+
+
+#: Queries whose semantics have scale-dependent surface (window/session
+#: boundaries, stop-shingle df cutoffs, sampling hash distributions) AND
+#: whose DuckDB oracle scales linearly — parity-checked again at 10× the
+#: driver's gate. The exact-all-pairs oracles (minhash, dedup_clusters)
+#: are intentionally absent: THEIR DuckDB side is quadratic in |docs|
+#: (12.5M list-intersections at sf0.1, tens of minutes) — the Spark side
+#: scales fine and keeps its sf0.01 gate + recall tests instead.
+SCALE_SENSITIVE = [
+    "pipe_jaccard_pairs",
+    "pipe_simhash",
+    "pipe_sample_mix_decon",
+    "rel_events_eps",
+    "cep_gap_sessions",
+]
+
+SF01 = "/root/testdata/sf0.1"
+
+
+@pytest.fixture(scope="module")
+def ddb_sf01():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF01}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", SCALE_SENSITIVE)
+def test_scale_boundary_parity_sf01(name, spark, ddb_sf01):
+    """Driver gates at sf0.01; these semantics have boundaries the small
+    SF can miss (LSH band recall at 0.8, max_df stop-shingle cutoffs that
+    only engage with enough docs, 15-minute slide windows over a longer
+    span, md5 keep-rate tails). One order of magnitude up, same exactness
+    bar."""
+    q = QUERIES[name]
+    sdf = q.spark(spark, SF01).toPandas()
+    odf = ddb_sf01.execute(q.oracle).df()
+    problems = _compare(name, sdf, odf)
+    assert not problems, "\n".join(problems)
