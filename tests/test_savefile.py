@@ -417,3 +417,107 @@ class TestPerMatcherReplay:
         dt = time.perf_counter() - t0
         assert got == n
         assert dt < 60, f"50k-matcher import took {dt:.1f}s"
+
+
+class TestRoundTripFuzz:
+    """Export→import round trip on adversarial streams: synthesize the
+    PHP FileAdapter document FROM our own snapshot (one matcher per live
+    instance, events section from history), import it, and require
+    semantic equality with snapshot_state over the same history —
+    instance lists must match modulo the seq counter (snapshot seq counts
+    dead instances; import renumbers arming order)."""
+
+    @staticmethod
+    def _instances(blob: str) -> list:
+        d = json.loads(blob)
+        return sorted(
+            (i["rule"], i["gi"], [tuple(e) for e in i["chain"]], i["deadline_ns"])
+            for i in d["instances"]
+        )
+
+    @pytest.mark.slow
+    def test_fuzz_import_equals_snapshot(self, spark):
+        import datetime as dt
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from php_ec_spark.engine import snapshot_state
+
+        T0 = dt.datetime(2024, 1, 1)
+        rules = [
+            sequence_rule("pay", ["order_placed", "payment"],
+                          key="user_id", timeout="PT20S"),
+            sequence_rule("ship", ["payment", "shipped"],
+                          key="user_id", timeout="PT40S"),
+        ]
+        rule_map = {"App\\Pay": "pay", "App\\Ship": "ship"}
+        by_name = {"pay": "App\\Pay", "ship": "App\\Ship"}
+
+        EVENTS = st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=90),
+                st.integers(min_value=1, max_value=3),
+                st.sampled_from(["order_placed", "payment", "shipped"]),
+            ),
+            min_size=1, max_size=12,
+        )
+
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture])
+        @given(evs=EVENTS)
+        def run(evs):
+            rows = [
+                (i, T0 + dt.timedelta(seconds=s), u, t, float(i), None)
+                for i, (s, u, t) in enumerate(evs)
+            ]
+            history = spark.createDataFrame(
+                rows, "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string",
+            )
+            snap = {r["__key"]: r["blob"]
+                    for r in snapshot_state(history, rules).collect()}
+            # synthesize the PHP document from the snapshot's instances
+            events_sec, matchers = {}, []
+            by_id = {i: (s, u, t, float(i)) for i, (s, u, t) in enumerate(evs)}
+            for key, blob in snap.items():
+                for inst in json.loads(blob)["instances"]:
+                    obj_ids = []
+                    for (eid, ts_ns, etype, value) in inst["chain"]:
+                        oid = str(eid)
+                        s_off, u, t, v = by_id[eid]
+                        events_sec[oid] = {
+                            "id": eid,
+                            "event": t,
+                            "datetime": (
+                                T0 + dt.timedelta(seconds=s_off)
+                            ).strftime("%Y-%m-%dT%H:%M:%S+00:00"),
+                            "user_id": u,
+                            "value": v,
+                        }
+                        obj_ids.append(oid)
+                    matchers.append({
+                        "c": by_name[inst["rule"]],
+                        "s": {"events": obj_ids, "id": "x",
+                              "context": {}, "actionFired": False},
+                    })
+            import gzip as _gz
+            import tempfile
+
+            doc = {"engine": {"matchers": matchers, "events": events_sec,
+                              "statistics": {}}, "scheduler": {}, "memory": []}
+            with tempfile.NamedTemporaryFile(suffix=".state", delete=False) as f:
+                f.write(_gz.compress(json.dumps(doc).encode(), 1))
+                path = f.name
+            imp = import_savefile(spark, path, rules, rule_map)
+            got = {
+                r["__key"]: r["blob"]
+                for r in imp.initial_states.get("user_id", spark.createDataFrame(
+                    [], "__key string, blob string")).collect()
+            } if imp.initial_states else {}
+            want_sem = {k: self._instances(b) for k, b in snap.items()
+                        if json.loads(b)["instances"]}
+            got_sem = {k: self._instances(b) for k, b in got.items()}
+            assert got_sem == want_sem
+
+        run()
