@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 from typing import List, Optional, Sequence
 
-from ..rules.base import EVENT_MATCH_ANY, Rule
+from ..rules.base import Rule
 
 _MS = 1_000_000  # 1 ms in ns
 

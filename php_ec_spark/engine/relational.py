@@ -30,7 +30,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..rules.base import EVENT_MATCH_ANY, Rule
-from .batch import EMISSION_SCHEMA
 
 
 def is_relational_compilable(rule: Rule) -> bool:

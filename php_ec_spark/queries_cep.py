@@ -29,7 +29,7 @@ from .model import (
     load_events,
     with_control_messages,
 )
-from .rules.base import Rule, match_single, match_single_continuously, sequence_rule
+from .rules.base import match_single, match_single_continuously, sequence_rule
 
 _EMIT_COLS = [
     "rule",
