@@ -218,7 +218,9 @@ def correlate_stream(
             f"continuous rule(s) {unbounded} have no chain_limit and no "
             "timeout: per-key state grows unboundedly for long-lived "
             "streaming keys. Set chain_limit (trimEventChain) to bound "
-            "the rolling buffer",
+            "the rolling buffer; for pure live counting use the metrics "
+            "path (observe_stream/EngineMetrics) or batch keyed-counter "
+            "snapshots instead of chain state",
             UserWarning,
             stacklevel=2,
         )

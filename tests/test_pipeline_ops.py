@@ -568,3 +568,59 @@ class TestRangePredicates:
         inc = df.filter(range_inclusive(F.col("v"), 2, 4)).count()
         exc = df.filter(range_exclusive(F.col("v"), 2, 4)).count()
         assert (inc, exc) == (3, 1)
+
+
+class TestPortableHashCrossEngine:
+    """The md5 sampler path claims bit-for-bit reproducibility in any
+    engine with md5 — property-checked against DuckDB across seeds and
+    source names, beyond the single seed the registered query pins."""
+
+    def _docs(self, spark, n=500):
+        return spark.createDataFrame(
+            [(i, "en" if i % 4 else "de", f"text {i}") for i in range(n)],
+            "doc_id long, lang string, text string",
+        )
+
+    def test_keep_sets_match_duckdb_across_seeds(self, spark):
+        import duckdb
+
+        from php_ec_spark.operators.sampling import stratified_sample, weighted_mix
+
+        docs = self._docs(spark, 500).select("doc_id", "lang", "text")
+        con = duckdb.connect()
+        con.register("docs", docs.toPandas())
+        for seed in (0, 7, 123456789):
+            kept = {
+                r["doc_id"]
+                for r in stratified_sample(
+                    docs, {"en": 0.3}, "lang", seed=seed, hash="md5"
+                ).collect()
+            }
+            want = {
+                r[0] for r in con.execute(f"""
+                    SELECT doc_id FROM docs
+                    WHERE ('0x' || substr(md5(
+                        doc_id::VARCHAR || ':stratified_sample:{seed}'
+                    ), 1, 8))::BIGINT / 4294967296.0
+                      < CASE lang WHEN 'en' THEN 0.3 ELSE 1.0 END
+                """).fetchall()
+            }
+            assert kept == want, f"seed {seed}"
+        for name in ("web", "nested:name", "src-1"):
+            mixed = weighted_mix(
+                {name: docs, "big": docs}, {name: 0.5, "big": 1.0},
+                seed=3, hash="md5",
+            )
+            kept = {
+                r["doc_id"]
+                for r in mixed.filter(F.col("mix_source") == name).collect()
+            }
+            want = {
+                r[0] for r in con.execute(f"""
+                    SELECT doc_id FROM docs
+                    WHERE ('0x' || substr(md5(
+                        doc_id::VARCHAR || ':weighted_mix:{name}:3'
+                    ), 1, 8))::BIGINT / 4294967296.0 < 0.5
+                """).fetchall()
+            }
+            assert kept == want, f"source {name}"
