@@ -301,7 +301,16 @@ class ActionDispatcher:
 
     def __call__(self, df: DataFrame, batch_id: int = -1) -> None:
         if batch_id >= 0 and self._batch_done(batch_id):
-            return  # intra- and cross-run replay dedup (W12)
+            # Replay dedup (W12) — but the replayed batch must still be
+            # CONSUMED: for stateful queries Spark 4's state-store commit
+            # validation requires every partition of the micro-batch to
+            # execute, and an early return fails the RESTARTED query with
+            # STATE_STORE_COMMIT_VALIDATION_FAILED — precisely the
+            # crash-replay the marker exists for. The noop sink drains
+            # the plan JVM-side without re-dispatching anything.
+            if df.isStreaming is False:
+                df.write.format("noop").mode("overwrite").save()
+            return
         specs_by_rule = dict(self.actions)
         default = self.default_action
         chunk = self.chunk_size

@@ -268,3 +268,49 @@ class TestJsonSchemaValidation:
         assert any("additional properties" in e for e in errs)
         errs = validate_json_schema({"tags": ["AB!"]}, schema)
         assert any("pattern" in e for e in errs)
+
+
+def test_replayed_batch_is_consumed_not_just_skipped(spark, tmp_path):
+    """Crash-replay regression (Spark 4 state-store commit validation):
+    a batch whose marker already exists must be DRAINED, not
+    early-returned — an unconsumed micro-batch fails a restarted
+    stateful query with STATE_STORE_COMMIT_VALIDATION_FAILED. Pre-marking
+    batch 0 simulates 'dispatched, then crashed before stream commit'."""
+    import json as _json
+    import os as _os
+
+    from php_ec_spark.rules import sequence_rule
+    from php_ec_spark.streaming import (
+        ActionDispatcher,
+        ndjson_dir_source,
+        start_correlation,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i in range(50):
+            f.write(_json.dumps({
+                "event_id": i, "ts": "2024-01-01T00:00:00Z",
+                "user_id": i % 5, "event_type": "order_placed",
+                "value": 1.0, "props": None,
+            }) + "\n")
+    ck = str(tmp_path / "ck")
+    seen: list = []
+    d = ActionDispatcher(checkpoint_dir=ck)
+    d.register("cap", fn=seen.extend)
+    # simulate: dispatcher completed batch 0 but the query died before
+    # committing it — on restart Spark replays batch 0 through the sink
+    marker_dir = _os.path.join(ck, "actions")
+    _os.makedirs(marker_dir, exist_ok=True)
+    open(_os.path.join(marker_dir, "batch_0.done"), "w").write("{}")
+
+    q = start_correlation(
+        ndjson_dir_source(spark, str(src)),
+        [sequence_rule("r", ["order_placed", "payment"],
+                       key="user_id", timeout="PT10S")],
+        ck, dispatcher=d, trigger_once=True,
+    )
+    q.awaitTermination()  # without the drain this raises STREAM_FAILED
+    assert q.exception() is None
+    assert seen == []  # marker held: nothing re-dispatched
