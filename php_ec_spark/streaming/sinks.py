@@ -361,7 +361,8 @@ class ActionDispatcher:
 
         # driver path: bounded chunks through toLocalIterator — at most
         # ``chunk_size`` buffered rows per action, never a full collect
-        if drv_rules or (default is not None and not default.distributed):
+        ran_driver = drv_rules or (default is not None and not default.distributed)
+        if ran_driver:
             rows = (r.asDict() for r in df.toLocalIterator())
             done, failed = _run_groups(specs_by_rule, default, rows, False, chunk)
             for name, n in done:
@@ -369,6 +370,12 @@ class ActionDispatcher:
             for name, n, err, batch in failed:
                 self.failed.append((batch_id, name, n, err))
                 self._journal_failure(name, batch)
+        elif dist_df is None and not df.isStreaming:
+            # no action consumed the frame (empty dispatcher / all-None
+            # routing): the micro-batch must still execute — Spark 4's
+            # state-store commit validation fails the query otherwise
+            # (same hazard as the replayed-batch skip above)
+            df.write.format("noop").mode("overwrite").save()
 
         if batch_id >= 0:
             self._mark_done(batch_id)

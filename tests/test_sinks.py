@@ -314,3 +314,32 @@ def test_replayed_batch_is_consumed_not_just_skipped(spark, tmp_path):
     q.awaitTermination()  # without the drain this raises STREAM_FAILED
     assert q.exception() is None
     assert seen == []  # marker held: nothing re-dispatched
+
+
+def test_empty_dispatcher_does_not_kill_stateful_query(spark, tmp_path):
+    """Same hazard as the replayed-batch skip, different entry: a query
+    started with NO registered actions (monitor-only, or actions added
+    later) must still consume each micro-batch — an unconsumed stateful
+    batch fails commit validation on Spark 4."""
+    import json as _json
+
+    from php_ec_spark.rules import sequence_rule
+    from php_ec_spark.streaming import ndjson_dir_source, start_correlation
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i in range(50):
+            f.write(_json.dumps({
+                "event_id": i, "ts": "2024-01-01T00:00:00Z",
+                "user_id": i % 5, "event_type": "order_placed",
+                "value": 1.0, "props": None,
+            }) + "\n")
+    q = start_correlation(
+        ndjson_dir_source(spark, str(src)),
+        [sequence_rule("r", ["order_placed", "payment"],
+                       key="user_id", timeout="PT10S")],
+        str(tmp_path / "ck"), trigger_once=True,
+    )
+    q.awaitTermination()
+    assert q.exception() is None
