@@ -52,6 +52,7 @@ def start_correlation(
     trigger_once: bool = False,
     clock: str = "event",
     initial_state: Optional[DataFrame] = None,
+    state_partitions: Optional[int] = None,
 ) -> StreamingQuery:
     """Source → correlation engine → action sink, checkpointed.
 
@@ -68,6 +69,15 @@ def start_correlation(
     built with its own), so a replayed micro-batch is skipped instead of
     double-dispatching — the reference's errored-action replay + marker
     bookkeeping (W12, Scheduler.php:766-884).
+
+    ``state_partitions`` sizes the stateful operator's partition count —
+    the dominant live-path cost knob (each state partition pays a fixed
+    per-batch tax of ~0.5 s on local mode; see engine/streaming.py).
+    Spark reads ``spark.sql.shuffle.partitions`` when the query plans its
+    first batch and PINS it in the checkpoint, so this sets the conf
+    around ``start()`` and restores it after — do not plan other queries
+    concurrently with this call. On a restart from an existing
+    checkpoint the pinned value wins regardless.
     """
     emissions = correlate_stream(
         events,
@@ -88,7 +98,16 @@ def start_correlation(
     )
     if trigger_once:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    if state_partitions is None:
+        return writer.start()
+    spark = events.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        return writer.start()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def start_chained_correlation(

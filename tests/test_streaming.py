@@ -488,3 +488,37 @@ def test_unbounded_continuous_rule_warns(spark, tmp_path):
         warnings.simplefilter("always")
         correlate_stream(stream, [trimmed])
     assert not [x for x in w if "chain_limit" in str(x.message)]
+
+
+def test_state_partitions_knob_pins_store_width(spark, tmp_path):
+    """state_partitions sizes the stateful op (the ~0.5s/partition/batch
+    live-path tax) and restores the session conf after start."""
+    import json as _json
+    import os as _os
+
+    from php_ec_spark.rules import sequence_rule
+    from php_ec_spark.streaming import ndjson_dir_source, start_correlation
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i in range(100):
+            f.write(_json.dumps({
+                "event_id": i, "ts": "2024-01-01T00:00:00Z",
+                "user_id": i % 10, "event_type": "order_placed",
+                "value": 1.0, "props": None,
+            }) + "\n")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    ck = str(tmp_path / "ck")
+    q = start_correlation(
+        ndjson_dir_source(spark, str(src)),
+        [sequence_rule("r", ["order_placed", "payment"],
+                       key="user_id", timeout="PT10S")],
+        ck, trigger_once=True, state_partitions=2,
+    )
+    q.awaitTermination()
+    assert q.exception() is None
+    parts = [p for p in _os.listdir(_os.path.join(ck, "state", "0"))
+             if p.isdigit()]
+    assert sorted(parts) == ["0", "1"]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
