@@ -121,6 +121,7 @@ def start_chained_correlation(
     trigger_interval: str = "500 milliseconds",
     query_name: str = "php-ec-chained",
     to_events: Optional[Callable[[DataFrame], DataFrame]] = None,
+    state_partitions: Optional[int] = None,
 ) -> StreamingQuery:
     """LIVE rule chaining (J5): emissions become events the SAME query
     consumes on a later trigger.
@@ -226,14 +227,25 @@ def start_chained_correlation(
                 )
         shutil.rmtree(staging, ignore_errors=True)
 
-    return (
+    writer = (
         emissions.writeStream.queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .foreachBatch(sink)
         .trigger(processingTime=trigger_interval)
-        .start()
     )
+    if state_partitions is None:
+        return writer.start()
+    # same safe window as start_correlation: the streaming query clones
+    # the session synchronously inside start(), so the restored conf
+    # cannot race the first batch plan
+    prev = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        return writer.start()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @dataclass
@@ -284,6 +296,7 @@ def start_correlations(
     history: Optional[DataFrame] = None,
     initial_states: Optional[dict] = None,
     kick_ts: Optional[str] = None,
+    state_partitions: Optional[int] = None,
 ) -> CorrelationGroup:
     """Start one correlation query PER KEY COLUMN in the rule set.
 
@@ -467,5 +480,6 @@ def start_correlations(
             trigger_once=trigger_once,
             clock=clock,
             initial_state=init,
+            state_partitions=state_partitions,
         )
     return group
