@@ -522,3 +522,98 @@ def test_state_partitions_knob_pins_store_width(spark, tmp_path):
              if p.isdigit()]
     assert sorted(parts) == ["0", "1"]
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_restart_with_different_shuffle_conf_resumes_pinned_state(spark, tmp_path):
+    """Spark pins the state partition count in the checkpoint at first
+    start; a restart under a DIFFERENT session conf (here: without the
+    state_partitions knob) must resume cleanly on the pinned width and
+    complete a cross-run sequence."""
+    import json as _json
+
+    from php_ec_spark.rules import sequence_rule
+    from php_ec_spark.streaming import (
+        ActionDispatcher,
+        ndjson_dir_source,
+        start_correlation,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write(_json.dumps({
+            "event_id": 1, "ts": "2024-01-01T00:00:00Z", "user_id": 42,
+            "event_type": "order_placed", "value": 1.0, "props": None,
+        }) + "\n")
+    ck = str(tmp_path / "ck")
+    rules = [sequence_rule("r", ["order_placed", "payment"],
+                           key="user_id", timeout="PT1H")]
+    seen: list = []
+    d = ActionDispatcher()
+    d.register("cap", fn=seen.extend)
+    q = start_correlation(ndjson_dir_source(spark, str(src)), rules, ck,
+                          dispatcher=d, trigger_once=True, state_partitions=2)
+    q.awaitTermination()
+    assert q.exception() is None and seen == []
+
+    # second run: same checkpoint, knob omitted (session conf differs)
+    with open(src / "b.json", "w") as f:
+        f.write(_json.dumps({
+            "event_id": 2, "ts": "2024-01-01T00:10:00Z", "user_id": 42,
+            "event_type": "payment", "value": 2.0, "props": None,
+        }) + "\n")
+    q2 = start_correlation(ndjson_dir_source(spark, str(src)), rules, ck,
+                           dispatcher=d, trigger_once=True)
+    q2.awaitTermination()
+    assert q2.exception() is None
+    assert [(r["rule"], r["outcome"], r["key"]) for r in seen] == [
+        ("r", "completed", "42")
+    ]
+
+
+def test_distributed_only_actions_on_stateful_query(spark, tmp_path):
+    """Third configuration of the consume-hazard class: when ONLY
+    distributed actions are registered, the batch is consumed via the
+    filtered executor frame — the stateful partitions upstream of the
+    filter must all execute (no commit-validation failure) and the
+    action must run executor-side."""
+    import json as _json
+
+    from php_ec_spark.rules import match_single
+    from php_ec_spark.streaming import (
+        ActionDispatcher,
+        ndjson_dir_source,
+        start_correlation,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+    out.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i in range(20):
+            f.write(_json.dumps({
+                "event_id": i, "ts": "2024-01-01T00:00:00Z",
+                "user_id": i % 4, "event_type": "click",
+                "value": 1.0, "props": None,
+            }) + "\n")
+
+    marker = str(out / "hits.txt")
+
+    def record(rows):
+        with open(marker, "a") as fh:
+            fh.write(f"{len(rows)}\n")
+
+    d = ActionDispatcher()
+    d.register("cap", fn=record, distributed=True)
+    q = start_correlation(
+        ndjson_dir_source(spark, str(src)),
+        [match_single("m", ["click"], key="user_id")],
+        str(tmp_path / "ck"), dispatcher=d, trigger_once=True,
+    )
+    q.awaitTermination()
+    assert q.exception() is None
+    import os as _os
+
+    assert _os.path.exists(marker)
+    assert sum(int(x) for x in open(marker).read().split()) == 20
