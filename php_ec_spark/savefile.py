@@ -153,8 +153,9 @@ class ImportedState:
     #: differ from the PHP class it claims to replace. Tuples of
     #: ``(php_class, rule_name, key, saved_iso, replayed_iso)``;
     #: ``replayed_iso`` is None when replay armed no deadline at all.
-    #: Driver-path only (the small-file fast path every real migration
-    #: hits first); inspect before going live.
+    #: Computed on both the driver fast path and the distributed replay
+    #: path (side-band 'miss' rows, volume bounded by violations);
+    #: inspect before going live.
     timeout_mismatches: list = field(default_factory=list)
 
 
@@ -169,6 +170,36 @@ def _replay_chain(rule: Rule, key_val, chain: list) -> list[dict]:
         core.handle(ev)
         core.take_rows()
     return [inst.to_state() for inst in core.live[rule.name]]
+
+
+def _iso_ns(ns: Optional[int]) -> Optional[str]:
+    if ns is None:
+        return None
+    return (
+        datetime.fromtimestamp(ns / 1e9, tz=timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+    )
+
+
+def _deadline_check(insts: list[dict], saved_to) -> Optional[tuple]:
+    """Compare a matcher's replayed deadline(s) to the PHP-saved one
+    (AEventProcessor::__serialize ``timeout``). Returns (saved_iso,
+    replayed_iso) on a >1 s disagreement — the rule_map maps this class
+    to a rule with different TIMEOUT/EVENTS — else None. Sub-second
+    tolerance absorbs serialization rounding."""
+    if not saved_to:
+        return None
+    try:
+        want_ns = int(
+            _parse_iso(saved_to).replace(tzinfo=timezone.utc).timestamp() * 1e9
+        )
+    except ValueError:
+        return None
+    got = [i["deadline_ns"] for i in insts if i["deadline_ns"] is not None]
+    got_ns = min(got) if got else None
+    if got_ns is None or abs(got_ns - want_ns) > 1_000_000_000:
+        return (saved_to, _iso_ns(got_ns))
+    return None
 
 
 def _merge_blob(instances: list[dict]) -> str:
@@ -186,7 +217,10 @@ def _make_import_runner(rules_by_name: dict[str, Rule]):
     """mapInPandas runner for the distributed replay path: rows of one
     key arrive consecutively (repartition + sortWithinPartitions, same
     contract as the state-machine runner); each row is one saved matcher's
-    (key, rule, chain) — replayed independently, merged per key."""
+    (key, rule, chain, saved timeout, php class) — replayed independently,
+    merged per key. Output rows are tagged: 'blob' = per-key state blob;
+    'miss' = one saved-deadline disagreement (payload JSON), volume
+    bounded by contract violations, not matchers."""
     import pandas as pd
 
     def run(batches):
@@ -196,11 +230,12 @@ def _make_import_runner(rules_by_name: dict[str, Rule]):
 
         def flush():
             if cur_key is not None and acc:
-                out.append((cur_key, _merge_blob(acc)))
+                out.append(("blob", cur_key, _merge_blob(acc)))
 
         for pdf in batches:
-            for k, rname, chain_json in zip(
-                pdf["__k"], pdf["rule"], pdf["chain"]
+            for k, rname, chain_json, saved_to, cls in zip(
+                pdf["__k"], pdf["rule"], pdf["chain"],
+                pdf["saved_to"], pdf["cls"],
             ):
                 if k != cur_key:
                     flush()
@@ -209,10 +244,17 @@ def _make_import_runner(rules_by_name: dict[str, Rule]):
                 if rule is None:
                     continue
                 chain = [tuple(e) for e in json.loads(chain_json)]
-                acc.extend(_replay_chain(rule, k, chain))
+                insts = _replay_chain(rule, k, chain)
+                acc.extend(insts)
+                bad = _deadline_check(insts, saved_to)
+                if bad is not None:
+                    out.append((
+                        "miss", k,
+                        json.dumps([cls, rname, k, bad[0], bad[1]]),
+                    ))
         flush()
-        yield pd.DataFrame(out, columns=["__k", "blob"]).astype(
-            {"__k": object, "blob": object}
+        yield pd.DataFrame(out, columns=["tag", "__k", "blob"]).astype(
+            {"tag": object, "__k": object, "blob": object}
         )
 
     return run
@@ -328,66 +370,46 @@ def import_savefile(
     initial_states: dict[Optional[str], DataFrame] = {}
     timeout_mismatches: list = []
 
-    def _iso_ns(ns: Optional[int]) -> Optional[str]:
-        if ns is None:
-            return None
-        return (
-            datetime.fromtimestamp(ns / 1e9, tz=timezone.utc)
-            .strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
-        )
-
     for key_col, recs in matcher_recs.items():
         if use_distributed:
             from .session import shuffle_partitions
 
             rows_df = spark.createDataFrame(
                 [
-                    (k, rname, json.dumps(chain), chain[0][1], chain[0][0])
-                    for k, rname, chain, _to, _cls in recs
+                    (k, rname, json.dumps(chain), saved_to, cls,
+                     chain[0][1], chain[0][0])
+                    for k, rname, chain, saved_to, cls in recs
                 ],
-                "__k string, rule string, chain string, "
-                "first_ts long, first_eid long",
+                "__k string, rule string, chain string, saved_to string, "
+                "cls string, first_ts long, first_eid long",
             )
             runner = _make_import_runner(
                 {r.name: r for r in rules if r.key == key_col}
             )
-            typed = (
+            tagged = (
                 rows_df.repartition(shuffle_partitions(spark), "__k")
                 # sort matchers of one key by arming order so merge order
                 # (and thus blob bytes) matches the driver path
                 .sortWithinPartitions("__k", "first_ts", "first_eid")
-                .mapInPandas(runner, "__k string, blob string")
+                .mapInPandas(runner, "tag string, __k string, blob string")
+                # the replay runs ONCE: the mismatch collect below is an
+                # action, and the blob frame re-reads the checkpointed
+                # blocks instead of re-replaying every chain
+                .localCheckpoint(eager=False)
             )
+            for r in tagged.filter(F.col("tag") == "miss").collect():
+                timeout_mismatches.append(tuple(json.loads(r["blob"])))
+            typed = tagged.filter(F.col("tag") == "blob").select("__k", "blob")
         else:
             per_key: dict[str, list[dict]] = {}
             for key_val, rname, chain, saved_to, cls in recs:
                 insts = _replay_chain(by_name[rname], key_val, chain)
                 per_key.setdefault(key_val, []).extend(insts)
-                if saved_to:
-                    # migration-contract check: the PHP engine saved the
-                    # armed deadline (AEventProcessor::__serialize); the
-                    # mapped rule must re-derive the same one from the
-                    # same chain, else its TIMEOUT/EVENTS differ from the
-                    # class it claims to replace (>1 s tolerance absorbs
-                    # sub-second serialization rounding)
-                    try:
-                        want_ns = int(
-                            _parse_iso(saved_to)
-                            .replace(tzinfo=timezone.utc)
-                            .timestamp() * 1e9
-                        )
-                    except ValueError:
-                        want_ns = None
-                    if want_ns is not None:
-                        got = [
-                            i["deadline_ns"] for i in insts
-                            if i["deadline_ns"] is not None
-                        ]
-                        got_ns = min(got) if got else None
-                        if got_ns is None or abs(got_ns - want_ns) > 1_000_000_000:
-                            timeout_mismatches.append(
-                                (cls, rname, key_val, saved_to, _iso_ns(got_ns))
-                            )
+                bad = _deadline_check(insts, saved_to)
+                if bad is not None:
+                    timeout_mismatches.append(
+                        (cls, rname, key_val, bad[0], bad[1])
+                    )
             rows = [
                 (key_val, _merge_blob(insts))
                 for key_val, insts in per_key.items()

@@ -377,6 +377,23 @@ class TestPerMatcherReplay:
         imp = import_savefile(spark, savefile, RULES(), RULE_MAP)
         assert imp.timeout_mismatches == []
 
+    def test_distributed_path_reports_mismatches_too(self, spark, tmp_path):
+        doc = _savefile_doc()
+        doc["engine"]["matchers"][0]["s"]["timeout"] = "2024-01-01T00:01:00+00:00"
+        p = tmp_path / "drift.state"
+        p.write_bytes(gzip.compress(json.dumps(doc).encode(), 2))
+        imp = import_savefile(
+            spark, str(p), RULES(), RULE_MAP, distributed=True
+        )
+        assert len(imp.timeout_mismatches) == 1
+        cls, rname, key, saved, got = imp.timeout_mismatches[0]
+        assert (rname, key) == ("check_payment", "42")
+        assert got.startswith("2024-01-01T00:00:20")
+        # the blobs themselves still import on both keys
+        assert sorted(
+            r["__key"] for r in imp.initial_states["user_id"].collect()
+        ) == ["42", "7"]
+
     @pytest.mark.slow
     def test_distributed_import_50k_matchers(self, spark, tmp_path):
         """A pathological 50k-matcher savefile imports through the
