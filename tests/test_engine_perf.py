@@ -74,3 +74,55 @@ def test_state_machine_throughput_floor():
         f"{FLOOR_EPS:,} floor; a real per-event cost regressed "
         "(see engine/core.py hot-path notes)"
     )
+
+
+@pytest.mark.slow
+def test_live_path_throughput_floor(tmp_path):
+    """Floor for the applyInPandasWithState catch-up path: a 20k-event
+    micro-batch at 4 state partitions must sustain ≥500 events/s
+    end-to-end (measured ~4-20k on this box; the floor is ~10-40×
+    headroom for CI noise). Catches a silent live-path regression of the
+    kind the per-partition tax would cause (e.g. an accidental
+    per-row/per-key state round trip)."""
+    import json as _json
+
+    from php_ec_spark.rules import sequence_rule
+    from php_ec_spark.session import get_spark
+    from php_ec_spark.streaming import (
+        ActionDispatcher,
+        ndjson_dir_source,
+        start_correlation,
+    )
+
+    spark = get_spark(app_name="php-ec-spark-tests", shuffle_partitions=4)
+    n = 20_000
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "bulk.json", "w") as f:
+        for i in range(n):
+            f.write(_json.dumps({
+                "event_id": i,
+                "ts": f"2024-01-01T{(i // 3600) % 24:02d}:"
+                      f"{(i // 60) % 60:02d}:{i % 60:02d}Z",
+                "user_id": i % 500,
+                "event_type": ["signup", "click", "purchase", "view"][(i * 7) % 4],
+                "value": 1.0, "props": None,
+            }) + "\n")
+    d = ActionDispatcher()
+    d.register("cap", fn=lambda rows: None)
+    t0 = time.perf_counter()
+    q = start_correlation(
+        ndjson_dir_source(spark, str(src)),
+        [sequence_rule("seq", ["signup", "click", "purchase"],
+                       key="user_id", timeout="PT12H")],
+        str(tmp_path / "ck"), dispatcher=d, trigger_once=True,
+        watermark_delay="1 hour", state_partitions=4,
+    )
+    q.awaitTermination()
+    dt = time.perf_counter() - t0
+    assert q.exception() is None
+    eps = n / dt
+    assert eps >= 500, (
+        f"live path at {eps:,.0f} events/s ({dt:.1f}s for {n}) — below "
+        "the 500 floor; check the stateful handler / state partition tax"
+    )
