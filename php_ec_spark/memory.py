@@ -102,6 +102,27 @@ class MemoryEngine:
     def namespace(self, ns: str, now: Optional[Column] = None) -> DataFrame:
         return self.live(now).filter(F.col("namespace") == ns).select("key", "value")
 
+    def get(self, ns: str, key: str, default=None):
+        """Point read — the documented rules-side Memory interface
+        (docs/knowledge.md:339-360: ``get``/``has``/``all``; rules are
+        read-only by design). Driver-side convenience for rule callbacks
+        and tests; high-volume reads belong in :meth:`enrich` (broadcast
+        join — the scan-speed path). Returns the JSON-decoded value."""
+        rows = (
+            self.namespace(ns).filter(F.col("key") == key).select("value").take(1)
+        )
+        if not rows:
+            return default
+        import json as _json
+
+        return _json.loads(rows[0]["value"])
+
+    def has(self, ns: str, key: str) -> bool:
+        """``has`` of the documented interface (docs/knowledge.md:352)."""
+        return bool(
+            self.namespace(ns).filter(F.col("key") == key).take(1)
+        )
+
     def enrich(
         self,
         events: DataFrame,

@@ -479,6 +479,28 @@ class TestMemory:
         mem = MemoryEngine(spark).apply_writes(w1).apply_writes(w2)
         assert {r.key: r.value for r in mem.namespace("ns").collect()} == {"k": "new"}
 
+    def test_get_has_interface(self, spark):
+        """The documented rules-side read interface (docs/knowledge.md:
+        339-360): get/has point reads, JSON-decoded values, TTL honored."""
+        import datetime as _dt
+
+        seed = spark.createDataFrame(
+            [
+                ("cfg", "type", '"freezer"', None, True, 1),
+                ("cfg", "limits", '{"max": 5}', None, True, 2),
+                ("cfg", "stale", '1',
+                 _dt.datetime(2000, 1, 1, tzinfo=_dt.timezone.utc), False, 3),
+            ],
+            "namespace string, key string, value string, "
+            "expires_at timestamp, persistent boolean, write_seq long",
+        )
+        mem = MemoryEngine(spark).apply_writes(seed)
+        assert mem.get("cfg", "type") == "freezer"
+        assert mem.get("cfg", "limits") == {"max": 5}
+        assert mem.get("cfg", "missing", default=42) == 42
+        assert mem.get("cfg", "stale") is None  # TTL-expired
+        assert mem.has("cfg", "type") and not mem.has("cfg", "stale")
+
     def test_persistence_roundtrip(self, spark, tmp_path):
         seed = spark.createDataFrame(
             [("ns", "k", "v", None, True, 1)],
