@@ -19,22 +19,38 @@ Scale: state is partitioned by correlation key exactly like the batch
 path; a micro-batch shuffles only its own rows; state store IO is
 incremental (RocksDB provider recommended on a real cluster).
 
-Sizing ``spark.sql.shuffle.partitions`` for the stateful op is the
-dominant live-path knob: each state partition pays a FIXED per-batch
-tax (Python worker + Arrow round trip + state-store load/commit —
-measured ~0.5 s/partition/batch on local[32]: addBatch for the same
-100k-event batch was 4.5 s at 8 partitions, 14 s at 32, 32 s at 64,
-linear in partitions and flat in key count). Size it to the number of
-cores the live volume actually needs, not to the batch-path default —
-and note Spark PINS the state partition count at the query's FIRST
-start; changing it later needs a fresh checkpoint (warm-start via
-snapshot/import to keep state).
+Live-path cost model (re-profiled round 6, tools/live_profile*.py —
+this CORRECTS round 5's "~0.5 s per state partition per batch"):
+
+- the apparent 0.5 s/partition linear tax was NOT Spark-internal: it
+  was ``ActionDispatcher`` consuming the emission batch with
+  ``toLocalIterator`` on the raw stateful plan, which executes state
+  partitions one job at a time (serially). Fixed by an eager
+  ``localCheckpoint`` in the dispatcher (streaming/sinks.py) — the
+  stateful op itself parallelizes normally;
+- the true per-partition slope is ~40 ms/batch (state store
+  load/commit + task overhead; 100k-event batch addBatch: ~1.3 s at
+  8 partitions, ~1.9 s at 32, trivial-handler floor ~1.4/1.7 s);
+- the dominant per-batch cost is PER-KEY Python handler overhead —
+  profiled ~1.9 ms/key fixed before the round-6 rewrite, ~0.6 ms
+  after (numpy lexsort replaces pandas sort_values, shared
+  empty-emission frame replaces per-call DataFrame construction,
+  one-shot ``tolist`` replaces per-element numpy boxing). Measured
+  catch-up: ~85k events/s end-to-end at 8 partitions for a 400k
+  batch, floor-pinned in tests/test_engine_perf.py.
+
+``spark.sql.shuffle.partitions`` still sizes the stateful op: size it
+to live key volume (keys/partition × 0.6 ms bounds addBatch), not the
+batch-path default — and note Spark PINS the state partition count at
+the query's FIRST start; changing it later needs a fresh checkpoint
+(warm-start via snapshot/import to keep state).
 """
 
 from __future__ import annotations
 
 from typing import Any, Iterator, Optional, Sequence, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,6 +64,12 @@ from .core import EngineCore
 #: State persisted per correlation key: the serialized EngineCore.
 STATE_SCHEMA = T.StructType([T.StructField("blob", T.StringType())])
 
+_OUT_COLS = (
+    "rule", "key", "outcome", "fire_ts", "start_event_id",
+    "last_event_id", "n_events", "value_sum", "payload",
+)
+_DT64NS = np.dtype("datetime64[ns]")
+
 
 def _make_stateful_handler(
     rules: Sequence[Rule],
@@ -56,6 +78,18 @@ def _make_stateful_handler(
     keyless: bool = False,
     restore_bc=None,
 ):
+    # Built once per task: most keys in a micro-batch emit nothing, so the
+    # no-emission return is a shared pre-built frame (the Arrow serializer
+    # only reads it). Fixed per-KEY pandas overhead is the live path's real
+    # cost at scale — a micro-batch calls this handler once per key, and
+    # profiling showed ~1.9 ms/key of it was sort_values/DataFrame.__init__/
+    # to_datetime, dwarfing the actual event loop. Everything per-key below
+    # is numpy-or-plain-Python on purpose.
+    empty_out = pd.DataFrame({
+        c: pd.Series([], dtype="datetime64[ns]" if c == "fire_ts" else "object")
+        for c in _OUT_COLS
+    })
+
     def handle(
         key: Tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
@@ -95,22 +129,35 @@ def _make_stateful_handler(
         else:
             frames = [pdf for pdf in pdfs if len(pdf)]
             if frames:
-                batch = pd.concat(frames).sort_values(
-                    ["ts", "event_id"], kind="mergesort"
-                )
-                ts_ns = batch["ts"].astype("int64").to_numpy()
+                batch = frames[0] if len(frames) == 1 else pd.concat(frames)
+                ts_col = batch["ts"].to_numpy()
+                if ts_col.dtype != _DT64NS:
+                    ts_col = ts_col.astype(_DT64NS)
+                ts_ns = ts_col.view("i8")
                 eids = batch["event_id"].to_numpy()
                 etypes = batch["event_type"].to_numpy()
                 values = batch["value"].to_numpy()
-                for i in range(len(batch)):
-                    core.handle(
-                        (
-                            int(eids[i]),
-                            int(ts_ns[i]),
-                            etypes[i],
-                            None if values[i] != values[i] else values[i],
-                        )
-                    )
+                # (ts, event_id) order via lexsort on the i8 views — never
+                # a pandas sort_values (it lexsorts the payload columns
+                # too). Arrow delivers each key's rows in shuffle order,
+                # which is usually already sorted: skip the take then.
+                order = np.lexsort((eids, ts_ns))
+                if not np.array_equal(order, np.arange(len(order))):
+                    ts_ns = ts_ns[order]
+                    eids = eids[order]
+                    etypes = etypes[order]
+                    values = values[order]
+                # one C-loop conversion to Python scalars; the event loop
+                # then never pays numpy per-element boxing
+                ts_l = ts_ns.tolist()
+                eid_l = eids.tolist()
+                et_l = etypes.tolist()
+                val_l = values.tolist()
+                ch = core.handle
+                for i in range(len(ts_l)):
+                    v = val_l[i]
+                    ch((eid_l[i], ts_l[i], et_l[i],
+                        None if v is not None and v != v else v))
 
         # re-arm the single earliest-deadline timer for this key
         nxt = core.next_deadline()
@@ -133,18 +180,13 @@ def _make_stateful_handler(
             state.remove()
 
         rows = core.take_rows()
-        out = pd.DataFrame(
-            rows,
-            columns=[
-                "rule", "key", "outcome", "fire_ts", "start_event_id",
-                "last_event_id", "n_events", "value_sum", "payload",
-            ],
-        )
-        if len(out):
-            out["fire_ts"] = pd.to_datetime(out["fire_ts"], unit="ns")
-        else:
-            out["fire_ts"] = pd.Series([], dtype="datetime64[ns]")
-        yield out
+        if not rows:
+            yield empty_out
+            return
+        cols = list(zip(*rows))
+        data = dict(zip(_OUT_COLS, cols))
+        data["fire_ts"] = np.asarray(cols[3], dtype="int64").view(_DT64NS)
+        yield pd.DataFrame(data)
 
     return handle
 

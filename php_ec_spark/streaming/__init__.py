@@ -70,9 +70,9 @@ def start_correlation(
     double-dispatching — the reference's errored-action replay + marker
     bookkeeping (W12, Scheduler.php:766-884).
 
-    ``state_partitions`` sizes the stateful operator's partition count —
-    the dominant live-path cost knob (each state partition pays a fixed
-    per-batch tax of ~0.5 s on local mode; see engine/streaming.py).
+    ``state_partitions`` sizes the stateful operator's partition count
+    (per-partition slope ~40 ms/batch; the dominant live cost is per-KEY
+    handler overhead ~0.6 ms — see engine/streaming.py's cost model).
     Spark reads ``spark.sql.shuffle.partitions`` when the query plans its
     first batch and PINS it in the checkpoint, so this sets the conf
     around ``start()`` and restores it after — do not plan other queries

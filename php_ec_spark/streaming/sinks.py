@@ -311,6 +311,30 @@ class ActionDispatcher:
             if df.isStreaming is False:
                 df.write.format("noop").mode("overwrite").save()
             return
+        ckpt = None
+        if not df.isStreaming:
+            # Materialize the emission batch ONCE, in parallel, before any
+            # consumer: toLocalIterator on the raw stateful-plan frame runs
+            # ONE JOB PER PARTITION (partitions execute serially) — on the
+            # live path that serialization is exactly the
+            # "~0.5 s per state partition per micro-batch" tax round 5
+            # measured (README envelope); the per-partition cost is real
+            # but was paying sequentially instead of across cores. The
+            # eager localCheckpoint executes all partitions concurrently
+            # (also satisfying Spark 4's state-store commit validation);
+            # the iterator then streams cached blocks without recompute.
+            # Emission batches are rule firings, not raw events — small by
+            # construction, so the cached copy is cheap and is released in
+            # the finally below.
+            ckpt = df.localCheckpoint(eager=True)
+            df = ckpt
+        try:
+            self._dispatch(df, batch_id)
+        finally:
+            if ckpt is not None:
+                ckpt.unpersist()
+
+    def _dispatch(self, df: DataFrame, batch_id: int) -> None:
         specs_by_rule = dict(self.actions)
         default = self.default_action
         chunk = self.chunk_size

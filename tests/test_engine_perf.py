@@ -78,12 +78,20 @@ def test_state_machine_throughput_floor():
 
 @pytest.mark.slow
 def test_live_path_throughput_floor(tmp_path):
-    """Floor for the applyInPandasWithState catch-up path: a 20k-event
-    micro-batch at 4 state partitions must sustain ≥500 events/s
-    end-to-end (measured ~4-20k on this box; the floor is ~10-40×
-    headroom for CI noise). Catches a silent live-path regression of the
-    kind the per-partition tax would cause (e.g. an accidental
-    per-row/per-key state round trip)."""
+    """Floor for the applyInPandasWithState catch-up path: a 400k-event
+    catch-up at 8 state partitions must sustain ≥50k events/s end-to-end
+    (query start → awaitTermination, including the trailing empty
+    watermark batch). Measured ~83-92k warm on this box after the two
+    round-6 fixes: (a) the handler rewrite (numpy lexsort + shared
+    empty-emission frame + one-shot tolist; per-key fixed cost
+    1.9 ms → 0.6 ms), and (b) the ActionDispatcher eager localCheckpoint
+    (toLocalIterator on the raw stateful plan was executing state
+    partitions SERIALLY — the round-5 "0.5 s/partition" tax). An untimed
+    warmup query absorbs the one-time session/plan compile, and the
+    timed run is min-of-2 against box noise. Catches a silent live-path
+    regression of the kind either fix addressed (a reintroduced
+    sort_values, a per-row state round trip, or a serialized batch
+    consumer)."""
     import json as _json
 
     from php_ec_spark.rules import sequence_rule
@@ -94,35 +102,46 @@ def test_live_path_throughput_floor(tmp_path):
         start_correlation,
     )
 
-    spark = get_spark(app_name="php-ec-spark-tests", shuffle_partitions=4)
-    n = 20_000
+    spark = get_spark(app_name="php-ec-spark-tests", shuffle_partitions=8)
+    n = 400_000
     src = tmp_path / "src"
     src.mkdir()
     with open(src / "bulk.json", "w") as f:
         for i in range(n):
             f.write(_json.dumps({
                 "event_id": i,
-                "ts": f"2024-01-01T{(i // 3600) % 24:02d}:"
+                # day advances with i so the 400k-event span stays
+                # monotonic — a %24 wrap would drop wrapped rows as late
+                "ts": f"2024-01-{1 + i // 86400:02d}"
+                      f"T{(i // 3600) % 24:02d}:"
                       f"{(i // 60) % 60:02d}:{i % 60:02d}Z",
                 "user_id": i % 500,
                 "event_type": ["signup", "click", "purchase", "view"][(i * 7) % 4],
                 "value": 1.0, "props": None,
             }) + "\n")
-    d = ActionDispatcher()
-    d.register("cap", fn=lambda rows: None)
-    t0 = time.perf_counter()
-    q = start_correlation(
-        ndjson_dir_source(spark, str(src)),
-        [sequence_rule("seq", ["signup", "click", "purchase"],
-                       key="user_id", timeout="PT12H")],
-        str(tmp_path / "ck"), dispatcher=d, trigger_once=True,
-        watermark_delay="1 hour", state_partitions=4,
-    )
-    q.awaitTermination()
-    dt = time.perf_counter() - t0
-    assert q.exception() is None
+
+    rules = [sequence_rule("seq", ["signup", "click", "purchase"],
+                           key="user_id", timeout="PT12H")]
+
+    def one_run(tag: str) -> float:
+        d = ActionDispatcher()
+        d.register("cap", fn=lambda rows: None)
+        t0 = time.perf_counter()
+        q = start_correlation(
+            ndjson_dir_source(spark, str(src)), rules,
+            str(tmp_path / f"ck_{tag}"), dispatcher=d, trigger_once=True,
+            watermark_delay="1 hour", state_partitions=8,
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        assert q.exception() is None
+        return dt
+
+    one_run("warmup")  # untimed: session/plan compile, worker pool spin-up
+    dt = min(one_run("m0"), one_run("m1"))
     eps = n / dt
-    assert eps >= 500, (
-        f"live path at {eps:,.0f} events/s ({dt:.1f}s for {n}) — below "
-        "the 500 floor; check the stateful handler / state partition tax"
+    assert eps >= 50_000, (
+        f"live catch-up at {eps:,.0f} events/s ({dt:.1f}s for {n:,} at 8 "
+        "state partitions) — below the 50k floor; check the stateful "
+        "handler's per-key path (engine/streaming.py hot-path notes)"
     )
