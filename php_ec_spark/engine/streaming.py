@@ -77,6 +77,7 @@ def _make_stateful_handler(
     clock: str,
     keyless: bool = False,
     restore_bc=None,
+    memory_path: Optional[str] = None,
 ):
     # Built once per task: most keys in a micro-batch emit nothing, so the
     # no-emission return is a shared pre-built frame (the Arrow serializer
@@ -98,6 +99,12 @@ def _make_stateful_handler(
         # the projection groups on the Spark-cast string key (keyless rules
         # on the literal "__all__"), so key[0] IS the snapshot __key —
         # including None for null-key groups; no Python str() re-encoding
+        if memory_path is not None:
+            # point rule callbacks at the hub's latest snapshot (memory.
+            # live_memory); one os.stat per call, re-parse only on change
+            from ..memory import set_live_memory_path
+
+            set_live_memory_path(memory_path)
         restore_key = key[0]
         in_restore = restore_bc is not None and restore_key in restore_bc.value
         if state.exists:
@@ -199,9 +206,15 @@ def correlate_stream(
     prefilter_types: bool = False,
     clock: str = "event",
     initial_state: Optional[DataFrame] = None,
+    memory_path: Optional[str] = None,
 ) -> DataFrame:
     """Run rules over a STREAMING events DataFrame; returns the emission
     stream (append mode).
+
+    ``memory_path`` (set by ``start_correlation(memory=...)``) points rule
+    callbacks at a :class:`php_ec_spark.memory.MemoryHub` snapshot via
+    ``live_memory()`` — the reference's central memory loop
+    (Scheduler.php:820): batch N's writes are readable from batch N+1.
 
     ``clock`` picks the reference's dual clock (CorrelationEngine.php:
     569-585, W1/W2): ``"event"`` = BatchClock semantics, timers fire on
@@ -336,6 +349,7 @@ def correlate_stream(
                     clock,
                     keyless=key_col is None,
                     restore_bc=restore_bc,
+                    memory_path=memory_path,
                 ),
                 outputStructType=EMISSION_SCHEMA,
                 stateStructType=STATE_SCHEMA,

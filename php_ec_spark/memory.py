@@ -21,7 +21,11 @@ read-side join is a broadcast-hash join — no shuffle of the event stream.
 
 from __future__ import annotations
 
-from typing import Optional
+import json
+import os
+import threading
+import time
+from typing import Iterable, Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -201,3 +205,250 @@ def writes_from_emissions(
         F.lit(False).alias("persistent"),
         F.col("last_event_id").alias("write_seq"),
     ).filter(F.col("key").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Live-mode central memory loop (auto-wiring parity: Scheduler.php:820 routes
+# rule-emitted MemoryWrites to MemoryEngine::applyWrite every tick, and
+# Scheduler.php:913-915 purges expired entries every 30 s). The streaming
+# sink feeds a MemoryHub per micro-batch; rule callbacks running inside the
+# stateful operator read the current memory through live_memory() — writes
+# land before the NEXT batch's reads, exactly the reference's tick loop.
+# ---------------------------------------------------------------------------
+
+
+class MemoryHub:
+    """Driver-side collective memory for live queries.
+
+    Memory is small by contract (learned thresholds, dims, flags —
+    MemoryEngine.php keeps it in-process too), so the hub holds a plain
+    dict and republishes an atomic JSON snapshot under the query
+    checkpoint after every batch that wrote. Executors re-read the
+    snapshot at most once per changed file (mtime+size keyed), which is
+    the per-batch small-dim refresh a fixed streaming plan cannot get
+    from a broadcast. On a real cluster the checkpoint dir is shared
+    storage, so the snapshot is visible to every executor; the read is
+    one small file per task, not per row.
+
+    Not the batch :class:`MemoryEngine`: that one is a DataFrame for
+    scan-side broadcast enrichment (J6); this one is the live write
+    loop. ``snapshot_engine`` bridges to batch when needed.
+    """
+
+    def __init__(
+        self,
+        checkpoint_dir: Optional[str] = None,
+        namespace_col: str = "rule",
+        ttl_seconds: Optional[int] = None,
+        purge_every_s: float = 30.0,
+        rules: Optional[Iterable[str]] = None,
+    ):
+        self.namespace_col = namespace_col
+        self.ttl_seconds = ttl_seconds
+        self.purge_every_s = purge_every_s
+        self.rules = set(rules) if rules is not None else None
+        #: (ns, key) -> [value_json_str, expires_epoch_or_None, persistent]
+        self._entries: dict = {}
+        self._gen = 0
+        self._last_purge = time.monotonic()
+        self._lock = threading.Lock()  # one hub may serve several queries
+        self.snapshot_path: Optional[str] = None
+        if checkpoint_dir is not None:
+            self.bind(checkpoint_dir)
+
+    def bind(self, checkpoint_dir: str) -> None:
+        """Anchor the snapshot under a query checkpoint (start_correlation
+        binds an unbound hub automatically, like the dispatcher's marker
+        dir)."""
+        if self.snapshot_path is not None:
+            return
+        d = os.path.join(checkpoint_dir, "memory")
+        os.makedirs(d, exist_ok=True)
+        self.snapshot_path = os.path.join(d, "current.json")
+        self._publish_locked()
+
+    # -- write side -------------------------------------------------------
+    def absorb(self, emissions: DataFrame) -> int:
+        """Apply one micro-batch's memory-channel emissions; returns the
+        number of writes applied. Call AFTER actions dispatch (the
+        reference routes MemoryWrites after rule actions on the same
+        tick); the snapshot republish makes them visible to the next
+        batch's reads."""
+        em = emissions
+        if self.rules is not None:
+            em = em.filter(F.col("rule").isin(sorted(self.rules)))
+        rows = writes_from_emissions(
+            em, namespace_col=self.namespace_col, ttl_seconds=self.ttl_seconds
+        ).collect()  # bounded: rule firings, not events
+        with self._lock:
+            n = 0
+            for r in sorted(rows, key=lambda r: (r["write_seq"] or 0)):
+                self._apply_locked(
+                    r["namespace"], r["key"], r["value"],
+                    r["expires_at"].timestamp() if r["expires_at"] else None,
+                    bool(r["persistent"]),
+                )
+                n += 1
+            now = time.monotonic()
+            if now - self._last_purge >= self.purge_every_s:
+                self._purge_locked()
+                self._last_purge = now
+                n += 1  # force republish so deletions propagate
+            if n:
+                self._gen += 1
+                self._publish_locked()
+        return len(rows)
+
+    def write(
+        self,
+        ns: str,
+        key: str,
+        value,
+        ttl_seconds: Optional[int] = None,
+        persistent: bool = False,
+    ) -> None:
+        """Manual/preload write (Scheduler.php:509-539 seeding); ``None``
+        value deletes."""
+        with self._lock:
+            self._apply_locked(
+                ns, key,
+                None if value is None else json.dumps(value, sort_keys=True),
+                time.time() + ttl_seconds if ttl_seconds is not None else None,
+                persistent,
+            )
+            self._gen += 1
+            self._publish_locked()
+
+    def _apply_locked(self, ns, key, value, expires_epoch, persistent) -> None:
+        if value is None:
+            self._entries.pop((ns, key), None)  # tombstone
+        else:
+            self._entries[(ns, key)] = [value, expires_epoch, persistent]
+
+    def purge(self) -> None:
+        """Explicit expired-entry purge + republish (the scheduler's 30 s
+        sweep, Scheduler.php:913-915; absorb() runs this automatically
+        every ``purge_every_s``)."""
+        with self._lock:
+            self._purge_locked()
+            self._gen += 1
+            self._publish_locked()
+
+    def _purge_locked(self, now: Optional[float] = None) -> None:
+        now = time.time() if now is None else now
+        self._entries = {
+            k: v for k, v in self._entries.items()
+            if v[1] is None or v[1] > now
+        }
+
+    def _publish_locked(self) -> None:
+        if self.snapshot_path is None:
+            return
+        doc = {
+            "gen": self._gen,
+            "entries": [
+                [ns, key, v[0], v[1]] for (ns, key), v in self._entries.items()
+            ],
+        }
+        tmp = self.snapshot_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self.snapshot_path)  # atomic: readers never see halves
+
+    # -- read side (driver convenience; executors use live_memory()) ------
+    def get(self, ns: str, key: str, default=None):
+        with self._lock:
+            v = self._entries.get((ns, key))
+        if v is None or (v[1] is not None and v[1] <= time.time()):
+            return default
+        return json.loads(v[0])
+
+    def has(self, ns: str, key: str) -> bool:
+        sentinel = object()
+        return self.get(ns, key, sentinel) is not sentinel
+
+    def snapshot_engine(self, spark) -> MemoryEngine:
+        """Bridge to the batch engine: current live entries as a
+        MemoryEngine for broadcast enrichment of a batch frame."""
+        with self._lock:
+            rows = [
+                (ns, key, v[0],
+                 None if v[1] is None else
+                 __import__("datetime").datetime.fromtimestamp(
+                     v[1], __import__("datetime").timezone.utc
+                 ).replace(tzinfo=None),
+                 v[2], self._gen, 0)
+                for (ns, key), v in self._entries.items()
+            ]
+        return MemoryEngine(
+            spark, spark.createDataFrame(rows, MEMORY_SCHEMA), generation=self._gen
+        )
+
+
+# -- executor-side read interface (docs/knowledge.md:339-360 get/has/all) --
+
+_LIVE_VIEW = {"path": None, "sig": None, "view": None}
+
+
+class LiveMemoryView:
+    """Read-only memory view for rule callbacks running inside the
+    stateful operator — the documented rules-side interface (rules are
+    read-only by design; writes go through emissions → MemoryHub)."""
+
+    def __init__(self, entries: dict):
+        self._entries = entries
+
+    def get(self, ns: str, key: str, default=None):
+        v = self._entries.get((ns, key))
+        if v is None or (v[1] is not None and v[1] <= time.time()):
+            return default  # TTL enforced at read (MemoryEntry.php:19-57)
+        return json.loads(v[0])
+
+    def has(self, ns: str, key: str) -> bool:
+        sentinel = object()
+        return self.get(ns, key, sentinel) is not sentinel
+
+    def all(self, ns: str) -> dict:
+        now = time.time()
+        return {
+            key: json.loads(v[0])
+            for (n, key), v in self._entries.items()
+            if n == ns and (v[1] is None or v[1] > now)
+        }
+
+
+_EMPTY_VIEW = LiveMemoryView({})
+
+
+def set_live_memory_path(path: Optional[str]) -> None:
+    """Point live_memory() at a hub snapshot — called by the stateful
+    handler once per task when the query was started with a MemoryHub.
+    Reload cost is one os.stat per call and one small-file parse per
+    CHANGED snapshot."""
+    if _LIVE_VIEW["path"] != path:
+        _LIVE_VIEW.update(path=path, sig=None, view=None)
+
+
+def live_memory() -> LiveMemoryView:
+    """Current collective memory, as of the last published micro-batch.
+    Returns an empty view outside a memory-wired query (so rule code is
+    portable between batch and live runs)."""
+    path = _LIVE_VIEW["path"]
+    if path is None:
+        return _EMPTY_VIEW
+    try:
+        st = os.stat(path)
+    except OSError:
+        return _EMPTY_VIEW
+    sig = (st.st_mtime_ns, st.st_size)
+    if sig != _LIVE_VIEW["sig"]:
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            return _LIVE_VIEW["view"] or _EMPTY_VIEW
+        _LIVE_VIEW["view"] = LiveMemoryView(
+            {(ns, key): [val, exp, False] for ns, key, val, exp in doc["entries"]}
+        )
+        _LIVE_VIEW["sig"] = sig
+    return _LIVE_VIEW["view"]

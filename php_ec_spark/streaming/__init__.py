@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 from ..engine.streaming import correlate_stream
+from ..memory import MemoryHub
 from ..rules.base import Rule
 from .jsonrpc import JsonRpcActionProcess, JsonRpcProcessSource, jsonrpc_source
 from .sinks import ActionDispatcher
@@ -31,6 +32,7 @@ __all__ = [
     "CorrelationGroup",
     "JsonRpcActionProcess",
     "JsonRpcProcessSource",
+    "MemoryHub",
     "correlate_stream",
     "heartbeat_source",
     "jsonrpc_source",
@@ -53,8 +55,18 @@ def start_correlation(
     clock: str = "event",
     initial_state: Optional[DataFrame] = None,
     state_partitions: Optional[int] = None,
+    memory: Optional["MemoryHub"] = None,
 ) -> StreamingQuery:
     """Source → correlation engine → action sink, checkpointed.
+
+    ``memory`` auto-wires the reference's central memory loop
+    (Scheduler.php:820 + MemoryEngine.php:63-79, no user glue): each
+    micro-batch's emissions run through ``writes_from_emissions`` →
+    ``MemoryHub.absorb`` AFTER actions dispatch, and rule callbacks in
+    the NEXT batch read the updated state via
+    ``php_ec_spark.memory.live_memory()`` (expired entries purged every
+    ``purge_every_s`` — the 30 s Scheduler.php:913-915 analog). An
+    unbound hub anchors its snapshot under ``checkpoint_dir``.
 
     ``checkpoint_dir`` carries source offsets (S5), operator state (W11)
     and sink progress — the whole SaveHandler/RECOVERY subsystem of the
@@ -79,22 +91,38 @@ def start_correlation(
     concurrently with this call. On a restart from an existing
     checkpoint the pinned value wins regardless.
     """
+    if memory is not None:
+        memory.bind(checkpoint_dir)
     emissions = correlate_stream(
         events,
         rules,
         watermark_delay=watermark_delay,
         clock=clock,
         initial_state=initial_state,
+        memory_path=None if memory is None else memory.snapshot_path,
     )
     dispatcher = dispatcher or ActionDispatcher()
     if dispatcher.checkpoint_dir is None:
         dispatcher.checkpoint_dir = checkpoint_dir
     dispatcher.replay_errored()
+    if memory is None:
+        sink = dispatcher
+    else:
+        def sink(df: DataFrame, batch_id: int) -> None:
+            # one parallel materialization serves both consumers (the
+            # dispatcher re-checkpoints a cached frame, which is a cheap
+            # cached scan, not a recompute of the stateful plan)
+            ckpt = df.localCheckpoint(eager=True)
+            try:
+                dispatcher(ckpt, batch_id)
+                memory.absorb(ckpt)  # writes land before batch N+1 reads
+            finally:
+                ckpt.unpersist()
     writer = (
         emissions.writeStream.queryName(query_name)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .foreachBatch(dispatcher)
+        .foreachBatch(sink)
     )
     if trigger_once:
         writer = writer.trigger(availableNow=True)
@@ -297,6 +325,7 @@ def start_correlations(
     initial_states: Optional[dict] = None,
     kick_ts: Optional[str] = None,
     state_partitions: Optional[int] = None,
+    memory: Optional[MemoryHub] = None,
 ) -> CorrelationGroup:
     """Start one correlation query PER KEY COLUMN in the rule set.
 
@@ -427,6 +456,10 @@ def start_correlations(
             rows.append(row)
         return rows
 
+    if memory is not None:
+        # one shared hub across the per-key queries: anchor the snapshot
+        # at the root, not under the first query's subdir
+        memory.bind(checkpoint_root)
     by_key: dict[Optional[str], list[Rule]] = {}
     for r in rules:
         by_key.setdefault(r.key, []).append(r)
@@ -481,5 +514,6 @@ def start_correlations(
             clock=clock,
             initial_state=init,
             state_partitions=state_partitions,
+            memory=memory,
         )
     return group

@@ -199,6 +199,97 @@ def test_memory_loop_across_microbatches(spark, stream_dirs):
     assert by_event[1] == "42.0"        # batch 2 sees batch 1's write
 
 
+def test_memory_hub_auto_wiring_round_trip(spark, stream_dirs):
+    """Auto-wired central memory loop (Scheduler.php:820 +
+    MemoryEngine.php:63-79 parity, round-6 VERDICT item 2): rule A's
+    on_complete writes a learned threshold via its emission payload; rule
+    B's callback reads it through live_memory() on a LATER trigger — no
+    user-written foreachBatch glue, just start_correlation(memory=hub)."""
+    from php_ec_spark.memory import MemoryHub, live_memory, set_live_memory_path
+    from php_ec_spark.rules import match_single
+
+    src, ckpt = stream_dirs
+
+    def learn(chain, key):
+        return {"threshold": chain[-1]["value"] * 2}
+
+    def check(chain, key):
+        mem = live_memory().get("learn", key)
+        return {"learned": None if mem is None else mem["threshold"]}
+
+    rules = [
+        match_single("learn", ["purchase"], key="user_id", on_complete=learn),
+        match_single("check", ["click"], key="user_id", on_complete=check),
+    ]
+
+    # batch 1: user 1 purchases (A learns 84.0); user 2 clicks (B reads
+    # nothing — the write isn't visible until the NEXT batch)
+    _write_ndjson(src / "01.json", [
+        _ev(0, "2024-01-01T00:00:00Z", 1, "purchase", 42.0),
+        _ev(1, "2024-01-01T00:00:01Z", 2, "click"),
+    ])
+    # batch 2: user 1 clicks — B must see A's batch-1 threshold
+    _write_ndjson(src / "02.json", [
+        _ev(2, "2024-01-01T00:10:00Z", 1, "click"),
+    ])
+
+    hub = MemoryHub()
+    emitted: list = []
+    d = ActionDispatcher()
+    d.register("cap", fn=lambda rows: emitted.extend(rows))
+    q = start_correlation(
+        ndjson_dir_source(spark, str(src), max_files_per_trigger=1),
+        rules, str(ckpt), dispatcher=d, trigger_once=True, memory=hub,
+    )
+    q.awaitTermination(timeout=120)
+    assert q.exception() is None
+
+    payloads = {
+        (r["rule"], r["key"]): json.loads(r["payload"])
+        for r in emitted if r["payload"]
+    }
+    assert payloads[("learn", "1")] == {"threshold": 84.0}
+    assert payloads[("check", "2")] == {"learned": None}   # same-batch: unseen
+    assert payloads[("check", "1")] == {"learned": 84.0}   # next batch: seen
+    # the hub itself holds the learned entries driver-side too
+    assert hub.get("learn", "1") == {"threshold": 84.0}
+    # and the published snapshot serves the executor-side reader directly
+    set_live_memory_path(hub.snapshot_path)
+    try:
+        assert live_memory().get("learn", "1") == {"threshold": 84.0}
+    finally:
+        set_live_memory_path(None)
+
+
+def test_memory_hub_ttl_and_purge(tmp_path):
+    """Hub TTL semantics without Spark: expired entries are invisible at
+    read time (MemoryEntry.php:19-57) and physically dropped by the purge
+    sweep (Scheduler.php:913-915)."""
+    from php_ec_spark.memory import MemoryHub, live_memory, set_live_memory_path
+
+    hub = MemoryHub(str(tmp_path), purge_every_s=0.0)
+    hub.write("ns", "short", {"x": 1}, ttl_seconds=0)
+    hub.write("ns", "long", {"x": 2}, ttl_seconds=3600)
+    hub.write("ns", "forever", {"x": 3})
+    time.sleep(0.02)
+    assert hub.get("ns", "short") is None
+    assert hub.get("ns", "long") == {"x": 2}
+    assert len(hub._entries) == 3  # expired entry still resident pre-purge
+    hub.purge()
+    assert len(hub._entries) == 2  # swept
+    # deletes propagate through the snapshot
+    hub.write("ns", "long", None)
+    set_live_memory_path(hub.snapshot_path)
+    try:
+        view = live_memory()
+        assert view.get("ns", "long") is None
+        assert view.get("ns", "forever") == {"x": 3}
+        assert view.all("ns") == {"forever": {"x": 3}}
+        assert view.has("ns", "forever") and not view.has("ns", "long")
+    finally:
+        set_live_memory_path(None)
+
+
 def test_on_demand_source_feeds_back(spark, stream_dirs, tmp_path):
     """S4: a rule emission launches a producer command whose NDJSON output
     lands in the source dir; a second run ingests the produced events."""
