@@ -144,6 +144,41 @@ def main() -> None:
     print(f"# state-machine path: {eps:,.0f} events/s ({n_events} events)",
           file=sys.stderr)
 
+    # NOISE-FREE companion metric (round-5 verdict ask #3): the same hot
+    # loop measured pure-Python single-thread, no Spark jobs — identical
+    # to tests/test_engine_perf.py's floor measurement. The Spark number
+    # above is catch-up wall-clock and swings 2-4× with host noise; this
+    # one is stable within ~10%, so round-over-round eps regressions are
+    # judged on it.
+    import pandas as pd
+
+    from php_ec_spark.engine.batch import _make_partition_runner
+
+    def _synth(n: int) -> pd.DataFrame:
+        types = ("signup", "click", "purchase", "view")
+        rows = [
+            (f"u{i % 200}", i, i * 1_000_000_000, types[(i * 7) % 4],
+             float(i % 50))
+            for i in range(n)
+        ]
+        rows.sort(key=lambda r: (r[0], r[2], r[1]))
+        pdf = pd.DataFrame(
+            rows, columns=["__key", "event_id", "ts", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="ns")
+        return pdf
+
+    runner = _make_partition_runner(sm_rules, False)
+    pure_pdf = _synth(60_000)
+    list(runner([pure_pdf]))  # interning/branch warmup
+    eps_pure = 0.0
+    for _ in range(max(iters, 3)):
+        t0 = time.perf_counter()
+        list(runner([pure_pdf]))
+        eps_pure = max(eps_pure, len(pure_pdf) / (time.perf_counter() - t0))
+    print(f"# state-machine pure-Python: {eps_pure:,.0f} events/s "
+          "(single-thread)", file=sys.stderr)
+
     # per-query delta vs the most recent BENCH_r{N}.json in the repo root,
     # so ±15% box-noise drifts are visible in the artifact itself instead
     # of needing a cross-round diff
@@ -167,6 +202,10 @@ def main() -> None:
                 deltas["state_machine_eps"] = round(
                     eps / prev["state_machine_eps"] - 1.0, 3
                 )
+            if prev.get("state_machine_eps_pure"):
+                deltas["state_machine_eps_pure"] = round(
+                    eps_pure / prev["state_machine_eps_pure"] - 1.0, 3
+                )
         except (OSError, ValueError):
             prev_path = None
 
@@ -177,6 +216,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "state_machine_eps": round(eps),
+        "state_machine_eps_pure": round(eps_pure),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if deltas:
