@@ -102,6 +102,7 @@ def chain_correlate(
     bottleneck.
     """
     spark = events.sparkSession
+    default_mapping = to_events is None
     if to_events is None:
         # derived events must carry every key column the rule set groups on,
         # typed like the source stream (falls back to bigint)
@@ -114,6 +115,26 @@ def chain_correlate(
             em, key_cols=key_cols, rule_index=rule_index
         )
     from ..rules.base import EVENT_MATCH_ANY
+
+    def _derivable_types(active_rules: Sequence[Rule]) -> set:
+        # STATIC superset of the '<rule>:<outcome>' types this round can
+        # emit — no Spark job (replaces a per-round distinct().collect();
+        # the job was ~10% of the two-round fixpoint's wall time). A
+        # superset is always prune-safe: an over-kept rule runs one cheap
+        # round that emits nothing and the take(1) break fires; an actual
+        # emitted type can never fall outside it.
+        out = set()
+        for r in active_rules:
+            out.add(f"{r.name}:completed")
+            if r.timeout_s is not None:
+                out.add(f"{r.name}:timeout")
+            if r.emit_progress:
+                out.add(f"{r.name}:progress")
+            if r.emit_final:
+                out.add(f"{r.name}:final")
+            if r.accept or r.on_complete or r.on_timeout:
+                out.add(f"{r.name}:error")  # callback quarantine outcome
+        return out
 
     all_emissions: Optional[DataFrame] = None
     current = events
@@ -128,15 +149,16 @@ def chain_correlate(
         )
         current = to_events(emitted)
         # Round pruning: later rounds see ONLY this round's derived types,
-        # so a rule with no type overlap cannot start, consume, or suppress
-        # anything — drop it from the next pass (and stop outright when no
-        # rule overlaps, saving the would-be-empty correlate round). One
-        # tiny distinct job over the checkpointed emissions pays for whole
-        # compile+execute rounds. Any-group intersection is deliberately a
-        # SUPERSET of the startable rules — never skips a relevant one.
-        derived_types = {
-            r[0] for r in current.select("event_type").distinct().collect()
-        }
+        # so a rule with no possible type overlap cannot start, consume, or
+        # suppress anything — drop it from the next pass (and stop outright
+        # when no rule overlaps, saving the would-be-empty correlate round).
+        # A custom to_events can invent types the static set can't know, so
+        # it keeps the exact distinct job instead.
+        derived_types = (
+            _derivable_types(active)
+            if default_mapping
+            else {r[0] for r in current.select("event_type").distinct().collect()}
+        )
         active = [
             r for r in rules
             if any(
