@@ -236,6 +236,73 @@ def cron_expression_fires(
     return _scheduled_emissions(cand, name)
 
 
+def cron_stream_fires(
+    ticks: DataFrame,
+    expression: str,
+    name: str = "cron",
+    tz: Optional[str] = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """LIVE cron scheduling (W9 streaming): evaluate a 5-field cron
+    expression against a STREAMING tick source — the processing-clock
+    OnSchedule analog (Rule/Cron.php:97-113: the scheduler's loop timer is
+    the alarm; the fire happens on the tick that crosses a matching
+    boundary; TimeoutRule.php:10-28).
+
+    ``ticks`` is any streaming frame with a ``ts`` timestamp column —
+    normally :func:`php_ec_spark.streaming.heartbeat_source` unioned with
+    the event stream, so ticks keep coming when events go quiet (the
+    reference's cron fires on a silent engine too). One ``scheduled``
+    emission per MATCHING MINUTE: ``fire_ts`` is the minute boundary
+    (exactly the batch ``cron_expression_fires`` value, so batch replay
+    and live runs line up), deduplicated across multiple ticks in the
+    same minute with ``dropDuplicates`` under a watermark (state stays
+    bounded; a tick later than ``watermark_delay`` cannot re-fire an old
+    minute). ``@reboot``/``@shutdown`` fire on the lifecycle control
+    messages exactly like the batch path (those rows pass through
+    unconditionally — no dedup, each boot is a distinct fire).
+
+    Scale: predicate + dedup is fully relational (one stateful dedup op
+    keyed by minute — O(watermark/1min) state rows); no Python, no
+    per-tick driver work. Runs as its own streaming query: Spark does not
+    allow a dedup and an applyInPandasWithState in one query, and the
+    reference also runs cron off the scheduler timer, not the correlation
+    engine."""
+    from ..model import CONTROL_MSG_RESTORED, CONTROL_MSG_START, CONTROL_MSG_STOP
+
+    expression = expression.strip()
+    if expression in ("@reboot", "@shutdown"):
+        wanted = (
+            [CONTROL_MSG_START, CONTROL_MSG_RESTORED]
+            if expression == "@reboot"
+            else [CONTROL_MSG_STOP]
+        )
+        fires = ticks.filter(F.col("event_type").isin(wanted)).select(
+            F.col("ts").alias("fire_ts")
+        )
+        return _scheduled_emissions(fires, name)
+    expression = CRON_TOKEN_EXPRESSIONS.get(expression, expression)
+    fields = expression.split()
+    if len(fields) != 5:
+        raise ValueError(f"cron expression needs 5 fields, got {expression!r}")
+    cand = ticks.select(F.date_trunc("minute", F.col("ts")).alias("fire_ts"))
+    local = F.from_utc_timestamp(F.col("fire_ts"), tz) if tz else F.col("fire_ts")
+    preds = [
+        _cron_field_pred(F.minute(local), fields[0], 0, 59),
+        _cron_field_pred(F.hour(local), fields[1], 0, 23),
+        _cron_field_pred(F.dayofmonth(local), fields[2], 1, 31),
+        _cron_field_pred(F.month(local), fields[3], 1, 12),
+        _cron_field_pred((F.dayofweek(local) - 1) % 7, fields[4], 0, 7, dow=True),
+    ]
+    for p in preds:
+        if p is not None:
+            cand = cand.filter(p)
+    fires = cand.withWatermark("fire_ts", watermark_delay).dropDuplicates(
+        ["fire_ts"]
+    )
+    return _scheduled_emissions(fires, name)
+
+
 def cron_fires(
     events: DataFrame,
     every: str = "1 hour",
