@@ -17,8 +17,55 @@ import sys
 import time
 
 
+def _measure_pure_eps(iters: int) -> float:
+    """NOISE-FREE companion metric (round-5 verdict ask #3): the stateful
+    hot loop measured pure-Python single-thread — identical workload to
+    tests/test_engine_perf.py's floor measurement. Runs BEFORE the
+    SparkSession exists so the 32-thread JVM (GC/JIT threads) can't steal
+    cycles from the single-thread measurement — measured in-JVM-shadow it
+    reads ~35% low (91k vs 138k on the same box, same code).
+    """
+    import pandas as pd
+
+    from php_ec_spark.engine.batch import _make_partition_runner
+    from php_ec_spark.rules import match_single_continuously, sequence_rule
+
+    rules = [
+        match_single_continuously("roll", ["purchase"], key="user_id",
+                                  chain_limit=5, emit_final=True),
+        sequence_rule("seq", ["signup", "click", "purchase"], key="user_id",
+                      timeout="PT12H"),
+        match_single_continuously("gap", ["*"], key="user_id", timeout="PT6H"),
+    ]
+    n = 60_000
+    types = ("signup", "click", "purchase", "view")
+    rows = [
+        (f"u{i % 200}", i, i * 1_000_000_000, types[(i * 7) % 4],
+         float(i % 50))
+        for i in range(n)
+    ]
+    rows.sort(key=lambda r: (r[0], r[2], r[1]))
+    pdf = pd.DataFrame(
+        rows, columns=["__key", "event_id", "ts", "event_type", "value"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"], unit="ns")
+    runner = _make_partition_runner(rules, False)
+    list(runner([pdf]))  # interning/branch warmup
+    eps_pure = 0.0
+    for _ in range(max(iters, 3)):
+        t0 = time.perf_counter()
+        list(runner([pdf]))
+        eps_pure = max(eps_pure, n / (time.perf_counter() - t0))
+    print(f"# state-machine pure-Python: {eps_pure:,.0f} events/s "
+          "(single-thread, pre-JVM)", file=sys.stderr)
+    return eps_pure
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+    eps_pure = _measure_pure_eps(iters)
+
     from php_ec_spark.catalog import all_queries
     from php_ec_spark.session import get_spark
 
@@ -96,7 +143,6 @@ def main() -> None:
     # the min is the reproducible number a tuned deployment would see.
     # 5 iterations because 3 repeatedly let one bad host window inflate a
     # query 50-80% in the recorded artifact)
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
     timings: dict[str, float] = {}
     total = 0.0
     for name, q in sorted(headline.items()):
@@ -143,41 +189,6 @@ def main() -> None:
         eps = max(eps, n_events / (time.perf_counter() - t0))
     print(f"# state-machine path: {eps:,.0f} events/s ({n_events} events)",
           file=sys.stderr)
-
-    # NOISE-FREE companion metric (round-5 verdict ask #3): the same hot
-    # loop measured pure-Python single-thread, no Spark jobs — identical
-    # to tests/test_engine_perf.py's floor measurement. The Spark number
-    # above is catch-up wall-clock and swings 2-4× with host noise; this
-    # one is stable within ~10%, so round-over-round eps regressions are
-    # judged on it.
-    import pandas as pd
-
-    from php_ec_spark.engine.batch import _make_partition_runner
-
-    def _synth(n: int) -> pd.DataFrame:
-        types = ("signup", "click", "purchase", "view")
-        rows = [
-            (f"u{i % 200}", i, i * 1_000_000_000, types[(i * 7) % 4],
-             float(i % 50))
-            for i in range(n)
-        ]
-        rows.sort(key=lambda r: (r[0], r[2], r[1]))
-        pdf = pd.DataFrame(
-            rows, columns=["__key", "event_id", "ts", "event_type", "value"]
-        )
-        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="ns")
-        return pdf
-
-    runner = _make_partition_runner(sm_rules, False)
-    pure_pdf = _synth(60_000)
-    list(runner([pure_pdf]))  # interning/branch warmup
-    eps_pure = 0.0
-    for _ in range(max(iters, 3)):
-        t0 = time.perf_counter()
-        list(runner([pure_pdf]))
-        eps_pure = max(eps_pure, len(pure_pdf) / (time.perf_counter() - t0))
-    print(f"# state-machine pure-Python: {eps_pure:,.0f} events/s "
-          "(single-thread)", file=sys.stderr)
 
     # per-query delta vs the most recent BENCH_r{N}.json in the repo root,
     # so ±15% box-noise drifts are visible in the artifact itself instead
