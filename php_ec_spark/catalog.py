@@ -92,5 +92,5 @@ def _load_all() -> None:
     # relational surface Catalyst gives for free) so if the count ever
     # creeps over, the least-novel queries are the ones that drop out.
     from . import queries_cep  # noqa: F401  (17)
-    from . import queries_pipeline  # noqa: F401  (17)
-    from . import queries_relational  # noqa: F401  (16)
+    from . import queries_pipeline  # noqa: F401  (19)
+    from . import queries_relational  # noqa: F401  (14)

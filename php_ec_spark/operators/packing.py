@@ -1,0 +1,119 @@
+"""Sequence packing — concat-and-chunk documents into training sequences.
+
+The standard LLM pre-training data layout: documents are concatenated in a
+deterministic global order and the token stream is sliced into fixed-size
+sequences (GPT-style "pack then chunk"); each document is assigned the
+token-stream offset where it starts and the range of sequence ids it spans.
+The reference has no such operator (php-ec is a CEP engine); this covers
+the driver's training-data-pipeline requirement over the `documents` table.
+
+100 TB design — the distributed prefix sum. A naive cumulative sum is a
+global window (``Window.orderBy(doc_id)`` with no partitionBy), which
+Spark executes on a SINGLE partition — a non-starter at scale. Instead:
+
+1. project down to (doc_id, n_tokens) — 16 bytes/row, column-pruned at
+   the parquet scan;
+2. ``repartitionByRange(doc_id)`` so partition k holds a contiguous
+   doc_id range (the only ordering guarantee the algorithm needs);
+3. local cumulative sums per range partition (window over the stamped
+   ``spark_partition_id``);
+4. per-partition totals → exclusive running offsets via a window over the
+   tiny totals frame (one row per partition — hundreds of rows on a
+   thousand-executor cluster, not billions), broadcast-joined back.
+
+Total cost: two shuffles of a 2-column frame plus one broadcast — the
+classic two-pass parallel scan, wall-clock bounded by the narrow scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Default sequence length (tokens per training sequence).
+DEFAULT_BUDGET = 512
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = DEFAULT_BUDGET,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each document its offset + sequence span in the packed stream.
+
+    Documents are ordered by ``id_col``; ``n_tokens`` is the single-space
+    word count (the corpus tokenization convention, see operators.text).
+    Returns (id_col, n_tokens, start_offset, seq_first, seq_last) where
+    ``start_offset`` is the exclusive prefix sum of token counts and
+    ``seq_first``/``seq_last`` the first/last ``budget``-sized sequence
+    the document lands in (documents may straddle a boundary — that is
+    the point of concat-and-chunk packing).
+
+    The result is invariant to ``num_partitions``: partitioning only
+    changes where the local scans run, never the offsets (pinned by a
+    partition-count sweep in tests/test_pipeline_ops.py).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    d = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    # Range-partition so partition k's doc_ids are all below partition
+    # k+1's, then stamp the physical partition id; spark_partition_id is
+    # non-deterministic to the optimizer, which (correctly) pins it to
+    # this exact exchange.
+    d = (
+        d.repartitionByRange(num_partitions, id_col)
+        .withColumn("__pid", F.spark_partition_id())
+        # Both consumers below (local cumsum + per-partition totals) must
+        # see the SAME pid stamping: checkpoint the stamped frame so the
+        # scan + range exchange run once and the branches read its blocks,
+        # instead of re-running two independent range exchanges and
+        # trusting their sampled boundaries to agree. Sweep with
+        # session.release_checkpoint_caches between queries.
+        .localCheckpoint(eager=False)
+    )
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("__local_cum", F.sum("n_tokens").over(local_w))
+    # Exclusive running offset per partition: the totals frame has one row
+    # per partition, so the unpartitioned window below is over hundreds of
+    # rows, not the corpus. Ordered by each partition's min doc_id (not
+    # __pid) so correctness never rests on pid numbering.
+    totals = d.groupBy("__pid").agg(
+        F.sum("n_tokens").alias("__tot"), F.min(id_col).alias("__min_id")
+    )
+    off_w = Window.orderBy("__min_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__tot").over(off_w), F.lit(0)).alias("__off"),
+    )
+    start = (F.col("__off") + F.col("__local_cum") - F.col("n_tokens")).alias(
+        "start_offset"
+    )
+    out = d.join(F.broadcast(offsets), "__pid").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        start,
+    )
+    # DIV (integer division) keeps sequence ids in exact int64 — a double
+    # round-trip would lose exactness past 2^53 token offsets.
+    return out.select(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset DIV {budget}").alias("seq_first"),
+        F.expr(f"(start_offset + n_tokens - 1) DIV {budget}").alias(
+            "seq_last"
+        ),
+    )

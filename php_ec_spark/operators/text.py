@@ -142,3 +142,84 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, c: (acc * FP_BASE + F.ascii(c)) % FP_MOD,
     )
     return df.withColumn("fingerprint", fp)
+
+
+def _top_run(sorted_arr: Column) -> Column:
+    """(count, value) of the longest run in a lexicographically sorted array.
+
+    One ``aggregate`` scan with a (prev, run, best, best_val) accumulator;
+    strict ``>`` when updating the best means the FIRST maximal run wins,
+    i.e. ties break to the lexicographically smallest value — the same
+    deterministic tie-break the DuckDB oracle's ``ORDER BY c DESC, v ASC``
+    produces. Scan-local: no shuffle, no Python.
+    """
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(None).cast("string").alias("best_val"),
+    )
+
+    def step(acc: Column, v: Column) -> Column:
+        run = F.when(v == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            v.alias("prev"),
+            run.alias("run"),
+            F.greatest(run, acc["best"]).alias("best"),
+            F.when(run > acc["best"], v).otherwise(acc["best_val"]).alias(
+                "best_val"
+            ),
+        )
+
+    return F.aggregate(sorted_arr, acc0, step)
+
+
+def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition quality signals.
+
+    Per document: ``n_words``, ``dup_word_frac`` (1 − distinct/total),
+    ``top_word`` + ``top_word_frac`` (most frequent word's share, ties to
+    the lexicographically smallest word), and ``top_bigram_frac`` (most
+    frequent adjacent word-pair's share of the n−1 bigrams; 0.0 for
+    single-word docs). High values flag boilerplate / TE-generated /
+    looping text — the standard pre-training repetition filters (Gopher's
+    "repetition" rule family), re-expressed as pure Spark column
+    expressions.
+
+    100 TB design: everything is computed inside one projection over the
+    scan via ``sort_array`` + a single-pass ``aggregate`` run-scan per
+    document — zero shuffle, zero Python, whole-stage codegen end to end.
+    Tokenization splits on a single space to match the corpus conventions
+    used by the dedup shingles (see queries_pipeline._SHINGLES).
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n = F.size(words).cast("long")
+    top_w = _top_run(F.sort_array(words))
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top_b = _top_run(F.sort_array(bigrams))
+    return (
+        df.withColumn("n_words", n)
+        .withColumn(
+            "dup_word_frac",
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(words)).cast("double") / n,
+                6,
+            ),
+        )
+        .withColumn("top_word", top_w["best_val"])
+        .withColumn(
+            "top_word_frac", F.round(top_w["best"].cast("double") / n, 6)
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.when(n < 2, F.lit(0.0)).otherwise(
+                F.round(top_b["best"].cast("double") / (n - 1), 6)
+            ),
+        )
+    )

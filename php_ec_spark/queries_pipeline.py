@@ -625,3 +625,91 @@ def pipe_sample_mix_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("tag"), "n_hits",
     )
     return sample.unionByName(mix).unionByName(decon)
+
+
+@register(
+    "pipe_repetition_signals",
+    doc="Gopher-style within-doc repetition quality signals: word count, "
+    "duplicate-word fraction, most-frequent word + its share (ties to the "
+    "lexicographically smallest word), most-frequent adjacent bigram's "
+    "share. Scan-local sort_array + single-pass aggregate run-scan — zero "
+    "shuffle, zero Python (operators.text.with_repetition_signals).",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        ), wc AS (
+            SELECT doc_id, word, count(*) AS c
+            FROM (SELECT doc_id, unnest(words) AS word FROM w)
+            GROUP BY 1, 2
+        ), topw AS (
+            SELECT doc_id, word AS top_word, c FROM (
+                SELECT doc_id, word, c, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY c DESC, word ASC
+                ) AS rn FROM wc
+            ) WHERE rn = 1
+        ), bc AS (
+            SELECT doc_id, bgm, count(*) AS c
+            FROM (
+                SELECT doc_id, unnest([
+                    array_to_string(words[i:i+1], ' ')
+                    for i in range(1, len(words))
+                ]) AS bgm FROM w
+            )
+            GROUP BY 1, 2
+        ), topb AS (
+            SELECT doc_id, max(c) AS c FROM bc GROUP BY 1
+        )
+        SELECT w.doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               round(1 - len(list_distinct(words))::DOUBLE / len(words), 6)
+                   AS dup_word_frac,
+               topw.top_word,
+               round(topw.c::DOUBLE / len(words), 6) AS top_word_frac,
+               CASE WHEN len(words) < 2 THEN 0.0
+                    ELSE round(topb.c::DOUBLE / (len(words) - 1), 6)
+               END AS top_bigram_frac
+        FROM w
+        JOIN topw USING (doc_id)
+        LEFT JOIN topb USING (doc_id)
+    """,
+)
+def pipe_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import with_repetition_signals
+
+    return with_repetition_signals(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "dup_word_frac", "top_word", "top_word_frac",
+        "top_bigram_frac",
+    )
+
+
+@register(
+    "pipe_pack_sequences",
+    doc="Concat-and-chunk sequence packing (budget 512 tokens): each doc's "
+    "offset in the packed token stream + the sequence-id span it covers. "
+    "Distributed two-pass prefix sum (range partition -> local cumsum -> "
+    "per-partition offsets broadcast back) — the global-window cumsum a "
+    "naive port would write runs on ONE partition at 100 TB "
+    "(operators.packing.pack_sequences).",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS BIGINT) AS start_offset
+            FROM d
+        )
+        SELECT doc_id, n_tokens, start_offset,
+               start_offset // 512 AS seq_first,
+               (start_offset + n_tokens - 1) // 512 AS seq_last
+        FROM c
+    """,
+)
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512)

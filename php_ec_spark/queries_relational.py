@@ -252,29 +252,6 @@ def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "rel_setops",
-    doc="Set ops: customers with a finished order EXCEPT the BUILDING segment.",
-    oracle="""
-        SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
-        EXCEPT
-        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-    """,
-)
-def rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    finished = (
-        o.filter(F.col("o_orderstatus") == "F")
-        .select(F.col("o_custkey").alias("custkey"))
-        .distinct()
-    )
-    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
-        F.col("c_custkey").alias("custkey")
-    )
-    return finished.subtract(building)
-
-
-@register(
     "rel_correlated_subquery",
     doc="Correlated scalar subquery (Catalyst decorrelates it into a join): "
     "orders priced far above their customer's average. Run through the "
@@ -305,10 +282,12 @@ def rel_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rel_semi_anti_join",
-    doc="Left-semi (EXISTS) + left-anti (NOT EXISTS) joins in one result "
-    "(consolidates rel_semi_join + rel_anti_join): mode='semi' = customers "
-    "with a returned-flag lineitem order; mode='anti' = customers with no "
-    "orders at all (absent join kinds in reference, free in Spark).",
+    doc="Set-membership shapes in one result (consolidates rel_semi_join + "
+    "rel_anti_join + rel_setops): mode='semi' = customers with a "
+    "returned-flag lineitem order (EXISTS / left-semi); mode='anti' = "
+    "customers with no orders at all (NOT EXISTS / left-anti); "
+    "mode='except' = customers with a finished order EXCEPT the BUILDING "
+    "segment (subtract). Absent join kinds in reference, free in Spark.",
     oracle="""
         SELECT 'semi' AS mode, c.c_custkey
         FROM customer c
@@ -322,6 +301,14 @@ def rel_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c
         WHERE NOT EXISTS (
             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+        UNION ALL
+        SELECT 'except' AS mode, custkey AS c_custkey FROM (
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT c_custkey AS custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING'
         )
     """,
 )
@@ -338,54 +325,56 @@ def rel_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select(F.lit("anti").alias("mode"), "c_custkey")
     )
-    return semi.unionByName(anti)
-
-
-@register(
-    "rel_scalar_funcs",
-    doc="Scalar string/date functions (absent in reference, free in Spark).",
-    oracle="""
-        SELECT upper(p_brand)                          AS brand,
-               substr(p_type, 1, 8)                    AS type_prefix,
-               count(*)                                AS n_parts,
-               round(sum(p_retailprice), 2)            AS retail,
-               min(length(p_name))                     AS min_name_len
-        FROM part
-        WHERE p_size BETWEEN 5 AND 25
-        GROUP BY upper(p_brand), substr(p_type, 1, 8)
-    """,
-)
-def rel_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part").filter(F.col("p_size").between(5, 25))
-    return p.groupBy(
-        F.upper("p_brand").alias("brand"),
-        F.substring("p_type", 1, 8).alias("type_prefix"),
-    ).agg(
-        F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.sum("p_retailprice"), 2).alias("retail"),
-        F.min(F.length("p_name")).alias("min_name_len"),
+    finished = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
     )
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey")
+    )
+    exc = finished.subtract(building).select(
+        F.lit("except").alias("mode"), "c_custkey"
+    )
+    return semi.unionByName(anti).unionByName(exc)
 
 
 @register(
     "rel_datetime_agg",
-    doc="Date bucketing: order volume by year/month (extract + group).",
+    doc="Date bucketing + scalar string/date functions in one result "
+    "(consolidates rel_scalar_funcs): order volume by year/month "
+    "(extract + group) with upper/substr/lpad/concat/length-derived "
+    "columns — both surfaces absent in the reference, free in Spark.",
     oracle="""
         SELECT CAST(year(o_orderdate) AS BIGINT)  AS yr,
                CAST(month(o_orderdate) AS BIGINT) AS mo,
+               CAST(year(o_orderdate) AS VARCHAR) || '-'
+                   || lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0')
+                                                  AS month_label,
                count(*)                           AS n_orders,
-               round(sum(o_totalprice), 2)        AS total
-        FROM orders GROUP BY 1, 2
+               round(sum(o_totalprice), 2)        AS total,
+               min(upper(substr(o_orderpriority, 1, 8))) AS top_priority,
+               CAST(min(length(o_orderpriority)) AS BIGINT) AS min_prio_len
+        FROM orders GROUP BY 1, 2, 3
     """,
 )
 def rel_datetime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("long")
+    mo = F.month("o_orderdate").cast("long")
     return o.groupBy(
-        F.year("o_orderdate").cast("long").alias("yr"),
-        F.month("o_orderdate").cast("long").alias("mo"),
+        yr.alias("yr"),
+        mo.alias("mo"),
+        F.concat(
+            yr.cast("string"), F.lit("-"), F.lpad(mo.cast("string"), 2, "0")
+        ).alias("month_label"),
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min(F.upper(F.substring("o_orderpriority", 1, 8))).alias(
+            "top_priority"
+        ),
+        F.min(F.length("o_orderpriority")).cast("long").alias("min_prio_len"),
     )
 
 

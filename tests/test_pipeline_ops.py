@@ -646,3 +646,120 @@ class TestPortableHashCrossEngine:
                 """).fetchall()
             }
             assert kept == want, f"source {name}"
+
+
+class TestRepetitionSignals:
+    def _py_signals(self, text: str):
+        """Pure-Python reference for the run-scan column expressions."""
+        words = text.split(" ")  # "" → [""], same as Spark F.split
+        n = len(words)
+        from collections import Counter
+
+        wc = Counter(words)
+        top_word, top_c = min(
+            wc.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        top_b = max(Counter(bigrams).values()) if bigrams else 0
+        return {
+            "n_words": n,
+            "dup_word_frac": round(1 - len(wc) / n, 6),
+            "top_word": top_word,
+            "top_word_frac": round(top_c / n, 6),
+            "top_bigram_frac": round(top_b / (n - 1), 6) if n >= 2 else 0.0,
+        }
+
+    def test_against_python_reference(self, spark):
+        from php_ec_spark.operators.text import with_repetition_signals
+
+        texts = [
+            "a b a b a b",          # dominant bigram "a b"
+            "x",                    # single word → bigram frac 0
+            "a a a a",              # all-duplicate
+            "the cat sat on the mat the cat",
+            "z y x w v u",          # all-unique
+            "b a b a a b",          # tie between words a and b → 'a' wins
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: r.asDict()
+            for r in with_repetition_signals(df).collect()
+        }
+        for i, t in enumerate(texts):
+            want = self._py_signals(t)
+            got = out[i]
+            for k, v in want.items():
+                if isinstance(v, float):
+                    assert abs(got[k] - v) < 1e-9, (i, k, got[k], v)
+                else:
+                    assert got[k] == v, (i, k, got[k], v)
+
+    def test_fuzz_against_python_reference(self, spark):
+        import random
+
+        rng = random.Random(42)
+        vocab = ["a", "b", "c", "dd", "e"]
+        texts = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+            for _ in range(60)
+        ]
+        from php_ec_spark.operators.text import with_repetition_signals
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: r.asDict()
+            for r in with_repetition_signals(df).collect()
+        }
+        for i, t in enumerate(texts):
+            want = self._py_signals(t)
+            got = out[i]
+            for k, v in want.items():
+                if isinstance(v, float):
+                    assert abs(got[k] - v) < 1e-9, (i, k, t, got[k], v)
+                else:
+                    assert got[k] == v, (i, k, t, got[k], v)
+
+
+class TestPackSequences:
+    def test_offsets_are_global_prefix_sums(self, spark, docs):
+        from php_ec_spark.operators.packing import pack_sequences
+
+        rows = sorted(
+            pack_sequences(docs, budget=512).collect(),
+            key=lambda r: r.doc_id,
+        )
+        running = 0
+        for r in rows:
+            assert r.start_offset == running, (r.doc_id, r.start_offset, running)
+            assert r.seq_first == r.start_offset // 512
+            assert r.seq_last == (r.start_offset + r.n_tokens - 1) // 512
+            assert r.seq_first <= r.seq_last
+            running += r.n_tokens
+
+    def test_partition_count_invariance(self, spark, docs):
+        """The distributed prefix sum must be partitioning-independent:
+        1, 3, and 7 range partitions give byte-identical assignments."""
+        from php_ec_spark.operators.packing import pack_sequences
+
+        base = None
+        for nparts in (1, 3, 7):
+            got = sorted(
+                (r.doc_id, r.n_tokens, r.start_offset, r.seq_first, r.seq_last)
+                for r in pack_sequences(
+                    docs, budget=512, num_partitions=nparts
+                ).collect()
+            )
+            if base is None:
+                base = got
+            else:
+                assert got == base, f"nparts={nparts} diverged"
+
+    def test_budget_validation(self, spark, docs):
+        from php_ec_spark.operators.packing import pack_sequences
+
+        with pytest.raises(ValueError):
+            pack_sequences(docs, budget=0)

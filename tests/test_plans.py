@@ -252,3 +252,30 @@ class TestWholeStageCodegen:
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
         assert "*(1)" in plan
+
+
+class TestNewPipelinePlanShapes:
+    def test_repetition_signals_is_scan_local(self, spark):
+        """The whole signal family must compile to one projection over the
+        parquet scan: zero exchanges, zero Python, pruned read schema."""
+        q = all_queries()["pipe_repetition_signals"].spark(spark, SF)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan and "InPandas" not in plan
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+    def test_pack_sequences_prefix_sum_shape(self, spark):
+        """The distributed prefix sum: the stamped range-partitioned frame
+        is checkpointed (computed ONCE — both branches read ExistingRDD,
+        never two independently-sampled range exchanges), the offsets side
+        is broadcast, and the only SinglePartition stage is the tiny
+        per-partition-totals window — never the corpus."""
+        q = all_queries()["pipe_pack_sequences"].spark(spark, SF)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan ExistingRDD") == 2, plan
+        assert "Exchange rangepartitioning" not in plan  # inside checkpoint
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # SinglePartition only downstream of the per-pid HashAggregate
+        single = plan.count("Exchange SinglePartition")
+        assert single == 1, plan
