@@ -190,3 +190,121 @@ def frame_sample(
                 yield pd.DataFrame(out)
 
     return blobs.select("item_id", "content").mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    blobs: DataFrame, width: int = 32, height: int = 32, fake: bool = True
+) -> DataFrame:
+    """Resize every image payload to ``width``×``height``.
+
+    Real path (``fake=False``, needs Pillow): decode, ``Image.resize``,
+    emit the raw luminance raster. Codec-less stand-in (default here):
+    a deterministic nearest-neighbor resample of the payload BYTES onto
+    the target grid — index i of the output maps to byte
+    ``floor(i * len / (w*h))``, the same index arithmetic a real
+    nearest-neighbor raster resize performs, so batch shape, output
+    sizing, and per-item cost scale identically to the real path.
+
+    Scale: pure ``mapInPandas`` over (item_id, content) — no shuffle, the
+    resize runs where the blob partition already lives, output is a fixed
+    ``w*h`` bytes per item regardless of input size (the usual reason
+    training pipelines resize early: it caps downstream bytes/row).
+    """
+    if width < 1 or height < 1:
+        raise ValueError("target dimensions must be >= 1")
+    n_out = width * height
+
+    def _resize_fake(content: bytes) -> bytes:
+        import numpy as np
+
+        src = np.frombuffer(content, dtype=np.uint8)
+        if len(src) == 0:
+            return bytes(n_out)
+        idx = (np.arange(n_out, dtype=np.int64) * len(src)) // n_out
+        return src[idx].tobytes()
+
+    def _resize_real(content: bytes) -> bytes:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(content)) as im:
+            return im.convert("L").resize((width, height)).tobytes()
+
+    if not fake and not pil_available():
+        raise NotImplementedError(
+            "real image resize requires Pillow (optional dependency, not "
+            "shipped in this environment); pass fake=True for the "
+            "deterministic stand-in"
+        )
+    resize = _resize_fake if fake else _resize_real
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "pixels": [resize(bytes(c)) for c in pdf["content"]],
+                }
+            )
+
+    return blobs.select("item_id", "content").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(blobs: DataFrame, dim: int = 64) -> DataFrame:
+    """L1-normalized byte-histogram feature vector per payload.
+
+    Unlike decode/resize this needs NO codec — a ``dim``-bin histogram
+    over the raw bytes is a real, deterministic content feature (it is
+    what near-dup detectors fall back to for opaque payloads), so there
+    is no fake/real split. Vectorized with one ``np.bincount`` per item
+    inside the Arrow batch; output rows feed the embedding operators
+    (cosine_topk / ivf_topk take any fixed-dim float array).
+    """
+    if not 1 <= dim <= 256:
+        raise ValueError("dim must be in [1, 256]")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for c in pdf["content"]:
+                src = np.frombuffer(bytes(c), dtype=np.uint8)
+                if len(src) == 0:
+                    feats.append(np.zeros(dim, dtype=np.float32))
+                    continue
+                # (byte * dim) >> 8 maps [0,255] uniformly onto [0,dim)
+                # for ANY dim, including ones that don't divide 256
+                h = np.bincount(
+                    (src.astype(np.int64) * dim) >> 8, minlength=dim
+                )
+                feats.append((h / h.sum()).astype(np.float32))
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"].astype("int64"),
+                    "features": feats,
+                }
+            )
+
+    return blobs.select("item_id", "content").mapInPandas(run, FEATURE_SCHEMA)

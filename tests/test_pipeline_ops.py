@@ -583,6 +583,97 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             frame_sample(attach_blob(docs), fake=False)
 
+    def test_resize_fake_nearest_neighbor(self, spark, docs):
+        from php_ec_spark.operators.multimodal import resize_images
+
+        out = {
+            r["item_id"]: r
+            for r in resize_images(attach_blob(docs), 8, 4).collect()
+        }
+        texts = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+        assert set(out) == set(texts)
+        for item_id, r in out.items():
+            src = texts[item_id]
+            assert (r["width"], r["height"]) == (8, 4)
+            want = bytes(src[(i * len(src)) // 32] for i in range(32))
+            assert bytes(r["pixels"]) == want  # exact NN index arithmetic
+
+    def test_resize_real_path_documents_env_gap(self, spark, docs):
+        from php_ec_spark.operators.multimodal import (
+            pil_available,
+            resize_images,
+        )
+
+        if pil_available():
+            pytest.skip("Pillow present: real resize active, gate untestable")
+        with pytest.raises(NotImplementedError):
+            resize_images(attach_blob(docs), fake=False)
+
+    def test_resize_real_with_pil(self, spark, docs):
+        from php_ec_spark.operators.multimodal import (
+            pil_available,
+            resize_images,
+        )
+
+        if not pil_available():
+            pytest.skip("Pillow not installed in this environment")
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (16, 16), color=200).save(buf, format="PNG")
+        blobs = spark.createDataFrame(
+            [(1, "image", bytearray(buf.getvalue()), ("image/png", "t"))],
+            "item_id long, modality string, content binary, "
+            "meta struct<mime:string,source:string>",
+        )
+        row = resize_images(blobs, 4, 4, fake=False).first()
+        assert len(bytes(row["pixels"])) == 16
+        assert all(b == 200 for b in bytes(row["pixels"]))
+
+    def test_feature_extract_histogram(self, spark, docs):
+        import numpy as np
+
+        from php_ec_spark.operators.multimodal import extract_features
+
+        out = {
+            r["item_id"]: np.array(r["features"])
+            for r in extract_features(attach_blob(docs), dim=64).collect()
+        }
+        texts = {r["doc_id"]: r["text"].encode() for r in docs.collect()}
+        assert set(out) == set(texts)
+        for item_id, f in out.items():
+            src = np.frombuffer(texts[item_id], dtype=np.uint8)
+            want = np.bincount((src.astype(np.int64) * 64) >> 8, minlength=64)
+            want = want / want.sum()
+            assert f.shape == (64,)
+            assert abs(f.sum() - 1.0) < 1e-5
+            assert np.allclose(f, want, atol=1e-6)
+
+    def test_feature_extract_feeds_similarity_ops(self, spark, docs):
+        """The histogram features are a drop-in embedding column: run them
+        through the exact cosine top-k operator end to end."""
+        from php_ec_spark.operators.multimodal import extract_features
+        from php_ec_spark.operators.similarity import cosine_topk
+
+        feats = extract_features(attach_blob(docs.limit(50)), dim=16).select(
+            F.col("item_id").alias("vec_id"),
+            F.col("features").alias("embedding"),
+        )
+        queries = feats.filter(F.col("vec_id") < 3)
+        got = cosine_topk(feats, queries, k=5)
+        counts = (
+            got.groupBy("query_id").count().collect()
+        )
+        assert len(counts) == 3 and all(r["count"] == 5 for r in counts)
+
+    def test_feature_extract_dim_validation(self, spark, docs):
+        from php_ec_spark.operators.multimodal import extract_features
+
+        with pytest.raises(ValueError):
+            extract_features(attach_blob(docs), dim=0)
+
 
 class TestRangePredicates:
     def test_inclusive_exclusive(self, spark):
