@@ -103,6 +103,8 @@ SCALE_SENSITIVE = [
     "pipe_jaccard_pairs",
     "pipe_simhash",
     "pipe_sample_mix_decon",
+    "pipe_pack_sequences",  # prefix sums cross more partition boundaries
+    "pipe_repetition_signals",  # longer-tail run lengths per doc
     "rel_events_eps",
     "cep_gap_sessions",
 ]
