@@ -438,10 +438,10 @@ def dedup_clusters(
     graph, labeled by the minimum doc id in each component.
 
     The pair graph comes from :func:`minhash_lsh_pairs` (bucketed, exact-
-    verified). Components are found by iterative min-label propagation —
-    each round is one join + aggregate, lineage truncated per round; rounds
-    needed = graph diameter (near-dup clusters are tiny, so 2-3 in
-    practice, ``max_iters`` is a backstop). The propagation frame holds
+    verified). Components are found by :func:`connected_components` —
+    min-label propagation with pointer jumping, so rounds are
+    O(log diameter) (2-3 in practice; chain-shaped components that would
+    blow a diameter-bounded budget converge in ~20). The propagation frame holds
     ONLY nodes that appear in some pair — at corpus scale the dup-involved
     subset is a sliver of the data, so each round costs O(|edges|), not
     O(|docs|); the untouched majority joins back as self-labeled
@@ -454,6 +454,50 @@ def dedup_clusters(
     pairs = minhash_lsh_pairs(
         df, threshold=threshold, n=n, text_col=text_col, id_col=id_col
     ).select("doc_a", "doc_b")
+    labels = connected_components(pairs, max_iters=max_iters)
+    # singletons (the vast majority at scale) never entered the loop:
+    # join the converged component labels back over the full corpus
+    return (
+        df.select(F.col(id_col))
+        .join(
+            labels.withColumnRenamed("doc", id_col), id_col, "left"
+        )
+        .select(
+            id_col,
+            F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, jump_after: int = 3
+) -> DataFrame:
+    """Connected components over an undirected pair graph — min-label
+    propagation with ADAPTIVE pointer jumping: O(log diameter) rounds.
+
+    The first ``jump_after`` rounds are plain neighbor-min joins (every
+    node takes the smallest label among itself and its neighbors) — real
+    near-dup components are mostly tiny and converge here at one join+agg
+    per round. If the graph hasn't converged by then, the remaining
+    rounds add a pointer jump — every node re-reads the label OF its
+    label, halving chain depth per round — so the chain-shaped
+    components near-dup graphs produce at scale (A~B~C~… drifting
+    boilerplate) finish in logarithmic rounds instead of diameter
+    rounds. Plain propagation previously fell off the ``max_iters``
+    backstop SILENTLY on such chains; now ``max_iters=20`` covers
+    diameters past 10^5 and running off the budget raises instead of
+    returning a wrong labeling.
+
+    Per round: one join+agg over the (bidirectional) edge frame, plus —
+    jumping rounds only — one self-join over the label frame, all
+    bounded by O(|edges|); nodes not in any pair never enter the loop.
+    Lineage is truncated per round (localCheckpoint); sweep with
+    ``session.release_checkpoint_caches`` between queries in long-lived
+    sessions.
+
+    Input: (doc_a, doc_b) pairs. Output: (doc, label) for every node that
+    appears in some pair, label = min node id of its component.
+    """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -468,7 +512,8 @@ def dedup_clusters(
         .withColumn("label", F.col("doc"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    converged = False
+    for round_no in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc)
             .groupBy(F.col("dst").alias("doc2"))
@@ -487,24 +532,43 @@ def dedup_clusters(
             )
             .localCheckpoint(eager=True)
         )
+        if round_no >= jump_after:
+            # pointer jump: labels are node ids, so new_labels doubles as
+            # the label table — chase one level of indirection (label :=
+            # label of label). Labels only ever decrease, so the jump
+            # target is always <= the current label and the fixed point
+            # is unchanged.
+            new_labels = (
+                new_labels.join(
+                    new_labels.select(
+                        F.col("doc").alias("jdoc"),
+                        F.col("new_label").alias("jlabel"),
+                    ),
+                    F.col("new_label") == F.col("jdoc"),
+                    "left",
+                )
+                .select(
+                    "doc",
+                    F.coalesce("jlabel", "new_label").alias("new_label"),
+                    "old_label",
+                )
+                .localCheckpoint(eager=True)
+            )
         changed = new_labels.filter(
             F.col("new_label") != F.col("old_label")
         ).take(1)
         labels = new_labels.select("doc", F.col("new_label").alias("label"))
         if not changed:
+            converged = True
             break
-    # singletons (the vast majority at scale) never entered the loop:
-    # join the converged component labels back over the full corpus
-    return (
-        df.select(F.col(id_col))
-        .join(
-            labels.withColumnRenamed("doc", id_col), id_col, "left"
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            f"rounds ({jump_after} plain + the rest pointer-jumped) — "
+            "that means a component of diameter beyond "
+            f"~2^{max(0, max_iters - jump_after)}; raise max_iters"
         )
-        .select(
-            id_col,
-            F.coalesce("label", F.col(id_col)).alias("cluster_id"),
-        )
-    )
+    return labels
 
 
 #: SimHash width. 60 bits = 15 hex chars of md5: the token hash

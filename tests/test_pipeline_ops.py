@@ -854,3 +854,40 @@ class TestPackSequences:
 
         with pytest.raises(ValueError):
             pack_sequences(docs, budget=0)
+
+
+class TestConnectedComponents:
+    def test_chain_converges_logarithmically(self, spark):
+        """A 100-node path graph has diameter 99: plain min-label
+        propagation needs ~99 rounds, pointer jumping must close it
+        within 9 (ceil(log2(99)) + margin)."""
+        from php_ec_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(99)], "doc_a long, doc_b long"
+        )
+        labels = connected_components(
+            pairs, max_iters=9, jump_after=0
+        ).collect()
+        assert len(labels) == 100
+        assert all(r.label == 0 for r in labels)
+
+    def test_multiple_components_and_nonconvergence_raises(self, spark):
+        from php_ec_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 10)],
+            "doc_a long, doc_b long",
+        )
+        got = {
+            r.doc: r.label
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                       20: 10, 21: 10, 22: 10}
+        with pytest.raises(RuntimeError, match="did not converge"):
+            # a 40-chain cannot converge in 2 rounds even with jumping
+            long_chain = spark.createDataFrame(
+                [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+            )
+            connected_components(long_chain, max_iters=2)
