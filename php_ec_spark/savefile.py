@@ -58,6 +58,28 @@ from .memory import MEMORY_SCHEMA, MemoryEngine
 from .rules.base import Rule
 
 
+def _decode_legacy(blob: str):
+    """Decode one pre-2022 PHP ``serialize()`` blob (matcher, state, or
+    event) to a :class:`~php_ec_spark.phpserialize.PhpObject`, or None if
+    it is malformed/unsupported (the caller counts-and-skips). Bare array
+    blobs (``a:…`` — a state saved without its class wrapper) come back
+    wrapped with an empty class name."""
+    from .phpserialize import PhpObject, PhpSerializeError
+    from .phpserialize import loads as php_loads
+
+    try:
+        obj = php_loads(blob)
+    except PhpSerializeError:
+        return None
+    if isinstance(obj, PhpObject) and isinstance(obj.fields, dict):
+        return obj
+    if isinstance(obj, dict):
+        return PhpObject("", obj)
+    if obj == []:  # a:0:{} decodes to an empty list — an empty state
+        return PhpObject("", {})
+    return None
+
+
 def load_savefile(path: str) -> dict:
     """Read a reference save file: gzip-sniffed exactly like
     FileAdapter::loadState (FileAdapter.php:212-233)."""
@@ -137,10 +159,12 @@ class ImportedState:
     #: inspect before going live; the reference skips UndefinedRule the
     #: same way (CorrelationEngine.php:755-758).
     unmapped_classes: list = field(default_factory=list)
-    #: matchers/events stored in the PRE-2022 format (PHP `serialize()`
-    #: strings, CorrelationEngine.php:688-696/727-732) — unparseable
-    #: without a PHP runtime; re-save with a current reference build
-    #: (loading+saving upgrades the format) and re-import.
+    #: matchers/events in the PRE-2022 format (PHP `serialize()` strings,
+    #: CorrelationEngine.php:688-696/727-732) that could NOT be decoded.
+    #: Well-formed legacy blobs are decoded in-process (phpserialize.py —
+    #: both the C:json and O:__serialize shapes, the exact specimens the
+    #: reference commits in tests_adhoc/74_unserialisation.php) and import
+    #: like modern entries; only malformed/unsupported blobs land here.
     legacy_entries: int = 0
     #: max event time among imported matcher chains, ISO-8601 UTC — pass
     #: as ``start_correlations(kick_ts=...)`` so restore kicks carry a
@@ -307,9 +331,14 @@ def import_savefile(
     legacy = 0
     max_event_ts: Optional[datetime] = None
     for entry in engine_state.get("matchers", []) or []:
-        if isinstance(entry, str):  # pre-2022 PHP-serialize() matcher blob
-            legacy += 1
-            continue
+        if isinstance(entry, str):
+            # pre-2022 PHP-serialize() matcher blob: decode to the modern
+            # {"c": class, "s": state} shape; count only decode failures
+            obj = _decode_legacy(entry)
+            if obj is None or not obj.php_class:  # matcher needs its class
+                legacy += 1
+                continue
+            entry = {"c": obj.php_class, "s": obj.fields}
         cls = entry.get("c")
         rule_name = rule_map.get(cls)
         if rule_name is None or rule_name not in by_name:
@@ -319,8 +348,11 @@ def import_savefile(
         rule = by_name[rule_name]
         state = entry.get("s", {})
         if isinstance(state, str):  # legacy per-matcher blob inside new list
-            legacy += 1
-            continue
+            obj = _decode_legacy(state)
+            if obj is None:
+                legacy += 1
+                continue
+            state = obj.fields
         envs = []
         for obj_id in state.get("events", []) or []:
             obj_id = str(obj_id)
@@ -328,8 +360,11 @@ def import_savefile(
             if ev is None:
                 continue
             if isinstance(ev, str):  # legacy PHP-serialize() event blob
-                legacy += 1
-                continue
+                obj = _decode_legacy(ev)
+                if obj is None:
+                    legacy += 1
+                    continue
+                ev = obj.fields
             if obj_id not in envelopes:
                 envelopes[obj_id] = event_mapper(obj_id, ev)
             envs.append(envelopes[obj_id])

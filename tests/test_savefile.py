@@ -173,23 +173,94 @@ class TestImport:
         }
         assert got == want
 
-    def test_legacy_php_serialized_entries_counted_not_fatal(self, spark, tmp_path):
+    def test_legacy_php_serialized_entries_decode_or_count(self, spark, tmp_path):
         """Pre-2022 save files store matchers/events as PHP serialize()
-        strings (CorrelationEngine.php:688-696) — unparseable without PHP;
-        the importer must skip-and-count them, never crash."""
+        strings (CorrelationEngine.php:688-696). Well-formed blobs now
+        DECODE (phpserialize.py) and flow through the modern path —
+        an O: stdClass matcher surfaces as an unmapped class, an a:0:{}
+        state imports as an empty matcher — while malformed blobs are
+        counted, never fatal."""
         doc = _savefile_doc()
         doc["engine"]["matchers"].append('O:8:"stdClass":0:{}')
         doc["engine"]["matchers"].append(
             {"c": "App\\Rules\\CheckOrderPayment", "s": 'a:0:{}'}
         )
+        doc["engine"]["matchers"].append('O:8:"stdClass"')  # truncated
+        doc["engine"]["matchers"].append(
+            {"c": "App\\Rules\\CheckOrderPayment", "s": 'E:bogus;'}
+        )
         p = tmp_path / "legacy.state"
         p.write_bytes(gzip.compress(json.dumps(doc).encode(), 2))
         imp = import_savefile(spark, str(p), RULES(), RULE_MAP)
-        assert imp.legacy_entries == 2
+        assert imp.legacy_entries == 2  # only the malformed pair
+        assert "stdClass" in imp.unmapped_classes  # decoded, not counted
         # the modern entries still import fully
         assert sorted(
             r["__key"] for r in imp.initial_states["user_id"].collect()
         ) == ["42", "7"]
+
+    def test_fully_legacy_savefile_imports_mid_flight_state(
+        self, spark, tmp_path
+    ):
+        """A pre-2022 save file — matchers AND events all PHP-serialize()
+        strings — imports with full state. The matcher/event blob shapes
+        are the genuine-specimen formats of tests_adhoc/
+        74_unserialisation.php (C:json payloads, hash-style object ids);
+        the imported matcher must complete on the live payment event."""
+
+        def php_c(cls: str, payload: dict) -> str:
+            # C:len:"cls":LEN:{payload} — LEN counts the payload bytes
+            # BETWEEN the delimiter braces (hence the {{…}} look of the
+            # genuine specimens: the payload is itself a JSON object)
+            body = json.dumps(payload, separators=(",", ":"))
+            return (
+                f'C:{len(cls.encode())}:"{cls}":{len(body.encode())}'
+                ":{" + body + "}"
+            )
+
+        ev_cls = "EdgeTelemetrics\\EventCorrelation\\Event"
+        oid = "00000000000000060000000000000000"  # hash-style object id
+        doc = {
+            "engine": {
+                "eventstream_live": True,
+                "matchers": [
+                    php_c(
+                        "App\\Rules\\CheckOrderPayment",
+                        {
+                            "events": [oid],
+                            "id": "95051be938",
+                            "actionFired": False,
+                            "isTimedOut": False,
+                            "context": [],
+                        },
+                    )
+                ],
+                "events": {
+                    oid: php_c(
+                        ev_cls,
+                        {
+                            "id": 6,
+                            "event": "order_placed",
+                            "datetime": "2024-01-01T00:00:00.000+00:00",
+                            "user_id": 42,
+                            "value": 99.5,
+                        },
+                    )
+                },
+            },
+        }
+        p = tmp_path / "pre2022.state"
+        p.write_bytes(gzip.compress(json.dumps(doc).encode(), 2))
+        imp = import_savefile(spark, str(p), RULES(), RULE_MAP)
+        assert imp.legacy_entries == 0
+        blobs = imp.initial_states["user_id"].collect()
+        assert [r["__key"] for r in blobs] == ["42"]
+        # the restored matcher completes on the live payment event
+        core = EngineCore.from_state(RULES(), "42", blobs[0]["blob"])
+        core.handle((7, 1704067210_000000000, "payment", 99.5))
+        assert [(r[0], r[2]) for r in core.take_rows()] == [
+            ("check_payment", "completed")
+        ]
 
     def test_sidecar_sections_surface(self, spark, savefile):
         imp = import_savefile(spark, savefile, RULES(), RULE_MAP)
