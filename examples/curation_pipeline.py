@@ -1,0 +1,119 @@
+"""End-to-end pre-training data curation over the documents table.
+
+The canonical LLM data pipeline, composed from the operators this repo
+ships — every stage is the same code the registered oracle-checked
+queries run, chained the way a real curation job would:
+
+  1. exact dedup            (operators.dedup.exact_dedup)
+  2. near-dup clustering    (operators.dedup.dedup_clusters, keep min id)
+  3. decontamination        (operators.dedup.decontaminate, 13-gram probe)
+  4. quality + repetition   (operators.text: quality_score, Gopher-style
+     filtering                repetition signals)
+  5. stratified sampling    (operators.sampling.stratified_sample)
+  6. token counting         (operators.text.with_bpe_token_count)
+  7. sequence packing       (operators.packing.pack_sequences)
+
+Run:  python examples/curation_pipeline.py [sf_dir]
+      (default /root/testdata/sf0.01)
+
+Prints the stage-by-stage funnel and the packed-stream summary. At scale
+every stage is shuffle-bounded the same way its registered query is —
+see PLANS.md; nothing here collects a corpus to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from php_ec_spark.operators.dedup import (
+    decontaminate,
+    dedup_clusters,
+    exact_dedup,
+)
+from php_ec_spark.operators.packing import pack_sequences
+from php_ec_spark.operators.sampling import stratified_sample
+from php_ec_spark.operators.text import (
+    with_bpe_token_count,
+    with_quality_score,
+    with_repetition_signals,
+)
+from php_ec_spark.session import get_spark
+
+
+def curate(spark, sf_dir: str, seed: int = 7):
+    """Run the funnel; returns (per-stage counts dict, packed DataFrame)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    funnel = {"input": docs.count()}
+
+    # 1. exact dedup: keep each normalized text's min doc_id
+    survivors = exact_dedup(docs).select("doc_id")
+    docs = docs.join(survivors, "doc_id", "left_semi")
+    funnel["exact_dedup"] = docs.count()
+
+    # 2. near-dup clusters: keep the cluster representative (min doc_id)
+    clusters = dedup_clusters(docs)
+    docs = docs.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+            "doc_id"
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    funnel["near_dedup"] = docs.count()
+
+    # 3. decontamination: drop docs overlapping the "benchmark" slice
+    #    (stand-in: every 50th doc plays the benchmark corpus)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    hits = decontaminate(docs, bench, n=13)
+    docs = docs.join(
+        hits.filter(F.col("n_hits") > 0).select("doc_id"), "doc_id",
+        "left_anti",
+    )
+    funnel["decontaminated"] = docs.count()
+
+    # 4. quality + repetition filters (Gopher-style cutoffs)
+    docs = (
+        with_repetition_signals(with_quality_score(docs))
+        .filter(
+            (F.col("quality_score") >= 0.3)
+            & (F.col("dup_word_frac") <= 0.9)
+            & (F.col("top_bigram_frac") <= 0.5)
+        )
+        .select("doc_id", "text", "lang", "source")
+    )
+    funnel["quality_filtered"] = docs.count()
+
+    # 5. stratified sample: thin the over-represented language
+    docs = stratified_sample(docs, {"en": 0.8}, "lang", seed=seed).select(
+        "doc_id", "text"
+    )
+    funnel["sampled"] = docs.count()
+
+    # 6+7. token counts -> packed training sequences (512-token budget)
+    packed = pack_sequences(docs, budget=512)
+    funnel["packed_docs"] = packed.count()
+    return funnel, packed
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="curation-pipeline-example", cpus=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    funnel, packed = curate(spark, sf_dir)
+    for stage, n in funnel.items():
+        print(f"{stage:>18}: {n}")
+    stats = packed.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max("seq_last") + 1).alias("n_sequences"),
+    ).collect()[0]
+    print(f"{'total tokens':>18}: {stats['total_tokens']}")
+    print(f"{'512-tok sequences':>18}: {stats['n_sequences']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -127,7 +127,9 @@ def _parse(data: bytes, pos: int) -> Tuple[Any, int]:
                 raise PhpSerializeError("array key must be int or string")
             out[k], pos = _parse(data, pos)
         pos = _expect(data, pos, b"}")
-        if out and all(k == i for i, k in enumerate(out)):
+        # a PHP array with keys exactly 0..n-1 is a list; PHP's empty
+        # array is ambiguous and decodes as [] (json_encode agrees)
+        if all(k == i for i, k in enumerate(out)):
             return list(out.values()), pos
         return out, pos
     if tag == b"O":

@@ -108,3 +108,78 @@ class TestValueGrammar:
     def test_malformed_raises(self, blob):
         with pytest.raises(PhpSerializeError):
             loads(blob)
+
+
+def _php_dumps(v) -> str:
+    """Test-side PHP serialize() WRITER (the library is decode-only): the
+    exact format PHP emits, used to round-trip arbitrary values through
+    the decoder."""
+    if v is None:
+        return "N;"
+    if isinstance(v, bool):
+        return f"b:{1 if v else 0};"
+    if isinstance(v, int):
+        return f"i:{v};"
+    if isinstance(v, float):
+        return f"d:{v!r};"
+    if isinstance(v, str):
+        return f's:{len(v.encode("utf-8"))}:"{v}";'
+    if isinstance(v, list):
+        items = "".join(
+            _php_dumps(i) + _php_dumps(x) for i, x in enumerate(v)
+        )
+        return f"a:{len(v)}:{{{items}}}"
+    if isinstance(v, dict):
+        items = "".join(_php_dumps(k) + _php_dumps(x) for k, x in v.items())
+        return f"a:{len(v)}:{{{items}}}"
+    raise TypeError(type(v))
+
+
+class TestRoundTripFuzz:
+    def test_fuzz_decode_inverts_encode(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        scalars = st.one_of(
+            st.none(),
+            st.booleans(),
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",)  # no lone surrogates
+                ),
+                max_size=20,
+            ),
+        )
+        values = st.recursive(
+            scalars,
+            lambda child: st.one_of(
+                st.lists(child, max_size=5),
+                st.dictionaries(
+                    st.text(
+                        alphabet=st.characters(blacklist_categories=("Cs",)),
+                        max_size=8,
+                    ),
+                    child,
+                    max_size=5,
+                ),
+            ),
+            max_leaves=20,
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(values)
+        def check(v):
+            got = loads(_php_dumps(v))
+            # one representational ambiguity: PHP's empty array decodes
+            # as [] whether the source was a list or a dict
+            def norm(x):
+                if isinstance(x, dict):
+                    return {k: norm(val) for k, val in x.items()} if x else []
+                if isinstance(x, list):
+                    return [norm(i) for i in x]
+                return x
+
+            assert got == norm(v)
+
+        check()

@@ -75,3 +75,30 @@ def test_pipeline_is_one_spark_job_shape(spark, docs):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "PushedFilters: [IsNotNull(doc_id)]" in plan
+
+
+def test_curation_example_runs(spark):
+    """examples/curation_pipeline.py end to end at sf0.001: the funnel is
+    monotonically non-increasing, every stage keeps at least one doc, and
+    the packed output covers exactly the sampled survivors."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        "curation_pipeline.py",
+    )
+    spec = importlib.util.spec_from_file_location("curation_pipeline", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    funnel, packed = mod.curate(spark, SF)
+    stages = list(funnel.values())
+    assert stages == sorted(stages, reverse=True)  # funnel never grows
+    assert stages[-1] > 0
+    assert funnel["packed_docs"] == funnel["sampled"]
+    rows = sorted(packed.collect(), key=lambda r: r.doc_id)
+    running = 0
+    for r in rows:  # offsets are the exact prefix sums of the survivors
+        assert r.start_offset == running
+        running += r.n_tokens
