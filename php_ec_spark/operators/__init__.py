@@ -8,10 +8,22 @@ training-data pipeline needs, each designed Spark-first:
   codegen, no Python in the hot path).
 - :mod:`.dedup` — exact dedup (hash groupBy), exact n-gram Jaccard pairs via
   an inverted shingle index (never all-pairs), MinHash+LSH banded candidate
-  generation with exact verification, SimHash fingerprints.
+  generation with exact verification, SimHash fingerprints, benchmark
+  decontamination, and log-diameter connected components for cluster
+  labeling.
 - :mod:`.similarity` — brute-force cosine top-k (broadcast queries, one
   corpus pass) and IVF-style partitioned ANN.
+- :mod:`.sampling` — hash-stable stratified sampling and weighted corpus
+  mixing (retry/partitioning-invariant keep decisions).
+- :mod:`.packing` — concat-and-chunk sequence packing via a distributed
+  two-pass prefix sum.
 - :mod:`.multimodal` — opaque binary payload columns with typed metadata and
-  Arrow-batched ``mapInPandas`` decode plumbing (actual codec decode is
-  stubbed; the container ships no image/audio libraries).
+  Arrow-batched ``mapInPandas`` plumbing: decode + resize (codec-probed,
+  deterministic stand-ins where no image/audio libraries exist — as in this
+  container), codec-free byte-histogram feature extraction, video frame
+  sampling.
+
+See examples/curation_pipeline.py for the operators composed into the
+full curation funnel (dedup → decontaminate → quality-gate → sample →
+pack).
 """
