@@ -259,13 +259,40 @@ class MemoryHub:
     def bind(self, checkpoint_dir: str) -> None:
         """Anchor the snapshot under a query checkpoint (start_correlation
         binds an unbound hub automatically, like the dispatcher's marker
-        dir)."""
+        dir). If a snapshot already exists there — a restart — its entries
+        are LOADED (preload-style, Scheduler.php:509-539) so learned
+        memory survives the restart; a fresh hub's explicit pre-bind
+        writes win over same-key loaded entries."""
         if self.snapshot_path is not None:
             return
+        if "://" in checkpoint_dir:
+            # the snapshot is written with local-filesystem APIs on the
+            # driver and os.stat'd inside executors — that requires a
+            # shared POSIX mount (NFS/EFS/local). A URI checkpoint would
+            # silently yield empty executor-side memory, so fail loud.
+            raise ValueError(
+                f"MemoryHub needs a POSIX path shared with executors, got "
+                f"{checkpoint_dir!r}; keep the streaming checkpoint on "
+                "object storage if you like, but construct the hub with "
+                "MemoryHub(checkpoint_dir=<shared mount>)"
+            )
         d = os.path.join(checkpoint_dir, "memory")
         os.makedirs(d, exist_ok=True)
-        self.snapshot_path = os.path.join(d, "current.json")
-        self._publish_locked()
+        with self._lock:
+            self.snapshot_path = os.path.join(d, "current.json")
+            try:
+                with open(self.snapshot_path) as f:
+                    doc = json.load(f)
+                self._gen = max(self._gen, int(doc.get("gen", 0)))
+                for entry in doc.get("entries", []):
+                    ns, key, val, exp = entry[:4]
+                    persistent = bool(entry[4]) if len(entry) > 4 else False
+                    self._entries.setdefault(
+                        (ns, key), [val, exp, persistent]
+                    )
+            except (OSError, ValueError):
+                pass  # no/corrupt snapshot: start from this hub's state
+            self._publish_locked()
 
     # -- write side -------------------------------------------------------
     def absorb(self, emissions: DataFrame) -> int:
@@ -347,7 +374,8 @@ class MemoryHub:
         doc = {
             "gen": self._gen,
             "entries": [
-                [ns, key, v[0], v[1]] for (ns, key), v in self._entries.items()
+                [ns, key, v[0], v[1], v[2]]
+                for (ns, key), v in self._entries.items()
             ],
         }
         tmp = self.snapshot_path + ".tmp"
@@ -371,12 +399,15 @@ class MemoryHub:
         """Bridge to the batch engine: current live entries as a
         MemoryEngine for broadcast enrichment of a batch frame."""
         with self._lock:
+            # local-naive datetimes: createDataFrame's TimestampType
+            # converts via the LOCAL timezone (time.mktime), so this is
+            # the inverse that round-trips the epoch exactly — the same
+            # convention absorb() relies on; a naive-UTC value here would
+            # shift every TTL by the driver's UTC offset
             rows = [
                 (ns, key, v[0],
                  None if v[1] is None else
-                 __import__("datetime").datetime.fromtimestamp(
-                     v[1], __import__("datetime").timezone.utc
-                 ).replace(tzinfo=None),
+                 __import__("datetime").datetime.fromtimestamp(v[1]),
                  v[2], self._gen, 0)
                 for (ns, key), v in self._entries.items()
             ]
@@ -448,7 +479,10 @@ def live_memory() -> LiveMemoryView:
         except (OSError, ValueError):
             return _LIVE_VIEW["view"] or _EMPTY_VIEW
         _LIVE_VIEW["view"] = LiveMemoryView(
-            {(ns, key): [val, exp, False] for ns, key, val, exp in doc["entries"]}
+            {
+                (e[0], e[1]): [e[2], e[3], bool(e[4]) if len(e) > 4 else False]
+                for e in doc["entries"]
+            }
         )
         _LIVE_VIEW["sig"] = sig
     return _LIVE_VIEW["view"]

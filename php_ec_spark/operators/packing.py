@@ -43,8 +43,11 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign each document its offset + sequence span in the packed stream.
 
-    Documents are ordered by ``id_col``; ``n_tokens`` is the single-space
-    word count (the corpus tokenization convention, see operators.text).
+    Documents are ordered by ``id_col`` (which must be UNIQUE — with
+    duplicate ids the within-tie order, and therefore the offset
+    assignment among the tied docs, is engine-dependent); ``n_tokens`` is
+    the single-space word count (the corpus tokenization convention, see
+    operators.text).
     Returns (id_col, n_tokens, start_offset, seq_first, seq_last) where
     ``start_offset`` is the exclusive prefix sum of token counts and
     ``seq_first``/``seq_last`` the first/last ``budget``-sized sequence

@@ -80,6 +80,15 @@ def _decode_legacy(blob: str):
     return None
 
 
+def _is_event_shaped(fields: dict) -> bool:
+    """Whether a decoded legacy blob carries the two fields
+    ``default_event_mapper`` cannot work without (Event.php always
+    serializes both)."""
+    return isinstance(fields.get("event"), str) and isinstance(
+        fields.get("datetime"), str
+    )
+
+
 def load_savefile(path: str) -> dict:
     """Read a reference save file: gzip-sniffed exactly like
     FileAdapter::loadState (FileAdapter.php:212-233)."""
@@ -353,15 +362,23 @@ def import_savefile(
                 legacy += 1
                 continue
             state = obj.fields
+        ev_ids = state.get("events", []) or []
+        if isinstance(ev_ids, dict):
+            # a legacy PHP array with non-contiguous integer keys (the
+            # engine unset a consumed slot) decodes as a dict — the
+            # object ids are its VALUES
+            ev_ids = list(ev_ids.values())
         envs = []
-        for obj_id in state.get("events", []) or []:
+        for obj_id in ev_ids:
             obj_id = str(obj_id)
             ev = events_section.get(obj_id)
             if ev is None:
                 continue
             if isinstance(ev, str):  # legacy PHP-serialize() event blob
                 obj = _decode_legacy(ev)
-                if obj is None:
+                if obj is None or not _is_event_shaped(obj.fields):
+                    # decodable but not an Event (foreign class, null
+                    # datetime): count-and-skip, never crash the import
                     legacy += 1
                     continue
                 ev = obj.fields

@@ -109,12 +109,12 @@ def start_correlation(
         sink = dispatcher
     else:
         def sink(df: DataFrame, batch_id: int) -> None:
-            # one parallel materialization serves both consumers (the
-            # dispatcher re-checkpoints a cached frame, which is a cheap
-            # cached scan, not a recompute of the stateful plan)
+            # ONE parallel materialization serves both consumers — the
+            # dispatcher is told the frame is already checkpointed so it
+            # doesn't cache a second copy of every emission batch
             ckpt = df.localCheckpoint(eager=True)
             try:
-                dispatcher(ckpt, batch_id)
+                dispatcher(ckpt, batch_id, pre_materialized=True)
                 memory.absorb(ckpt)  # writes land before batch N+1 reads
             finally:
                 ckpt.unpersist()
@@ -215,7 +215,7 @@ def start_chained_correlation(
 
     def sink(df: DataFrame, batch_id: int) -> None:
         df = df.localCheckpoint(eager=True)  # dispatch + re-render, one compute
-        dispatcher(df, batch_id)
+        dispatcher(df, batch_id, pre_materialized=True)
         if df.isEmpty():  # JVM-side limit-1 probe on the checkpointed batch
             return  # no derived file — quiet batches leave the chain dir alone
         # Derived events re-enter executor-side: written as NDJSON part

@@ -299,7 +299,15 @@ class ActionDispatcher:
 
     # -- dispatch --------------------------------------------------------
 
-    def __call__(self, df: DataFrame, batch_id: int = -1) -> None:
+    def __call__(
+        self,
+        df: DataFrame,
+        batch_id: int = -1,
+        pre_materialized: bool = False,
+    ) -> None:
+        """``pre_materialized=True`` promises ``df`` is already an eager
+        localCheckpoint (the memory-wired sink shares one materialization
+        between dispatcher and hub) — skips the second cached copy."""
         if batch_id >= 0 and self._batch_done(batch_id):
             # Replay dedup (W12) — but the replayed batch must still be
             # CONSUMED: for stateful queries Spark 4's state-store commit
@@ -312,7 +320,7 @@ class ActionDispatcher:
                 df.write.format("noop").mode("overwrite").save()
             return
         ckpt = None
-        if not df.isStreaming:
+        if not df.isStreaming and not pre_materialized:
             # Materialize the emission batch ONCE, in parallel, before any
             # consumer: toLocalIterator on the raw stateful-plan frame runs
             # ONE JOB PER PARTITION (partitions execute serially) — on the

@@ -609,3 +609,41 @@ class TestRoundTripFuzz:
             assert got_sem == want_sem
 
         run()
+
+
+class TestLegacyEdgeShapes:
+    def test_foreign_shaped_event_blob_counts_not_crashes(
+        self, spark, tmp_path
+    ):
+        """A decodable legacy event blob that is NOT Event-shaped (foreign
+        class, or datetime null) must count-and-skip, never abort the
+        import with a KeyError."""
+        doc = _savefile_doc()
+        doc["engine"]["events"]["101"] = 'O:8:"stdClass":1:{s:1:"x";i:1;}'
+        doc["engine"]["events"]["102"] = (
+            'C:38:"EdgeTelemetrics\\EventCorrelation\\Event":55:'
+            '{{"id":2,"event":"order_placed","datetime":null,"user_id":7}}'
+        )
+        p = tmp_path / "foreign.state"
+        p.write_bytes(gzip.compress(json.dumps(doc).encode(), 2))
+        imp = import_savefile(spark, str(p), RULES(), RULE_MAP)
+        assert imp.legacy_entries == 2
+        assert imp.initial_states == {}  # both matchers lost their event
+
+    def test_noncontiguous_legacy_events_array_keeps_oids(
+        self, spark, tmp_path
+    ):
+        """A legacy O:-form matcher whose events array has non-contiguous
+        integer keys (the engine unset a consumed slot) decodes to a dict
+        — the object ids are its VALUES and must still resolve."""
+        doc = _savefile_doc()
+        doc["engine"]["matchers"] = [
+            'O:27:"App\\Rules\\CheckOrderPayment":2:'
+            '{s:6:"events";a:1:{i:1;s:3:"101";}s:2:"id";s:4:"abcd";}'
+        ]
+        p = tmp_path / "sparse.state"
+        p.write_bytes(gzip.compress(json.dumps(doc).encode(), 2))
+        imp = import_savefile(spark, str(p), RULES(), RULE_MAP)
+        assert imp.legacy_entries == 0
+        assert [r["__key"] for r in imp.initial_states["user_id"].collect()] \
+            == ["42"]

@@ -708,3 +708,67 @@ def test_distributed_only_actions_on_stateful_query(spark, tmp_path):
 
     assert _os.path.exists(marker)
     assert sum(int(x) for x in open(marker).read().split()) == 20
+
+
+def test_memory_hub_restart_reloads_snapshot(tmp_path):
+    """A query restart re-creates the hub; binding to the same checkpoint
+    must RELOAD the published snapshot (learned memory survives), with a
+    fresh hub's explicit pre-bind writes winning on key collisions —
+    previously bind() clobbered the snapshot with an empty one."""
+    from php_ec_spark.memory import MemoryHub
+
+    hub = MemoryHub(str(tmp_path))
+    hub.write("ns", "learned", {"thr": 42}, ttl_seconds=3600)
+    hub.write("ns", "other", 7, persistent=True)
+    gen_before = hub._gen
+
+    hub2 = MemoryHub()  # the restart: fresh hub, same checkpoint
+    hub2.write("ns", "learned", {"thr": 99})  # pre-bind seed wins
+    hub2.bind(str(tmp_path))
+    assert hub2.get("ns", "learned") == {"thr": 99}
+    assert hub2.get("ns", "other") == 7
+    assert hub2._entries[("ns", "other")][2] is True  # persistent survives
+    assert hub2._gen >= gen_before  # generation monotonic across restarts
+
+    hub3 = MemoryHub(str(tmp_path))  # plain restart, no pre-bind writes
+    assert hub3.get("ns", "learned") == {"thr": 99}
+
+
+def test_memory_hub_rejects_uri_checkpoint(tmp_path):
+    """The snapshot needs a POSIX path shared with executors; a URI
+    checkpoint would silently give every executor an empty view, so the
+    hub fails loud instead."""
+    from php_ec_spark.memory import MemoryHub
+
+    with pytest.raises(ValueError, match="POSIX path"):
+        MemoryHub("hdfs://nn/ckpt")
+
+
+def test_memory_hub_snapshot_engine_ttl_tz_invariant(spark, tmp_path):
+    """snapshot_engine must round-trip expiry epochs exactly whatever the
+    driver's OS timezone: createDataFrame interprets naive datetimes in
+    LOCAL time, so the bridge uses local-naive (the absorb() convention);
+    a naive-UTC value would shift TTLs by the UTC offset."""
+    import os as _os
+    import time as _time
+
+    from php_ec_spark.memory import MemoryHub
+
+    hub = MemoryHub(str(tmp_path))
+    expires = _time.time() + 3600
+    hub._entries[("ns", "k")] = [json.dumps({"v": 1}), expires, False]
+
+    old_tz = _os.environ.get("TZ")
+    _os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        eng = hub.snapshot_engine(spark)
+        row = eng.entries.filter("key = 'k'").collect()[0]
+        got = row["expires_at"].timestamp()  # naive local -> epoch
+        assert abs(got - expires) < 2, (got, expires)
+    finally:
+        if old_tz is None:
+            _os.environ.pop("TZ", None)
+        else:
+            _os.environ["TZ"] = old_tz
+        _time.tzset()
