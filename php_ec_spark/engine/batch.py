@@ -47,7 +47,9 @@ EMISSION_SCHEMA = T.StructType(
     [
         T.StructField("rule", T.StringType()),
         T.StructField("key", T.StringType()),
-        T.StructField("outcome", T.StringType()),  # completed|timeout|progress|final
+        # completed|timeout|progress|final|error ('error' = quarantined
+        # rule callback/accept failure — see core.py)
+        T.StructField("outcome", T.StringType()),
         T.StructField("fire_ts", T.TimestampType()),
         T.StructField("start_event_id", T.LongType()),
         T.StructField("last_event_id", T.LongType()),
@@ -62,6 +64,18 @@ _OUT_COLS = [
     "rule", "key", "outcome", "fire_ts", "start_event_id",
     "last_event_id", "n_events", "value_sum", "payload",
 ]
+
+
+def check_unique_rule_names(rules: Sequence[Rule]) -> None:
+    """Emissions (and EngineCore's live-instance lists) are keyed by rule
+    name — duplicates would silently merge state across rules. The
+    reference throws on duplicate rule registration too
+    (EngineTest::testEngineThrowsOnDuplicateRuleClassString); every
+    public entry point calls this."""
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate rule names: {dupes}")
 
 
 def _rows_to_pdf(rows: list) -> pd.DataFrame:
@@ -148,6 +162,7 @@ def correlate_state_machine(
     """
     if not rules:
         return events.sparkSession.createDataFrame([], EMISSION_SCHEMA)
+    check_unique_rule_names(rules)
     by_key: dict[Optional[str], list[Rule]] = {}
     for r in rules:
         by_key.setdefault(r.key, []).append(r)
@@ -216,13 +231,7 @@ def correlate(events: DataFrame, rules: Sequence[Rule], historical: bool = False
 
     if not rules:
         return events.sparkSession.createDataFrame([], EMISSION_SCHEMA)
-    names = [r.name for r in rules]
-    if len(set(names)) != len(names):
-        # emissions are keyed by rule name — duplicates would silently merge
-        # (reference throws on duplicate rule registration too,
-        # EngineTest::testEngineThrowsOnDuplicateRuleClassString)
-        dupes = sorted({n for n in names if names.count(n) > 1})
-        raise ValueError(f"duplicate rule names: {dupes}")
+    check_unique_rule_names(rules)
     if any(r.suppress for r in rules):
         # suppression makes rule-list order semantic across ALL rules
         # (CorrelationEngine.php:231-236). Stateless rule sets compile to

@@ -25,10 +25,18 @@ from ..rules.base import Rule
 from .batch import EMISSION_SCHEMA, correlate
 
 
-#: Outcome → code for derived-event ids; unknown outcomes take code 4, so
-#: the stride below must stay 5.
-OUTCOME_CODES = {"completed": 0, "timeout": 1, "progress": 2, "scheduled": 3}
-_OUTCOME_STRIDE = 5
+#: Outcome → code for derived-event ids. Every outcome the engine can
+#: emit (EMISSION_SCHEMA: completed/timeout/progress/final/error) gets a
+#: DISTINCT code — two same-trigger emissions folding to one code would
+#: collide ids; unknown outcomes take code 5, so the stride must stay 6.
+OUTCOME_CODES = {
+    "completed": 0,
+    "timeout": 1,
+    "progress": 2,
+    "final": 3,
+    "error": 4,
+}
+_OUTCOME_STRIDE = 6
 
 
 def emissions_to_events(
@@ -48,12 +56,18 @@ def emissions_to_events(
     Derived event ids live in the NEGATIVE id space, folded from
     (last_event_id, rule, outcome):
 
-        id = −(((last_event_id·n_rules + rule_idx))·5 + outcome_code) − 2
+        m  = 2·e            if e ≥ 0   (zig-zag fold of last_event_id —
+             −2·e − 1       if e < 0    round ≥2 triggers ARE derived
+                                        events with negative ids)
+        id = −((m·n_rules + rule_idx)·6 + outcome_code) − 2
 
-    so they can never collide with non-negative source ids (a fixed
-    positive offset could), two emissions off the same trigger (different
-    rules, or timeout+progress from one event) get DISTINCT ids, and the
-    (ts, event_id) ordering tie-break stays deterministic. Exact integer
+    The zig-zag keeps m non-negative for every trigger, so the id is
+    always ≤ −2 and can never collide with non-negative source ids — a
+    plain ``−(e·…)`` flips positive exactly when the trigger is itself a
+    derived (negative-id) event, i.e. in every chain round past the
+    first. Two emissions off the same trigger (different rules, or
+    different outcomes from one event) get DISTINCT ids, keeping the
+    (ts, event_id) ordering tie-break deterministic. Exact integer
     arithmetic — reproducible in plain SQL, no hashing. ``rule_index``
     (rule name → dense index) comes from the rule set;
     without it all rules share index 0 (still injective per outcome)."""
@@ -63,12 +77,12 @@ def emissions_to_events(
     ridx = F.lit(0)
     for name, i in rule_index.items():
         ridx = F.when(F.col("rule") == name, F.lit(i)).otherwise(ridx)
-    ocode = F.lit(4)
+    ocode = F.lit(len(OUTCOME_CODES))
     for name, c in OUTCOME_CODES.items():
         ocode = F.when(F.col("outcome") == name, F.lit(c)).otherwise(ocode)
-    derived_id = (
-        -((F.col("last_event_id") * n_rules + ridx) * _OUTCOME_STRIDE + ocode) - 2
-    )
+    e = F.col("last_event_id")
+    m = F.when(e >= 0, e * 2).otherwise(e * -2 - 1)
+    derived_id = -((m * n_rules + ridx) * _OUTCOME_STRIDE + ocode) - 2
     return emissions.select(
         derived_id.cast("bigint").alias("event_id"),
         F.col("fire_ts").alias("ts"),

@@ -58,16 +58,16 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..rules.base import EVENT_MATCH_ANY, Rule
-from .batch import EMISSION_SCHEMA
+from .batch import EMISSION_SCHEMA, check_unique_rule_names
+from .batch import _OUT_COLS as _OUT_COLS_LIST
 from .core import EngineCore
 
 #: State persisted per correlation key: the serialized EngineCore.
 STATE_SCHEMA = T.StructType([T.StructField("blob", T.StringType())])
 
-_OUT_COLS = (
-    "rule", "key", "outcome", "fire_ts", "start_event_id",
-    "last_event_id", "n_events", "value_sum", "payload",
-)
+# one source of truth with the batch engine (both must track
+# EMISSION_SCHEMA's field order)
+_OUT_COLS = tuple(_OUT_COLS_LIST)
 _DT64NS = np.dtype("datetime64[ns]")
 
 
@@ -261,10 +261,13 @@ def correlate_stream(
     """
     if not rules:
         raise ValueError("correlate_stream needs at least one rule")
-    names = [r.name for r in rules]
-    if len(set(names)) != len(names):
-        dupes = sorted({n for n in names if names.count(n) > 1})
-        raise ValueError(f"duplicate rule names: {dupes}")
+    if clock not in ("event", "processing"):
+        # a typo here would otherwise pick event semantics on this
+        # backend but processing-time on the tws backend — fail loud
+        raise ValueError(
+            f"clock must be 'event' or 'processing', got {clock!r}"
+        )
+    check_unique_rule_names(rules)
     unbounded = [
         r.name for r in rules
         if r.continuous and r.chain_limit is None and r.timeout_s is None
@@ -313,55 +316,48 @@ def correlate_stream(
         }
         restore_bc = events.sparkSession.sparkContext.broadcast(snap)
 
+    # exactly one key group survives the guard above
+    (key_col, group_rules), = by_key.items()
     src = events.withWatermark("ts", watermark_delay)
-    outs = []
-    for key_col, group_rules in by_key.items():
-        needed_types = set()
-        unrestricted = False
-        for r in group_rules:
-            for g in r.events:
-                if EVENT_MATCH_ANY in g:
-                    unrestricted = True
-                needed_types.update(g)
-        part = src
-        if prefilter_types and not unrestricted:
-            part = part.filter(F.col("event_type").isin(sorted(needed_types)))
-        cols = ["event_id", "ts", "event_type", "value"]
-        # group on the SPARK-cast string key (exactly what the batch
-        # engine and snapshot_state's __key use) so restore-blob lookup,
-        # emission keys, and payload callbacks agree across engines for
-        # every key type — str(True) is "True" but CAST(true AS STRING)
-        # is "true", and bool/decimal/timestamp keys would otherwise skip
-        # their restore silently. Aliasing also means a key that IS an
-        # engine column (e.g. event_type) never selects twice.
-        if key_col is not None:
-            part = part.select(
-                F.col(key_col).cast("string").alias("__key"), *cols
-            )
-        else:
-            part = part.select(F.lit("__all__").alias("__key"), *cols)
-        grouped = part.groupBy("__key")
-        outs.append(
-            grouped.applyInPandasWithState(
-                _make_stateful_handler(
-                    list(group_rules),
-                    historical,
-                    clock,
-                    keyless=key_col is None,
-                    restore_bc=restore_bc,
-                    memory_path=memory_path,
-                ),
-                outputStructType=EMISSION_SCHEMA,
-                stateStructType=STATE_SCHEMA,
-                outputMode="append",
-                timeoutConf=(
-                    GroupStateTimeout.ProcessingTimeTimeout
-                    if clock == "processing"
-                    else GroupStateTimeout.EventTimeTimeout
-                ),
-            )
+    needed_types = set()
+    unrestricted = False
+    for r in group_rules:
+        for g in r.events:
+            if EVENT_MATCH_ANY in g:
+                unrestricted = True
+            needed_types.update(g)
+    part = src
+    if prefilter_types and not unrestricted:
+        part = part.filter(F.col("event_type").isin(sorted(needed_types)))
+    cols = ["event_id", "ts", "event_type", "value"]
+    # group on the SPARK-cast string key (exactly what the batch
+    # engine and snapshot_state's __key use) so restore-blob lookup,
+    # emission keys, and payload callbacks agree across engines for
+    # every key type — str(True) is "True" but CAST(true AS STRING)
+    # is "true", and bool/decimal/timestamp keys would otherwise skip
+    # their restore silently. Aliasing also means a key that IS an
+    # engine column (e.g. event_type) never selects twice.
+    if key_col is not None:
+        part = part.select(
+            F.col(key_col).cast("string").alias("__key"), *cols
         )
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.unionByName(o)
-    return result
+    else:
+        part = part.select(F.lit("__all__").alias("__key"), *cols)
+    return part.groupBy("__key").applyInPandasWithState(
+        _make_stateful_handler(
+            list(group_rules),
+            historical,
+            clock,
+            keyless=key_col is None,
+            restore_bc=restore_bc,
+            memory_path=memory_path,
+        ),
+        outputStructType=EMISSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if clock == "processing"
+            else GroupStateTimeout.EventTimeTimeout
+        ),
+    )

@@ -42,7 +42,7 @@ from pyspark.sql.streaming.stateful_processor import (
 )
 
 from ..rules.base import EVENT_MATCH_ANY, Rule
-from .batch import EMISSION_SCHEMA, _rows_to_pdf
+from .batch import EMISSION_SCHEMA, _rows_to_pdf, check_unique_rule_names
 from .core import EngineCore
 
 #: Per-key state: the serialized EngineCore (same blob as engine.streaming).
@@ -232,6 +232,7 @@ def snapshot_state(
     """
     from ..session import shuffle_partitions
 
+    check_unique_rule_names(rules)
     key_col = _single_key_col(rules)
     src, _keyless = _project(events, rules, prefilter_types=False)
     spark = events.sparkSession
@@ -323,10 +324,14 @@ def correlate_stream_tws(
         ) from e
     if not rules:
         raise ValueError("correlate_stream_tws needs at least one rule")
-    names = [r.name for r in rules]
-    if len(set(names)) != len(names):
-        dupes = sorted({n for n in names if names.count(n) > 1})
-        raise ValueError(f"duplicate rule names: {dupes}")
+    if clock not in ("event", "processing"):
+        # the two backends default OPPOSITE ways on an unrecognized value
+        # (this one checks == 'event', streaming.py checks ==
+        # 'processing') — a typo would silently mix timer semantics
+        raise ValueError(
+            f"clock must be 'event' or 'processing', got {clock!r}"
+        )
+    check_unique_rule_names(rules)
     spark = events.sparkSession
     current = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
     if current != _ROCKSDB:

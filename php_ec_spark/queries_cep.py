@@ -387,11 +387,12 @@ def cep_validate_enrich_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'pay_check' AS rule, key, outcome, fire_ts, start_event_id,
                last_event_id, n_events, value_sum FROM base
         UNION ALL
-        -- derived id fold (engine/chain.py emissions_to_events): pay_check
-        -- is rule index 0 of 2, outcome 'timeout' has code 1, stride 5
+        -- derived id fold (engine/chain.py emissions_to_events): zig-zag
+        -- m = 2*e for the non-negative source trigger, pay_check is rule
+        -- index 0 of 2, outcome 'timeout' has code 1, stride 6
         SELECT 'reminder', key, 'completed', fire_ts,
-               -((last_event_id * 2 + 0) * 5 + 1) - 2,
-               -((last_event_id * 2 + 0) * 5 + 1) - 2,
+               -(((last_event_id * 2) * 2 + 0) * 6 + 1) - 2,
+               -(((last_event_id * 2) * 2 + 0) * 6 + 1) - 2,
                CAST(1 AS BIGINT), value_sum
         FROM base WHERE outcome = 'timeout'
     """,

@@ -188,3 +188,84 @@ class TestStrategyParity:
         a = sorted(map(tuple, fast.select(cols).collect()))
         b = sorted(map(tuple, slow.select(cols).collect()))
         assert a == b and len(a) > 0
+
+
+class TestEngineGuards:
+    def test_duplicate_rule_names_raise_on_every_entry_point(self, spark):
+        """EngineCore keys live-instance lists by rule name — duplicates
+        silently merged state in correlate_state_machine/snapshot_state
+        while correlate raised; now every public entry rejects them."""
+        import datetime as dtm
+
+        from php_ec_spark.engine.streaming_tws import snapshot_state
+
+        rules = [
+            match_single_continuously("x", ["a"], key="user_id"),
+            match_single_continuously("x", ["b"], key="user_id"),
+        ]
+        ev = spark.createDataFrame(
+            [(1, dtm.datetime(2024, 1, 1), 1, "a", 1.0, None)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        with pytest.raises(ValueError, match="duplicate rule names"):
+            correlate_state_machine(ev, rules)
+        with pytest.raises(ValueError, match="duplicate rule names"):
+            snapshot_state(ev, rules)
+
+    def test_clock_value_validated(self, spark):
+        """The two streaming backends defaulted OPPOSITE ways on an
+        unrecognized clock value (event vs processing semantics) — a typo
+        now fails loud instead of silently mixing timer semantics."""
+        from php_ec_spark.engine.streaming import correlate_stream
+
+        rules = [sequence_rule("s", ["a", "b"], key="user_id", timeout="PT1M")]
+        stream = (
+            spark.readStream.format("rate").load()
+            .selectExpr(
+                "value AS event_id", "timestamp AS ts", "value AS user_id",
+                "'a' AS event_type", "CAST(1.0 AS DOUBLE) AS value",
+                "CAST(NULL AS STRING) AS props",
+            )
+        )
+        with pytest.raises(ValueError, match="clock must be"):
+            correlate_stream(stream, rules, clock="Processing")
+
+
+class TestDerivedEventIds:
+    def test_zigzag_keeps_round2_ids_negative_and_distinct(self, spark):
+        """Round >=2 chain triggers ARE derived events with negative ids;
+        the pre-fix fold -(e*n*stride+code)-2 flipped POSITIVE for
+        negative e, colliding with source-id space. The zig-zag fold must
+        keep every derived id <= -2 and distinct across outcomes."""
+        import datetime as dtm
+
+        from php_ec_spark.engine.chain import OUTCOME_CODES, emissions_to_events
+
+        t = dtm.datetime(2024, 1, 1)
+        outcomes = sorted(OUTCOME_CODES) + ["someday-new"]
+        rows = [
+            ("r", "1", oc, t, eid, eid, 1, 1.0, None)
+            for oc in outcomes
+            for eid in (-7, -1, 0, 7)
+        ]
+        em = spark.createDataFrame(
+            rows,
+            "rule string, key string, outcome string, fire_ts timestamp, "
+            "start_event_id long, last_event_id long, n_events long, "
+            "value_sum double, payload string",
+        )
+        got = emissions_to_events(em, rule_index={"r": 0}).collect()
+        ids = [r["event_id"] for r in got]
+        assert all(i <= -2 for i in ids), ids
+        assert len(set(ids)) == len(ids)  # injective incl. unknown outcome
+
+    def test_final_and_error_outcomes_have_distinct_codes(self):
+        from php_ec_spark.engine.chain import OUTCOME_CODES, _OUTCOME_STRIDE
+
+        # every outcome the engine can emit must map to its own code
+        assert set(OUTCOME_CODES) == {
+            "completed", "timeout", "progress", "final", "error"
+        }
+        assert len(set(OUTCOME_CODES.values())) == len(OUTCOME_CODES)
+        assert _OUTCOME_STRIDE == len(OUTCOME_CODES) + 1  # +1 = unknown
