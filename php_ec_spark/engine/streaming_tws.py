@@ -173,6 +173,13 @@ class CorrelationProcessor(StatefulProcessor):
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
+        # NOTE for whoever certifies this backend on a protobuf-enabled
+        # host: streaming.py's round-6 handler rewrite (numpy lexsort on
+        # i8 views with a sorted-skip, shared empty output frame, one-shot
+        # tolist) cut per-key fixed cost 1.9 -> 0.6 ms and has NOT been
+        # ported here — this module has never executed in this container,
+        # so the port would be unverifiable. Port it alongside the
+        # certification run if tws per-key overhead matters.
         core = self._core(key)
         frames = [pdf for pdf in rows if len(pdf)]
         if frames:
