@@ -136,6 +136,12 @@ def start_correlation(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            # RuntimeConfig.get(key, None) returns None when the conf was
+            # never EXPLICITLY set (the SQLConf default doesn't surface) —
+            # leaving our override in place would silently re-plan every
+            # later query in the session with state_partitions partitions
+            spark.conf.unset("spark.sql.shuffle.partitions")
 
 
 def start_chained_correlation(
@@ -215,6 +221,15 @@ def start_chained_correlation(
 
     def sink(df: DataFrame, batch_id: int) -> None:
         df = df.localCheckpoint(eager=True)  # dispatch + re-render, one compute
+        try:
+            _sink_inner(df, batch_id)
+        finally:
+            # explicit release: at a 500 ms trigger, relying on GC/
+            # ContextCleaner lets checkpointed blocks pile up between
+            # cycles (and an exception mid-sink would leak the batch)
+            df.unpersist()
+
+    def _sink_inner(df: DataFrame, batch_id: int) -> None:
         dispatcher(df, batch_id, pre_materialized=True)
         if df.isEmpty():  # JVM-side limit-1 probe on the checkpointed batch
             return  # no derived file — quiet batches leave the chain dir alone
@@ -274,6 +289,12 @@ def start_chained_correlation(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        else:
+            # RuntimeConfig.get(key, None) returns None when the conf was
+            # never EXPLICITLY set (the SQLConf default doesn't surface) —
+            # leaving our override in place would silently re-plan every
+            # later query in the session with state_partitions partitions
+            spark.conf.unset("spark.sql.shuffle.partitions")
 
 
 @dataclass
@@ -378,8 +399,8 @@ def start_correlations(
     column are reported with a ``UserWarning`` (a typoed column would
     otherwise silently cold-start the migration).
     """
+    import hashlib as _hashlib
     import json as _json
-    import uuid as _uuid
     import warnings
 
     from pyspark.sql import functions as F
@@ -496,11 +517,23 @@ def start_correlations(
             else:
                 kick_dir = os.path.join(checkpoint_root, f"kicks_{tag}")
                 os.makedirs(kick_dir, exist_ok=True)
-                p = os.path.join(kick_dir, f"kick_{_uuid.uuid4().hex}.json")
-                with open(p + ".tmp", "w") as f:
-                    for row in kicks:
-                        f.write(_json.dumps(row) + "\n")
-                os.replace(p + ".tmp", p)
+                # Content-addressed, write-once: boot code calls this on
+                # EVERY restart — a fresh uuid name per call would
+                # re-inject the whole kick set each restart (kicks are
+                # real events; a match-any rule would open spurious
+                # instances) and grow the spool forever. Same restore
+                # set → same path → the query checkpoint's seen-files
+                # log skips it; a genuinely different snapshot gets a
+                # new file and injects once.
+                payload = "".join(
+                    _json.dumps(row) + "\n" for row in kicks
+                )
+                digest = _hashlib.sha256(payload.encode()).hexdigest()[:16]
+                p = os.path.join(kick_dir, f"kick_{digest}.json")
+                if not os.path.exists(p):
+                    with open(p + ".tmp", "w") as f:
+                        f.write(payload)
+                    os.replace(p + ".tmp", p)
                 src = events.unionByName(ndjson_dir_source(spark, kick_dir))
 
         group.queries[key_col] = start_correlation(

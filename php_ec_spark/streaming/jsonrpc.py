@@ -114,6 +114,7 @@ class _JsonRpcSimpleReader(SimpleDataSourceStreamReader):
         self._lock = threading.Lock()
         self._buf: deque[tuple[int, str]] = deque()
         self._seq = 0
+        self._rebased = False  # becomes True at the first read() call
         self._proc = subprocess.Popen(
             self._cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, env=env
         )
@@ -172,6 +173,22 @@ class _JsonRpcSimpleReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         s = start["seq"]
         with self._lock:
+            if not self._rebased:
+                # RESTART path: this reader's counter starts at 0, but a
+                # restarted query hands us the PREVIOUS run's committed
+                # offset — without re-basing, every buffered row with
+                # seq <= s is unreachable (filtered here, pruned by
+                # commit) and the first s post-restart events are
+                # silently lost. The child resumed from its own
+                # PHPEC_CHECKPOINT, so everything buffered is NEW data:
+                # renumber it to follow the committed offset.
+                if s > self._seq:
+                    self._buf = type(self._buf)(
+                        (s + i, payload)
+                        for i, (_, payload) in enumerate(self._buf, start=1)
+                    )
+                    self._seq = s + len(self._buf)
+                self._rebased = True
             rows = [r for r in self._buf if r[0] > s]
         end = rows[-1][0] if rows else s
         return iter(rows), {"seq": end}
@@ -262,6 +279,12 @@ class JsonRpcActionProcess:
         self.failed: int = 0
         self._pending: dict[str, dict] = {}  # id -> {"done": Event, ...}
         self._lock = threading.Lock()
+        # serializes stdin writes AND the shared deflate stream: two
+        # foreachBatch threads (start_correlations runs one query per key
+        # column) sharing one action child would otherwise interleave
+        # partial writes > PIPE_BUF / interleave compressobj state and
+        # corrupt the wire protocol
+        self._write_lock = threading.Lock()
         full_env = {**os.environ, **(env or {})}
         # S12: compression applies to BOTH directions of the action pipe
         # (RPCCompressionTest: testActionWithCompressionExecutesSuccessfully)
@@ -308,11 +331,15 @@ class JsonRpcActionProcess:
         req = {"jsonrpc": "2.0", "method": METHOD_RUN, "params": params, "id": rid}
         try:
             assert self._proc.stdin is not None
-            data = (json.dumps(req, default=str) + "\n").encode()
-            if self._comp is not None:
-                data = self._comp.compress(data) + self._comp.flush(zlib.Z_SYNC_FLUSH)
-            self._proc.stdin.write(data)
-            self._proc.stdin.flush()
+            raw = (json.dumps(req, default=str) + "\n").encode()
+            with self._write_lock:
+                data = raw
+                if self._comp is not None:
+                    data = self._comp.compress(raw) + self._comp.flush(
+                        zlib.Z_SYNC_FLUSH
+                    )
+                self._proc.stdin.write(data)
+                self._proc.stdin.flush()
         except (BrokenPipeError, ValueError) as e:
             with self._lock:
                 self._pending.pop(rid, None)

@@ -50,6 +50,24 @@ from pyspark.sql import functions as F
 #: payload is left on disk and reported, never retried again.
 MAX_REPLAY_ATTEMPTS = 3
 
+#: Journal datetime round-trip: a plain ``default=str`` would replay rows
+#: with STRINGS where the original dispatch had datetime objects — a
+#: transient failure of an action with a datetime param would then fail
+#: validation (or crash the closure) on every replay and 3-strike halt.
+_DT_MARK = "__phpec_dt__"
+
+
+def _journal_default(o):
+    if isinstance(o, _dt.datetime):
+        return {_DT_MARK: o.isoformat()}
+    return str(o)
+
+
+def _journal_revive(obj: dict):
+    if set(obj) == {_DT_MARK}:
+        return _dt.datetime.fromisoformat(obj[_DT_MARK])
+    return obj
+
 
 class ActionValidationError(ValueError):
     pass
@@ -61,16 +79,21 @@ class ActionSpec:
     fn: Optional[Callable[[list[dict]], None]] = None  # closure action (S7)
     cmd: Optional[list[str]] = None  # process action (S6): NDJSON on stdin
     schema: Optional[dict] = None  # S8: {"field": type | (type, "optional")}
-    single_shot: bool = False  # new process per batch vs reuse
     distributed: bool = False  # run on executors via foreachPartition
     rpc: bool = False  # cmd speaks the reference's JSON-RPC (long-lived child)
 
     def validate(self, row: dict) -> None:
         if not self.schema:
             return
+        # Discriminate a full JSON-Schema DOCUMENT from the typed-dict
+        # shorthand by value shape, not key presence: a typed dict may
+        # legitimately have a FIELD named 'type'/'properties'/'required'
+        # (mapped to a Python type), which key-presence would misroute
+        # into the JSON-Schema validator and fail every dispatch.
         if isinstance(self.schema, dict) and (
-            "type" in self.schema or "properties" in self.schema
-            or "required" in self.schema
+            isinstance(self.schema.get("type"), str)
+            or isinstance(self.schema.get("properties"), dict)
+            or isinstance(self.schema.get("required"), list)
         ):
             # full JSON-Schema document, the reference's native contract
             # (AEC.php:230-239); nulls are absent keys JSON-wise
@@ -201,14 +224,13 @@ class ActionDispatcher:
         cmd: Optional[list[str]] = None,
         schema: Optional[dict] = None,
         rules: Optional[list[str]] = None,
-        single_shot: bool = False,
         distributed: bool = False,
         rpc: bool = False,
     ) -> "ActionDispatcher":
         """register_action analog (Scheduler.php:316-319 / AEC.php:89-92)."""
         spec = ActionSpec(
             name=name, fn=fn, cmd=cmd, schema=schema,
-            single_shot=single_shot, distributed=distributed, rpc=rpc,
+            distributed=distributed, rpc=rpc,
         )
         if rules is None:
             self.default_action = spec
@@ -252,7 +274,11 @@ class ActionDispatcher:
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"{action}-{uuid.uuid4().hex}.json")
         with open(path + ".tmp", "w") as f:
-            json.dump({"action": action, "attempts": 1, "rows": batch}, f, default=str)
+            json.dump(
+                {"action": action, "attempts": 1, "rows": batch},
+                f,
+                default=_journal_default,
+            )
         os.replace(path + ".tmp", path)
 
     def replay_errored(self) -> dict[str, int]:
@@ -277,7 +303,7 @@ class ActionDispatcher:
                 continue
             path = os.path.join(d, fname)
             with open(path) as f:
-                entry = json.load(f)
+                entry = json.load(f, object_hook=_journal_revive)
             spec = by_name.get(entry["action"])
             try:
                 if spec is None:
@@ -294,7 +320,7 @@ class ActionDispatcher:
                     self.failed.append((-1, entry["action"], len(entry["rows"]), repr(e)))
                 with open(path if entry["attempts"] < MAX_REPLAY_ATTEMPTS
                           else path + ".halted", "w") as f:
-                    json.dump(entry, f, default=str)
+                    json.dump(entry, f, default=_journal_default)
         return out
 
     # -- dispatch --------------------------------------------------------
@@ -352,12 +378,25 @@ class ActionDispatcher:
         known = list(specs_by_rule)
 
         # executor path: high-volume actions run where the data already is —
-        # rows never cross to the driver (ADVICE: no collect in this path)
+        # rows never cross to the driver (ADVICE: no collect in this path).
+        # cond is built NULL-safe: isin() propagates NULL for a NULL rule
+        # column, which a plain filter drops — a NULL-rule row must route
+        # to the default action exactly like the driver path routes it.
         dist_df = None
+        cond = None
         if dist_rules or (default is not None and default.distributed):
-            cond = F.col("rule").isin(dist_rules) if dist_rules else F.lit(False)
+            cond = (
+                F.coalesce(F.col("rule").isin(dist_rules), F.lit(False))
+                if dist_rules
+                else F.lit(False)
+            )
             if default is not None and default.distributed:
-                cond = cond | ~F.col("rule").isin(known)
+                in_known = (
+                    F.coalesce(F.col("rule").isin(known), F.lit(False))
+                    if known
+                    else F.lit(False)
+                )
+                cond = cond | ~in_known
             dist_df = df.filter(cond)
 
         if dist_df is not None:
@@ -392,10 +431,15 @@ class ActionDispatcher:
                 self.completed.append((batch_id, name, n))
 
         # driver path: bounded chunks through toLocalIterator — at most
-        # ``chunk_size`` buffered rows per action, never a full collect
+        # ``chunk_size`` buffered rows per action, never a full collect.
+        # Only the driver-routed rows cross to the driver: iterating the
+        # unfiltered frame would ship every high-volume distributed-action
+        # row to the driver just to discard it — the exact bottleneck
+        # distributed=True exists to avoid.
         ran_driver = drv_rules or (default is not None and not default.distributed)
         if ran_driver:
-            rows = (r.asDict() for r in df.toLocalIterator())
+            drv_df = df if cond is None else df.filter(~cond)
+            rows = (r.asDict() for r in drv_df.toLocalIterator())
             done, failed = _run_groups(specs_by_rule, default, rows, False, chunk)
             for name, n in done:
                 self.completed.append((batch_id, name, n))

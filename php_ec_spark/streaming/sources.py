@@ -95,7 +95,7 @@ def register_on_demand_source(
     batch is piped to ``cmd`` on stdin (one JSON object per emission); the
     command writes event files into the ndjson_dir_source directory.
     """
-    dispatcher.register(name, cmd=cmd, rules=rule_names, single_shot=True)
+    dispatcher.register(name, cmd=cmd, rules=rule_names)
 
 
 def heartbeat_source(spark: SparkSession, every_seconds: int = 10) -> DataFrame:

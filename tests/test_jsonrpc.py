@@ -242,3 +242,38 @@ class TestRpcCompressionParity:
             assert proc.completed == 1 and proc.failed == 1
         finally:
             proc.shutdown()
+
+
+class TestRestartRebase:
+    """A restarted query constructs a FRESH reader (seq counter at 0) but
+    reads from the PREVIOUS run's committed offset — without re-basing,
+    the first `offset` post-restart events are silently dropped (buffered
+    below the committed seq, pruned by commit, never delivered)."""
+
+    def _reader(self, script):
+        from php_ec_spark.streaming.jsonrpc import _JsonRpcSimpleReader
+
+        return _JsonRpcSimpleReader(
+            {"cmd": json.dumps([sys.executable, "-c", script])}
+        )
+
+    SCRIPT = r'''
+import json
+for i in range(4):
+    print(json.dumps({"jsonrpc":"2.0","method":"handle","params":{"event":{"v":i}}}))
+'''
+
+    def test_read_from_committed_offset_delivers_new_events(self):
+        r = self._reader(self.SCRIPT)  # the restart: fresh reader
+        rows, deadline = [], time.time() + 20
+        off = {"seq": 5000}  # previous run's committed offset
+        while len(rows) < 4 and time.time() < deadline:
+            it, off = r.read(off)
+            rows.extend(it)
+            time.sleep(0.05)
+        assert [json.loads(v)["v"] for _s, v in rows] == [0, 1, 2, 3]
+        assert all(s > 5000 for s, _v in rows)  # renumbered past offset
+        assert off == {"seq": 5004}
+        # replay window still consistent post-rebase
+        replay = list(r.readBetweenOffsets({"seq": 5001}, {"seq": 5003}))
+        assert [s for s, _v in replay] == [5002, 5003]

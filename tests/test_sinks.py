@@ -343,3 +343,98 @@ def test_empty_dispatcher_does_not_kill_stateful_query(spark, tmp_path):
     )
     q.awaitTermination()
     assert q.exception() is None
+
+
+class TestReviewRegressions:
+    def test_journal_roundtrips_datetimes(self, spark, tmp_path):
+        """default=str journaling replayed rows with STRINGS where the
+        original dispatch had datetimes — a transient failure of a
+        datetime-validated action became a guaranteed 3-strike halt."""
+        import datetime as dtm
+
+        state = {"fail": True}
+        seen: list[dict] = []
+
+        def flaky(rows):
+            if state["fail"]:
+                raise RuntimeError("transient")
+            seen.extend(rows)
+
+        d = ActionDispatcher(checkpoint_dir=str(tmp_path))
+        d.register(
+            "flaky", fn=flaky, rules=["r1"],
+            schema={"fire_ts": dtm.datetime, "key": str},
+        )
+        em = spark.createDataFrame(
+            [("r1", "k", "completed", dtm.datetime(2024, 1, 1, 12, 30))],
+            "rule string, key string, outcome string, fire_ts timestamp",
+        )
+        d(em, batch_id=0)
+        assert d.failed and not seen
+        state["fail"] = False
+        out = d.replay_errored()
+        assert out == {"replayed": 1, "halted": 0}
+        assert isinstance(seen[0]["fire_ts"], dtm.datetime)
+        assert seen[0]["fire_ts"] == dtm.datetime(2024, 1, 1, 12, 30)
+
+    def test_typed_schema_with_field_named_type(self, spark):
+        """A typed-dict schema whose FIELD is literally named 'type' must
+        route to the typed validator, not the JSON-Schema one (which would
+        reject every dispatch)."""
+        seen: list[dict] = []
+        d = ActionDispatcher()
+        d.register(
+            "tagged", fn=seen.extend, rules=["r1"],
+            schema={"type": str, "key": str},
+        )
+        em = spark.createDataFrame(
+            [("r1", "k", "alert")], "rule string, key string, type string"
+        )
+        d(em, batch_id=0)
+        assert not d.failed and len(seen) == 1
+
+    def test_null_rule_routes_to_distributed_default(self, spark, tmp_path):
+        """isin() NULL propagation silently dropped NULL-rule rows when
+        the default action was distributed; the driver default dispatches
+        them, so the distributed default must too."""
+        out_dir = tmp_path / "out"
+        out_dir.mkdir()
+
+        def record(rows):  # executor-side: write through the filesystem
+            import json as j
+            import uuid as u
+
+            with open(out_dir / f"{u.uuid4().hex}.json", "w") as f:
+                j.dump(rows, f, default=str)
+
+        d = ActionDispatcher()
+        d.register("dflt", fn=record, distributed=True)  # default action
+        em = spark.createDataFrame(
+            [(None, "k1", "completed", 1), ("known?", "k2", "completed", 2)],
+            "rule string, key string, outcome string, last_event_id long",
+        )
+        d(em, batch_id=0)
+        rows = []
+        import json as j
+
+        for f in os.listdir(out_dir):
+            rows.extend(j.load(open(out_dir / f)))
+        assert sorted(r["key"] for r in rows) == ["k1", "k2"]
+
+    def test_driver_path_filters_distributed_rows(self, spark, tmp_path):
+        """The driver iterator must not ship distributed-action rows to
+        the driver only to discard them."""
+        driver_seen: list[dict] = []
+        d = ActionDispatcher()
+        d.register("drv", fn=driver_seen.extend, rules=["low"])
+        d.register("dist", fn=lambda rows: None, rules=["high"],
+                   distributed=True)
+        em = spark.createDataFrame(
+            [("high", str(i), "completed", i) for i in range(50)]
+            + [("low", "x", "completed", 99)],
+            "rule string, key string, outcome string, last_event_id long",
+        )
+        d(em, batch_id=0)
+        assert [r["key"] for r in driver_seen] == ["x"]
+        done = {name: n for _b, name, n in d.completed}
+        assert done == {"dist": 50, "drv": 1}

@@ -772,3 +772,57 @@ def test_memory_hub_snapshot_engine_ttl_tz_invariant(spark, tmp_path):
         else:
             _os.environ["TZ"] = old_tz
         _time.tzset()
+
+
+def test_restore_kicks_written_once_across_restarts(spark, stream_dirs):
+    """Boot code calls start_correlations on EVERY restart; the kick
+    spool is content-addressed and write-once, so the same restore set
+    never re-injects (kicks are real events — a second copy would open
+    spurious instances) and the spool directory stays bounded."""
+    import datetime as dt
+    import glob as g
+    import os
+
+    from php_ec_spark.streaming import start_correlations
+
+    src, ckpt = stream_dirs
+    base = dt.datetime(2024, 1, 1)
+    history = spark.createDataFrame(
+        [(1, base, 1, "signup", 1.0, None)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rules = [
+        sequence_rule("pay", ["signup", "purchase"], key="user_id",
+                      timeout="PT20S")
+    ]
+    for _boot in range(2):
+        group = start_correlations(
+            ndjson_dir_source(spark, str(src)), rules, str(ckpt),
+            clock="event", history=history, trigger_once=True,
+        )
+        group.await_all()
+    kick_files = g.glob(os.path.join(str(ckpt), "kicks_*", "*.json"))
+    assert len(kick_files) == 1, kick_files
+
+
+def test_state_partitions_restores_unset_conf(spark, stream_dirs):
+    """On a session where spark.sql.shuffle.partitions was never
+    explicitly set, the state_partitions override must be UNSET after
+    start — leaving it set would silently re-plan every later query in
+    the session with the streaming state width."""
+    src, ckpt = stream_dirs
+    _write_ndjson(src / "01.json", [_ev(0, "2024-01-01T00:00:00Z", 1, "signup")])
+    rule = sequence_rule("pay", ["signup", "purchase"], key="user_id",
+                         timeout="PT1H")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.unset("spark.sql.shuffle.partitions")
+    try:
+        q = start_correlation(
+            ndjson_dir_source(spark, str(src)), [rule], str(ckpt),
+            trigger_once=True, state_partitions=2,
+        )
+        q.awaitTermination(timeout=120)
+        assert spark.conf.get("spark.sql.shuffle.partitions", None) is None
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
