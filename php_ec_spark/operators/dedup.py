@@ -278,17 +278,25 @@ def _sig_matrix(texts, n: int, num_hashes: int):
     transform + ``np.minimum.reduceat`` segment-min per permutation over
     the concatenated hash array."""
     import hashlib
+    import re
 
     import numpy as np
 
     blake = hashlib.blake2b
     from_bytes = int.from_bytes
+    # EXACTLY with_shingles' tokenization — split(trim(text), '\s+'),
+    # where SQL trim strips spaces only and the regex split keeps edge
+    # empty tokens for non-space edge whitespace. A bare str.split()
+    # (whitespace-trimming) would band-bucket such docs on a DIFFERENT
+    # shingle set than the exact-Jaccard verification uses, and
+    # near-threshold pairs could be missed.
+    ws = re.compile(r"\s+")
     A = np.array([_mh_a(k) for k in range(num_hashes)], dtype=np.int64)
     B = np.array([_mh_b(k) for k in range(num_hashes)], dtype=np.int64)
     sizes = np.empty(len(texts), dtype=np.int64)
     chunks = []
     for i, text in enumerate(texts):
-        toks = text.split()
+        toks = ws.split(text.strip(" "))
         if len(toks) < n:
             sh = (" ".join(toks),)
         else:
@@ -646,9 +654,13 @@ def simhash_pairs(
     all-pairs scan. Output: (doc_a, doc_b, hamming).
     """
     assert max_hamming <= 3  # pigeonhole bound for 4 chunks
-    sim = with_simhash(df, text_col=text_col).select(
-        F.col(id_col).alias("doc"), "simhash"
-    )
+    # project BEFORE the Arrow kernel: with_simhash's mapInPandas schema
+    # is input+simhash, so an unprojected call would round-trip every
+    # document column (the whole text twice) through Arrow just to drop
+    # them here
+    sim = with_simhash(
+        df.select(id_col, text_col), text_col=text_col
+    ).select(F.col(id_col).alias("doc"), "simhash")
     chunk_bits = SIMHASH_BITS // 4
     chunk_mask = (1 << chunk_bits) - 1
     chunks = sim.select(

@@ -119,12 +119,15 @@ def extract_image_meta(blobs: DataFrame, fake: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [decode_image(c, fake=fake) for c in pdf["content"]]
+            # NULL content (nullable binary column) is treated as an empty
+            # payload — one bad row must not TypeError the whole task
+            blobs = [b"" if c is None else bytes(c) for c in pdf["content"]]
+            dims = [decode_image(c, fake=fake) for c in blobs]
             yield pd.DataFrame(
                 {
                     "item_id": pdf["item_id"].astype("int64"),
-                    "byte_len": [len(c) for c in pdf["content"]],
-                    "head_byte": [c[0] if len(c) else -1 for c in pdf["content"]],
+                    "byte_len": [len(c) for c in blobs],
+                    "head_byte": [c[0] if len(c) else -1 for c in blobs],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                 }
@@ -177,7 +180,7 @@ def frame_sample(
         for pdf in batches:
             out = {"item_id": [], "frame_idx": [], "frame_ms": [], "frame_bytes": []}
             for item_id, content in zip(pdf["item_id"], pdf["content"]):
-                content = bytes(content)
+                content = b"" if content is None else bytes(content)
                 n_frames = max(1, len(content) // _FAKE_FRAME_BYTES)
                 for i in range(0, n_frames, every_n):
                     out["item_id"].append(int(item_id))
@@ -256,7 +259,10 @@ def resize_images(
                     "item_id": pdf["item_id"].astype("int64"),
                     "width": width,
                     "height": height,
-                    "pixels": [resize(bytes(c)) for c in pdf["content"]],
+                    "pixels": [
+                        resize(b"" if c is None else bytes(c))
+                        for c in pdf["content"]
+                    ],
                 }
             )
 
@@ -290,7 +296,9 @@ def extract_features(blobs: DataFrame, dim: int = 64) -> DataFrame:
         for pdf in batches:
             feats = []
             for c in pdf["content"]:
-                src = np.frombuffer(bytes(c), dtype=np.uint8)
+                src = np.frombuffer(
+                    b"" if c is None else bytes(c), dtype=np.uint8
+                )
                 if len(src) == 0:
                     feats.append(np.zeros(dim, dtype=np.float32))
                     continue

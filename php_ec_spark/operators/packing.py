@@ -63,9 +63,11 @@ def pack_sequences(
     n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
     d = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
     if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        # shuffle_partitions handles non-numeric conf values like 'auto'
+        # (managed platforms) by falling back to defaultParallelism
+        from ..session import shuffle_partitions
+
+        num_partitions = shuffle_partitions(df.sparkSession)
     # Range-partition so partition k's doc_ids are all below partition
     # k+1's, then stamp the physical partition id; spark_partition_id is
     # non-deterministic to the optimizer, which (correctly) pins it to

@@ -88,8 +88,14 @@ def weighted_mix(
     Each source keeps rows with probability ``weight[name] /
     max(weights)`` (the largest-weight source passes whole; the others
     thin deterministically), then everything unions with a ``mix_source``
-    tag. This yields the requested RELATIVE mixture without knowing
-    corpus sizes — per-epoch repetition factors are the trainer's job.
+    tag. NOTE the contract precisely: these are per-source KEEP RATES,
+    not a size-independent output mixture — the produced ratio is
+    ``weight_i / weight_max`` scaled by each corpus's own size, so the
+    output mixture equals the weight ratio only when the input corpora
+    are equal-sized. To hit an exact output mixture, fold the measured
+    corpus sizes into the weights (``weight_i / |corpus_i|``); up-
+    sampling (weights above the max, i.e. per-epoch repetition) is the
+    trainer's job.
     """
     if set(sources) != set(weights):
         raise ValueError(

@@ -23,6 +23,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _cluster_key(cl):
+    """Normalize a cluster label for dict lookup across the Spark/pandas
+    boundary: NULL arrives as None (Spark rows) or NaN (pandas numeric
+    columns, where NaN != NaN breaks dict hits) → None; numpy scalars →
+    Python scalars; integral floats (a nullable int column is rendered
+    float64 by pandas) → int."""
+    import numpy as np
+
+    if cl is None:
+        return None
+    if isinstance(cl, np.generic):
+        cl = cl.item()
+    if isinstance(cl, float):
+        if np.isnan(cl):
+            return None
+        if cl.is_integer():
+            return int(cl)
+    return cl
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -147,10 +167,18 @@ def cosine_topk(
                 S = np.where(denom > 0, (C @ Qm.T) / denom, -np.inf)
             S[nid[:, None] == q_ids[None, :]] = -np.inf  # self-matches out
             take = min(k + pad, len(nid))
-            top = np.argpartition(-S, take - 1, axis=0)[:take]  # per-query cols
-            qcol = np.broadcast_to(q_ids, top.shape)
+            # TIE-INCLUSIVE keep: a fixed top-(k+pad) slice would drop
+            # arbitrary members of a tie at the boundary (routine in dedup
+            # corpora full of duplicate embeddings), making the candidate
+            # set — and so the final top-k — partitioning-dependent. Keep
+            # everything scoring >= the take-th value instead; the exact
+            # re-rank applies the deterministic (cos, id) tie-break over
+            # the complete tie class.
+            kth = -np.partition(-S, take - 1, axis=0)[take - 1]
+            keep = (S >= kth[None, :]) & np.isfinite(S)
+            ridx, cidx = np.nonzero(keep)
             yield pd.DataFrame(
-                {"query_id": qcol.reshape(-1), "neighbor_id": nid[top].reshape(-1)}
+                {"query_id": q_ids[cidx], "neighbor_id": nid[ridx]}
             )
 
     cand = corpus.select(id_col, vec_col).mapInPandas(
@@ -366,7 +394,7 @@ def ivf_topk(
     qn = np.sqrt((Q * Q).sum(axis=1))
     by_cluster: dict = {}
     for i, cl in enumerate(p_pdf["cluster"]):
-        by_cluster.setdefault(cl, []).append(i)
+        by_cluster.setdefault(_cluster_key(cl), []).append(i)
     bq = spark.sparkContext.broadcast((qids, Q, qn, by_cluster))
     pad = 16
 
@@ -376,8 +404,12 @@ def ivf_topk(
             if len(pdf) == 0:
                 continue
             out_q, out_n = [], []
-            for cl, grp in pdf.groupby(cluster_col, sort=False):
-                idxs = probing.get(cl)
+            # dropna=False: pandas' default silently drops a NULL cluster
+            # label, making those corpus rows unsearchable even though
+            # build_centroids (Spark groupBy keeps nulls) emits a
+            # probe-able centroid for them
+            for cl, grp in pdf.groupby(cluster_col, sort=False, dropna=False):
+                idxs = probing.get(_cluster_key(cl))
                 if not idxs:
                     continue  # cluster probed by no query: pruned entirely
                 C = np.stack([np.asarray(v, dtype=np.float64) for v in grp[vec_col]])
@@ -389,9 +421,12 @@ def ivf_topk(
                     S = np.where(denom > 0, (C @ sub_Q.T) / denom, -np.inf)
                 S[nid[:, None] == sub_ids[None, :]] = -np.inf
                 take = min(k + pad, len(nid))
-                top = np.argpartition(-S, take - 1, axis=0)[:take]
-                out_q.append(np.broadcast_to(sub_ids, top.shape).reshape(-1))
-                out_n.append(nid[top].reshape(-1))
+                # tie-inclusive keep — see cosine_topk's kernel
+                kth = -np.partition(-S, take - 1, axis=0)[take - 1]
+                keep = (S >= kth[None, :]) & np.isfinite(S)
+                ridx, cidx = np.nonzero(keep)
+                out_q.append(sub_ids[cidx])
+                out_n.append(nid[ridx])
             if out_q:
                 yield pd.DataFrame(
                     {

@@ -32,18 +32,17 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def tokens(text: Column) -> Column:
-    """Whitespace tokenization as an array column."""
-    return F.split(F.trim(text), r"\s+")
-
-
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n_chars / n_tokens / n_unique_tokens / avg token length per document.
 
     Token count is pure length arithmetic (chars − non-space chars + 1) so
     the DuckDB oracle reproduces it exactly; uniqueness uses
-    ``array_distinct`` over the split. ``avg_token_len`` is derived from
-    already-exact integers with one final division (deterministic double).
+    ``array_distinct`` over the SAME single-space convention — a regex
+    ``\\s+`` split here would count MORE unique tokens than n_tokens on
+    text with non-space whitespace, pushing quality_score past 1.0 and
+    diverging from the oracle's ``string_split(text, ' ')``.
+    ``avg_token_len`` is derived from already-exact integers with one
+    final division (deterministic double).
     """
     t = F.col(text_col)
     n_chars = F.length(t).cast("long")
@@ -53,7 +52,8 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.withColumn("n_chars", n_chars)
         .withColumn("n_tokens", n_tokens)
         .withColumn(
-            "n_unique_tokens", F.size(F.array_distinct(tokens(t))).cast("long")
+            "n_unique_tokens",
+            F.size(F.array_distinct(F.split(t, " "))).cast("long"),
         )
         .withColumn(
             "avg_token_len",

@@ -891,3 +891,82 @@ class TestConnectedComponents:
                 [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
             )
             connected_components(long_chain, max_iters=2)
+
+
+class TestOperatorReviewRegressions:
+    def test_token_stats_consistent_on_nonspace_whitespace(self, spark):
+        """n_unique_tokens must use the same single-space convention as
+        n_tokens — the old regex split counted 3 unique tokens in a
+        newline-separated doc whose n_tokens is 1, pushing quality_score
+        to 1.5 (contract is [0, 1])."""
+        from php_ec_spark.operators.text import (
+            with_quality_score,
+            with_token_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a\nb\nc"), (1, "x y z")], "doc_id long, text string"
+        )
+        stats = {r.doc_id: r for r in with_token_stats(df).collect()}
+        assert stats[0].n_tokens == 1 and stats[0].n_unique_tokens == 1
+        assert stats[1].n_tokens == 3 and stats[1].n_unique_tokens == 3
+        q = {r.doc_id: r.quality_score for r in with_quality_score(df).collect()}
+        assert all(0.0 <= v <= 1.0 for v in q.values()), q
+
+    def test_cosine_topk_tie_stability_across_partitionings(self, spark):
+        """40 identical embeddings tie at every rank: the returned top-k
+        must be the deterministic (cos DESC, id ASC) prefix whatever the
+        partitioning — the old fixed top-(k+pad) batch slice dropped
+        arbitrary tie members."""
+        rows = [(i, [1.0, 0.0]) for i in range(40)] + [(100, [0.0, 1.0])]
+        base = None
+        for nparts in (1, 3, 8):
+            df = spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"
+            ).repartition(nparts)
+            got = sorted(
+                (r.rank, r.neighbor_id)
+                for r in cosine_topk(df, df.filter("vec_id = 0"), k=5).collect()
+            )
+            assert got == [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5)], (nparts, got)
+            base = base or got
+
+    def test_multimodal_null_content_rows_dont_crash(self, spark):
+        from php_ec_spark.operators.multimodal import (
+            extract_features,
+            frame_sample,
+            resize_images,
+        )
+
+        blobs = spark.createDataFrame(
+            [(1, "image", None, ("image/x", "t")),
+             (2, "image", bytearray(b"abcd"), ("image/x", "t"))],
+            "item_id long, modality string, content binary, "
+            "meta struct<mime:string,source:string>",
+        )
+        meta = {r.item_id: r for r in extract_image_meta(blobs).collect()}
+        assert meta[1].byte_len == 0 and meta[1].head_byte == -1
+        assert meta[2].byte_len == 4
+        pix = {r.item_id: bytes(r.pixels) for r in
+               resize_images(blobs, 2, 2).collect()}
+        assert pix[1] == b"\x00" * 4  # null payload -> zero raster
+        feats = {r.item_id: r.features for r in
+                 extract_features(blobs, dim=4).collect()}
+        assert feats[1] == [0.0, 0.0, 0.0, 0.0]
+        frames = frame_sample(blobs).collect()
+        assert {r.item_id for r in frames} == {1, 2}
+
+    def test_minhash_matches_exact_pairs_with_edge_whitespace(self, spark):
+        """The signature kernel must tokenize exactly like with_shingles
+        (split(trim-spaces, '\\s+')): docs with edge tabs previously got
+        band keys from a DIFFERENT shingle set than the exact-Jaccard
+        verification."""
+        t = "\t alpha beta gamma delta epsilon"
+        df = spark.createDataFrame(
+            [(0, t), (1, t), (2, "other words entirely here now")],
+            "doc_id long, text string",
+        )
+        exact = {(r.doc_a, r.doc_b) for r in jaccard_pairs(df, 0.8).collect()}
+        lsh = {(r.doc_a, r.doc_b)
+               for r in minhash_lsh_pairs(df, 0.8).collect()}
+        assert lsh == exact == {(0, 1)}
