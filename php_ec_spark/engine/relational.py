@@ -87,15 +87,13 @@ def is_single_match(rule: Rule) -> bool:
     )
 
 
-def is_keyless_counter(rule: Rule) -> bool:
-    """Keyless continuous counter — the LogEverything/incrStat shape: one
-    global instance consuming every matching event forever, reported once at
-    end-of-stream. Compiles to a plain ``groupBy().agg()`` (map-side partial
-    aggregation), NOT the single-partition ordered state machine — the scale
-    fix for un-keyed wildcard rules."""
+def _is_counter_shape(rule: Rule) -> bool:
+    """Continuous counter — the incrStat shape: an instance consuming
+    every matching event forever, reported once at end-of-stream. ONE
+    predicate for both the keyed and keyless variants so the admission
+    criteria can never drift apart."""
     return (
-        rule.key is None
-        and rule.continuous
+        rule.continuous
         and rule.timeout_s is None
         and rule.chain_limit is None
         and len(rule.events) == 1
@@ -106,34 +104,27 @@ def is_keyless_counter(rule: Rule) -> bool:
         and rule.on_complete is None
         and rule.on_timeout is None
     )
+
+
+def is_keyless_counter(rule: Rule) -> bool:
+    """Keyless counter (LogEverything): compiles to a plain
+    ``agg()`` (map-side partial aggregation), NOT the single-partition
+    ordered state machine — the scale fix for un-keyed wildcard rules."""
+    return rule.key is None and _is_counter_shape(rule)
 
 
 def is_keyed_counter(rule: Rule) -> bool:
-    """Keyed continuous counter — per-key incrStat: one instance per key
-    consuming every matching event forever, reported once at end-of-stream.
-
-    Compiles to ``groupBy(key).agg(...)`` instead of the per-key state
-    machine. The skew story is the point: every aggregate here (count,
-    sum, min_by, max_by, max) supports MAP-SIDE PARTIAL AGGREGATION, so a
-    50% hot key shuffles one partial row per input partition, not 50% of
-    the data to one straggler task — Catalyst's two-stage HashAggregate
-    is the salted_agg pattern built in (pinned by tests/test_plans.py::
-    TestCounterSkewPlans). Rules that need ordered per-event state (chain
-    trims, timeouts, callbacks) keep the state machine, where a hot key
-    genuinely serializes and ``metrics.warn_if_skewed`` flags it."""
-    return (
-        rule.key is not None
-        and rule.continuous
-        and rule.timeout_s is None
-        and rule.chain_limit is None
-        and len(rule.events) == 1
-        and rule.accept is None
-        and not rule.suppress
-        and rule.emit_final
-        and not rule.emit_progress
-        and rule.on_complete is None
-        and rule.on_timeout is None
-    )
+    """Keyed counter — per-key incrStat, ``groupBy(key).agg(...)``
+    instead of the per-key state machine. The skew story is the point:
+    every aggregate here (count, sum, min_by, max_by, max) supports
+    MAP-SIDE PARTIAL AGGREGATION, so a 50% hot key shuffles one partial
+    row per input partition, not 50% of the data to one straggler task —
+    Catalyst's two-stage HashAggregate is the salted_agg pattern built in
+    (pinned by tests/test_plans.py::TestCounterSkewPlans). Rules that
+    need ordered per-event state (chain trims, timeouts, callbacks) keep
+    the state machine, where a hot key genuinely serializes and
+    ``metrics.warn_if_skewed`` flags it."""
+    return rule.key is not None and _is_counter_shape(rule)
 
 
 def _key_expr(rule: Rule):
@@ -143,7 +134,7 @@ def _key_expr(rule: Rule):
 
 
 def _type_filter(events: DataFrame, group) -> DataFrame:
-    if "*" in group:
+    if EVENT_MATCH_ANY in group:
         return events
     return events.filter(F.col("event_type").isin(list(group)))
 
@@ -164,25 +155,33 @@ def compile_single_match(events: DataFrame, rule: Rule) -> DataFrame:
     )
 
 
-def compile_keyless_counter(events: DataFrame, rule: Rule) -> DataFrame:
-    """Keyless continuous counter → global aggregate with partial combine.
+def _compile_counter(events: DataFrame, rule: Rule) -> DataFrame:
+    """Shared counter plan (keyed AND keyless — one implementation so the
+    emission semantics can never diverge between the two).
 
-    Matches the state machine's final emission exactly: one row with the
-    chain length / value sum / first & last consumed event in stream order
-    (ts, event_id), fired at the last consumed event's timestamp. Emits
-    nothing on an empty input (no instance was ever started)."""
+    Matches the state machine's final emission exactly: chain length /
+    value sum / first & last consumed event in stream order (ts,
+    event_id), fired at the last consumed event's timestamp. Keyless
+    emits nothing on an empty input (no instance was ever started);
+    keyed groups only ever contain matching rows, so no filter needed."""
     src = _type_filter(events, rule.events[0])
     order = F.struct("ts", "event_id")
-    agg = src.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("value_sum"),
         F.min_by("event_id", order).alias("start_event_id"),
         F.max_by("event_id", order).alias("last_event_id"),
         F.max("ts").alias("fire_ts"),
-    )
-    return agg.filter(F.col("n_events") > 0).select(
+    ]
+    if rule.key is None:
+        agg = src.agg(*aggs).filter(F.col("n_events") > 0)
+    else:
+        agg = src.groupBy(
+            F.col(rule.key).cast("string").alias("key")
+        ).agg(*aggs)
+    return agg.select(
         F.lit(rule.name).alias("rule"),
-        F.lit(None).cast("string").alias("key"),
+        _key_expr(rule) if rule.key is None else F.col("key"),
         F.lit("final").alias("outcome"),
         F.col("fire_ts"),
         F.col("start_event_id"),
@@ -191,35 +190,17 @@ def compile_keyless_counter(events: DataFrame, rule: Rule) -> DataFrame:
         F.col("value_sum").cast("double").alias("value_sum"),
         F.lit(None).cast("string").alias("payload"),
     )
+
+
+def compile_keyless_counter(events: DataFrame, rule: Rule) -> DataFrame:
+    """Keyless continuous counter → global aggregate with partial combine."""
+    return _compile_counter(events, rule)
 
 
 def compile_keyed_counter(events: DataFrame, rule: Rule) -> DataFrame:
     """Keyed continuous counter → two-stage hash aggregate (partial merge
-    map-side). One 'final' emission per key, identical to the state
-    machine's: chain stats over the key's matching events in (ts,
-    event_id) stream order, fired at the key's last event timestamp."""
-    src = _type_filter(events, rule.events[0])
-    order = F.struct("ts", "event_id")
-    agg = src.groupBy(
-        F.col(rule.key).cast("string").alias("key")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("value_sum"),
-        F.min_by("event_id", order).alias("start_event_id"),
-        F.max_by("event_id", order).alias("last_event_id"),
-        F.max("ts").alias("fire_ts"),
-    )
-    return agg.select(
-        F.lit(rule.name).alias("rule"),
-        F.col("key"),
-        F.lit("final").alias("outcome"),
-        F.col("fire_ts"),
-        F.col("start_event_id"),
-        F.col("last_event_id"),
-        F.col("n_events").cast("long").alias("n_events"),
-        F.col("value_sum").cast("double").alias("value_sum"),
-        F.lit(None).cast("string").alias("payload"),
-    )
+    map-side). One 'final' emission per key."""
+    return _compile_counter(events, rule)
 
 
 def compile_sequence(events: DataFrame, rule: Rule) -> DataFrame:
@@ -239,9 +220,23 @@ def compile_sequence(events: DataFrame, rule: Rule) -> DataFrame:
     step times the instance out at step_i.ts + timeout (fired there even
     past end-of-stream, matching the batch drain).
     """
-    assert is_relational_compilable(rule), rule
+    # guard against MISUSE of this public export, not just the umbrella
+    # predicate: counter/single-match/gap shapes pass
+    # is_relational_compilable but compile to DIFFERENT plans — feeding
+    # one here would silently emit wrong results (e.g. a gap rule's n=1
+    # makes every event 'completed')
+    if not is_relational_compilable(rule) or any(
+        p(rule)
+        for p in (is_keyless_counter, is_keyed_counter, is_single_match,
+                  is_gap_sessions)
+    ):
+        raise ValueError(
+            f"rule {rule.name!r} is not a sequence shape — use "
+            "correlate(), which dispatches every rule to its strategy"
+        )
     types = [g[0] for g in rule.events]
     n = len(types)
+    succ_types = sorted(set(types[1:]))  # bound ONCE: three uses below
     key = rule.key
     timeout_s = rule.timeout_s
 
@@ -252,7 +247,7 @@ def compile_sequence(events: DataFrame, rule: Rule) -> DataFrame:
     # per distinct successor type, all in the same exchange
     wp = Window.partitionBy(key)
     base = relevant
-    for t in set(types[1:]):
+    for t in succ_types:
         base = base.withColumn(
             f"__arr_{t}",
             F.sort_array(
@@ -269,7 +264,7 @@ def compile_sequence(events: DataFrame, rule: Rule) -> DataFrame:
         F.col("event_id").alias("e0_id"),
         F.col("ts").alias("e0_ts"),
         F.col("value").alias("e0_val"),
-        *[F.col(f"__arr_{t}") for t in set(types[1:])],
+        *[F.col(f"__arr_{t}") for t in succ_types],
     )
 
     def first_after(arr_col: str, ts_col: str, id_col: str):
@@ -303,7 +298,7 @@ def compile_sequence(events: DataFrame, rule: Rule) -> DataFrame:
         # a failed step nulls the rest of the chain
         for c in (f"e{i}_ts", f"e{i}_id", f"e{i}_val"):
             cur = cur.withColumn(c, F.when(ok, F.col(c)))
-    cur = cur.drop(*[f"__arr_{t}" for t in set(types[1:])])
+    cur = cur.drop(*[f"__arr_{t}" for t in succ_types])
 
     # consumed = 1 + number of non-null chain steps
     consumed = F.lit(1)
@@ -363,6 +358,11 @@ def plan_report(rules, historical: bool = False) -> dict[str, str]:
     of the rule compiler. Keys are rule names; values are one of
     ``priority-suppress | keyless-counter | keyed-counter | single-match |
     gap-sessions | sequence-window | state-machine``."""
+    from .batch import check_unique_rule_names
+
+    # same rejection as correlate(): a name-keyed report would otherwise
+    # silently collapse duplicates and hide one rule's strategy
+    check_unique_rule_names(rules)
     out: dict[str, str] = {}
     if any(r.suppress for r in rules):
         strat = (
@@ -421,24 +421,15 @@ def compile_priority_suppress(events: DataFrame, rules) -> DataFrame:
 
     outs = []
     for i, rule in enumerate(rules):
-        cond = matches(rule)
-        for j, earlier in enumerate(rules[:i]):
+        cond = F.lit(True)
+        for earlier in rules[:i]:
             if earlier.suppress:
                 cond = cond & ~matches(earlier)
-        src = events.filter(cond)
-        outs.append(
-            src.select(
-                F.lit(rule.name).alias("rule"),
-                _key_expr(rule),
-                F.lit("completed").alias("outcome"),
-                F.col("ts").alias("fire_ts"),
-                F.col("event_id").alias("start_event_id"),
-                F.col("event_id").alias("last_event_id"),
-                F.lit(1).cast("long").alias("n_events"),
-                F.col("value").alias("value_sum"),
-                F.lit(None).cast("string").alias("payload"),
-            )
-        )
+        # delegate the emission projection to compile_single_match — the
+        # only difference here is the suppressor-exclusion pre-filter, and
+        # a duplicated projection would let the two stateless paths'
+        # schemas drift apart silently
+        outs.append(compile_single_match(events.filter(cond), rule))
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)
@@ -458,8 +449,10 @@ def compile_gap_sessions(events: DataFrame, rule: Rule) -> DataFrame:
     assert is_gap_sessions(rule), rule
     key = rule.key
     t_int = F.make_interval(secs=F.lit(float(rule.timeout_s)))
+    # event_type deliberately dropped: nothing downstream reads it, and
+    # it would otherwise ride the shuffle + window sort on every row
     src = _type_filter(events, rule.events[0]).select(
-        key, "event_id", "ts", "event_type", "value"
+        key, "event_id", "ts", "value"
     )
     w = Window.partitionBy(key).orderBy("ts", "event_id")
     lag_ts = F.lag("ts").over(w)

@@ -145,7 +145,10 @@ class TestPropertyParity:
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(evs=EVENTS)
-    def test_priority_suppress_parity(self, spark, evs):
+    def test_priority_suppress_parity_fixed_flags(self, spark, evs):
+        # NOTE: this must not share a name with the random-flags variant
+        # below — a duplicate method name silently shadows the first def
+        # and pytest collects only one of them
         from php_ec_spark.engine.relational import compile_priority_suppress
         from php_ec_spark.rules import match_single
 
