@@ -71,9 +71,14 @@ def asof_join(
         rstruct.alias("__rv"),
     )
     u = l.unionByName(r)
+    # at an IDENTICAL (on, tie) the left row must sort FIRST so its equal
+    # right twin stays OUT of the (unbounded, -1) frame — ascending
+    # __is_left (right=0 before left=1) would make a self as-of join
+    # match every row to itself instead of its true predecessor,
+    # violating the documented STRICT stream order
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on), F.col(tie_col), F.col("__is_left"))
+        .orderBy(F.col(on), F.col(tie_col), F.col("__is_left").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     out = (
@@ -106,8 +111,15 @@ def validate_enrich_filter(
     if validate is not None:
         out = out.filter(validate)
     if enrich is not None:
+        if enrich_on is None:
+            # a bare join(dim) is a CROSS join — every event silently
+            # multiplied by the dimension row count
+            raise ValueError(
+                "enrich requires enrich_on (the join condition); a "
+                "cartesian enrichment is never what you want"
+            )
         dim = F.broadcast(enrich) if broadcast_enrich else enrich
-        out = out.join(dim, enrich_on, "left") if enrich_on is not None else out.join(dim)
+        out = out.join(dim, enrich_on, "left")
     if filter_spec is not None:
         out = out.filter(filter_spec)
     return out
@@ -125,7 +137,8 @@ def _cron_field_pred(
     allowed: set[int] = set()
     for part in spec.split(","):
         step = 1
-        if "/" in part:
+        stepped = "/" in part
+        if stepped:
             part, step_s = part.split("/", 1)
             step = int(step_s)
             if step < 1:
@@ -135,11 +148,49 @@ def _cron_field_pred(
         elif "-" in part:
             a, b = part.split("-", 1)
             rng = range(int(a), int(b) + 1)
+        elif stepped:
+            # standard cron: 'N/step' means 'N-max/step' ('5/15' in the
+            # minute field fires at 5,20,35,50 — NOT just minute 5)
+            rng = range(int(part), hi + 1)
         else:
             rng = range(int(part), int(part) + 1)
+        if rng and (rng.start < lo or rng[-1] > hi):
+            # out-of-range values would build an isin() that can never
+            # match — the rule would silently never fire
+            raise ValueError(
+                f"cron field value out of range [{lo},{hi}] in {spec!r}"
+            )
         vals = (v for v in rng if (v - rng.start) % step == 0)
         allowed.update((v % 7 for v in vals) if dow else vals)
     return col.isin(sorted(allowed))
+
+
+def _apply_cron_fields(cand: DataFrame, local, fields) -> DataFrame:
+    """Apply the five field predicates with standard (Vixie) cron
+    day-matching: when BOTH day-of-month and day-of-week are restricted,
+    the day matches if EITHER does — ANDing them (the naive reading)
+    silently drops almost every fire of a mixed rule like '0 0 13 * 5'
+    (midnight on the 13th OR any Friday; an AND keeps only Friday the
+    13th). The reference's cron-expression library implements the same
+    OR rule."""
+    minute_p = _cron_field_pred(F.minute(local), fields[0], 0, 59)
+    hour_p = _cron_field_pred(F.hour(local), fields[1], 0, 23)
+    dom_p = _cron_field_pred(F.dayofmonth(local), fields[2], 1, 31)
+    month_p = _cron_field_pred(F.month(local), fields[3], 1, 12)
+    # cron dow: 0/7 = Sunday; Spark dayofweek: 1 = Sunday
+    dow_p = _cron_field_pred(
+        (F.dayofweek(local) - 1) % 7, fields[4], 0, 7, dow=True
+    )
+    for p in (minute_p, hour_p, month_p):
+        if p is not None:
+            cand = cand.filter(p)
+    if dom_p is not None and dow_p is not None:
+        cand = cand.filter(dom_p | dow_p)
+    elif dom_p is not None:
+        cand = cand.filter(dom_p)
+    elif dow_p is not None:
+        cand = cand.filter(dow_p)
+    return cand
 
 
 #: Cron special-token sugar (Rule/Cron.php:38-45): macro tokens expand to
@@ -222,17 +273,7 @@ def cron_expression_fires(
         ).alias("fire_ts")
     )
     local = F.from_utc_timestamp(F.col("fire_ts"), tz) if tz else F.col("fire_ts")
-    preds = [
-        _cron_field_pred(F.minute(local), fields[0], 0, 59),
-        _cron_field_pred(F.hour(local), fields[1], 0, 23),
-        _cron_field_pred(F.dayofmonth(local), fields[2], 1, 31),
-        _cron_field_pred(F.month(local), fields[3], 1, 12),
-        # cron dow: 0/7 = Sunday; Spark dayofweek: 1 = Sunday
-        _cron_field_pred((F.dayofweek(local) - 1) % 7, fields[4], 0, 7, dow=True),
-    ]
-    for p in preds:
-        if p is not None:
-            cand = cand.filter(p)
+    cand = _apply_cron_fields(cand, local, fields)
     return _scheduled_emissions(cand, name)
 
 
@@ -287,16 +328,7 @@ def cron_stream_fires(
         raise ValueError(f"cron expression needs 5 fields, got {expression!r}")
     cand = ticks.select(F.date_trunc("minute", F.col("ts")).alias("fire_ts"))
     local = F.from_utc_timestamp(F.col("fire_ts"), tz) if tz else F.col("fire_ts")
-    preds = [
-        _cron_field_pred(F.minute(local), fields[0], 0, 59),
-        _cron_field_pred(F.hour(local), fields[1], 0, 23),
-        _cron_field_pred(F.dayofmonth(local), fields[2], 1, 31),
-        _cron_field_pred(F.month(local), fields[3], 1, 12),
-        _cron_field_pred((F.dayofweek(local) - 1) % 7, fields[4], 0, 7, dow=True),
-    ]
-    for p in preds:
-        if p is not None:
-            cand = cand.filter(p)
+    cand = _apply_cron_fields(cand, local, fields)
     fires = cand.withWatermark("fire_ts", watermark_delay).dropDuplicates(
         ["fire_ts"]
     )

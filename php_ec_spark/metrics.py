@@ -37,7 +37,9 @@ LOAD_HORIZONS = (60, 900, 3600)
 
 
 def engine_metric_exprs(
-    outcomes: Sequence[str] = ("completed", "timeout", "progress", "scheduled"),
+    outcomes: Sequence[str] = (
+        "completed", "timeout", "progress", "final", "scheduled",
+    ),
 ) -> list[Column]:
     """incrStat-style aggregate expressions for an EMISSION stream:
     total + per-outcome counts + event-time bounds (the counters the
@@ -198,15 +200,30 @@ class EngineMetrics(StreamingQueryListener):
 
     def calc_load(self, horizons: Sequence[int] = LOAD_HORIZONS) -> dict[int, float]:
         """events/sec over each trailing wall-clock horizon — the
-        reference's calcLoad(60/900/3600) from its 1-second ring buffer."""
+        reference's calcLoad(60/900/3600) from its 1-second ring buffer.
+
+        The divisor is the COVERED span, not the nominal horizon: the
+        progress ring holds N micro-batches, not N seconds, so early in a
+        query's life (or under fast triggers that roll the ring) the
+        retained history can span far less than the horizon — dividing by
+        the full horizon would then under-report the rate by the coverage
+        ratio (the reference's per-second ring covers its horizons by
+        construction, so rows/h is exact there)."""
         now = time.time()
         out = {}
         for h in horizons:
-            rows = sum(
-                p["num_input_rows"] for p in self._progress
-                if p["wall_ts"] >= now - h
+            in_window = [
+                p for p in self._progress if p["wall_ts"] >= now - h
+            ]
+            rows = sum(p["num_input_rows"] for p in in_window)
+            covered = (
+                min(h, now - min(p["wall_ts"] for p in in_window))
+                if in_window
+                else h
             )
-            out[h] = rows / h
+            # 1-second floor = the reference ring's granularity (avoids a
+            # single fresh burst batch reading as rows/epsilon)
+            out[h] = rows / max(covered, 1.0)
         return out
 
     def stats(self) -> dict[str, int]:

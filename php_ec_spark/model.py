@@ -91,10 +91,20 @@ def normalize_events(df: DataFrame, input_tz: str | None = None) -> DataFrame:
     cols = dict(df.dtypes)
     ts = F.col("ts")
     if cols.get("ts") == "string":
+        # input_tz applies ONLY to zone-less strings: epoch numerics are
+        # already absolute instants (timestamp_seconds yields the exact
+        # UTC point), and a string carrying its own offset/Z is resolved
+        # by to_timestamp — re-shifting either by input_tz would move
+        # every event by the zone offset (Event.php:62-81 likewise only
+        # assumes a zone when the input has none)
         ts = F.to_timestamp("ts")
+        if input_tz:
+            has_zone = F.col("ts").rlike(r"(Z|[+-]\d{2}:?\d{2})\s*$")
+            ts = F.when(has_zone, ts).otherwise(F.to_utc_timestamp(ts, input_tz))
     elif cols.get("ts") in ("bigint", "int", "double"):
         ts = F.timestamp_seconds(F.col("ts"))
-    if input_tz:
+    elif input_tz:
+        # a real timestamp column that was PARSED as zone-less wall time
         ts = F.to_utc_timestamp(ts, input_tz)
     out = df.withColumn("ts", ts)
     for name, field in [
@@ -124,21 +134,31 @@ def with_control_messages(spark, df: DataFrame) -> DataFrame:
     )
     # Start sorts BEFORE every real event in (ts, event_id) stream order —
     # the reference injects it at boot, ahead of all data (Scheduler.php:730-737);
-    # Stop sorts after everything (Scheduler.php:988).
-    start = bounds.select(
-        (F.col("mn") - 1).alias("event_id"),
-        F.col("lo").alias("ts"),
+    # Stop sorts after everything (Scheduler.php:988). BOTH control rows
+    # come from ONE explode over the single bounds row — selecting start
+    # and stop separately would embed (and execute) the full min/max
+    # aggregate subtree twice per action on the result.
+    ctrl = bounds.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("mn") - 1).alias("event_id"),
+                    F.col("lo").alias("ts"),
+                    F.lit(CONTROL_MSG_START).alias("event_type"),
+                ),
+                F.struct(
+                    (F.col("mx") + 1).alias("event_id"),
+                    F.col("hi").alias("ts"),
+                    F.lit(CONTROL_MSG_STOP).alias("event_type"),
+                ),
+            )
+        ).alias("c")
+    ).select(
+        F.col("c.event_id"),
+        F.col("c.ts"),
         F.lit(None).cast("bigint").alias("user_id"),
-        F.lit(CONTROL_MSG_START).alias("event_type"),
+        F.col("c.event_type"),
         F.lit(None).cast("double").alias("value"),
         F.lit(None).cast("string").alias("props"),
     )
-    stop = bounds.select(
-        (F.col("mx") + 1).alias("event_id"),
-        F.col("hi").alias("ts"),
-        F.lit(None).cast("bigint").alias("user_id"),
-        F.lit(CONTROL_MSG_STOP).alias("event_type"),
-        F.lit(None).cast("double").alias("value"),
-        F.lit(None).cast("string").alias("props"),
-    )
-    return start.unionByName(df.select(*[f.name for f in EVENT_SCHEMA])).unionByName(stop)
+    return ctrl.unionByName(df.select(*[f.name for f in EVENT_SCHEMA]))

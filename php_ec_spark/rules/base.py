@@ -125,6 +125,16 @@ class Rule:
     on_timeout: Optional[Callable] = field(default=None, compare=False)
 
     def __post_init__(self) -> None:
+        if isinstance(self.events, str) or any(
+            isinstance(g, str) for g in self.events
+        ):
+            # events=['placed','paid'] (a natural mistake for the
+            # group-of-groups shape) would silently explode each string
+            # into per-CHARACTER groups and the rule would never fire
+            raise ValueError(
+                f"rule {self.name}: events must be a sequence of GROUPS "
+                "(e.g. [['placed'], ['paid']]), got a bare string"
+            )
         if not self.events or any(len(g) == 0 for g in self.events):
             raise ValueError(f"rule {self.name}: events must be non-empty groups")
         object.__setattr__(self, "events", tuple(tuple(g) for g in self.events))
@@ -152,8 +162,14 @@ class Rule:
 
     @property
     def is_simple_sequence(self) -> bool:
-        """True when the relational fast path applies: a plain (non-continuous,
-        non-suppressing, callback-free) keyed sequence of single-type groups."""
+        """Shape check ONLY: a keyed, non-continuous, non-suppressing,
+        accept-free sequence of single distinct-type groups. This is
+        NECESSARY but not sufficient for the relational fast path — it
+        deliberately ignores callbacks (on_complete/on_timeout),
+        emit_progress/emit_final, and chain_limit, all of which ALSO
+        force the state machine; use
+        ``engine.relational.is_relational_compilable`` for the full
+        routing decision."""
         return (
             not self.continuous
             and not self.suppress

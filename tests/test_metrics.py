@@ -206,3 +206,35 @@ class TestStreamingMetrics:
             assert stats.get("n_completed", 0) >= 1
         finally:
             spark.streams.removeListener(metrics)
+
+
+class TestCalcLoadCoverage:
+    def test_divides_by_covered_span_not_horizon(self):
+        """A query 30 s old with 300 rows runs at 10 eps — dividing by the
+        full 3600 s horizon would report 0.083 eps (43x low)."""
+        import time as _time
+
+        from php_ec_spark.metrics import EngineMetrics
+
+        m = EngineMetrics()
+        now = _time.time()
+        m._progress.append(
+            {"wall_ts": now - 30, "num_input_rows": 300, "observed": {}}
+        )
+        load = m.calc_load((60, 3600))
+        assert 8.0 <= load[60] <= 11.0, load
+        assert 8.0 <= load[3600] <= 11.0, load
+
+    def test_full_coverage_matches_horizon_division(self):
+        import time as _time
+
+        from php_ec_spark.metrics import EngineMetrics
+
+        m = EngineMetrics()
+        now = _time.time()
+        for age in range(60, 0, -10):  # 60 s of history
+            m._progress.append(
+                {"wall_ts": now - age, "num_input_rows": 100, "observed": {}}
+            )
+        load = m.calc_load((60,))
+        assert 9.0 <= load[60] <= 11.0, load  # 600 rows / 60 s

@@ -424,6 +424,72 @@ from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 
+class TestCronStandardSemantics:
+    """Round-6 review fixes: the Vixie day-matching OR rule, 'N/step'
+    expansion, and loud rejection of impossible field values."""
+
+    def _span(self, spark, lo, hi):
+        import datetime as dtm
+
+        f = "%Y-%m-%d %H:%M:%S"
+        return spark.createDataFrame(
+            [(0, dtm.datetime.strptime(lo, f), 1, "x", 1.0, None),
+             (1, dtm.datetime.strptime(hi, f), 1, "x", 1.0, None)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    def test_dom_dow_or_rule(self, spark):
+        from php_ec_spark.functions import cron_expression_fires
+
+        # standard cron: when BOTH dom and dow are restricted the day
+        # matches if EITHER does. Jan 2024: the 13th is a Saturday;
+        # Fridays are 5,12,19,26 — '0 0 13 * 5' must fire on ALL of
+        # 5,12,13,19,26 (an AND would fire on none of them).
+        ev = self._span(spark, "2024-01-01 00:00:00", "2024-01-31 23:59:00")
+        fires = sorted(
+            r["fire_ts"].day
+            for r in cron_expression_fires(ev, "0 0 13 * 5").collect()
+        )
+        assert fires == [5, 12, 13, 19, 26]
+
+    def test_dom_only_and_dow_only_still_exact(self, spark):
+        from php_ec_spark.functions import cron_expression_fires
+
+        ev = self._span(spark, "2024-01-01 00:00:00", "2024-01-31 23:59:00")
+        dom_only = sorted(
+            r["fire_ts"].day
+            for r in cron_expression_fires(ev, "0 0 13 * *").collect()
+        )
+        assert dom_only == [13]
+        dow_only = sorted(
+            r["fire_ts"].day
+            for r in cron_expression_fires(ev, "0 0 * * 5").collect()
+        )
+        assert dow_only == [5, 12, 19, 26]
+
+    def test_value_slash_step_expands_to_max(self, spark):
+        from php_ec_spark.functions import cron_expression_fires
+
+        # standard cron: '5/15' in the minute field = 5-59/15 = 5,20,35,50
+        ev = self._span(spark, "2024-01-01 00:00:00", "2024-01-01 00:59:00")
+        fires = [r["fire_ts"].minute for r in
+                 cron_expression_fires(ev, "5/15 * * * *")
+                 .orderBy("fire_ts").collect()]
+        assert fires == [5, 20, 35, 50]
+
+    def test_out_of_range_value_raises(self, spark):
+        import pytest as _pytest
+
+        from php_ec_spark.functions import cron_expression_fires
+
+        ev = self._span(spark, "2024-01-01 00:00:00", "2024-01-01 00:59:00")
+        with _pytest.raises(ValueError, match="out of range"):
+            cron_expression_fires(ev, "99 * * * *")
+        with _pytest.raises(ValueError, match="out of range"):
+            cron_expression_fires(ev, "0 0 32 * *")
+
+
 class TestCronFuzz:
     """cron_expression_fires vs an INDEPENDENT minute-loop evaluator (no
     engine code shared): random field specs over a 3-day span."""

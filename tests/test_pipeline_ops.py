@@ -970,3 +970,71 @@ class TestOperatorReviewRegressions:
         lsh = {(r.doc_a, r.doc_b)
                for r in minhash_lsh_pairs(df, 0.8).collect()}
         assert lsh == exact == {(0, 1)}
+
+
+class TestRootModuleReviewRegressions:
+    def test_asof_self_join_is_strictly_prior(self, spark):
+        """A self as-of join must match each event to its PREDECESSOR:
+        the old tie ordering put the identical right twin inside the
+        prior-rows frame and every row matched itself."""
+        import datetime as dtm
+
+        base = dtm.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [(i, base + dtm.timedelta(seconds=i), 1, "x", float(i), None)
+             for i in range(4)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        out = {r.event_id: r.asof_event_id
+               for r in asof_join(ev, ev).collect()}
+        assert out == {0: None, 1: 0, 2: 1, 3: 2}
+
+    def test_enrich_without_join_condition_raises(self, spark):
+        from php_ec_spark.functions import validate_enrich_filter
+
+        ev = spark.createDataFrame([(1,)], "user_id long")
+        dim = spark.createDataFrame([(1, "gold")], "user_id long, tier string")
+        with pytest.raises(ValueError, match="enrich_on"):
+            validate_enrich_filter(ev, enrich=dim)
+
+    def test_normalize_events_epoch_with_input_tz_not_double_shifted(
+        self, spark
+    ):
+        """Epoch numerics are absolute instants — input_tz must not
+        re-shift them (it applies only to zone-less strings)."""
+        import datetime as dtm
+
+        from php_ec_spark.model import normalize_events
+
+        epoch = 1704067200  # 2024-01-01T00:00:00Z
+        df = spark.createDataFrame(
+            [(1, epoch, "x")], "event_id long, ts bigint, event_type string"
+        )
+        got = normalize_events(df, input_tz="America/New_York").collect()[0]
+        assert got.ts == dtm.datetime(2024, 1, 1, 0, 0)
+
+    def test_normalize_events_string_tz_rules(self, spark):
+        """Zone-suffixed strings keep their own offset; zone-less strings
+        are interpreted in input_tz."""
+        import datetime as dtm
+
+        from php_ec_spark.model import normalize_events
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01T12:00:00+02:00", "x"),
+             (2, "2024-01-01 12:00:00", "x")],
+            "event_id long, ts string, event_type string",
+        )
+        got = {r.event_id: r.ts
+               for r in normalize_events(df, input_tz="Etc/GMT-2").collect()}
+        # both mean 12:00 at UTC+2 → 10:00 UTC
+        assert got[1] == got[2] == dtm.datetime(2024, 1, 1, 10, 0)
+
+    def test_rule_rejects_bare_string_events(self, spark):
+        from php_ec_spark.rules.base import Rule
+
+        with pytest.raises(ValueError, match="bare string"):
+            Rule(name="r", events=["placed", "paid"])
+        with pytest.raises(ValueError, match="bare string"):
+            Rule(name="r", events="placed")
