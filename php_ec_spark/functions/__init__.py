@@ -263,14 +263,22 @@ def cron_expression_fires(
     if len(fields) != 5:
         raise ValueError(f"cron expression needs 5 fields, got {expression!r}")
     bounds = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
-    cand = bounds.select(
-        F.explode(
-            F.sequence(
-                F.date_trunc("minute", F.col("lo")),
-                F.col("hi"),
-                F.expr("INTERVAL 1 minute"),
-            )
-        ).alias("fire_ts")
+    # next-run-AFTER-boot (Rule/Cron.php next-run calc): the truncated
+    # sequence start can precede the stream's first event — a fire before
+    # min(ts) never happened in a real deployment, so drop it
+    cand = (
+        bounds.select(
+            F.explode(
+                F.sequence(
+                    F.date_trunc("minute", F.col("lo")),
+                    F.col("hi"),
+                    F.expr("INTERVAL 1 minute"),
+                )
+            ).alias("fire_ts"),
+            F.col("lo"),
+        )
+        .filter(F.col("fire_ts") >= F.col("lo"))
+        .select("fire_ts")
     )
     local = F.from_utc_timestamp(F.col("fire_ts"), tz) if tz else F.col("fire_ts")
     cand = _apply_cron_fields(cand, local, fields)
@@ -350,9 +358,16 @@ def cron_fires(
     """
     bounds = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
     first = F.date_trunc(align, F.col("lo"))
-    fires = bounds.select(
-        F.explode(
-            F.sequence(first, F.col("hi"), F.expr(f"INTERVAL {every}"))
-        ).alias("fire_ts")
+    # no fire before the stream's first event (next-run-after-boot) —
+    # the aligned sequence start usually precedes min(ts)
+    fires = (
+        bounds.select(
+            F.explode(
+                F.sequence(first, F.col("hi"), F.expr(f"INTERVAL {every}"))
+            ).alias("fire_ts"),
+            F.col("lo"),
+        )
+        .filter(F.col("fire_ts") >= F.col("lo"))
+        .select("fire_ts")
     )
     return _scheduled_emissions(fires, name)

@@ -54,16 +54,25 @@ _FIRST_AFTER = """
         WITH e AS (
             SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type, value
             FROM events WHERE event_type IN ({types})
-        ), w AS (
+        ), w0 AS (
+            -- ONE struct per matched row: three independent IGNORE NULLS
+            -- windows would misalign when the matched event's value is
+            -- NULL (ts/id from the first match, val from a LATER one)
             SELECT e.*,
-                   first_value(CASE WHEN event_type = '{b}' THEN ts END IGNORE NULLS) OVER win AS b_ts,
-                   first_value(CASE WHEN event_type = '{b}' THEN event_id END IGNORE NULLS) OVER win AS b_id,
-                   first_value(CASE WHEN event_type = '{b}' THEN value END IGNORE NULLS) OVER win AS b_val
+                   first_value(CASE WHEN event_type = '{b}' THEN
+                       struct_pack(ts := ts, id := event_id, val := value)
+                   END IGNORE NULLS) OVER win AS b
             FROM e
             WINDOW win AS (
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
             )
+        ), w AS (
+            SELECT w0.* EXCLUDE (b),
+                   struct_extract(b, 'ts') AS b_ts,
+                   struct_extract(b, 'id') AS b_id,
+                   struct_extract(b, 'val') AS b_val
+            FROM w0
         )
 """
 
@@ -87,7 +96,7 @@ _FIRST_AFTER = """
                CAST(CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
                     THEN 2 ELSE 1 END AS BIGINT) AS n_events,
                round(CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
-                    THEN value + b_val ELSE value END, 6) AS value_sum
+                    THEN list_aggregate([value, b_val], 'sum')::DOUBLE ELSE value END, 6) AS value_sum
         FROM w WHERE event_type = 'signup'
     """,
 )
@@ -109,19 +118,30 @@ def cep_seq_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (
             SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type, value
             FROM events WHERE event_type IN ('signup','click','purchase')
-        ), w AS (
+        ), w0 AS (
+            -- struct-anchored (see _FIRST_AFTER): ts/id/val must all come
+            -- from the SAME first matched event even when val is NULL
             SELECT e.*,
-                   first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER win AS b_ts,
-                   first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER win AS b_id,
-                   first_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER win AS b_val,
-                   first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS) OVER win AS c_ts,
-                   first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS) OVER win AS c_id,
-                   first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) OVER win AS c_val
+                   first_value(CASE WHEN event_type = 'click' THEN
+                       struct_pack(ts := ts, id := event_id, val := value)
+                   END IGNORE NULLS) OVER win AS bs,
+                   first_value(CASE WHEN event_type = 'purchase' THEN
+                       struct_pack(ts := ts, id := event_id, val := value)
+                   END IGNORE NULLS) OVER win AS cs
             FROM e
             WINDOW win AS (
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
             )
+        ), w AS (
+            SELECT w0.* EXCLUDE (bs, cs),
+                   struct_extract(bs, 'ts') AS b_ts,
+                   struct_extract(bs, 'id') AS b_id,
+                   struct_extract(bs, 'val') AS b_val,
+                   struct_extract(cs, 'ts') AS c_ts,
+                   struct_extract(cs, 'id') AS c_id,
+                   struct_extract(cs, 'val') AS c_val
+            FROM w0
         ), a AS (
             SELECT user_id, event_id AS a_id, ts AS a_ts, value AS a_val,
                    b_ts, b_id, b_val
@@ -147,8 +167,10 @@ def cep_seq_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN c_ts IS NULL OR c_ts > b_ts + INTERVAL 12 HOUR THEN 2
                     ELSE 3 END AS BIGINT) AS n_events,
                round(CASE WHEN b_ts IS NULL OR b_ts > a_ts + INTERVAL 12 HOUR THEN a_val
-                    WHEN c_ts IS NULL OR c_ts > b_ts + INTERVAL 12 HOUR THEN a_val + b_val
-                    ELSE a_val + b_val + c_val END, 6) AS value_sum
+                    WHEN c_ts IS NULL OR c_ts > b_ts + INTERVAL 12 HOUR
+                        THEN list_aggregate([a_val, b_val], 'sum')::DOUBLE
+                    ELSE list_aggregate([a_val, b_val, c_val], 'sum')::DOUBLE
+                    END, 6) AS value_sum
         FROM a LEFT JOIN bc USING (b_id)
     """,
 )
@@ -169,16 +191,23 @@ def cep_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH e AS (
             SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type, value
             FROM events WHERE event_type IN ('signup','click','purchase')
-        ), w AS (
+        ), w0 AS (
+            -- struct-anchored (see _FIRST_AFTER)
             SELECT e.*,
-                   first_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) OVER win AS b_ts,
-                   first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER win AS b_id,
-                   first_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS) OVER win AS b_val
+                   first_value(CASE WHEN event_type = 'click' THEN
+                       struct_pack(ts := ts, id := event_id, val := value)
+                   END IGNORE NULLS) OVER win AS bs
             FROM e
             WINDOW win AS (
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
             )
+        ), w AS (
+            SELECT w0.* EXCLUDE (bs),
+                   struct_extract(bs, 'ts') AS b_ts,
+                   struct_extract(bs, 'id') AS b_id,
+                   struct_extract(bs, 'val') AS b_val
+            FROM w0
         ), a AS (SELECT * FROM w WHERE event_type = 'signup')
         SELECT 'prog3' AS rule, CAST(user_id AS VARCHAR) AS key,
                'progress' AS outcome, ts AS fire_ts,
@@ -187,7 +216,8 @@ def cep_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM a
         UNION ALL
         SELECT 'prog3', CAST(user_id AS VARCHAR), 'progress', b_ts,
-               event_id, b_id, CAST(2 AS BIGINT), round(value + b_val, 6)
+               event_id, b_id, CAST(2 AS BIGINT),
+               round(list_aggregate([value, b_val], 'sum')::DOUBLE, 6)
         FROM a WHERE b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 12 HOUR
     """,
 )
@@ -320,7 +350,7 @@ def cep_chain_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
                'completed' AS outcome, b_ts AS fire_ts,
                event_id AS start_event_id, b_id AS last_event_id,
                CAST(2 AS BIGINT) AS n_events,
-               round(value + b_val, 6) AS value_sum
+               round(list_aggregate([value, b_val], 'sum')::DOUBLE, 6) AS value_sum
         FROM w WHERE event_type = 'signup' AND b_ts IS NOT NULL
     """,
 )
@@ -342,9 +372,12 @@ def cep_historical_no_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(Rule/ValidateEnrichFilter.php:22-94) — broadcast-joined dim, "
     "engine-wide suppression of failing events.",
     oracle="""
+        -- LEFT join: the Spark side enriches with a left join, so an
+        -- event with a NULL/unmatched user_id survives with n_name NULL
+        -- (an inner join here would drop it and hide the divergence)
         SELECT e.event_id, e.user_id, e.event_type, n.n_name
         FROM events e
-        JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        LEFT JOIN nation n ON e.user_id % 25 = n.n_nationkey
         WHERE e.value >= 5 AND e.event_type IN ('click', 'purchase')
     """,
 )
@@ -381,7 +414,7 @@ def cep_validate_enrich_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
                         THEN 2 ELSE 1 END AS BIGINT) AS n_events,
                    round(CASE WHEN b_ts IS NOT NULL AND b_ts <= ts + INTERVAL 24 HOUR
-                        THEN value + b_val ELSE value END, 6) AS value_sum
+                        THEN list_aggregate([value, b_val], 'sum')::DOUBLE ELSE value END, 6) AS value_sum
             FROM w WHERE event_type = 'signup'
         )
         SELECT 'pay_check' AS rule, key, outcome, fire_ts, start_event_id,
@@ -412,8 +445,14 @@ def cep_chain_reinject(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(Scheduler.php:163-188); an OnStartup/OnShutdown-style rule consumes them.",
     oracle="""
         WITH b AS (
-            SELECT min(ts::TIMESTAMP) AS lo, max(ts::TIMESTAMP) AS hi,
-                   min(event_id) AS mn, max(event_id) AS mx
+            -- coalesce to epoch/0 exactly like with_control_messages
+            -- (model.py) so the two sides agree even on an EMPTY table
+            SELECT coalesce(min(ts::TIMESTAMP),
+                            TIMESTAMP '1970-01-01 00:00:00') AS lo,
+                   coalesce(max(ts::TIMESTAMP),
+                            TIMESTAMP '1970-01-01 00:00:00') AS hi,
+                   coalesce(min(event_id), 0) AS mn,
+                   coalesce(max(event_id), 0) AS mx
             FROM events
         )
         SELECT 'lifecycle' AS rule, CAST(NULL AS VARCHAR) AS key,
@@ -451,13 +490,14 @@ def cep_control_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 INTERVAL 1 HOUR
             )) AS fire_ts
         ) g
+        -- next-run-AFTER-boot semantics (Rule/Cron.php): no fire before
+        -- the stream's first event
+        WHERE g.fire_ts >= (SELECT min(ts::TIMESTAMP) FROM events)
     """,
 )
 def cep_cron_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events(spark, sf_dir)
-    return cron_fires(events, every="1 hour", name="cron", align="hour").select(
-        *_EMIT_COLS, F.col("value_sum")
-    )
+    return _out(cron_fires(events, every="1 hour", name="cron", align="hour"))
 
 
 @register(
@@ -468,11 +508,15 @@ def cep_cron_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(Rule/Cron.php:32-234 schedule calc + :38-51 special tokens).",
     oracle="""
         WITH g AS (
-            SELECT unnest(generate_series(
-                date_trunc('minute', (SELECT min(ts::TIMESTAMP) FROM events)),
-                (SELECT max(ts::TIMESTAMP) FROM events),
-                INTERVAL 1 MINUTE
-            )) AS fire_ts
+            SELECT fire_ts FROM (
+                SELECT unnest(generate_series(
+                    date_trunc('minute', (SELECT min(ts::TIMESTAMP) FROM events)),
+                    (SELECT max(ts::TIMESTAMP) FROM events),
+                    INTERVAL 1 MINUTE
+                )) AS fire_ts
+            )
+            -- next-run-AFTER-boot semantics: no fire before the stream
+            WHERE fire_ts >= (SELECT min(ts::TIMESTAMP) FROM events)
         ), fires AS (
             SELECT 'cron6h' AS rule, fire_ts FROM g
             WHERE minute(fire_ts) = 30 AND hour(fire_ts) % 6 = 0
@@ -501,11 +545,7 @@ def cep_cron_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     boot = cron_expression_fires(
         with_control_messages(spark, events), "@reboot", name="boot"
     )
-    return (
-        expr6.unionByName(daily)
-        .unionByName(boot)
-        .select(*_EMIT_COLS, F.col("value_sum"))
-    )
+    return _out(expr6.unionByName(daily).unionByName(boot))
 
 
 @register(

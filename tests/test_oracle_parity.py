@@ -136,3 +136,64 @@ def test_scale_boundary_parity_sf01(name, spark, ddb_sf01):
     odf = ddb_sf01.execute(q.oracle).df()
     problems = _compare(name, sdf, odf)
     assert not problems, "\n".join(problems)
+
+
+class TestNullValueOracleParity:
+    """The driver's corpora carry no NULL values, so the gate can't see a
+    misaligned oracle: three independent first_value(...IGNORE NULLS)
+    windows take ts/id from the first match but val from a LATER one when
+    the matched event's value is NULL. The struct-anchored oracles must
+    agree with the engine on exactly that stream."""
+
+    def test_seq_two_step_oracle_handles_null_values(self, spark):
+        import datetime as dt
+
+        from php_ec_spark.engine import correlate
+        from php_ec_spark.rules import sequence_rule
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # signup -> purchase(value NULL) -> purchase(7.0): the engine
+            # completes on the FIRST purchase and value_sum = 10.0
+            (1, base, 1, "signup", 10.0, None),
+            (2, base + dt.timedelta(minutes=1), 1, "purchase", None, None),
+            (3, base + dt.timedelta(minutes=2), 1, "purchase", 7.0, None),
+            # signup -> purchase(value NULL), nothing later: engine emits
+            # value_sum = 5.0 (None values are skipped, not propagated)
+            (4, base, 2, "signup", 5.0, None),
+            (5, base + dt.timedelta(minutes=1), 2, "purchase", None, None),
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        rule = sequence_rule(
+            "pay_check", ["signup", "purchase"], key="user_id",
+            timeout="PT24H",
+        )
+        spark_pdf = (
+            all_queries()["cep_seq_two_step"]  # noqa: F841  (schema ref)
+            and correlate(ev, [rule])
+            .selectExpr(
+                "rule", "key", "outcome", "fire_ts", "start_event_id",
+                "last_event_id", "n_events",
+                "round(value_sum, 6) AS value_sum",
+            )
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.register("events_pdf", ev.toPandas())
+        con.execute("CREATE VIEW events AS SELECT * FROM events_pdf")
+        oracle_pdf = con.execute(
+            all_queries()["cep_seq_two_step"].oracle
+        ).df()
+        cols = sorted(spark_pdf.columns)
+        a = spark_pdf[cols].sort_values(cols).reset_index(drop=True)
+        b = oracle_pdf[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        # and pin the engine-side semantics explicitly
+        by_key = {r["key"]: r for _, r in a.iterrows()}
+        assert by_key["1"]["value_sum"] == 10.0
+        assert by_key["1"]["last_event_id"] == 2  # FIRST purchase
+        assert by_key["2"]["value_sum"] == 5.0
