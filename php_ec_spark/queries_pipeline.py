@@ -48,7 +48,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whole-text shingle).
 _SHINGLES = """
         WITH tok AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            -- with_shingles' tokenization exactly: split(trim, '\s+')
+            -- (single-space string_split diverges on repeated/tab/edge
+            -- whitespace; pipe_simhash already uses this convention)
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
         ), sh AS (
             SELECT doc_id,
                    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -323,10 +328,17 @@ def pipe_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "single corpus pass, deterministic (rounded cos, id) ranking.",
     oracle="""
         WITH q AS (
+            -- zero-norm guard on BOTH sides: the Spark kernels mask
+            -- zero-denominator scores to -inf (rows drop out entirely)
+            -- while DuckDB's x/0.0 yields NULL rows that would survive
             SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-            FROM embeddings WHERE vec_id < 10
+            FROM embeddings
+            WHERE vec_id < 10
+              AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
         ), c AS (
-            SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+            SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+            FROM embeddings
+            WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
         ), s AS (
             SELECT query_id, neighbor_id,
                    round(
@@ -417,7 +429,9 @@ def pipe_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT label AS cluster, list(m ORDER BY pos) AS centroid
             FROM cm GROUP BY label
         ), q AS (
-            SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+            -- zero-norm guard (see pipe_cosine_topk): Spark drops these
+            SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id < 10 AND list_dot_product(v, v) > 0
         ), pq AS (
             SELECT q.query_id, q.qv, c.cluster,
                    round(
@@ -439,7 +453,7 @@ def pipe_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * sqrt(list_dot_product(e.v, e.v))), 6
                    ) AS cos
             FROM pr p JOIN e ON e.label = p.cluster AND e.vec_id <> p.query_id
-            WHERE p.crank <= 2
+            WHERE p.crank <= 2 AND list_dot_product(e.v, e.v) > 0
         ), r AS (
             SELECT s.*, row_number() OVER (
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id
@@ -473,7 +487,13 @@ def pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(label AS BIGINT) AS label,
                count(*) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
-               round(avg(n_unique::DOUBLE / n_tokens), 6) AS avg_diversity
+               -- POOLED diversity (ratio of exact integer sums, one final
+               -- division): an avg of per-doc double ratios is an
+               -- order-dependent float summation that can straddle a 6dp
+               -- rounding boundary between Spark's parallel partials and
+               -- DuckDB's sequential fold
+               round(sum(n_unique)::DOUBLE / sum(n_tokens), 6)
+                   AS pooled_diversity
         FROM s GROUP BY label
     """,
 )
@@ -487,8 +507,9 @@ def pipe_doc_quality_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("tokens_total"),
             F.round(
-                F.avg(F.col("n_unique_tokens").cast("double") / F.col("n_tokens")), 6
-            ).alias("avg_diversity"),
+                F.sum("n_unique_tokens").cast("double") / F.sum("n_tokens"),
+                6,
+            ).alias("pooled_diversity"),
         )
     )
 
@@ -531,9 +552,22 @@ def pipe_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Multimodal plumbing: binary payload column → Arrow-batched "
     "mapInPandas metadata extraction (decode stubbed, deterministic fake).",
     oracle="""
+        -- head_byte is the first UTF-8 BYTE of the encoded payload (and
+        -- -1 for empty), not the first character's codepoint: derive the
+        -- leading byte from the codepoint arithmetically so non-ASCII
+        -- leading characters agree with the Spark side
         SELECT doc_id AS item_id,
                CAST(strlen(text) AS BIGINT) AS byte_len,
-               CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte,
+               CAST(CASE
+                   WHEN strlen(text) = 0 THEN -1
+                   WHEN unicode(substr(text, 1, 1)) < 128
+                        THEN unicode(substr(text, 1, 1))
+                   WHEN unicode(substr(text, 1, 1)) < 2048
+                        THEN 192 + unicode(substr(text, 1, 1)) // 64
+                   WHEN unicode(substr(text, 1, 1)) < 65536
+                        THEN 224 + unicode(substr(text, 1, 1)) // 4096
+                   ELSE 240 + unicode(substr(text, 1, 1)) // 262144
+               END AS BIGINT) AS head_byte,
                CAST(strlen(text) % 640 + 1 AS BIGINT) AS width,
                CAST(strlen(text) % 480 + 1 AS BIGINT) AS height
         FROM documents
@@ -563,7 +597,12 @@ def pipe_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         ),
         tok13 AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            -- with_shingles' tokenization exactly: split(trim, '\s+')
+            -- (single-space string_split diverges on repeated/tab/edge
+            -- whitespace; pipe_simhash already uses this convention)
+            SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
         ), sh13 AS (
             SELECT doc_id,
                    CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]

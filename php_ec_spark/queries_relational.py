@@ -412,8 +412,12 @@ def rel_datetime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS DOUBLE) AS value_total,
                CAST(NULL AS BIGINT) AS n_big_k, CAST(NULL AS BIGINT) AS big_k_total
         FROM (
+            -- order by the CAST ts: on a TIMESTAMP(NANOS) table the raw
+            -- column ranks by nanoseconds while Spark ranks by the
+            -- microsecond-floored value — same-microsecond ties at the
+            -- ring cutoff would pick different rows
             SELECT event_type, event_id, ts FROM events
-            ORDER BY ts DESC, event_id DESC LIMIT 100
+            ORDER BY ts::TIMESTAMP DESC, event_id DESC LIMIT 100
         )
     """,
 )
@@ -520,15 +524,29 @@ def rel_events_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     agg = j.groupBy("h").agg(_n(60), _n(900), _n(3600))
-    loads = None
-    for sec in (60, 900, 3600):
-        row = agg.select(
-            F.lit(f"load_{sec}s").alias("kind"),
-            (F.col("h") - F.make_interval(secs=F.lit(float(sec)))).alias("win_start"),
-            F.col(f"n{sec}").alias("n_events"),
-            F.round(F.col(f"n{sec}") / float(sec), 6).alias("eps"),
-        )
-        loads = row if loads is None else loads.unionByName(row)
+    # ONE explode over the single aggregate row instead of three selects
+    # unioned — selecting per-horizon would embed (and absent exchange
+    # reuse, execute) the full events aggregate three times
+    loads = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"load_{sec}s").alias("kind"),
+                        (
+                            F.col("h")
+                            - F.make_interval(secs=F.lit(float(sec)))
+                        ).alias("win_start"),
+                        F.col(f"n{sec}").alias("n_events"),
+                        F.round(F.col(f"n{sec}") / float(sec), 6).alias(
+                            "eps"
+                        ),
+                    )
+                    for sec in (60, 900, 3600)
+                ]
+            )
+        ).alias("l")
+    ).select("l.kind", "l.win_start", "l.n_events", "l.eps")
     return tumble.unionByName(slide).unionByName(loads)
 
 
@@ -545,7 +563,12 @@ def rel_events_eps(spark: SparkSession, sf_dir: str) -> DataFrame:
                              OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER win >= INTERVAL 6 HOUR
                         THEN 1 ELSE 0 END AS new_sess
             FROM events
-            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+            -- ts::TIMESTAMP in the window ORDER BY: DuckDB binds a bare
+            -- 'ts' to the BASE nanosecond column (not the select alias),
+            -- which orders same-microsecond ties differently than Spark
+            WINDOW win AS (
+                PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+            )
         ), g AS (
             SELECT s.*, sum(new_sess) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
@@ -612,8 +635,12 @@ def rel_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id, user_id, ts, asof_ts FROM (
             SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type,
+                   -- ts::TIMESTAMP in the ORDER BY: a bare 'ts' binds to
+                   -- the base (nanosecond) column, ordering ties
+                   -- differently than Spark's microsecond view
                    max(CASE WHEN event_type = 'signup' THEN ts::TIMESTAMP END) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
+                       PARTITION BY user_id
+                       ORDER BY ts::TIMESTAMP, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ) AS asof_ts
             FROM events

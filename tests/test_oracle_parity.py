@@ -197,3 +197,39 @@ class TestNullValueOracleParity:
         assert by_key["1"]["value_sum"] == 10.0
         assert by_key["1"]["last_event_id"] == 2  # FIRST purchase
         assert by_key["2"]["value_sum"] == 5.0
+
+
+class TestIrregularWhitespaceOracleParity:
+    """The driver's corpora are single-spaced ASCII, so the gate can't see
+    a tokenization-convention split between the Spark operators
+    (split(trim, '\\s+')) and an oracle written with string_split(' ').
+    Pin the registered jaccard oracle against the Spark side on text with
+    repeated/tab/edge whitespace."""
+
+    def test_jaccard_oracle_matches_on_messy_whitespace(self, spark):
+        from php_ec_spark.operators.dedup import jaccard_pairs
+
+        texts = [
+            (0, "x y  z w one two three"),    # double space
+            (1, "x y z w one two three"),
+            (2, "alpha  beta\tgamma delta "),  # doubles + tab + trailing
+            (3, "alpha beta gamma delta"),
+        ] + [
+            # filler so the 5% max_df cutoff (floor'd like the registered
+            # query) keeps df=2 shingles: max_df = floor(0.05*44) = 2
+            (10 + i, f"filler{i} words nothing{i} shared{i} here{i}")
+            for i in range(40)
+        ]
+        ev = spark.createDataFrame(texts, "doc_id long, text string")
+        max_df = max(1, int(len(texts) * 0.05))
+        sdf = jaccard_pairs(ev, 0.8, max_df=max_df).toPandas()
+        con = duckdb.connect()
+        con.register("docs_pdf", ev.toPandas())
+        con.execute("CREATE VIEW documents AS SELECT * FROM docs_pdf")
+        odf = con.execute(QUERIES["pipe_jaccard_pairs"].oracle).df()
+        cols = sorted(sdf.columns)
+        a = sdf[cols].sort_values(cols).reset_index(drop=True)
+        b = odf[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        got = {(r.doc_a, r.doc_b) for r in a.itertuples()}
+        assert (0, 1) in got and (2, 3) in got  # whitespace-insensitive
