@@ -252,6 +252,10 @@ class MemoryHub:
         self._gen = 0
         self._last_purge = time.monotonic()
         self._lock = threading.Lock()  # one hub may serve several queries
+        #: deletions issued BEFORE bind(): a delete leaves no trace in
+        #: _entries, so without this set bind()'s snapshot reload would
+        #: resurrect the very key the operator explicitly dropped
+        self._pre_bind_deletes: set = set()
         self.snapshot_path: Optional[str] = None
         if checkpoint_dir is not None:
             self.bind(checkpoint_dir)
@@ -263,8 +267,6 @@ class MemoryHub:
         are LOADED (preload-style, Scheduler.php:509-539) so learned
         memory survives the restart; a fresh hub's explicit pre-bind
         writes win over same-key loaded entries."""
-        if self.snapshot_path is not None:
-            return
         if "://" in checkpoint_dir:
             # the snapshot is written with local-filesystem APIs on the
             # driver and os.stat'd inside executors — that requires a
@@ -279,6 +281,12 @@ class MemoryHub:
         d = os.path.join(checkpoint_dir, "memory")
         os.makedirs(d, exist_ok=True)
         with self._lock:
+            # the already-bound guard must sit INSIDE the lock: two
+            # threads binding one shared hub concurrently could otherwise
+            # each pass the check and the loser's snapshot_path would
+            # point at a file the hub never republishes
+            if self.snapshot_path is not None:
+                return
             self.snapshot_path = os.path.join(d, "current.json")
             try:
                 with open(self.snapshot_path) as f:
@@ -287,11 +295,14 @@ class MemoryHub:
                 for entry in doc.get("entries", []):
                     ns, key, val, exp = entry[:4]
                     persistent = bool(entry[4]) if len(entry) > 4 else False
+                    if (ns, key) in self._pre_bind_deletes:
+                        continue  # a pre-bind delete must STAY deleted
                     self._entries.setdefault(
                         (ns, key), [val, exp, persistent]
                     )
             except (OSError, ValueError):
                 pass  # no/corrupt snapshot: start from this hub's state
+            self._pre_bind_deletes.clear()
             self._publish_locked()
 
     # -- write side -------------------------------------------------------
@@ -349,6 +360,8 @@ class MemoryHub:
     def _apply_locked(self, ns, key, value, expires_epoch, persistent) -> None:
         if value is None:
             self._entries.pop((ns, key), None)  # tombstone
+            if self.snapshot_path is None:
+                self._pre_bind_deletes.add((ns, key))
         else:
             self._entries[(ns, key)] = [value, expires_epoch, persistent]
 
@@ -399,15 +412,17 @@ class MemoryHub:
         """Bridge to the batch engine: current live entries as a
         MemoryEngine for broadcast enrichment of a batch frame."""
         with self._lock:
-            # local-naive datetimes: createDataFrame's TimestampType
-            # converts via the LOCAL timezone (time.mktime), so this is
-            # the inverse that round-trips the epoch exactly — the same
-            # convention absorb() relies on; a naive-UTC value here would
-            # shift every TTL by the driver's UTC offset
+            # tz-AWARE UTC datetimes: TimestampType.toInternal converts
+            # aware values via calendar.timegm (exact), while a naive
+            # value goes through time.mktime — local-interpreted AND
+            # fold-lossy (a repeated DST hour resolves to the wrong
+            # occurrence, shifting the TTL by an hour)
             rows = [
                 (ns, key, v[0],
                  None if v[1] is None else
-                 __import__("datetime").datetime.fromtimestamp(v[1]),
+                 __import__("datetime").datetime.fromtimestamp(
+                     v[1], __import__("datetime").timezone.utc
+                 ),
                  v[2], self._gen, 0)
                 for (ns, key), v in self._entries.items()
             ]

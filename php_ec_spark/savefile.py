@@ -222,6 +222,10 @@ def _deadline_check(insts: list[dict], saved_to) -> Optional[tuple]:
     tolerance absorbs serialization rounding."""
     if not saved_to:
         return None
+    if not isinstance(saved_to, str):
+        # a numeric/object timeout (legacy-decoded PHP int, foreign shape)
+        # cannot be cross-checked — skip the check, never crash the import
+        return None
     try:
         want_ns = int(
             _parse_iso(saved_to).replace(tzinfo=timezone.utc).timestamp() * 1e9
@@ -339,7 +343,14 @@ def import_savefile(
     unmapped: list[str] = []
     legacy = 0
     max_event_ts: Optional[datetime] = None
-    for entry in engine_state.get("matchers", []) or []:
+    matchers_section = engine_state.get("matchers", []) or []
+    if isinstance(matchers_section, dict):
+        # the reference unsets completed matchers from its PHP array;
+        # json_encode of the now non-contiguous array emits an OBJECT —
+        # the matcher entries are its VALUES (same shape as a legacy
+        # state's events array, fixed one level down)
+        matchers_section = list(matchers_section.values())
+    for entry in matchers_section:
         if isinstance(entry, str):
             # pre-2022 PHP-serialize() matcher blob: decode to the modern
             # {"c": class, "s": state} shape; count only decode failures
@@ -374,16 +385,34 @@ def import_savefile(
             ev = events_section.get(obj_id)
             if ev is None:
                 continue
+            if obj_id in envelopes:
+                env = envelopes[obj_id]
+                if env is not None:
+                    envs.append(env)
+                continue  # cached decode/map result (incl. failures —
+                # an event shared by N matchers decodes and counts ONCE)
             if isinstance(ev, str):  # legacy PHP-serialize() event blob
                 obj = _decode_legacy(ev)
                 if obj is None or not _is_event_shaped(obj.fields):
                     # decodable but not an Event (foreign class, null
                     # datetime): count-and-skip, never crash the import
                     legacy += 1
+                    envelopes[obj_id] = None
                     continue
                 ev = obj.fields
-            if obj_id not in envelopes:
+            elif not (isinstance(ev, dict) and _is_event_shaped(ev)):
+                # MODERN entry with a null/missing datetime or event:
+                # the same count-and-skip, never an import-aborting crash
+                legacy += 1
+                envelopes[obj_id] = None
+                continue
+            try:
                 envelopes[obj_id] = event_mapper(obj_id, ev)
+            except (ValueError, KeyError, TypeError):
+                # shape checks pass but the datetime doesn't parse
+                legacy += 1
+                envelopes[obj_id] = None
+                continue
             envs.append(envelopes[obj_id])
         if not envs:
             continue
@@ -401,7 +430,15 @@ def import_savefile(
             "__all__" if rule.key is None else str(envs[0].get(rule.key))
         )
         matcher_recs.setdefault(rule.key, []).append(
-            (key_val, rule.name, chain, state.get("timeout"), cls)
+            (
+                key_val, rule.name, chain,
+                # non-string timeouts (legacy ints/foreign shapes) cannot
+                # cross-check and would break the distributed path's
+                # string schema
+                state.get("timeout")
+                if isinstance(state.get("timeout"), str) else None,
+                cls,
+            )
         )
 
     #: Spark type of each envelope column a rule may key on — snapshot keys
@@ -489,12 +526,20 @@ def import_savefile(
 
     memory = None
     mem_entries = doc.get("memory", []) or []
+    if isinstance(mem_entries, dict):  # non-contiguous PHP array -> object
+        mem_entries = list(mem_entries.values())
     if mem_entries:
         mem_rows = []
         for i, m in enumerate(mem_entries):
             if not isinstance(m, dict) or "namespace" not in m or "key" not in m:
                 continue
             expires = m.get("expiresAt")
+            if expires is not None:
+                try:
+                    _parse_iso(expires)
+                except (ValueError, TypeError, AttributeError):
+                    legacy += 1  # malformed entry: count-and-skip
+                    continue
             mem_rows.append(
                 (
                     str(m["namespace"]),

@@ -25,21 +25,31 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
-    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores. On a real
-    cluster, pass master/resource config through ``extra_conf`` or
-    spark-submit instead.
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores.
+
+    ``master`` defaults to ``$SPARK_GRAFT_MASTER`` else ``local[cpus]``.
+    NOTE for spark-submit deployments: a programmatic ``.master()`` beats
+    the ``--master`` flag, so under ``spark-submit --master yarn`` either
+    set ``SPARK_GRAFT_MASTER=yarn``, pass ``master=``, or put
+    ``spark.master`` in ``extra_conf`` — otherwise the job would silently
+    run local-mode on the driver host.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cpus), 4)
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    if extra_conf and "spark.master" in extra_conf:
+        master = extra_conf["spark.master"]
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         # Read µs-naive parquet timestamps as UTC TIMESTAMP, not NTZ
         # (DuckDB-oracle parity; NTZ forbids the double casts our clock

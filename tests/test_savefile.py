@@ -647,3 +647,83 @@ class TestLegacyEdgeShapes:
         assert imp.legacy_entries == 0
         assert [r["__key"] for r in imp.initial_states["user_id"].collect()] \
             == ["42"]
+
+
+class TestSectionShapeRobustness:
+    def test_dict_shaped_matchers_and_memory_sections_import(
+        self, spark, tmp_path
+    ):
+        """json_encode of a non-contiguous PHP array emits an OBJECT: a
+        dict-shaped matchers/memory section must iterate VALUES — key
+        iteration silently discarded every mid-flight matcher."""
+        doc = _savefile_doc()
+        doc["engine"]["matchers"] = {
+            str(i * 2): m for i, m in enumerate(doc["engine"]["matchers"])
+        }
+        doc["memory"] = {"5": doc["memory"][0], "9": doc["memory"][1]}
+        p = tmp_path / "objshape.state"
+        p.write_bytes(gzip.compress(json.dumps(doc).encode(), 2))
+        imp = import_savefile(spark, str(p), RULES(), RULE_MAP)
+        assert sorted(
+            r["__key"] for r in imp.initial_states["user_id"].collect()
+        ) == ["42", "7"]
+        assert imp.memory is not None
+        assert imp.memory.entries.count() == 2
+
+    def test_modern_malformed_events_count_not_crash(self, spark, tmp_path):
+        """Null datetime / missing event / unparseable datetime in MODERN
+        dict entries must count-and-skip like the legacy path — and a bad
+        event shared by several matchers counts ONCE."""
+        doc = _savefile_doc()
+        doc["engine"]["events"]["101"] = {
+            "id": 1, "event": "order_placed", "datetime": None,
+        }
+        doc["engine"]["events"]["102"] = {
+            "id": 2, "event": "order_placed", "datetime": "not-a-date",
+        }
+        # matcher 0 references both bad events; matcher 1 shares 101
+        doc["engine"]["matchers"][0]["s"]["events"] = [101, 102]
+        doc["engine"]["matchers"][1]["s"]["events"] = [101]
+        p = tmp_path / "badmodern.state"
+        p.write_bytes(gzip.compress(json.dumps(doc).encode(), 2))
+        imp = import_savefile(spark, str(p), RULES(), RULE_MAP)
+        # 101 counted once (shared), 102 once
+        assert imp.legacy_entries == 2
+        assert imp.initial_states == {}
+
+    def test_nonstring_timeout_and_bad_memory_expiry_skip(
+        self, spark, tmp_path
+    ):
+        doc = _savefile_doc()
+        doc["engine"]["matchers"][0]["s"]["timeout"] = 1704067220  # epoch int
+        doc["memory"].append(
+            {"namespace": "ns", "key": "bad", "value": 1,
+             "expiresAt": "not-a-date"}
+        )
+        p = tmp_path / "weird.state"
+        p.write_bytes(gzip.compress(json.dumps(doc).encode(), 2))
+        imp = import_savefile(spark, str(p), RULES(), RULE_MAP)
+        # both matchers still import; the numeric timeout just skips the
+        # cross-check; the malformed memory entry is skipped and counted
+        assert sorted(
+            r["__key"] for r in imp.initial_states["user_id"].collect()
+        ) == ["42", "7"]
+        assert imp.timeout_mismatches == []
+        assert imp.legacy_entries == 1
+        assert imp.memory.entries.filter("key = 'bad'").count() == 0
+
+
+def test_memory_hub_pre_bind_delete_stays_deleted(tmp_path):
+    """A delete issued before bind() must not be resurrected by the
+    snapshot reload."""
+    from php_ec_spark.memory import MemoryHub
+
+    hub = MemoryHub(str(tmp_path))
+    hub.write("ns", "stale", {"v": 1})
+    hub.write("ns", "keep", {"v": 2})
+
+    hub2 = MemoryHub()
+    hub2.write("ns", "stale", None)  # drop the bad learned value pre-bind
+    hub2.bind(str(tmp_path))
+    assert hub2.get("ns", "stale") is None
+    assert hub2.get("ns", "keep") == {"v": 2}
