@@ -46,7 +46,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared oracle fragment: distinct 3-token shingles per document, matching
 # operators.dedup.with_shingles (docs shorter than 3 tokens collapse to one
 # whole-text shingle).
-_SHINGLES = """
+_SHINGLES = r"""
         WITH tok AS (
             -- with_shingles' tokenization exactly: split(trim, '\s+')
             -- (single-space string_split diverges on repeated/tab/edge
@@ -587,7 +587,7 @@ def pipe_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc (dedup.decontaminate, broadcast probe). All three run the "
     "PORTABLE md5 hash path so the keep decisions are bit-reproducible "
     "in DuckDB — the oracle recomputes every decision independently.",
-    oracle="""
+    oracle=r"""
         WITH u AS (
             SELECT doc_id, lang,
                    ('0x' || substr(md5(doc_id::VARCHAR || ':stratified_sample:7'), 1, 8))::BIGINT

@@ -391,16 +391,22 @@ def import_savefile(
                     envs.append(env)
                 continue  # cached decode/map result (incl. failures —
                 # an event shared by N matchers decodes and counts ONCE)
+            # The event/datetime shape gate encodes what the DEFAULT
+            # mapper requires; a custom event_mapper may target a
+            # differently-shaped events section, so for it we rely on
+            # the try/except around the mapper call instead of
+            # pre-filtering every entry into the legacy-skip bucket.
+            gate = event_mapper is default_event_mapper
             if isinstance(ev, str):  # legacy PHP-serialize() event blob
                 obj = _decode_legacy(ev)
-                if obj is None or not _is_event_shaped(obj.fields):
+                if obj is None or (gate and not _is_event_shaped(obj.fields)):
                     # decodable but not an Event (foreign class, null
                     # datetime): count-and-skip, never crash the import
                     legacy += 1
                     envelopes[obj_id] = None
                     continue
                 ev = obj.fields
-            elif not (isinstance(ev, dict) and _is_event_shaped(ev)):
+            elif not isinstance(ev, dict) or (gate and not _is_event_shaped(ev)):
                 # MODERN entry with a null/missing datetime or event:
                 # the same count-and-skip, never an import-aborting crash
                 legacy += 1

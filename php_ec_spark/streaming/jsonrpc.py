@@ -181,8 +181,13 @@ class _JsonRpcSimpleReader(SimpleDataSourceStreamReader):
                 # commit) and the first s post-restart events are
                 # silently lost. The child resumed from its own
                 # PHPEC_CHECKPOINT, so everything buffered is NEW data:
-                # renumber it to follow the committed offset.
-                if s > self._seq:
+                # renumber it to follow the committed offset. Rebase on
+                # ANY s > 0, not only s > self._seq: a resumed child that
+                # replays a backlog during query startup can push _seq
+                # past the committed offset before the first read(), and
+                # gating on s > self._seq would then skip the rebase and
+                # silently drop the first s events of this run.
+                if s > 0:
                     self._buf = type(self._buf)(
                         (s + i, payload)
                         for i, (_, payload) in enumerate(self._buf, start=1)

@@ -277,3 +277,27 @@ for i in range(4):
         # replay window still consistent post-rebase
         replay = list(r.readBetweenOffsets({"seq": 5001}, {"seq": 5003}))
         assert [s for s, _v in replay] == [5002, 5003]
+
+    def test_backlog_larger_than_offset_still_rebases(self):
+        """Child replays a backlog BIGGER than the committed offset before
+        the first read() — the reader's own counter overtakes `s`, and a
+        `s > self._seq` rebase gate would silently drop the first `s`
+        events of this run (they'd keep seq <= s and be filtered)."""
+        r = self._reader(self.SCRIPT)
+        # Let the child push all 4 events into the buffer first, so the
+        # internal counter (4) already exceeds the committed offset (2).
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with r._lock:
+                if len(r._buf) == 4:
+                    break
+            time.sleep(0.05)
+        rows, off = [], {"seq": 2}  # previous run committed only 2
+        while len(rows) < 4 and time.time() < deadline:
+            it, off = r.read(off)
+            rows.extend(it)
+            time.sleep(0.05)
+        # ALL 4 backlog events delivered — none swallowed below offset 2
+        assert [json.loads(v)["v"] for _s, v in rows] == [0, 1, 2, 3]
+        assert [s for s, _v in rows] == [3, 4, 5, 6]
+        assert off == {"seq": 6}

@@ -648,6 +648,43 @@ class TestLegacyEdgeShapes:
         assert [r["__key"] for r in imp.initial_states["user_id"].collect()] \
             == ["42"]
 
+    def test_custom_event_mapper_sees_nonstandard_shapes(
+        self, spark, tmp_path
+    ):
+        """The event/datetime shape gate encodes the DEFAULT mapper's
+        needs; a caller-supplied event_mapper targeting a differently
+        shaped events section must still receive every dict entry (the
+        gate previously counted them all as legacy and the custom mapper
+        never ran)."""
+        doc = _savefile_doc()
+        doc["engine"]["events"] = {
+            "101": {"type": "order_placed", "at": 0, "uid": 42, "amt": 99.5},
+            "102": {"type": "order_placed", "at": 5, "uid": 7, "amt": 10.0},
+            "103": {"type": "unrelated", "at": 6},
+        }
+        p = tmp_path / "custom.state"
+        p.write_bytes(gzip.compress(json.dumps(doc).encode(), 2))
+
+        from datetime import datetime
+
+        def mapper(obj_id, ev):
+            return {
+                "event_id": int(obj_id),
+                "event_type": ev["type"],
+                "ts": datetime(2024, 1, 1, 0, 0, ev["at"]),
+                "user_id": ev.get("uid"),
+                "value": ev.get("amt"),
+                "props": "{}",
+            }
+
+        imp = import_savefile(
+            spark, str(p), RULES(), RULE_MAP, event_mapper=mapper
+        )
+        assert imp.legacy_entries == 0
+        assert sorted(
+            r["__key"] for r in imp.initial_states["user_id"].collect()
+        ) == ["42", "7"]
+
 
 class TestSectionShapeRobustness:
     def test_dict_shaped_matchers_and_memory_sections_import(
