@@ -303,6 +303,11 @@ class MemoryHub:
             except (OSError, ValueError):
                 pass  # no/corrupt snapshot: start from this hub's state
             self._pre_bind_deletes.clear()
+            # a restart may merge pre-bind writes into the loaded doc at
+            # the SAME gen — bump so the republished snapshot gets a
+            # fresh write-once generation file, never a rewrite of an
+            # existing one
+            self._gen += 1
             self._publish_locked()
 
     # -- write side -------------------------------------------------------
@@ -391,10 +396,39 @@ class MemoryHub:
                 for (ns, key), v in self._entries.items()
             ],
         }
-        tmp = self.snapshot_path + ".tmp"
-        with open(tmp, "w") as f:
+        # Write-once generation file + atomic symlink swing. Readers key
+        # on the link TARGET NAME (one readlink, no data read): an
+        # mtime+size signature can alias on storage with coarse mtime
+        # granularity (same-size rewrite in the same second serves a
+        # stale snapshot), but a new generation always gets a brand-new
+        # immutable filename, so target-name change <=> content change.
+        data = f"{self.snapshot_path}.g{self._gen}"
+        with open(data, "w") as f:
             json.dump(doc, f)
-        os.replace(tmp, self.snapshot_path)  # atomic: readers never see halves
+        tmp = self.snapshot_path + ".lnk"
+        try:
+            try:
+                os.unlink(tmp)  # leftover from a crashed publish
+            except OSError:
+                pass
+            os.symlink(os.path.basename(data), tmp)
+            os.replace(tmp, self.snapshot_path)  # atomic swing
+        except OSError:
+            # filesystem without symlink support: plain atomic rewrite
+            # (readers fall back to the stat signature automatically)
+            os.replace(data, self.snapshot_path)
+            return
+        # retire older generations, keeping the previous one so a reader
+        # that readlink'd just before the swing can still open its target
+        base = os.path.basename(self.snapshot_path) + ".g"
+        d = os.path.dirname(self.snapshot_path)
+        for fn in os.listdir(d):
+            if fn.startswith(base):
+                try:
+                    if int(fn[len(base):]) < self._gen - 1:
+                        os.unlink(os.path.join(d, fn))
+                except (ValueError, OSError):
+                    pass
 
     # -- read side (driver convenience; executors use live_memory()) ------
     def get(self, ns: str, key: str, default=None):
@@ -483,10 +517,17 @@ def live_memory() -> LiveMemoryView:
     if path is None:
         return _EMPTY_VIEW
     try:
-        st = os.stat(path)
+        # the hub publishes a symlink whose target name encodes the
+        # generation — content-keyed, immune to mtime-granularity
+        # aliasing (a same-size same-second rewrite still changes the
+        # target name because generation files are write-once)
+        sig = os.readlink(path)
     except OSError:
-        return _EMPTY_VIEW
-    sig = (st.st_mtime_ns, st.st_size)
+        try:  # plain-file publish (no-symlink filesystem fallback)
+            st = os.stat(path)
+        except OSError:
+            return _EMPTY_VIEW
+        sig = (st.st_mtime_ns, st.st_size)
     if sig != _LIVE_VIEW["sig"]:
         try:
             with open(path) as f:

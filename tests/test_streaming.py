@@ -290,6 +290,48 @@ def test_memory_hub_ttl_and_purge(tmp_path):
         set_live_memory_path(None)
 
 
+def test_memory_hub_same_size_same_second_rewrite_is_picked_up(tmp_path):
+    """Snapshot staleness keying must be content/generation based: on
+    storage with coarse mtime granularity a same-size rewrite inside one
+    timestamp tick aliases an (mtime, size) signature and serves a stale
+    memory view. The hub publishes write-once generation files behind a
+    symlink, so the reader's key (the link target name) always changes."""
+    import os
+
+    from php_ec_spark.memory import MemoryHub, live_memory, set_live_memory_path
+
+    hub = MemoryHub(str(tmp_path))
+    hub.write("ns", "k", {"v": 1})
+    set_live_memory_path(hub.snapshot_path)
+    try:
+        assert live_memory().get("ns", "k") == {"v": 1}
+        old_target = os.readlink(hub.snapshot_path)
+        old_stat = os.stat(hub.snapshot_path)
+        hub.write("ns", "k", {"v": 2})  # same byte length as {"v": 1}
+        new_target = os.readlink(hub.snapshot_path)
+        assert new_target != old_target  # fresh generation file
+        # force the worst case: make the new snapshot stat-identical to
+        # the old one (same size, same mtime) — the reader must STILL
+        # see the new value because it keys on the target name
+        os.utime(
+            os.path.join(str(tmp_path), "memory", new_target),
+            ns=(old_stat.st_atime_ns, old_stat.st_mtime_ns),
+        )
+        st = os.stat(hub.snapshot_path)
+        assert (st.st_mtime_ns, st.st_size) == (
+            old_stat.st_mtime_ns, old_stat.st_size,
+        )
+        assert live_memory().get("ns", "k") == {"v": 2}
+    finally:
+        set_live_memory_path(None)
+    # old generations are retired (current + previous kept at most)
+    gen_files = [
+        f for f in os.listdir(os.path.join(str(tmp_path), "memory"))
+        if ".json.g" in f
+    ]
+    assert len(gen_files) <= 2
+
+
 def test_on_demand_source_feeds_back(spark, stream_dirs, tmp_path):
     """S4: a rule emission launches a producer command whose NDJSON output
     lands in the source dir; a second run ingests the produced events."""
