@@ -12,6 +12,7 @@ subsystem, FileAdapter.php:73-233).
 
 from __future__ import annotations
 
+import heapq
 import json
 from typing import List, Optional, Sequence
 
@@ -23,7 +24,7 @@ _MS = 1_000_000  # 1 ms in ns
 class _Instance:
     """One in-flight matcher instance (≈ one AEventProcessor object)."""
 
-    __slots__ = ("rule", "gi", "chain", "deadline_ns", "seq", "no_timeout")
+    __slots__ = ("rule", "gi", "chain", "deadline_ns", "seq", "no_timeout", "alive")
 
     def __init__(self, rule: Rule, seq: int, no_timeout: bool = False):
         self.rule = rule
@@ -31,6 +32,10 @@ class _Instance:
         self.chain: list = []  # consumed events [(event_id, ts_ns, type, value), ...]
         self.deadline_ns: Optional[int] = None
         self.seq = seq  # arming order, tie-break for timeout firing
+        # cleared when the instance completes or times out; dead
+        # instances are purged from their bucket lazily at the next scan
+        # (the deadline heap uses this for stale-entry invalidation)
+        self.alive = True
         # historical replay + HISTORICAL_IGNORE_TIMEOUT: the reference sets
         # the timeout to null (AEventProcessor.php:377-383), keeping the
         # instance alive so a late event can still complete it.
@@ -92,21 +97,48 @@ class EngineCore:
         self.rules = rules
         self.key = key
         self.historical = historical
-        self.live: dict[str, List[_Instance]] = {r.name: [] for r in rules}
+        # live instances bucketed by the group index they are waiting on
+        # (rule name → gi → [instances]): an incoming event resolves its
+        # wanting buckets through Rule._gis_by_type and never touches an
+        # instance that cannot consume it. The flat per-rule view (arming
+        # order) is exposed through the `live` property.
+        self._live: dict[str, dict[int, List[_Instance]]] = {
+            r.name: {} for r in rules
+        }
         self.seq = 0
         self.rows: list = []
-        # LOWER BOUND on the earliest live deadline (None = no deadlines).
-        # fire_due early-returns on it — the common per-event call fires
-        # nothing, and scanning every instance each event measured ~15% of
-        # the hot loop. Staleness is only ever DOWNWARD (an instance leaving
-        # without a scan leaves the bound low), which is safe: a low bound
-        # causes a scan, never a missed firing. Every deadline assignment
-        # must go through _note_deadline to preserve the invariant.
-        self._min_deadline: Optional[int] = None
+        # Deadline min-heap with LAZY invalidation: every deadline
+        # assignment pushes (deadline, seq, push_id, rule, inst); entries
+        # whose instance died or re-armed since are discarded at pop
+        # time (inst.alive and inst.deadline_ns == entry deadline is the
+        # validity test). fire_due becomes O(due · log live) instead of
+        # a full instance scan per event — the previous scan-everything
+        # recompute measured ~45% of the hot loop once any rule carried
+        # timeouts. push_id is a monotonic tie-break so the heap never
+        # compares Rule/_Instance objects.
+        self._heap: list = []
+        self._push_id = 0
 
-    def _note_deadline(self, d: Optional[int]) -> None:
-        if d is not None and (self._min_deadline is None or d < self._min_deadline):
-            self._min_deadline = d
+    def _note_deadline(self, inst: "_Instance", rule: Rule) -> None:
+        if inst.deadline_ns is not None:
+            self._push_id += 1
+            heapq.heappush(
+                self._heap,
+                (inst.deadline_ns, inst.seq, self._push_id, rule, inst),
+            )
+
+    @property
+    def live(self) -> dict:
+        """Flat per-rule view of in-flight instances in arming (seq)
+        order — the shape the bucketed storage replaced; savefile export
+        and warm-start introspection read this."""
+        return {
+            name: sorted(
+                (i for lst in buckets.values() for i in lst if i.alive),
+                key=lambda i: i.seq,
+            )
+            for name, buckets in self._live.items()
+        }
 
     # -- emission ---------------------------------------------------------
     def _emit(self, rule: Rule, outcome: str, fire_ns: int, inst: _Instance) -> None:
@@ -149,40 +181,36 @@ class EngineCore:
     def fire_due(self, limit_ns: Optional[int]) -> None:
         """Fire every pending timeout with deadline ≤ limit (None = all) in
         single engine-wide deadline order (CorrelationEngine.php:517-521)."""
-        md = self._min_deadline
-        if md is None or (limit_ns is not None and md > limit_ns):
-            return  # nothing can be due (md is a lower bound on all deadlines)
-        due = [
-            (inst.deadline_ns, inst.seq, r, inst)
-            for r in self.rules
-            for inst in self.live[r.name]
-            if inst.deadline_ns is not None
-            and (limit_ns is None or inst.deadline_ns <= limit_ns)
-        ]
-        for deadline, _, r, inst in sorted(due, key=lambda x: (x[0], x[1])):
-            self.live[r.name].remove(inst)
-            self._emit(r, "timeout", deadline, inst)
-        remaining = [
-            inst.deadline_ns
-            for r in self.rules
-            for inst in self.live[r.name]
-            if inst.deadline_ns is not None
-        ]
-        self._min_deadline = min(remaining) if remaining else None
+        heap = self._heap
+        while heap:
+            d, _seq, _pid, r, inst = heap[0]
+            if not (inst.alive and inst.deadline_ns == d):
+                heapq.heappop(heap)  # stale: re-armed, completed, or fired
+                continue
+            if limit_ns is not None and d > limit_ns:
+                return
+            heapq.heappop(heap)
+            inst.alive = False  # bucket purge happens lazily at next scan
+            self._emit(r, "timeout", d, inst)
 
     def next_deadline(self) -> Optional[int]:
         """Earliest pending deadline — the streaming timer to arm
         (single-timer scheduling, CorrelationEngine.php:530-563)."""
-        deadlines = [
-            inst.deadline_ns
-            for r in self.rules
-            for inst in self.live[r.name]
-            if inst.deadline_ns is not None
-        ]
-        return min(deadlines) if deadlines else None
+        heap = self._heap
+        while heap:
+            d, _seq, _pid, _r, inst = heap[0]
+            if inst.alive and inst.deadline_ns == d:
+                return d
+            heapq.heappop(heap)  # stale-top cleanup doubles as GC
+        return None
 
     def has_live(self) -> bool:
-        return any(self.live[r.name] for r in self.rules)
+        return any(
+            inst.alive
+            for buckets in self._live.values()
+            for lst in buckets.values()
+            for inst in lst
+        )
 
     def _safe_accept(self, rule: Rule, ev: tuple, chain: list) -> bool:
         """accept-predicate with quarantine: a throwing predicate rejects
@@ -219,34 +247,45 @@ class EngineCore:
             if suppressed:
                 break
             handled = False
-            live_r = self.live[r.name]
-            if live_r:
-                # survivor-list rewrite instead of copy + O(n) remove():
-                # instance churn (complete/timeout) is the common case for
-                # short sequences, and list.remove scans measured on the
-                # per-event hot path.
-                survivors = []
-                for inst in live_r:
-                    if not inst.wants(etype):
-                        survivors.append(inst)
-                        continue
+            buckets = self._live[r.name]
+            if buckets:
+                # only the buckets whose group wants this event type are
+                # scanned: instances waiting on other groups are never
+                # touched (the previous flat scan paid a wants() call per
+                # LIVE instance per event — the hot-loop ceiling once one
+                # group accumulates waiters). Multi-bucket candidates
+                # merge in arming (seq) order so emission order matches
+                # the flat scan exactly.
+                gis = r._gis_by_type.get(etype, r._wildcard_gis)
+                cand: list = []
+                for g in gis:
+                    lst = buckets.get(g)
+                    if lst:
+                        cand = lst if not cand else cand + lst
+                        buckets[g] = []
+                if len(cand) > 1:
+                    cand.sort(key=lambda i: i.seq)
+                for inst in cand:
+                    if not inst.alive:
+                        continue  # fired by the deadline heap; lazy purge
                     if inst.deadline_ns is not None and t > inst.deadline_ns:
                         # acceptEventTime failed ⇒ instance times out now
                         # (AEventProcessor.php:357-396); fire_ts is the deadline.
+                        inst.alive = False
                         self._emit(r, "timeout", inst.deadline_ns, inst)
                         continue
                     if r.accept is not None and not self._safe_accept(r, ev, inst.chain):
-                        survivors.append(inst)
+                        buckets.setdefault(inst.gi, []).append(inst)
                         continue
                     handled = True
                     if inst.consume(ev):
+                        inst.alive = False
                         self._emit(r, "completed", t, inst)
                     else:
-                        survivors.append(inst)
-                        self._note_deadline(inst.deadline_ns)
+                        buckets.setdefault(inst.gi, []).append(inst)
+                        self._note_deadline(inst, r)
                         if r.emit_progress:
                             self._emit(r, "progress", t, inst)
-                self.live[r.name] = survivors
             # per-class dedup (CorrelationEngine.php:252-254)
             if not handled and (r._group_any[0] or etype in r._group_sets[0]):
                 if r.accept is None or self._safe_accept(r, ev, []):
@@ -258,10 +297,11 @@ class EngineCore:
                     self.seq += 1
                     handled = True
                     if inst.consume(ev):
+                        inst.alive = False
                         self._emit(r, "completed", t, inst)
                     else:
-                        self.live[r.name].append(inst)
-                        self._note_deadline(inst.deadline_ns)
+                        buckets.setdefault(inst.gi, []).append(inst)
+                        self._note_deadline(inst, r)
                         if r.emit_progress:
                             self._emit(r, "progress", t, inst)
             if handled and r.suppress:
@@ -273,7 +313,15 @@ class EngineCore:
         self.fire_due(None)
         for r in self.rules:
             if r.emit_final:
-                for inst in self.live[r.name]:
+                for inst in sorted(
+                    (
+                        i
+                        for lst in self._live[r.name].values()
+                        for i in lst
+                        if i.alive
+                    ),
+                    key=lambda i: i.seq,
+                ):
                     self._emit(r, "final", last_ts_ns, inst)
 
     def take_rows(self) -> list:
@@ -286,7 +334,17 @@ class EngineCore:
             {
                 "seq": self.seq,
                 "instances": [
-                    inst.to_state() for r in self.rules for inst in self.live[r.name]
+                    inst.to_state()
+                    for r in self.rules
+                    for inst in sorted(
+                        (
+                            i
+                            for lst in self._live[r.name].values()
+                            for i in lst
+                            if i.alive
+                        ),
+                        key=lambda i: i.seq,
+                    )
                 ],
             }
         )
@@ -308,6 +366,6 @@ class EngineCore:
                 # (functions.php:159-166) — we drop the instance explicitly.
                 continue
             inst = _Instance.from_state(rule, s)
-            core.live[rule.name].append(inst)
-            core._note_deadline(inst.deadline_ns)
+            core._live[rule.name].setdefault(inst.gi, []).append(inst)
+            core._note_deadline(inst, rule)
         return core

@@ -155,6 +155,27 @@ class Rule:
         object.__setattr__(
             self, "_group_any", tuple(EVENT_MATCH_ANY in g for g in self.events)
         )
+        # inverted index: event type → the group indexes whose instances
+        # want it (wildcard groups want everything). EngineCore buckets
+        # live instances by awaiting group index, so an event only ever
+        # touches the instances that can consume it — the difference
+        # between O(live) and O(matching) per event when one group
+        # accumulates waiters (e.g. many armed sequences awaiting a rare
+        # second step).
+        wild = tuple(
+            gi for gi, anym in enumerate(self._group_any) if anym
+        )
+        by_type: dict = {}
+        for gi, g in enumerate(self.events):
+            for tname in g:
+                if tname != EVENT_MATCH_ANY:
+                    by_type.setdefault(tname, set()).add(gi)
+        object.__setattr__(self, "_wildcard_gis", wild)
+        object.__setattr__(
+            self,
+            "_gis_by_type",
+            {t: tuple(sorted(s.union(wild))) for t, s in by_type.items()},
+        )
 
     @property
     def timeout_s(self) -> Optional[float]:

@@ -8,11 +8,13 @@ noise (cold-plan first iteration in the bench loop) — this test pins the
 PURE-PYTHON cost so a real hot-loop regression can never hide behind
 box noise again.
 
-Floor calibration: the runner sustains ~330k events/s single-threaded on
-this box (post round-5 hot-loop opts; ~250k before them). The floor is
-set at 100k — ~3.3× headroom for CI noise — so it only trips on a real
-algorithmic regression (e.g. reintroducing per-event regex parsing or
-O(n) list removal), not on a slow runner box.
+Floor calibration: the runner sustains ~280k events/s single-threaded on
+this box (post round-7 bucket-dispatch + deadline-heap rewrite; ~144k
+before it under load, and the round-5 "~330k" was a quiet-window best
+case of the old loop). The floor is set at 100k — ~2.8× headroom for CI
+noise — so it only trips on a real algorithmic regression (e.g.
+reintroducing the per-instance wants() scan or the fire_due full-state
+recompute), not on a slow runner box.
 """
 
 from __future__ import annotations
@@ -151,4 +153,72 @@ def test_live_path_throughput_floor(tmp_path):
         f"live catch-up at {eps:,.0f} events/s ({dt:.1f}s for {n:,} at 8 "
         "state partitions) — below the 50k floor; check the stateful "
         "handler's per-key path (engine/streaming.py hot-path notes)"
+    )
+
+
+@pytest.mark.slow
+def test_live_path_skew_floor(tmp_path):
+    """Hot-key skew soak for the live path: 50% of all events land on ONE
+    correlation key. Per-key ordering means that key serializes inside a
+    single state partition — the worst case for the
+    applyInPandasWithState plan — and the cost model says throughput
+    should degrade gracefully (the hot partition runs the pure-Python
+    loop single-threaded, ~280k eps standalone), not collapse. Measured
+    on this box: ~77k eps skewed vs ~90k uniform (~0.85×) — the hot
+    partition's Python loop absorbs the extra 200k events well under
+    the partition-count overhead. Floor is set at 30k events/s
+    end-to-end so it trips on a real serialization pathology (e.g. a
+    per-row state round trip on the hot key), not box noise."""
+    import json as _json
+
+    from php_ec_spark.rules import sequence_rule
+    from php_ec_spark.session import get_spark
+    from php_ec_spark.streaming import (
+        ActionDispatcher,
+        ndjson_dir_source,
+        start_correlation,
+    )
+
+    spark = get_spark(app_name="php-ec-spark-tests", shuffle_partitions=8)
+    n = 400_000
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "bulk.json", "w") as f:
+        for i in range(n):
+            f.write(_json.dumps({
+                "event_id": i,
+                "ts": f"2024-01-{1 + i // 86400:02d}"
+                      f"T{(i // 3600) % 24:02d}:"
+                      f"{(i // 60) % 60:02d}:{i % 60:02d}Z",
+                # every other event on key 0; the rest spread over 499
+                "user_id": 0 if i % 2 == 0 else 1 + (i % 499),
+                "event_type": ["signup", "click", "purchase", "view"][(i * 7) % 4],
+                "value": 1.0, "props": None,
+            }) + "\n")
+
+    rules = [sequence_rule("seq", ["signup", "click", "purchase"],
+                           key="user_id", timeout="PT12H")]
+
+    def one_run(tag: str) -> float:
+        d = ActionDispatcher()
+        d.register("cap", fn=lambda rows: None)
+        t0 = time.perf_counter()
+        q = start_correlation(
+            ndjson_dir_source(spark, str(src)), rules,
+            str(tmp_path / f"ck_{tag}"), dispatcher=d, trigger_once=True,
+            watermark_delay="1 hour", state_partitions=8,
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        assert q.exception() is None
+        return dt
+
+    one_run("warmup")
+    dt = min(one_run("m0"), one_run("m1"))
+    eps = n / dt
+    assert eps >= 30_000, (
+        f"skewed live catch-up at {eps:,.0f} events/s ({dt:.1f}s for "
+        f"{n:,}, 50% on one key, 8 state partitions) — below the 30k "
+        "floor; the hot-key partition is serializing pathologically "
+        "(engine/streaming.py hot-path notes)"
     )
