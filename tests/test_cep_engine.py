@@ -269,3 +269,70 @@ class TestDerivedEventIds:
         }
         assert len(set(OUTCOME_CODES.values())) == len(OUTCOME_CODES)
         assert _OUTCOME_STRIDE == len(OUTCOME_CODES) + 1  # +1 = unknown
+
+
+class TestDeadlineHeapStaleness:
+    """The round-7 lazy deadline heap keeps every deadline ever armed;
+    stale entries (instance re-armed, completed, or already fired) must
+    be discarded at pop time, never fired."""
+
+    def _ns(self, s: float) -> int:
+        return int(s * 1_000_000_000)
+
+    def test_rearmed_instance_does_not_fire_at_old_deadline(self):
+        from php_ec_spark.engine.core import EngineCore
+
+        r = match_single_continuously(
+            "roll", ["ping"], key="user_id", timeout="PT10S"
+        )
+        core = EngineCore([r], "1")
+        # arm at t=0 (deadline 10), re-arm at t=5 (deadline 15)
+        core.handle((1, self._ns(0), "ping", 1.0))
+        core.handle((2, self._ns(5), "ping", 1.0))
+        # an event past the STALE deadline but before the live one: the
+        # heap's (10s) entry must be discarded, not fired
+        core.handle((3, self._ns(12), "ping", 1.0))
+        rows = core.take_rows()
+        assert [row[2] for row in rows] == []  # no timeout fired
+        assert core.next_deadline() == self._ns(12) + self._ns(10)
+        # and past the LIVE deadline the timeout fires exactly once,
+        # stamped with the current deadline
+        core.fire_due(self._ns(60))
+        rows = core.take_rows()
+        assert [(row[2], row[3]) for row in rows] == [
+            ("timeout", self._ns(22))
+        ]
+        assert not core.has_live()
+
+    def test_completed_instance_entry_is_stale(self):
+        from php_ec_spark.engine.core import EngineCore
+
+        r = sequence_rule(
+            "seq", ["a", "b"], key="user_id", timeout="PT10S"
+        )
+        core = EngineCore([r], "1")
+        core.handle((1, self._ns(0), "a", 1.0))   # arms deadline 10
+        core.handle((2, self._ns(3), "b", 1.0))   # completes
+        core.fire_due(None)                       # heap entry now stale
+        rows = core.take_rows()
+        assert [row[2] for row in rows] == ["completed"]
+        assert core.next_deadline() is None
+        assert not core.has_live()
+
+    def test_dead_instances_purged_lazily_from_buckets(self):
+        from php_ec_spark.engine.core import EngineCore
+
+        r = sequence_rule("seq", ["a", "b"], key="user_id", timeout="PT10S")
+        core = EngineCore([r], "1")
+        for i in range(5):
+            core.handle((i, self._ns(float(i)), "a", 1.0))
+        core.fire_due(None)  # all five time out; buckets still hold them
+        assert sum(len(v) for v in core.live.values()) == 0  # view filters
+        core.handle((99, self._ns(100), "b", 1.0))  # scans + purges bucket
+        assert sum(
+            len(lst)
+            for buckets in core._live.values()
+            for lst in buckets.values()
+        ) == 0
+        rows = core.take_rows()
+        assert [row[2] for row in rows] == ["timeout"] * 5

@@ -1,0 +1,101 @@
+"""Deterministic scale-growth contract for the heavy dedup plans.
+
+SCALE.md measures wall-time scaling (tools/scale_soak.py); wall time is
+noisy, so the pinned regression here counts the DETERMINISTIC cost
+drivers instead: the LSH banded-join candidate-pair count and the exact
+inverted-index join volume (sum over kept shingles of c·(c−1)/2 — the
+number of row comparisons the shingle equi-join performs). On a corpus
+that grows by genuinely new content (the `distinct` regime: copies
+share zero shingles), both must grow ~linearly with the document count.
+A super-linear jump means a hot-shingle guard or band-hash regression
+re-introduced an N² term — the exact class of silent scale-killer the
+100 TB design cannot afford."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from php_ec_spark.operators.dedup import with_band_keys, with_shingles
+
+SF_DOCS = "/root/testdata/sf0.01/documents.parquet"
+
+
+def _corpus(spark, scale: int):
+    """scale× sf0.01 documents, `distinct` regime: in copy c>0 every
+    token at position i % 3 == c % 3 is replaced by a copy-salted token,
+    so every 3-shingle of every pair of copies differs — growth is new
+    content, planted intra-copy dups replicate (constant density)."""
+    docs = spark.read.parquet(SF_DOCS)
+    if scale == 1:
+        return docs.select("doc_id", "text")
+    copies = spark.range(scale).withColumnRenamed("id", "copy")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    perturbed = F.array_join(
+        F.transform(
+            toks,
+            lambda x, i: F.when(
+                i % F.lit(3) == F.col("copy") % 3,
+                F.concat(F.lit("c"), F.col("copy").cast("string"), F.lit("q"), x),
+            ).otherwise(x),
+        ),
+        " ",
+    )
+    return docs.crossJoin(copies).select(
+        (F.col("doc_id") * 100 + F.col("copy")).alias("doc_id"),
+        F.when(F.col("copy") == 0, F.col("text")).otherwise(perturbed).alias("text"),
+    )
+
+
+def _lsh_candidates(docs) -> int:
+    banded = with_band_keys(docs)
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .distinct()
+        .count()
+    )
+
+
+def _jaccard_join_volume(docs, max_df: int) -> int:
+    inv = with_shingles(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    per_shingle = inv.groupBy("shingle").agg(F.count("*").alias("c")).filter(
+        F.col("c") <= max_df
+    )
+    row = per_shingle.agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("vol")
+    ).collect()[0]
+    return int(row["vol"] or 0)
+
+
+@pytest.mark.slow
+def test_dedup_cost_drivers_scale_linearly(spark):
+    s1, s3 = _corpus(spark, 1), _corpus(spark, 3)
+    n1, n3 = s1.count(), s3.count()
+    assert n3 == 3 * n1
+
+    cand1, cand3 = _lsh_candidates(s1), _lsh_candidates(s3)
+    # distinct-regime copies can only band-collide within their own copy
+    # (zero shared shingles ⇒ independent signatures), so candidates
+    # replicate per copy: expect ≈3×, allow 3.75× for random 64-bit
+    # band-bucket collisions across copies before calling it a
+    # regression. A re-introduced N² term would land at ~9×.
+    assert cand1 > 0
+    assert cand3 <= 3.75 * cand1, (
+        f"LSH candidate pairs grew {cand3 / cand1:.2f}× for a 3× corpus "
+        "(expected ~3×): banding degenerated toward all-pairs"
+    )
+
+    # max_df scales with the corpus exactly like pipe_jaccard_pairs does
+    vol1 = _jaccard_join_volume(s1, max_df=max(1, int(n1 * 0.05)))
+    vol3 = _jaccard_join_volume(s3, max_df=max(1, int(n3 * 0.05)))
+    assert vol1 > 0
+    assert vol3 <= 3.75 * vol1, (
+        f"inverted-index join volume grew {vol3 / vol1:.2f}× for a 3× "
+        "corpus (expected ~3× in the distinct regime): the stop-shingle "
+        "guard or shingle normalization regressed"
+    )

@@ -13,18 +13,27 @@ Usage:
         [--scales 1,3,10] [--iters 3] [--sf-dir /root/testdata/sf0.1] \
         [--workdir /tmp/scale_soak] [--md SCALE.md]
 
-Corpus synthesis keeps duplicate density constant across scales:
-- copy 0 is the original corpus; doc_id -> doc_id*100 + copy keeps ids
-  disjoint and deterministic.
-- in copy c>0 every token at position i with i % 8 == c % 8 is replaced
-  by a copy-salted token. Replacing ~1/8 of tokens kills ~3/8 of the
-  3-token shingles shared with any other copy, dropping cross-copy
-  Jaccard to ~0.45 — far below the 0.8 threshold — while each copy
-  keeps its planted intra-copy duplicates verbatim (identical texts get
-  identical perturbation within a copy). So pair/cluster COUNTS scale
-  ~linearly with N by construction, and any super-linear runtime is the
-  plan's doing, not the data's. (sf0.1 has no docs under 8 tokens, so
-  every copy of every doc is perturbed — verified min 10 tokens.)
+Corpus synthesis keeps duplicate density constant across scales: copy 0
+is the original corpus, doc_id -> doc_id*100 + copy keeps ids disjoint,
+and identical texts within a copy stay identical (planted dups
+replicate per copy). Two growth regimes, selected with --mode:
+
+- ``distinct`` (default): in copy c>0 every token at position
+  i % 3 == c % 3 is replaced by a copy-salted token. Every 3-token
+  shingle window contains a replaced position for every pair of
+  copies, so cross-copy shingle overlap is ZERO — scaling the corpus
+  adds genuinely new content, the expected production regime.
+- ``similar``: the same salting at i % 8 == c % 8. Replacing ~1/8 of
+  tokens kills only ~3/8 of shared shingles, leaving cross-copy
+  Jaccard ~0.45 — below the 0.8 threshold but co-occurrence-heavy.
+  This is the adversarial regime for the inverted-index join (a crawl
+  where everything is ~half-similar to 9 other things): candidate
+  volume grows with shared-shingle document frequency squared, so
+  super-linear alpha here measures the data's co-occurrence growth,
+  bounded by the max_df stop-shingle guard.
+
+(sf0.1 has no docs under 8 tokens — verified min 10 — so every copy of
+every doc is perturbed in both modes.)
 """
 
 from __future__ import annotations
@@ -48,12 +57,17 @@ QUERIES = (
 )
 
 
-def synthesize(spark, sf_dir: str, scale: int, out_dir: str) -> str:
+def synthesize(
+    spark, sf_dir: str, scale: int, out_dir: str, modulus: int = 3
+) -> str:
     """Write a scale× documents.parquet under out_dir/x{scale} and return
-    that directory (other tables are not needed by the soaked queries)."""
+    that directory (other tables are not needed by the soaked queries).
+    ``modulus`` selects the growth regime: 3 = distinct copies (zero
+    cross-copy shingle overlap), 8 = similar copies (~0.45 cross-copy
+    Jaccard)."""
     from pyspark.sql import functions as F
 
-    dst = os.path.join(out_dir, f"x{scale}")
+    dst = os.path.join(out_dir, f"m{modulus}x{scale}")
     dest_parquet = os.path.join(dst, "documents.parquet")
     if os.path.exists(dest_parquet):
         return dst
@@ -68,7 +82,7 @@ def synthesize(spark, sf_dir: str, scale: int, out_dir: str) -> str:
         F.transform(
             toks,
             lambda x, i: F.when(
-                i % F.lit(8) == F.col("copy") % 8,
+                i % F.lit(modulus) == F.col("copy") % modulus,
                 F.concat(F.lit("c"), F.col("copy").cast("string"), F.lit("q"), x),
             ).otherwise(x),
         ),
@@ -98,8 +112,14 @@ def main() -> None:
     ap.add_argument("--workdir", default="/tmp/scale_soak")
     ap.add_argument("--md", default=None, help="write SCALE.md here")
     ap.add_argument("--keep", action="store_true", help="keep synthesized parquet")
+    ap.add_argument(
+        "--modes",
+        default="distinct,similar",
+        help="comma list of growth regimes to measure (distinct, similar)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    modes = args.modes.split(",")
 
     from php_ec_spark.catalog import all_queries
     from php_ec_spark.session import get_spark, release_checkpoint_caches
@@ -108,72 +128,102 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    results: dict[str, dict[int, dict]] = {q: {} for q in QUERIES}
-    n_docs: dict[int, int] = {}
-    for scale in scales:
-        sdir = synthesize(spark, args.sf_dir, scale, args.workdir)
-        n_docs[scale] = spark.read.parquet(
-            os.path.join(sdir, "documents.parquet")
-        ).count()
-        print(f"# scale {scale}x: {n_docs[scale]} docs", file=sys.stderr)
-        for name in QUERIES:
-            best, rows = None, 0
-            for _ in range(args.iters):
-                t0 = time.perf_counter()
-                rows = qs[name].spark(spark, sdir).count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-                release_checkpoint_caches(spark)
-            results[name][scale] = {"sec": round(best, 3), "rows": rows}
-            print(
-                f"# {name} @ {scale}x: {best:.3f}s ({rows} rows)",
-                file=sys.stderr,
-            )
-
     lo, hi = scales[0], scales[-1]
+    doc = {}
     lines = [
         "# SCALE — measured scaling of the heavy pipeline plans",
         "",
-        f"Generated by `tools/scale_soak.py` on a local[32] session; corpus = "
-        f"sf0.1 `documents` replicated with constant duplicate density "
-        f"(see the tool docstring for the perturbation scheme). Times are "
-        f"min-of-{args.iters} seconds; `alpha` is the fitted exponent of "
-        f"t ~ N^alpha between {lo}x ({n_docs[lo]} docs) and {hi}x "
-        f"({n_docs[hi]} docs) — alpha <= ~1.1 means the plan grew linearly "
-        f"with the corpus, the scale-safe target; output rows scale "
-        f"linearly by construction, so a super-linear alpha would be the "
-        f"plan's fault, not the data's.",
+        f"Generated by `tools/scale_soak.py` on a local[32] session; corpus "
+        f"= sf0.1 `documents` replicated with constant duplicate density "
+        f"(see the tool docstring for the perturbation schemes). Times are "
+        f"min-of-{args.iters} seconds. `alpha` is the fitted exponent of "
+        f"t ~ N^alpha between {lo}x and {hi}x, and `alpha_hi` the local "
+        f"exponent over the top scale step (where fixed per-job overhead "
+        f"has amortized away — the number that extrapolates): <= ~1.1 "
+        f"means the plan grows linearly with the corpus, the scale-safe "
+        f"target.",
         "",
-        "| query | " + " | ".join(f"{s}x sec (rows)" for s in scales) + " | alpha |",
-        "|---|" + "---|" * (len(scales) + 1),
     ]
-    summary = {}
-    for name in QUERIES:
-        r = results[name]
-        alpha = math.log(r[hi]["sec"] / r[lo]["sec"]) / math.log(
-            n_docs[hi] / n_docs[lo]
-        )
-        summary[name] = round(alpha, 3)
-        cells = " | ".join(
-            f"{r[s]['sec']:.2f} ({r[s]['rows']})" for s in scales
-        )
-        lines.append(f"| {name} | {cells} | {alpha:.2f} |")
+    for mode in modes:
+        modulus = 3 if mode == "distinct" else 8
+        results: dict[str, dict[int, dict]] = {q: {} for q in QUERIES}
+        n_docs: dict[int, int] = {}
+        for scale in scales:
+            sdir = synthesize(
+                spark, args.sf_dir, scale, args.workdir, modulus=modulus
+            )
+            n_docs[scale] = spark.read.parquet(
+                os.path.join(sdir, "documents.parquet")
+            ).count()
+            print(
+                f"# [{mode}] scale {scale}x: {n_docs[scale]} docs",
+                file=sys.stderr,
+            )
+            for name in QUERIES:
+                best, rows = None, 0
+                for _ in range(args.iters):
+                    t0 = time.perf_counter()
+                    rows = qs[name].spark(spark, sdir).count()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                    release_checkpoint_caches(spark)
+                results[name][scale] = {"sec": round(best, 3), "rows": rows}
+                print(
+                    f"# [{mode}] {name} @ {scale}x: {best:.3f}s ({rows} rows)",
+                    file=sys.stderr,
+                )
+
+        mid = scales[-2] if len(scales) > 2 else lo
+        summary = {}
+        lines += [
+            f"## Regime: {mode} "
+            + (
+                "(copies share zero shingles — growth is genuinely new content)"
+                if mode == "distinct"
+                else "(copies are ~0.45-Jaccard similar — adversarial "
+                "co-occurrence for the inverted-index join)"
+            ),
+            "",
+            "| query | "
+            + " | ".join(f"{s}x sec (rows)" for s in scales)
+            + " | alpha | alpha_hi |",
+            "|---|" + "---|" * (len(scales) + 2),
+        ]
+        for name in QUERIES:
+            r = results[name]
+            alpha = math.log(r[hi]["sec"] / r[lo]["sec"]) / math.log(
+                n_docs[hi] / n_docs[lo]
+            )
+            alpha_hi = math.log(r[hi]["sec"] / r[mid]["sec"]) / math.log(
+                n_docs[hi] / n_docs[mid]
+            )
+            summary[name] = {
+                "alpha": round(alpha, 3),
+                "alpha_hi": round(alpha_hi, 3),
+            }
+            cells = " | ".join(
+                f"{r[s]['sec']:.2f} ({r[s]['rows']})" for s in scales
+            )
+            lines.append(f"| {name} | {cells} | {alpha:.2f} | {alpha_hi:.2f} |")
+        lines.append("")
+        doc[mode] = {"n_docs": n_docs, "results": results, "alpha": summary}
+
     lines += [
-        "",
-        "Row counts growing ~x{:.0f} from {}x to {}x confirm constant dup "
-        "density for the Jaccard-threshold queries (pairs/clusters scale "
-        "with N, not N^2). pipe_simhash rows under-scale slightly by "
-        "design: its hamming-1..3 'loose' pairs between non-identical "
-        "docs drift apart under the copy perturbation, while exact-dup "
-        "pairs replicate; runtime scaling is still the metric.".format(
-            hi / lo, lo, hi
-        ),
+        "Notes: rows grow ~linearly for the Jaccard-threshold queries in "
+        "both regimes (constant planted-dup density per copy). "
+        "pipe_simhash rows under-scale by design — its hamming-1..3 "
+        "'loose' pairs between non-identical docs drift apart under the "
+        "perturbation while exact-dup pairs replicate. In the `similar` "
+        "regime pipe_jaccard_pairs' exact inverted-index join pays the "
+        "corpus's real co-occurrence growth (every doc ~0.45-similar to "
+        "scale-1 others); the max_df stop-shingle guard bounds it, and "
+        "minhash_lsh holds closer to linear because sub-threshold "
+        "similarity rarely collides 4-row bands. At 100 TB, prefer "
+        "minhash_lsh for near-dup discovery and reserve jaccard_pairs "
+        "for verification-sized subsets.",
         "",
         "```json",
-        json.dumps(
-            {"n_docs": n_docs, "results": results, "alpha": summary},
-            indent=2,
-        ),
+        json.dumps(doc, indent=2),
         "```",
         "",
     ]
