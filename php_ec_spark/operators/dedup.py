@@ -204,6 +204,72 @@ def decontaminate(
     )
 
 
+def dup_span_stats(
+    df: DataFrame,
+    window: int = 13,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-duplication signal per document: the fraction of a
+    doc's ``window``-token windows (stride 1, ALL positions — not
+    distinct shingles) that also appear verbatim in at least
+    ``min_docs − 1`` OTHER documents.
+
+    This is the distributed approximation of suffix-array exact
+    substring dedup (the Lee et al. 2021 "Deduplicating Training Data"
+    signal): a long span copied between documents shows up as a run of
+    duplicated windows, and the per-doc ``dup_fraction`` is the removal/
+    down-weighting criterion. Windows are md5-hashed token 13-grams —
+    the same portable convention as :func:`decontaminate` — so the
+    DuckDB oracle reproduces the exact fractions.
+
+    Shape at scale: one explode (corpus tokens × 1 row per window), one
+    map-side-combinable distinct-doc count per window hash, one
+    co-partitioned equi-join back, one per-doc aggregate — all linear in
+    corpus tokens, no pairwise term anywhere. Within-doc repeats do NOT
+    count as duplication (df counts DISTINCT docs); docs shorter than
+    ``window`` tokens contribute their whole token sequence as one
+    window. Output: (doc_id, n_windows, n_dup_windows, dup_fraction)
+    for every document.
+    """
+    d = df.withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+    toks = F.col("__toks")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (window - 1), F.lit(1))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
+    )
+    # explode_outer for the same Catalyst reason as jaccard_pairs: plain
+    # explode re-inlines the window expression below the inferred
+    # size()>0 filter. The window array is never empty (greatest(…,1)).
+    w = d.select(F.col(id_col), F.explode_outer(wins).alias("wh"))
+    # one compute feeds both the frequency table and the join probe side
+    w = w.localCheckpoint(eager=False)
+    freq = w.groupBy("wh").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    return (
+        w.join(freq, "wh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(F.col("__nd") >= min_docs, 1).otherwise(0)
+            ).cast("long").alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 def _mh_a(k: int) -> int:
     # deterministic odd multipliers / offsets for permutation k
     return (2_654_435_761 * (k + 1) + 1) % MH_MOD or 1

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from .catalog import register
 from .operators.dedup import (
     dedup_clusters,
+    dup_span_stats,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -216,7 +217,10 @@ def pipe_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipe_text_stats",
-    doc="Token/char counts + lexical stats per document, pure codegen arithmetic.",
+    doc="Token/char counts + lexical stats + quality score per document, "
+    "pure codegen arithmetic (quality = diversity × length band, in "
+    "[0,1]; consolidated from the former pipe_quality_score slot — both "
+    "shapes still execute here).",
     oracle="""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars,
@@ -225,40 +229,60 @@ def pipe_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(
                    (length(text) - (length(text) - length(replace(text, ' ', ''))))::DOUBLE
                    / (length(text) - length(replace(text, ' ', '')) + 1), 6
-               ) AS avg_token_len
+               ) AS avg_token_len,
+               round(
+                   (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                    / (length(text) - length(replace(text, ' ', '')) + 1))
+                   * (CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+                           BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END), 6
+               ) AS quality_score
         FROM documents
     """,
 )
 def pipe_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_token_stats(_docs(spark, sf_dir)).select(
+    return with_quality_score(_docs(spark, sf_dir)).select(
         "doc_id",
         "n_chars",
         "n_tokens",
         "n_unique_tokens",
         F.round("avg_token_len", 6).alias("avg_token_len"),
+        "quality_score",
     )
 
 
 @register(
-    "pipe_quality_score",
-    doc="Quality scoring: lexical diversity × length band, in [0,1].",
-    oracle="""
-        WITH s AS (
-            SELECT doc_id,
-                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
-                   len(list_distinct(string_split(text, ' '))) AS n_unique
+    "pipe_dup_spans",
+    doc="Exact substring-duplication signal (Lee et al.-style): fraction "
+    "of each doc's 13-token windows (all positions, stride 1) appearing "
+    "verbatim in >=2 distinct docs — md5 window hashes, linear in corpus "
+    "tokens, no pairwise term.",
+    oracle=r"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
             FROM documents
+        ), w AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(toks) < 13
+                     THEN [md5(array_to_string(toks, ' '))]
+                     ELSE [md5(array_to_string(toks[i:i+12], ' '))
+                           for i in range(1, len(toks) - 11)]
+                END) AS wh
+            FROM tok
+        ), freq AS (
+            SELECT wh, count(DISTINCT doc_id) AS nd FROM w GROUP BY wh
         )
         SELECT doc_id,
-               round(
-                   (n_unique::DOUBLE / n_tokens)
-                   * (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END), 6
-               ) AS quality_score
-        FROM s
+               count(*) AS n_windows,
+               CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows,
+               round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS dup_fraction
+        FROM w JOIN freq USING (wh)
+        GROUP BY doc_id
     """,
 )
-def pipe_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_quality_score(_docs(spark, sf_dir)).select("doc_id", "quality_score")
+def pipe_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_span_stats(_docs(spark, sf_dir), window=13, min_docs=2)
 
 
 @register(

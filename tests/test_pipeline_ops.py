@@ -893,6 +893,55 @@ class TestConnectedComponents:
             connected_components(long_chain, max_iters=2)
 
 
+class TestDupSpanStats:
+    """Exact substring-duplication signal (operators.dedup.dup_span_stats):
+    cross-doc verbatim windows count, within-doc repeats do not."""
+
+    def _stats(self, spark, rows, window=5):
+        from php_ec_spark.operators.dedup import dup_span_stats
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.doc_id: r
+            for r in dup_span_stats(df, window=window, min_docs=2).collect()
+        }
+
+    def test_shared_span_marks_both_docs(self, spark):
+        shared = "one two three four five"  # exactly one 5-token window
+        got = self._stats(
+            spark,
+            [
+                (0, f"{shared} alpha beta gamma delta epsilon"),
+                (1, f"zeta eta theta iota kappa {shared}"),
+                (2, "only unique words appear in this document here now"),
+            ],
+        )
+        assert got[0].n_dup_windows == 1 and got[1].n_dup_windows == 1
+        assert got[2].n_dup_windows == 0 and got[2].dup_fraction == 0.0
+        assert got[0].n_windows == 6  # 10 tokens, stride-1 5-windows
+
+    def test_within_doc_repeat_is_not_duplication(self, spark):
+        span = "a b c d e"
+        got = self._stats(
+            spark,
+            [
+                (0, f"{span} x y z w v {span}"),  # repeats its own span
+                (1, "p q r s t u different words entirely here"),
+            ],
+        )
+        # df counts DISTINCT docs, so the self-repeat stays df=1
+        assert got[0].n_dup_windows == 0 and got[0].dup_fraction == 0.0
+
+    def test_short_docs_use_whole_text_window(self, spark):
+        got = self._stats(
+            spark,
+            [(0, "tiny doc"), (1, "tiny doc"), (2, "other tiny doc")],
+        )
+        assert got[0].n_windows == 1 and got[0].dup_fraction == 1.0
+        assert got[1].dup_fraction == 1.0
+        assert got[2].dup_fraction == 0.0  # different whole-text window
+
+
 class TestOperatorReviewRegressions:
     def test_token_stats_consistent_on_nonspace_whitespace(self, spark):
         """n_unique_tokens must use the same single-space convention as
