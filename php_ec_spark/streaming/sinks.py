@@ -318,9 +318,16 @@ class ActionDispatcher:
                     os.replace(path, path + ".halted")
                     out["halted"] += 1
                     self.failed.append((-1, entry["action"], len(entry["rows"]), repr(e)))
-                with open(path if entry["attempts"] < MAX_REPLAY_ATTEMPTS
-                          else path + ".halted", "w") as f:
+                # tmp+replace, like the initial journal write: an in-place
+                # rewrite interrupted mid-write would corrupt the entry and
+                # lose the payload for every later replay
+                target = (
+                    path if entry["attempts"] < MAX_REPLAY_ATTEMPTS
+                    else path + ".halted"
+                )
+                with open(target + ".tmp", "w") as f:
                     json.dump(entry, f, default=_journal_default)
+                os.replace(target + ".tmp", target)
         return out
 
     # -- dispatch --------------------------------------------------------
@@ -412,8 +419,16 @@ class ActionDispatcher:
                     # FAILED payloads (and only those — volume bounded by
                     # failure count) ship back in the status rows; the
                     # driver journals them below, unifying replay_errored()
-                    # across both dispatch paths (W12)
-                    yield ("err", name, n, err, json.dumps(batch, default=str))
+                    # across both dispatch paths (W12). Datetimes must use
+                    # the journal's tagged round-trip encoding — a plain
+                    # default=str here replays STRINGS where the original
+                    # dispatch had datetimes, re-failing validation every
+                    # replay into a 3-strike halt (the round-6 driver-path
+                    # fix, applied to this path too).
+                    yield (
+                        "err", name, n, err,
+                        json.dumps(batch, default=_journal_default),
+                    )
 
             results = (
                 dist_df.rdd.mapPartitions(run_partition).collect()
@@ -426,7 +441,10 @@ class ActionDispatcher:
                 else:
                     self.failed.append((batch_id, name, n, err))
                     if payload:
-                        self._journal_failure(name, json.loads(payload))
+                        self._journal_failure(
+                            name,
+                            json.loads(payload, object_hook=_journal_revive),
+                        )
             for name, n in agg_ok.items():
                 self.completed.append((batch_id, name, n))
 

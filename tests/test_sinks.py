@@ -377,6 +377,43 @@ class TestReviewRegressions:
         assert isinstance(seen[0]["fire_ts"], dtm.datetime)
         assert seen[0]["fire_ts"] == dtm.datetime(2024, 1, 1, 12, 30)
 
+    def test_distributed_journal_roundtrips_datetimes(self, spark, tmp_path):
+        """Same datetime round-trip contract on the EXECUTOR path: a
+        failed distributed action's payload ships back through the status
+        rows — a default=str encoding there replayed strings where the
+        dispatch had datetimes, re-failing the typed schema into a
+        3-strike halt (the driver-path fix alone did not cover this)."""
+        import datetime as dtm
+
+        marker = tmp_path / "ok"
+
+        def flaky(rows):
+            # executor side on attempt 1 (marker absent) → fail; replay
+            # runs on the driver where the marker now exists → succeed,
+            # but only if fire_ts came back as a real datetime
+            if not marker.exists():
+                raise RuntimeError("transient")
+            assert all(isinstance(r["fire_ts"], dtm.datetime) for r in rows)
+            (tmp_path / "replayed").write_text(
+                rows[0]["fire_ts"].isoformat()
+            )
+
+        d = ActionDispatcher(checkpoint_dir=str(tmp_path / "ck"))
+        d.register(
+            "flaky", fn=flaky, rules=["r1"], distributed=True,
+            schema={"fire_ts": dtm.datetime, "key": str},
+        )
+        em = spark.createDataFrame(
+            [("r1", "k", "completed", dtm.datetime(2024, 1, 1, 12, 30))],
+            "rule string, key string, outcome string, fire_ts timestamp",
+        )
+        d(em, batch_id=0)
+        assert d.failed
+        marker.write_text("1")
+        out = d.replay_errored()
+        assert out == {"replayed": 1, "halted": 0}
+        assert (tmp_path / "replayed").read_text() == "2024-01-01T12:30:00"
+
     def test_typed_schema_with_field_named_type(self, spark):
         """A typed-dict schema whose FIELD is literally named 'type' must
         route to the typed validator, not the JSON-Schema one (which would
