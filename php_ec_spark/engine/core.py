@@ -20,6 +20,10 @@ from ..rules.base import Rule
 
 _MS = 1_000_000  # 1 ms in ns
 
+#: fire_due compacts dead instances out of all buckets after this many
+#: heap-fired timeouts (see EngineCore._dead)
+_COMPACT_EVERY = 1024
+
 
 class _Instance:
     """One in-flight matcher instance (≈ one AEventProcessor object)."""
@@ -118,6 +122,14 @@ class EngineCore:
         # compares Rule/_Instance objects.
         self._heap: list = []
         self._push_id = 0
+        # instances fired by the heap die IN PLACE and are purged lazily
+        # when their bucket is next scanned — but a bucket whose event
+        # type never recurs (a flood of armed sequences whose next step
+        # never arrives) would otherwise accumulate dead objects for the
+        # whole replay. Count heap-fired deaths and compact all buckets
+        # every _COMPACT_EVERY of them: O(live) per sweep, amortized
+        # O(1/1024) per timeout.
+        self._dead = 0
 
     def _note_deadline(self, inst: "_Instance", rule: Rule) -> None:
         if inst.deadline_ns is not None:
@@ -188,10 +200,17 @@ class EngineCore:
                 heapq.heappop(heap)  # stale: re-armed, completed, or fired
                 continue
             if limit_ns is not None and d > limit_ns:
-                return
+                break
             heapq.heappop(heap)
             inst.alive = False  # bucket purge happens lazily at next scan
+            self._dead += 1
             self._emit(r, "timeout", d, inst)
+        if self._dead >= _COMPACT_EVERY:
+            self._dead = 0
+            for buckets in self._live.values():
+                for g, lst in buckets.items():
+                    if any(not i.alive for i in lst):
+                        buckets[g] = [i for i in lst if i.alive]
 
     def next_deadline(self) -> Optional[int]:
         """Earliest pending deadline — the streaming timer to arm

@@ -336,3 +336,24 @@ class TestDeadlineHeapStaleness:
         ) == 0
         rows = core.take_rows()
         assert [row[2] for row in rows] == ["timeout"] * 5
+
+    def test_dead_instances_compact_in_unscanned_buckets(self):
+        """A flood of armed sequences whose next step never arrives dies
+        via the deadline heap while sitting in a bucket that is never
+        rescanned — fire_due must compact periodically or a long replay
+        accumulates every dead instance for the key."""
+        from php_ec_spark.engine.core import _COMPACT_EVERY, EngineCore
+
+        r = sequence_rule("seq", ["a", "b"], key="user_id", timeout="PT1S")
+        core = EngineCore([r], "1")
+        n = 3 * _COMPACT_EVERY
+        for i in range(n):  # 2s spacing: each event times out predecessors
+            core.handle((i, self._ns(2.0 * i), "a", 1.0))
+        resident = sum(
+            len(lst)
+            for buckets in core._live.values()
+            for lst in buckets.values()
+        )
+        assert resident <= _COMPACT_EVERY + 8, resident
+        rows = core.take_rows()
+        assert sum(1 for row in rows if row[2] == "timeout") == n - 1
