@@ -61,6 +61,15 @@ class TestEmptyCorpus:
         assert simhash_pairs(docs).count() == 0
         assert dedup_clusters(docs).count() == 0
 
+    def test_dup_span_stats_empty_docs(self, spark):
+        from php_ec_spark.operators.dedup import dup_span_stats
+
+        out = dup_span_stats(_empty(spark, DOCS_DDL))
+        assert out.count() == 0
+        assert set(out.columns) == {
+            "doc_id", "n_windows", "n_dup_windows", "dup_fraction"
+        }
+
     def test_similarity_empty_corpus_or_queries(self, spark):
         from php_ec_spark.operators.similarity import cosine_dup_pairs, cosine_topk
 

@@ -54,6 +54,7 @@ QUERIES = (
     "pipe_dedup_clusters",
     "pipe_simhash",
     "pipe_pack_sequences",
+    "pipe_dup_spans",
 )
 
 
