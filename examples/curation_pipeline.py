@@ -6,12 +6,14 @@ queries run, chained the way a real curation job would:
 
   1. exact dedup            (operators.dedup.exact_dedup)
   2. near-dup clustering    (operators.dedup.dedup_clusters, keep min id)
-  3. decontamination        (operators.dedup.decontaminate, 13-gram probe)
-  4. quality + repetition   (operators.text: quality_score, Gopher-style
+  3. substring-dup filter   (operators.dedup.dup_span_stats, Lee-et-al-
+     style 13-token window duplication fraction)
+  4. decontamination        (operators.dedup.decontaminate, 13-gram probe)
+  5. quality + repetition   (operators.text: quality_score, Gopher-style
      filtering                repetition signals)
-  5. stratified sampling    (operators.sampling.stratified_sample)
-  6. token counting         (operators.text.with_bpe_token_count)
-  7. sequence packing       (operators.packing.pack_sequences)
+  6. stratified sampling    (operators.sampling.stratified_sample)
+  7. token counting         (operators.text.with_bpe_token_count)
+  8. sequence packing       (operators.packing.pack_sequences)
 
 Run:  python examples/curation_pipeline.py [sf_dir]
       (default /root/testdata/sf0.01)
@@ -33,6 +35,7 @@ from pyspark.sql import functions as F
 from php_ec_spark.operators.dedup import (
     decontaminate,
     dedup_clusters,
+    dup_span_stats,
     exact_dedup,
 )
 from php_ec_spark.operators.packing import pack_sequences
@@ -66,7 +69,18 @@ def curate(spark, sf_dir: str, seed: int = 7):
     )
     funnel["near_dedup"] = docs.count()
 
-    # 3. decontamination: drop docs overlapping the "benchmark" slice
+    # 3. substring-duplication filter: drop docs whose 13-token windows
+    #    are mostly copies of other docs (cross-doc verbatim spans that
+    #    survive document-level dedup — boilerplate, quoted chains)
+    spans = dup_span_stats(docs, window=13, min_docs=2)
+    docs = docs.join(
+        spans.filter(F.col("dup_fraction") >= 0.8).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    funnel["substring_dedup"] = docs.count()
+
+    # 4. decontamination: drop docs overlapping the "benchmark" slice
     #    (stand-in: every 50th doc plays the benchmark corpus)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     hits = decontaminate(docs, bench, n=13)
@@ -76,7 +90,7 @@ def curate(spark, sf_dir: str, seed: int = 7):
     )
     funnel["decontaminated"] = docs.count()
 
-    # 4. quality + repetition filters (Gopher-style cutoffs)
+    # 5. quality + repetition filters (Gopher-style cutoffs)
     docs = (
         with_repetition_signals(with_quality_score(docs))
         .filter(
@@ -88,13 +102,13 @@ def curate(spark, sf_dir: str, seed: int = 7):
     )
     funnel["quality_filtered"] = docs.count()
 
-    # 5. stratified sample: thin the over-represented language
+    # 6. stratified sample: thin the over-represented language
     docs = stratified_sample(docs, {"en": 0.8}, "lang", seed=seed).select(
         "doc_id", "text"
     )
     funnel["sampled"] = docs.count()
 
-    # 6+7. token counts -> packed training sequences (512-token budget)
+    # 7+8. token counts -> packed training sequences (512-token budget)
     packed = pack_sequences(docs, budget=512)
     funnel["packed_docs"] = packed.count()
     return funnel, packed
