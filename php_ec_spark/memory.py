@@ -402,8 +402,20 @@ class MemoryHub:
         # granularity (same-size rewrite in the same second serves a
         # stale snapshot), but a new generation always gets a brand-new
         # immutable filename, so target-name change <=> content change.
-        data = f"{self.snapshot_path}.g{self._gen}"
-        with open(data, "w") as f:
+        # O_EXCL makes the write-once invariant hold across WRITERS too:
+        # a second hub bound to the same dir has its own _gen counter, and
+        # without it could rewrite an existing .gN in place (torn reads;
+        # name-keyed readers never re-read). On collision, leapfrog past
+        # every generation present on disk and claim a fresh name.
+        while True:
+            data = f"{self.snapshot_path}.g{self._gen}"
+            try:
+                fd = os.open(data, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+                break
+            except FileExistsError:
+                self._gen = max(self._gen, self._max_gen_on_disk()) + 1
+        with os.fdopen(fd, "w") as f:
+            doc["gen"] = self._gen
             json.dump(doc, f)
         tmp = self.snapshot_path + ".lnk"
         try:
@@ -429,6 +441,23 @@ class MemoryHub:
                         os.unlink(os.path.join(d, fn))
                 except (ValueError, OSError):
                     pass
+
+    def _max_gen_on_disk(self) -> int:
+        """Highest generation number present next to snapshot_path (0 if
+        none) — used to leapfrog a colliding writer's counter."""
+        base = os.path.basename(self.snapshot_path) + ".g"
+        d = os.path.dirname(self.snapshot_path) or "."
+        best = 0
+        try:
+            for fn in os.listdir(d):
+                if fn.startswith(base):
+                    try:
+                        best = max(best, int(fn[len(base):]))
+                    except ValueError:
+                        pass
+        except OSError:
+            pass
+        return best
 
     # -- read side (driver convenience; executors use live_memory()) ------
     def get(self, ns: str, key: str, default=None):

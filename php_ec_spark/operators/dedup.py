@@ -5,10 +5,14 @@ Scale design (the whole point — these must survive 100 TB):
 - **exact_dedup** — one hash-partitioned ``groupBy`` on a digest of the
   normalized text; partial aggregation map-side, survivor = min id.
 - **jaccard_pairs** — exact n-gram Jaccard WITHOUT all-pairs comparison:
-  explode shingles into an inverted index and join docs that share at least
-  one shingle; intersection sizes fall out of a groupBy. Cost is bounded by
-  co-occurrence, not |docs|²; a ``max_df`` cutoff drops stop-shingles that
-  would otherwise create quadratic hot buckets.
+  a PREFIX-FILTERED inverted index (Chaudhuri et al. 2006 / Bayardo et al.
+  2007): under a global shingle order (ascending document frequency), a
+  doc with s shingles only indexes its s − ⌈τ·s⌉ + 1 rarest shingles —
+  any pair with Jaccard ≥ τ still shares an indexed shingle (lossless),
+  but candidate volume drops structurally instead of being capped. The
+  (small) candidate set is then verified with exact set intersection.
+  A ``max_df`` cutoff additionally drops stop-shingles from the Jaccard
+  space itself (semantics knob, not just a performance cap).
 - **minhash_lsh_pairs** — banded MinHash signatures; candidates are pairs
   sharing a band bucket (equi-join on band hash — shuffles only signature
   rows, AQE handles skewed buckets), then exact-Jaccard verification of the
@@ -29,6 +33,30 @@ from pyspark.sql import functions as F
 #: Modulus for MinHash permutations (Mersenne prime 2^31−1): keeps a*h+b in
 #: exact int64 range (a,h < 2^31 ⇒ product < 2^62).
 MH_MOD = 2_147_483_647
+
+
+def pin_intermediate(df: DataFrame, reliable: bool = False, eager: bool = False) -> DataFrame:
+    """Pin a multiply-consumed corpus-scale intermediate.
+
+    ``reliable=False`` (default): ``localCheckpoint`` — fastest, but the
+    blocks live non-replicated on executor local storage with lineage
+    TRUNCATED, so at cluster scale losing one executor mid-query kills the
+    job. Right for local / single-executor / short-job runs.
+
+    ``reliable=True``: ``persist(StorageLevel.DISK_ONLY)`` with lineage
+    KEPT — a lost executor's blocks are recomputed from the parquet scan
+    instead of failing the job. Flip this for multi-hour cluster runs
+    (see SCALE.md "Durability of pinned intermediates"). Both variants are
+    released by ``session.release_checkpoint_caches``.
+    """
+    if reliable:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.DISK_ONLY)
+        if eager:
+            df.count()
+        return df
+    return df.localCheckpoint(eager=eager)
 
 
 def normalize_text(text: Column) -> Column:
@@ -65,12 +93,17 @@ def with_shingles(
     """Distinct word n-gram shingles per document (JVM higher-order fns).
 
     Documents with fewer than ``n`` tokens get their whole token sequence as
-    a single shingle so they still participate in dedup.
+    a single shingle so they still participate in dedup. NULL text is
+    treated as the empty string (same shingle set as an empty doc) — a
+    null must never silently drop the document from downstream joins.
     """
     # The token array MUST be a real column: inlining the split into the
     # per-shingle lambda makes every slice re-run the regex split — O(T²)
     # regex work per document (measured 6× slower at sf0.1).
-    d = df.withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+    d = df.withColumn(
+        "__toks",
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+    )
     toks = F.col("__toks")
     ngrams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
@@ -86,23 +119,53 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similar pairs via an inverted shingle index.
+    """EXACT n-gram Jaccard similar pairs via a PREFIX-FILTERED inverted
+    shingle index (Chaudhuri et al. 2006; Bayardo et al. WWW'07).
 
-    Never compares all pairs: docs are joined only when they share a
-    shingle; |A∩B| = count of shared shingles, |A∪B| = |A|+|B|−|A∩B|.
-    ``max_df`` (optional) drops shingles appearing in more than that many
-    docs — the standard stop-shingle guard against quadratic hot keys.
-    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥ threshold.
+    Never compares all pairs — and, unlike a plain inverted index, never
+    even generates a candidate for most sub-threshold co-occurring pairs:
 
-    Session note: the inverted index is ``localCheckpoint()``-ed (lazily)
-    so its one compute feeds every downstream branch; the checkpoint
-    blocks stay pinned after the action. Long-lived sessions issuing many
-    calls should sweep with ``session.release_checkpoint_caches`` between
+    1. shingles get a global total order: ascending document frequency,
+       ties broken by shingle value (rarest first — the order that
+       minimizes candidates);
+    2. a doc with s shingles indexes only its first
+       p = s − ⌈τ·s⌉ + 1 shingles in that order (its "prefix").
+       Lossless by the prefix-filtering lemma: J(A,B) ≥ τ implies
+       |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and two sets whose overlap is ≥ α must
+       collide within their (|·|−α+1)-prefixes — a doc's ⌈τ·s⌉−1 suffix
+       shingles alone can never account for the required overlap;
+    3. prefix collisions (plus the length filter
+       min(s_a,s_b) ≥ τ·max(s_a,s_b), also implied by J ≥ τ) form the
+       candidate set, which is verified with exact set intersection over
+       the docs' full shingle sets.
+
+    The candidate volume is Σ over shingles of (prefix-df)², which in a
+    co-occurrence-heavy corpus is structurally far below the plain
+    index's Σ df² (measured in SCALE.md's adversarial `similar` regime:
+    the un-prefixed join grew super-linearly, alpha_hi 1.65).
+
+    ``max_df`` (optional) additionally drops shingles appearing in more
+    than that many docs from the Jaccard space itself — a semantics
+    knob (Jaccard is computed entirely in the filtered space), applied
+    BEFORE prefix selection so both engines see the same sets.
+    ``threshold`` enters the prefix/length bounds slackened by 1e-6 so
+    the final round-to-6-dp filter (a pair at true J = τ − 4e-7 rounds
+    UP into the output) can never disagree with candidate pruning.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥
+    threshold after rounding.
+
+    Session note: the exploded index is pinned (``pin_intermediate`` —
+    ``reliable=True`` for cluster-durable persist-with-lineage) so its
+    one compute feeds every downstream branch. Long-lived sessions
+    should sweep with ``session.release_checkpoint_caches`` between
     queries (the bench harness does).
     """
+    from pyspark.sql import Window
+
     sh = with_shingles(df, n=n, text_col=text_col).select(
-        F.col(id_col).alias("doc"), "shingles", F.size("shingles").alias("n_sh")
+        F.col(id_col).alias("doc"), "shingles"
     )
     # explode_outer, NOT explode: plain explode makes Catalyst infer a
     # size(shingles) > 0 filter and push it below the projection with the
@@ -110,43 +173,88 @@ def jaccard_pairs(
     # computed a second time per row (measured ~5 s of the sf0.1 runtime).
     # The array is never empty (with_shingles emits ≥1 shingle), so the
     # two are equivalent here and no null rows appear.
-    inv = sh.select("doc", "n_sh", F.explode_outer("shingles").alias("shingle"))
-    # The inverted index feeds several branches (df-cut, sizes, both join
-    # sides); checkpoint the lineage so shingle generation runs ONCE per
-    # action instead of once per branch (lazy — nothing runs at build time).
-    inv = inv.localCheckpoint(eager=False)
+    inv = sh.select("doc", F.explode_outer("shingles").alias("shingle"))
+    # The raw index feeds the frequency table AND the filtered frame;
+    # pin so shingle generation runs once per action (lazy).
+    inv = pin_intermediate(inv, reliable=reliable)
+    # Document frequency per shingle: shingles are distinct per doc, so
+    # row count == doc count. Doubles as the max_df cut and the global
+    # prefix order.
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
     if max_df is not None:
-        freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
-        inv = inv.join(freq.filter(F.col("df_count") <= max_df), "shingle", "left_semi")
-        # Jaccard must be computed entirely in the FILTERED shingle space:
-        # set sizes are recounted after the stop-shingle cut, otherwise the
-        # union would mix filtered intersections with unfiltered sizes.
-        sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("n_f"))
-        inv = inv.drop("n_sh").join(sizes, "doc").withColumnRenamed("n_f", "n_sh")
-    # Pin real parallelism on the join key: the inverted index is small in
+        freq = freq.filter(F.col("df_count") <= max_df)
+    # Jaccard is computed entirely in the (possibly max_df-filtered)
+    # shingle space: the inner join applies the cut and attaches the
+    # ordering key; set sizes are recounted after it.
+    invf = inv.join(freq, "shingle")
+    sizes = invf.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    invf = pin_intermediate(invf.join(sizes, "doc"), reliable=reliable)
+
+    tau = max(threshold - 1e-6, 0.0)  # rounding slack, see docstring
+    # Required overlap α = ⌈τ·s⌉ (−1e-9 guards float noise in τ·s UP —
+    # under-α only lengthens the prefix, never loses a pair).
+    alpha = F.ceil(F.lit(tau) * F.col("n_sh") - F.lit(1e-9))
+    prefix_len = (F.col("n_sh") - alpha + F.lit(1)).cast("int")
+    order_w = Window.partitionBy("doc").orderBy("df_count", "shingle")
+    pref = (
+        invf.withColumn("__rk", F.row_number().over(order_w))
+        .filter(F.col("__rk") <= prefix_len)
+        .select("doc", "n_sh", "shingle")
+    )
+    # Pin real parallelism on the join key: the prefix index is small in
     # BYTES (AQE would coalesce it to one partition) but the shingle
-    # self-join EXPLODES rows — Σ df² per shingle — so the explosion must
-    # run wide. An explicit numbered repartition is exempt from AQE
+    # self-join EXPLODES rows — Σ prefix-df² per shingle — so it must run
+    # wide. An explicit numbered repartition is exempt from AQE
     # coalescing, and both join sides inherit it (no extra exchange).
     from ..session import shuffle_partitions
 
-    inv = inv.repartition(shuffle_partitions(df.sparkSession), "shingle")
-    a = inv.select(
-        F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle"
+    pref = pref.repartition(shuffle_partitions(df.sparkSession), "shingle")
+    cand = (
+        pref.alias("x")
+        .join(pref.alias("y"), "shingle")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        # length filter: J ≥ τ ⇒ sizes within a factor τ of each other
+        .filter(
+            F.least(F.col("x.n_sh"), F.col("y.n_sh"))
+            >= F.lit(tau) * F.greatest(F.col("x.n_sh"), F.col("y.n_sh"))
+            - F.lit(1e-9)
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.n_sh").alias("n_a"),
+            F.col("y.n_sh").alias("n_b"),
+        )
+        .distinct()
     )
-    b = inv.select(
-        F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle"
+    # Exact verification over the candidates only: rebuild the candidate
+    # docs' (filtered-space) shingle sets as arrays and intersect in the
+    # JVM — cost Σ over candidate pairs of (n_a + n_b), no Σ df² term.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
     )
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    arrs = (
+        invf.join(cand_ids, "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.collect_list("shingle").alias("sh_arr"))
+    )
+    verified = (
+        cand.join(
+            arrs.select(F.col("doc").alias("doc_a"), F.col("sh_arr").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc").alias("doc_b"), F.col("sh_arr").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
     )
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     ).cast("double")
-    return inter.select(
+    return verified.select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
@@ -210,6 +318,7 @@ def dup_span_stats(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    reliable: bool = False,
 ) -> DataFrame:
     """Exact substring-duplication signal per document: the fraction of a
     doc's ``window``-token windows (stride 1, ALL positions — not
@@ -227,13 +336,22 @@ def dup_span_stats(
     Shape at scale: one explode (corpus tokens × 1 row per window), one
     map-side-combinable distinct-doc count per window hash, one
     co-partitioned equi-join back, one per-doc aggregate — all linear in
-    corpus tokens, no pairwise term anywhere. Within-doc repeats do NOT
-    count as duplication (df counts DISTINCT docs); docs shorter than
+    corpus tokens, no pairwise term anywhere. At the default
+    ``min_docs=2`` the "appears in ≥2 distinct docs" test is computed as
+    the exact, fully map-side-combinable ``min(doc_id) != max(doc_id)``
+    — no two-phase distinct aggregate (an Expand + second shuffle over
+    corpus-tokens rows) anywhere in the plan; ``min_docs > 2`` falls
+    back to a real ``count_distinct``. Within-doc repeats do NOT count
+    as duplication (both forms test DISTINCT docs); docs shorter than
     ``window`` tokens contribute their whole token sequence as one
-    window. Output: (doc_id, n_windows, n_dup_windows, dup_fraction)
-    for every document.
+    window; NULL text is treated as the empty string, so every input
+    document appears in the output. Output: (doc_id, n_windows,
+    n_dup_windows, dup_fraction) for every document.
     """
-    d = df.withColumn("__toks", F.split(F.trim(F.col(text_col)), r"\s+"))
+    d = df.withColumn(
+        "__toks",
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+    )
     toks = F.col("__toks")
     wins = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (window - 1), F.lit(1))),
@@ -244,18 +362,22 @@ def dup_span_stats(
     # size()>0 filter. The window array is never empty (greatest(…,1)).
     w = d.select(F.col(id_col), F.explode_outer(wins).alias("wh"))
     # one compute feeds both the frequency table and the join probe side
-    w = w.localCheckpoint(eager=False)
-    freq = w.groupBy("wh").agg(
-        F.count_distinct(F.col(id_col)).alias("__nd")
-    )
+    w = pin_intermediate(w, reliable=reliable)
+    if min_docs <= 1:
+        dup = F.first(F.lit(True)).alias("__dup")  # every window qualifies
+    elif min_docs == 2:
+        dup = (F.min(id_col) != F.max(id_col)).alias("__dup")
+    else:
+        dup = (F.count_distinct(F.col(id_col)) >= min_docs).alias("__dup")
+    freq = w.groupBy("wh").agg(dup)
     return (
         w.join(freq, "wh")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
-            F.sum(
-                F.when(F.col("__nd") >= min_docs, 1).otherwise(0)
-            ).cast("long").alias("n_dup_windows"),
+            F.sum(F.when(F.col("__dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
         )
         .select(
             id_col,
@@ -362,7 +484,8 @@ def _sig_matrix(texts, n: int, num_hashes: int):
     sizes = np.empty(len(texts), dtype=np.int64)
     chunks = []
     for i, text in enumerate(texts):
-        toks = ws.split(text.strip(" "))
+        # NULL text ≡ '' — mirrors with_shingles' coalesce
+        toks = ws.split((text or "").strip(" "))
         if len(toks) < n:
             sh = (" ".join(toks),)
         else:
@@ -690,7 +813,8 @@ def with_simhash(
                 continue
             fps = np.empty(len(pdf), dtype=np.int64)
             for i, text in enumerate(pdf[text_col]):
-                t2 = text.strip(" ")  # SQL trim() strips spaces only
+                # NULL ≡ ''; SQL trim() strips spaces only
+                t2 = (text or "").strip(" ")
                 toks = set(ws.split(t2)) if t2 else {""}
                 hs = np.fromiter(
                     (int(md5(t.encode()).hexdigest()[:15], 16) for t in toks),

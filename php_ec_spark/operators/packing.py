@@ -40,6 +40,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Assign each document its offset + sequence span in the packed stream.
 
@@ -76,13 +77,18 @@ def pack_sequences(
         d.repartitionByRange(num_partitions, id_col)
         .withColumn("__pid", F.spark_partition_id())
         # Both consumers below (local cumsum + per-partition totals) must
-        # see the SAME pid stamping: checkpoint the stamped frame so the
-        # scan + range exchange run once and the branches read its blocks,
+        # see the SAME pid stamping: pin the stamped frame so the scan +
+        # range exchange run once and the branches read its blocks,
         # instead of re-running two independent range exchanges and
-        # trusting their sampled boundaries to agree. Sweep with
-        # session.release_checkpoint_caches between queries.
-        .localCheckpoint(eager=False)
+        # trusting their sampled boundaries to agree. reliable=True swaps
+        # the local checkpoint for persist(DISK_ONLY) with lineage kept
+        # (cluster-durable; block recompute re-pulls the SAME range-
+        # exchange shuffle output, so pid stamping stays consistent).
+        # Sweep with session.release_checkpoint_caches between queries.
     )
+    from .dedup import pin_intermediate
+
+    d = pin_intermediate(d, reliable=reliable)
     local_w = (
         Window.partitionBy("__pid")
         .orderBy(id_col)

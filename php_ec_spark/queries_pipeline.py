@@ -258,7 +258,10 @@ def pipe_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokens, no pairwise term.",
     oracle=r"""
         WITH tok AS (
-            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            -- NULL text ≡ '' (dup_span_stats' coalesce): the doc must
+            -- appear in the per-doc output, not vanish on a null hash
+            SELECT doc_id,
+                   string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
             FROM documents
         ), w AS (
             SELECT doc_id, unnest(

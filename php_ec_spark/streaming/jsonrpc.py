@@ -111,6 +111,10 @@ class _JsonRpcSimpleReader(SimpleDataSourceStreamReader):
         ckpt = self._load_checkpoint()
         if ckpt is not None:
             env[CHECKPOINT_VARNAME] = json.dumps(ckpt)
+        # Whether the child was handed a resume checkpoint — gates the
+        # restart rebase in read(): only a checkpoint-resumed child is
+        # guaranteed to emit NEW data from the first notification.
+        self._resumed = ckpt is not None
         self._lock = threading.Lock()
         self._buf: deque[tuple[int, str]] = deque()
         self._seq = 0
@@ -187,7 +191,16 @@ class _JsonRpcSimpleReader(SimpleDataSourceStreamReader):
                 # past the committed offset before the first read(), and
                 # gating on s > self._seq would then skip the rebase and
                 # silently drop the first s events of this run.
-                if s > 0:
+                #
+                # ONLY when the child actually resumed from a checkpoint
+                # (_resumed): a checkpoint-less child replays its stream
+                # from scratch on restart, and renumbering would
+                # deterministically re-deliver the whole replayed backlog
+                # as duplicates. Without a checkpoint, keep the plain
+                # seq > s filter — the first s replayed events dedupe
+                # against the committed offset (at-least-once beyond
+                # that, the best any checkpoint-less source can do).
+                if s > 0 and self._resumed:
                     self._buf = type(self._buf)(
                         (s + i, payload)
                         for i, (_, payload) in enumerate(self._buf, start=1)

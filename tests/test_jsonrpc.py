@@ -248,14 +248,23 @@ class TestRestartRebase:
     """A restarted query constructs a FRESH reader (seq counter at 0) but
     reads from the PREVIOUS run's committed offset — without re-basing,
     the first `offset` post-restart events are silently dropped (buffered
-    below the committed seq, pruned by commit, never delivered)."""
+    below the committed seq, pruned by commit, never delivered).
 
-    def _reader(self, script):
+    The rebase is gated on the child having RESUMED from a checkpoint
+    (only then is the buffered backlog guaranteed to be new data): these
+    tests hand the reader a populated checkpoint file; the checkpoint-less
+    restart (child replays from scratch → keep the seq-filter dedup) is
+    pinned separately below."""
+
+    def _reader(self, script, tmp_path=None):
         from php_ec_spark.streaming.jsonrpc import _JsonRpcSimpleReader
 
-        return _JsonRpcSimpleReader(
-            {"cmd": json.dumps([sys.executable, "-c", script])}
-        )
+        opts = {"cmd": json.dumps([sys.executable, "-c", script])}
+        if tmp_path is not None:
+            ckpt = tmp_path / "source.ckpt"
+            ckpt.write_text(json.dumps({"pos": 42}))
+            opts["checkpointfile"] = str(ckpt)
+        return _JsonRpcSimpleReader(opts)
 
     SCRIPT = r'''
 import json
@@ -263,8 +272,9 @@ for i in range(4):
     print(json.dumps({"jsonrpc":"2.0","method":"handle","params":{"event":{"v":i}}}))
 '''
 
-    def test_read_from_committed_offset_delivers_new_events(self):
-        r = self._reader(self.SCRIPT)  # the restart: fresh reader
+    def test_read_from_committed_offset_delivers_new_events(self, tmp_path):
+        # the restart: fresh reader, child resumed from its checkpoint
+        r = self._reader(self.SCRIPT, tmp_path)
         rows, deadline = [], time.time() + 20
         off = {"seq": 5000}  # previous run's committed offset
         while len(rows) < 4 and time.time() < deadline:
@@ -278,12 +288,12 @@ for i in range(4):
         replay = list(r.readBetweenOffsets({"seq": 5001}, {"seq": 5003}))
         assert [s for s, _v in replay] == [5002, 5003]
 
-    def test_backlog_larger_than_offset_still_rebases(self):
+    def test_backlog_larger_than_offset_still_rebases(self, tmp_path):
         """Child replays a backlog BIGGER than the committed offset before
         the first read() — the reader's own counter overtakes `s`, and a
         `s > self._seq` rebase gate would silently drop the first `s`
         events of this run (they'd keep seq <= s and be filtered)."""
-        r = self._reader(self.SCRIPT)
+        r = self._reader(self.SCRIPT, tmp_path)
         # Let the child push all 4 events into the buffer first, so the
         # internal counter (4) already exceeds the committed offset (2).
         deadline = time.time() + 20
@@ -301,3 +311,28 @@ for i in range(4):
         assert [json.loads(v)["v"] for _s, v in rows] == [0, 1, 2, 3]
         assert [s for s, _v in rows] == [3, 4, 5, 6]
         assert off == {"seq": 6}
+
+    def test_checkpointless_restart_dedupes_replayed_backlog(self):
+        """A source configured WITHOUT a checkpoint file replays its stream
+        from scratch on restart. Renumbering that backlog past the
+        committed offset would deterministically re-deliver every replayed
+        event as a duplicate — so the rebase must NOT fire: the plain
+        seq > s filter dedupes the first s replayed events, and only the
+        genuinely-new tail is delivered."""
+        r = self._reader(self.SCRIPT)  # no checkpointfile
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with r._lock:
+                if len(r._buf) == 4:
+                    break
+            time.sleep(0.05)
+        # previous run committed 2 events; the child replayed all 4
+        rows, off = [], {"seq": 2}
+        for _ in range(5):
+            it, off = r.read(off)
+            rows.extend(it)
+            time.sleep(0.05)
+        # the 2 already-committed replays are filtered, the tail delivered
+        assert [json.loads(v)["v"] for _s, v in rows] == [2, 3]
+        assert [s for s, _v in rows] == [3, 4]
+        assert off == {"seq": 4}

@@ -62,6 +62,64 @@ class TestDedup:
                  for r in jaccard_pairs(df, threshold=0.0, max_df=2).collect()}
         assert pairs[(0, 1)] == 1.0  # identical in the filtered space
 
+    def test_prefix_filter_is_lossless_vs_brute_force(self, spark):
+        """The prefix-filtered inverted index must return EXACTLY the
+        brute-force all-pairs answer — pairs engineered to straddle the
+        0.8 threshold (and to collide only on rare vs common shingles)
+        probe the prefix-length and length-filter bounds."""
+        import itertools
+        import random
+
+        rng = random.Random(42)
+        vocab = [f"w{i}" for i in range(60)]
+        rows = []
+        base = [rng.choice(vocab) for _ in range(30)]
+        for d in range(24):
+            toks = list(base)
+            for j in rng.sample(range(30), d % 7):  # 0..6 substitutions
+                toks[j] = f"u{d}x{j}"  # doc-unique replacement tokens
+            rows.append((d, " ".join(toks)))
+        rows += [(100, "aa bb"), (101, "aa bb"), (102, "aa bb cc dd")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def shingles(text):
+            toks = text.strip(" ").split()
+            if len(toks) < 3:
+                return {" ".join(toks)}
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+        sh = {i: shingles(t) for i, t in rows}
+        want = {}
+        for a, b in itertools.combinations(sorted(sh), 2):
+            inter = len(sh[a] & sh[b])
+            jac = round(inter / (len(sh[a]) + len(sh[b]) - inter), 6)
+            if jac >= 0.8:
+                want[(a, b)] = jac
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in jaccard_pairs(df, threshold=0.8).collect()
+        }
+        assert got == want and len(want) >= 3
+
+    def test_reliable_pin_matches_local_checkpoint_results(self, spark, docs):
+        """reliable=True (persist DISK_ONLY, lineage kept) is a pure
+        durability knob — results identical to the localCheckpoint
+        default on every operator that exposes it."""
+        from php_ec_spark.operators.dedup import dup_span_stats
+        from php_ec_spark.operators.packing import pack_sequences
+        from php_ec_spark.session import release_checkpoint_caches
+
+        small = docs.limit(120)
+        for op in (
+            lambda d, **kw: jaccard_pairs(d, threshold=0.8, **kw),
+            lambda d, **kw: dup_span_stats(d, window=13, **kw),
+            lambda d, **kw: pack_sequences(d, budget=512, **kw),
+        ):
+            fast = {tuple(r) for r in op(small).collect()}
+            durable = {tuple(r) for r in op(small, reliable=True).collect()}
+            assert durable == fast
+            release_checkpoint_caches(spark)
+
     def test_minhash_similarity_estimate(self, spark):
         df = spark.createDataFrame(
             [(0, "a b c d e f g h i j"), (1, "a b c d e f g h i k"), (2, "z y x w v u t s r q")],
@@ -940,6 +998,34 @@ class TestDupSpanStats:
         assert got[0].n_windows == 1 and got[0].dup_fraction == 1.0
         assert got[1].dup_fraction == 1.0
         assert got[2].dup_fraction == 0.0  # different whole-text window
+
+    def test_null_text_doc_stays_in_output(self, spark):
+        """NULL text ≡ '' — the doc must appear in the per-doc output
+        (the 'for every document' contract), not vanish on a null window
+        hash failing the frequency join; two null/empty docs count each
+        other as duplicates exactly like two empty strings do."""
+        got = self._stats(
+            spark,
+            [(0, None), (1, ""), (2, "real words in this document")],
+        )
+        assert set(got) == {0, 1, 2}
+        assert got[0].n_windows == 1 and got[0].dup_fraction == 1.0
+        assert got[1].dup_fraction == 1.0  # '' and NULL share the window
+        assert got[2].dup_fraction == 0.0
+
+    def test_min_docs_three_uses_distinct_count(self, spark):
+        """min_docs > 2 exercises the count_distinct fallback (min!=max
+        only answers the nd>=2 question)."""
+        from php_ec_spark.operators.dedup import dup_span_stats
+
+        rows = [(0, "a b c"), (1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "x y z")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r
+            for r in dup_span_stats(df, window=3, min_docs=3).collect()
+        }
+        assert got[0].dup_fraction == 1.0  # window in 3 distinct docs
+        assert got[3].dup_fraction == 0.0  # only 2 distinct docs < 3
 
 
 class TestOperatorReviewRegressions:

@@ -776,6 +776,44 @@ def test_memory_hub_restart_reloads_snapshot(tmp_path):
     assert hub3.get("ns", "learned") == {"thr": 99}
 
 
+def test_memory_hub_concurrent_writers_never_rewrite_a_generation(tmp_path):
+    """Two hubs bound to the same checkpoint dir keep independent _gen
+    counters. The generation files must stay write-once ACROSS writers:
+    a colliding writer O_EXCL-detects the existing .gN, leapfrogs past
+    every generation on disk, and claims a fresh immutable name — so a
+    reader keyed on the symlink target name always sees a name change
+    exactly when content changed (never an in-place rewrite it would
+    silently skip)."""
+    import os as _os
+
+    from php_ec_spark.memory import MemoryHub
+
+    hub_a = MemoryHub(str(tmp_path))
+    hub_a.write("ns", "a", 1)
+    hub_a.write("ns", "a", 2)  # A is now a few generations ahead
+    link = _os.path.join(str(tmp_path), "memory", "current.json")
+    target_a = _os.readlink(link)
+    content_a = open(link).read()
+
+    # B: independent hub, same dir, counter behind A's. Its bind() loads
+    # A's snapshot (gen catches up via the doc), so push the collision
+    # directly: force B's counter back below A's published generations.
+    hub_b = MemoryHub(str(tmp_path))
+    hub_b._gen = hub_a._gen - 1  # out-of-sync writer: next write targets
+    hub_b.write("ns", "b", 99)   # A's CURRENT .gN — must NOT rewrite it
+
+    target_b = _os.readlink(link)
+    assert target_b != target_a  # name changed <=> content changed
+    # A's old generation file, if still present, was never rewritten
+    old = _os.path.join(str(tmp_path), "memory", target_a)
+    if _os.path.exists(old):
+        assert open(old).read() == content_a
+    # and the new snapshot carries BOTH writers' state forward
+    doc = json.load(open(link))
+    got = {(ns, k): json.loads(v) for ns, k, v, _e, _p in doc["entries"]}
+    assert got[("ns", "b")] == 99
+
+
 def test_memory_hub_rejects_uri_checkpoint(tmp_path):
     """The snapshot needs a POSIX path shared with executors; a URI
     checkpoint would silently give every executor an empty view, so the
