@@ -162,83 +162,30 @@ def jaccard_pairs(
     should sweep with ``session.release_checkpoint_caches`` between
     queries (the bench harness does).
     """
-    from pyspark.sql import Window
-
-    sh = with_shingles(df, n=n, text_col=text_col).select(
-        F.col(id_col).alias("doc"), "shingles"
+    docsets, cand = prefix_candidates(
+        df,
+        threshold=threshold,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        max_df=max_df,
+        reliable=reliable,
     )
-    # explode_outer, NOT explode: plain explode makes Catalyst infer a
-    # size(shingles) > 0 filter and push it below the projection with the
-    # whole shingle expression RE-INLINED — the O(T²) split-per-slice work,
-    # computed a second time per row (measured ~5 s of the sf0.1 runtime).
-    # The array is never empty (with_shingles emits ≥1 shingle), so the
-    # two are equivalent here and no null rows appear.
-    inv = sh.select("doc", F.explode_outer("shingles").alias("shingle"))
-    # The raw index feeds the frequency table AND the filtered frame;
-    # pin so shingle generation runs once per action (lazy).
-    inv = pin_intermediate(inv, reliable=reliable)
-    # Document frequency per shingle: shingles are distinct per doc, so
-    # row count == doc count. Doubles as the max_df cut and the global
-    # prefix order.
-    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
-    if max_df is not None:
-        freq = freq.filter(F.col("df_count") <= max_df)
-    # Jaccard is computed entirely in the (possibly max_df-filtered)
-    # shingle space: the inner join applies the cut and attaches the
-    # ordering key; set sizes are recounted after it.
-    invf = inv.join(freq, "shingle")
-    sizes = invf.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    invf = pin_intermediate(invf.join(sizes, "doc"), reliable=reliable)
-
-    tau = max(threshold - 1e-6, 0.0)  # rounding slack, see docstring
-    # Required overlap α = ⌈τ·s⌉ (−1e-9 guards float noise in τ·s UP —
-    # under-α only lengthens the prefix, never loses a pair).
-    alpha = F.ceil(F.lit(tau) * F.col("n_sh") - F.lit(1e-9))
-    prefix_len = (F.col("n_sh") - alpha + F.lit(1)).cast("int")
-    order_w = Window.partitionBy("doc").orderBy("df_count", "shingle")
-    pref = (
-        invf.withColumn("__rk", F.row_number().over(order_w))
-        .filter(F.col("__rk") <= prefix_len)
-        .select("doc", "n_sh", "shingle")
-    )
-    # Pin real parallelism on the join key: the prefix index is small in
-    # BYTES (AQE would coalesce it to one partition) but the shingle
-    # self-join EXPLODES rows — Σ prefix-df² per shingle — so it must run
-    # wide. An explicit numbered repartition is exempt from AQE
-    # coalescing, and both join sides inherit it (no extra exchange).
-    from ..session import shuffle_partitions
-
-    pref = pref.repartition(shuffle_partitions(df.sparkSession), "shingle")
-    cand = (
-        pref.alias("x")
-        .join(pref.alias("y"), "shingle")
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        # length filter: J ≥ τ ⇒ sizes within a factor τ of each other
-        .filter(
-            F.least(F.col("x.n_sh"), F.col("y.n_sh"))
-            >= F.lit(tau) * F.greatest(F.col("x.n_sh"), F.col("y.n_sh"))
-            - F.lit(1e-9)
-        )
-        .select(
-            F.col("x.doc").alias("doc_a"),
-            F.col("y.doc").alias("doc_b"),
-            F.col("x.n_sh").alias("n_a"),
-            F.col("y.n_sh").alias("n_b"),
-        )
-        .distinct()
-    )
-    # Exact verification over the candidates only: rebuild the candidate
-    # docs' (filtered-space) shingle sets as arrays and intersect in the
-    # JVM — cost Σ over candidate pairs of (n_a + n_b), no Σ df² term.
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc")))
-        .distinct()
-    )
-    arrs = (
-        invf.join(cand_ids, "doc", "left_semi")
-        .groupBy("doc")
-        .agg(F.collect_list("shingle").alias("sh_arr"))
+    # The candidate set feeds the verify join on both sides; materialize
+    # it once — it is small by construction (post prefix+length+
+    # positional filtering), same pattern as minhash_lsh_pairs' pin.
+    cand = pin_intermediate(cand, reliable=reliable, eager=True)
+    # Exact verification over the candidates only: the candidate docs'
+    # (filtered-space) shingle sets come straight off the pinned per-doc
+    # frame — cost Σ over candidate pairs of (n_a + n_b), no Σ df² term.
+    # No explicit candidate-id semi-prune: the equi-joins below prune to
+    # matching docs by themselves, and the materialized candidate frame
+    # is the SMALL side (post prefix+length+positional filtering), so
+    # AQE broadcasts it into the per-doc frame rather than shuffling the
+    # corpus — an up-front semi-join just adds stages.
+    arrs = docsets.select(
+        "doc",
+        F.transform("items", lambda x: x["shingle"]).alias("sh_arr"),
     )
     verified = (
         cand.join(
@@ -257,6 +204,121 @@ def jaccard_pairs(
     return verified.select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def prefix_candidates(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+    reliable: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The prefix-filtered candidate machinery behind :func:`jaccard_pairs`,
+    exposed so the scale soak / growth tests can measure the DETERMINISTIC
+    cost driver (candidate count) directly.
+
+    Returns ``(docsets, cand)``: ``docsets`` = one pinned row per doc with
+    its filtered shingle set sorted in the global (df_count, shingle)
+    order; ``cand`` = the lazy candidate-pair frame
+    (doc_a, doc_b, n_a, n_b) after prefix + length + positional filtering,
+    before exact verification.
+    """
+    sh = with_shingles(df, n=n, text_col=text_col).select(
+        F.col(id_col).alias("doc"), "shingles"
+    )
+    # explode_outer, NOT explode: plain explode makes Catalyst infer a
+    # size(shingles) > 0 filter and push it below the projection with the
+    # whole shingle expression RE-INLINED — the O(T²) split-per-slice work,
+    # computed a second time per row (measured ~5 s of the sf0.1 runtime).
+    # The array is never empty (with_shingles emits ≥1 shingle), so the
+    # two are equivalent here and no null rows appear.
+    inv = sh.select("doc", F.explode_outer("shingles").alias("shingle"))
+    # The raw index feeds the frequency table AND the per-doc re-group;
+    # pin so shingle generation runs once per action (lazy).
+    inv = pin_intermediate(inv, reliable=reliable)
+    # Document frequency per shingle: shingles are distinct per doc, so
+    # row count == doc count. Doubles as the max_df cut and the global
+    # prefix order.
+    freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
+    if max_df is not None:
+        freq = freq.filter(F.col("df_count") <= max_df)
+    # ONE doc-keyed exchange serves everything downstream: re-group the
+    # (possibly max_df-filtered) index into a per-doc array sorted in the
+    # global (df_count, shingle) order. Filtered set size, the prefix,
+    # AND the verification shingle sets all derive from this frame — a
+    # window-rank formulation costs three doc-keyed exchanges (sizes
+    # join + rank shuffle + verification re-collect) for the same answer
+    # (measured ~75% slower at sf0.1).
+    docsets = (
+        inv.join(freq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("df_count", "shingle"))
+            ).alias("items")
+        )
+        .withColumn("n_sh", F.size("items"))
+    )
+    docsets = pin_intermediate(docsets, reliable=reliable)
+
+    tau = max(threshold - 1e-6, 0.0)  # rounding slack, see docstring
+    # Required overlap α = ⌈τ·s⌉ (−1e-9 guards float noise in τ·s UP —
+    # under-α only lengthens the prefix, never loses a pair).
+    alpha = F.ceil(F.lit(tau) * F.col("n_sh") - F.lit(1e-9))
+    prefix_len = (F.col("n_sh") - alpha + F.lit(1)).cast("int")
+    # posexplode: the 1-based rank of each prefix shingle in the global
+    # order feeds the POSITIONAL filter below (PPJoin, Xiao et al.).
+    pref = docsets.select(
+        "doc",
+        "n_sh",
+        F.posexplode(F.slice("items", F.lit(1), prefix_len)).alias(
+            "pos0", "__it"
+        ),
+    ).select(
+        "doc",
+        "n_sh",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("__it.shingle").alias("shingle"),
+    )
+    # Pin real parallelism on the join key: the prefix index is small in
+    # BYTES (AQE would coalesce it to one partition) but the shingle
+    # self-join EXPLODES rows — Σ prefix-df² per shingle — so it must run
+    # wide. An explicit numbered repartition is exempt from AQE
+    # coalescing, and both join sides inherit it (no extra exchange).
+    from ..session import shuffle_partitions
+
+    pref = pref.repartition(shuffle_partitions(df.sparkSession), "shingle")
+    na, nb = F.col("x.n_sh"), F.col("y.n_sh")
+    # positional filter (PPJoin): a collision at 1-based global-order
+    # positions (i, j) caps the pair's overlap at 1 + min(n_a−i, n_b−j)
+    # (every common shingle sorts at ≥ those positions); require it to
+    # reach the Jaccard overlap bound τ·(n_a+n_b)/(1+τ). Lossless: a
+    # truly-similar pair's FIRST common shingle lies inside both
+    # prefixes (prefix lemma) and passes the cap, so the pair survives
+    # the any-row-passes ∘ distinct composition. Measured 3.4× fewer
+    # candidates than prefix collision alone at sf0.1.
+    required = F.ceil(F.lit(tau / (1.0 + tau)) * (na + nb) - F.lit(1e-9))
+    overlap_cap = F.lit(1) + F.least(
+        na - F.col("x.pos"), nb - F.col("y.pos")
+    )
+    cand = (
+        pref.alias("x")
+        .join(pref.alias("y"), "shingle")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        # length filter: J ≥ τ ⇒ sizes within a factor τ of each other
+        .filter(F.least(na, nb) >= F.lit(tau) * F.greatest(na, nb) - F.lit(1e-9))
+        .filter(overlap_cap >= required)
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            na.alias("n_a"),
+            nb.alias("n_b"),
+        )
+        .distinct()
+    )
+    return docsets, cand
 
 
 def decontaminate(

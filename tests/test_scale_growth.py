@@ -16,16 +16,25 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from php_ec_spark.operators.dedup import with_band_keys, with_shingles
+from php_ec_spark.operators.dedup import (
+    prefix_candidates,
+    with_band_keys,
+    with_shingles,
+)
 
 SF_DOCS = "/root/testdata/sf0.01/documents.parquet"
 
 
-def _corpus(spark, scale: int):
-    """scale× sf0.01 documents, `distinct` regime: in copy c>0 every
-    token at position i % 3 == c % 3 is replaced by a copy-salted token,
-    so every 3-shingle of every pair of copies differs — growth is new
-    content, planted intra-copy dups replicate (constant density)."""
+def _corpus(spark, scale: int, modulus: int = 3):
+    """scale× sf0.01 documents. ``modulus`` picks the growth regime:
+
+    - 3 (`distinct`): in copy c>0 every token at position i % 3 == c % 3
+      is replaced by a copy-salted token, so every 3-shingle of every
+      pair of copies differs — growth is new content, planted intra-copy
+      dups replicate (constant density).
+    - 8 (`similar`): the same salting at i % 8 — copies stay ~0.45-Jaccard
+      similar to each other, the adversarial co-occurrence regime for the
+      inverted-index join."""
     docs = spark.read.parquet(SF_DOCS)
     if scale == 1:
         return docs.select("doc_id", "text")
@@ -35,7 +44,7 @@ def _corpus(spark, scale: int):
         F.transform(
             toks,
             lambda x, i: F.when(
-                i % F.lit(3) == F.col("copy") % 3,
+                i % F.lit(modulus) == F.col("copy") % modulus,
                 F.concat(F.lit("c"), F.col("copy").cast("string"), F.lit("q"), x),
             ).otherwise(x),
         ),
@@ -99,3 +108,39 @@ def test_dedup_cost_drivers_scale_linearly(spark):
         "corpus (expected ~3× in the distinct regime): the stop-shingle "
         "guard or shingle normalization regressed"
     )
+
+
+@pytest.mark.slow
+def test_prefix_candidates_stay_linear_in_similar_regime(spark):
+    """The adversarial pin for the round-8 prefix filter: in the
+    `similar` regime (copies ~0.45-Jaccard similar — heavy shingle
+    co-occurrence below the 0.8 threshold) the PLAIN inverted-index join
+    volume grows super-linearly (~8× for a 3× corpus here — SCALE.md's
+    alpha_hi 1.65 was this term), while the prefix+length+positional
+    candidate set must keep replicating per copy (~3×): sub-threshold
+    cross-copy pairs never share a PREFIX shingle or fail the positional
+    overlap cap. A super-linear jump means the prefix bound, the global
+    order, or the positional filter regressed."""
+    s1, s3 = _corpus(spark, 1, modulus=8), _corpus(spark, 3, modulus=8)
+    n1, n3 = s1.count(), s3.count()
+    assert n3 == 3 * n1
+
+    def cands(docs, n_docs):
+        _, cand = prefix_candidates(
+            docs, threshold=0.8, max_df=max(1, int(n_docs * 0.05))
+        )
+        return cand.count()
+
+    c1, c3 = cands(s1, n1), cands(s3, n3)
+    assert c1 > 0
+    assert c3 <= 3.75 * c1, (
+        f"prefix candidates grew {c3 / c1:.2f}× for a 3× similar-regime "
+        "corpus (expected ~3×): the prefix filter degenerated toward the "
+        "plain inverted-index join"
+    )
+    # and the plain join volume really IS super-linear here — the pin
+    # above is meaningful (if this ever flips to ~3×, the adversarial
+    # regime no longer stresses the index and the test should move)
+    vol1 = _jaccard_join_volume(s1, max_df=max(1, int(n1 * 0.05)))
+    vol3 = _jaccard_join_volume(s3, max_df=max(1, int(n3 * 0.05)))
+    assert vol3 >= 5.0 * vol1
