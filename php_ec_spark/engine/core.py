@@ -130,6 +130,11 @@ class EngineCore:
         # every _COMPACT_EVERY of them: O(live) per sweep, amortized
         # O(1/1024) per timeout.
         self._dead = 0
+        #: diagnostic: total instances examined by handle() across the
+        #: stream — the deterministic hot-loop cost driver the scale
+        #: growth contract pins (tests/test_scale_growth.py). Not part of
+        #: serialized state.
+        self.touches = 0
 
     def _note_deadline(self, inst: "_Instance", rule: Rule) -> None:
         if inst.deadline_ns is not None:
@@ -284,6 +289,7 @@ class EngineCore:
                         buckets[g] = []
                 if len(cand) > 1:
                     cand.sort(key=lambda i: i.seq)
+                self.touches += len(cand)
                 for inst in cand:
                     if not inst.alive:
                         continue  # fired by the deadline heap; lazy purge

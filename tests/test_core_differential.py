@@ -18,10 +18,24 @@ import json
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from php_ec_spark.engine.core import EngineCore
+from php_ec_spark.engine.core import EngineCore, _ev_dict
 from php_ec_spark.rules import Rule
 
 _MS = 1_000_000
+
+
+def _accept_has_value(ev, chain):
+    """Deterministic accept predicate: only events carrying a real value
+    (not None/NaN) are accepted — exercises the accept-reject re-append
+    branch (engine/core.py bucket re-insertion ordering)."""
+    v = ev["value"]
+    return v is not None and v == v
+
+
+def _accept_chain_under_2(ev, chain):
+    """Deterministic accept predicate over the CHAIN argument: rejects
+    once two events accumulated — the reject path fires mid-sequence."""
+    return len(chain) < 2
 
 
 class _FlatInstance:
@@ -122,6 +136,13 @@ class _FlatCore:
                 if inst.deadline_ns is not None and t > inst.deadline_ns:
                     self._emit(r, "timeout", inst.deadline_ns, inst)
                     continue
+                if r.accept is not None and not r.accept(
+                    _ev_dict(ev), [_ev_dict(e) for e in inst.chain]
+                ):
+                    # accept-reject: the instance SURVIVES untouched and
+                    # the event does not count as handled by it
+                    survivors.append(inst)
+                    continue
                 handled = True
                 if inst.consume(ev):
                     self._emit(r, "completed", t, inst)
@@ -131,19 +152,20 @@ class _FlatCore:
                         self._emit(r, "progress", t, inst)
             self.live[r.name] = survivors
             if not handled and (r._group_any[0] or etype in r._group_sets[0]):
-                inst = _FlatInstance(
-                    r,
-                    self.seq,
-                    no_timeout=self.historical and r.historical_ignore_timeout,
-                )
-                self.seq += 1
-                handled = True
-                if inst.consume(ev):
-                    self._emit(r, "completed", t, inst)
-                else:
-                    self.live[r.name].append(inst)
-                    if r.emit_progress:
-                        self._emit(r, "progress", t, inst)
+                if r.accept is None or r.accept(_ev_dict(ev), []):
+                    inst = _FlatInstance(
+                        r,
+                        self.seq,
+                        no_timeout=self.historical and r.historical_ignore_timeout,
+                    )
+                    self.seq += 1
+                    handled = True
+                    if inst.consume(ev):
+                        self._emit(r, "completed", t, inst)
+                    else:
+                        self.live[r.name].append(inst)
+                        if r.emit_progress:
+                            self._emit(r, "progress", t, inst)
             if handled and r.suppress:
                 suppressed = True
 
@@ -198,6 +220,9 @@ def _rule(draw, idx: int):
         emit_progress=draw(st.booleans()),
         emit_final=draw(st.booleans()),
         historical_ignore_timeout=draw(st.booleans()),
+        accept=draw(
+            st.sampled_from([None, _accept_has_value, _accept_chain_under_2])
+        ),
     )
 
 

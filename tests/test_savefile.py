@@ -453,9 +453,13 @@ class TestPerMatcherReplay:
         doc["engine"]["matchers"][0]["s"]["timeout"] = "2024-01-01T00:01:00+00:00"
         p = tmp_path / "drift.state"
         p.write_bytes(gzip.compress(json.dumps(doc).encode(), 2))
-        imp = import_savefile(
-            spark, str(p), RULES(), RULE_MAP, distributed=True
-        )
+        # the deadline-drift UserWarning is the designed surface for this
+        # input — assert it so the suite runs warning-clean and any NEW
+        # warning is a signal, not noise
+        with pytest.warns(UserWarning, match="DIFFERENT deadline"):
+            imp = import_savefile(
+                spark, str(p), RULES(), RULE_MAP, distributed=True
+            )
         assert len(imp.timeout_mismatches) == 1
         cls, rname, key, saved, got = imp.timeout_mismatches[0]
         assert (rname, key) == ("check_payment", "42")

@@ -144,3 +144,55 @@ def test_prefix_candidates_stay_linear_in_similar_regime(spark):
     vol1 = _jaccard_join_volume(s1, max_df=max(1, int(n1 * 0.05)))
     vol3 = _jaccard_join_volume(s3, max_df=max(1, int(n3 * 0.05)))
     assert vol3 >= 5.0 * vol1
+
+
+def _cep_stream(n_events: int, seed: int = 7):
+    """Mixed single-key workload at constant match density: completing
+    two-step sequences, arming-never-completing sequences (the dead-
+    instance flood class), and noise the rules ignore. 1 s spacing so
+    the 10 s timeout interleaves with completions."""
+    import random
+
+    rng = random.Random(seed)
+    evs = []
+    for i in range(n_events):
+        r = rng.random()
+        etype = "a" if r < 0.3 else ("b" if r < 0.5 else f"z{rng.randrange(3)}")
+        evs.append((i, (i + 1) * 1_000_000_000, etype, 1.0))
+    return evs
+
+
+def test_cep_core_touches_scale_linearly():
+    """The state-machine growth contract (no Spark): on a single key
+    whose event stream grows 3×, the total instances EXAMINED by
+    handle() (EngineCore.touches — the deterministic hot-loop cost
+    driver) must grow ~3×, i.e. per-event work stays O(1). Super-linear
+    growth means live/dead instances are accumulating across the replay
+    — the exact class the bucket dispatch + periodic compaction exists
+    to prevent (a pre-round-7 flat scan with a never-completing rule
+    lands at ~N²/const here)."""
+    from php_ec_spark.engine.core import EngineCore
+    from php_ec_spark.rules import Rule
+
+    def run(n):
+        rules = [
+            Rule("pair", (("a",), ("b",)), key="k", timeout=10.0),
+            # arms on every 'a', waits for a type that never arrives —
+            # the timeout flood that exercises heap firing + compaction
+            Rule("never", (("a",), ("missing",)), key="k", timeout=10.0),
+        ]
+        core = EngineCore(rules, "k1")
+        for ev in _cep_stream(n):
+            core.handle(ev)
+        core.finish(n * 1_000_000_000)
+        return core.touches, len(core.rows)
+
+    t1, r1 = run(3_000)
+    t3, r3 = run(9_000)
+    assert t1 > 0 and r1 > 0
+    assert t3 <= 3.75 * t1, (
+        f"EngineCore touches grew {t3 / t1:.2f}× for a 3× event stream "
+        "(expected ~3×): instances are accumulating across the replay"
+    )
+    # emissions track the stream linearly too (constant match density)
+    assert 2.5 * r1 <= r3 <= 3.5 * r1

@@ -1,12 +1,15 @@
-"""Empirical scale soak for the heavy pipeline plans (SCALE.md generator).
+"""Empirical scale soak for the heavy pipeline + CEP plans (SCALE.md
+generator).
 
 The 100 TB design claims in VERDICT/PLANS rest on plan shape; this tool
 turns them into measurements: it synthesizes m× copies of the sf0.1
 `documents` corpus (perturbed so near-dup DENSITY stays constant — see
-`synthesize`), runs the five heaviest pipeline queries at each scale,
-and reports wall time, output rows, and the fitted scaling exponent
-alpha where t ~ N^alpha (alpha ≈ 1 ⇒ linear, the scale-safe target;
-alpha ≈ 2 ⇒ an all-pairs term survived somewhere).
+`synthesize`) and of the `events` stream (fresh correlation keys per
+copy — see `synthesize_events`), runs the heaviest pipeline and CEP
+queries at each scale, and reports wall time, output rows, and the
+fitted scaling exponent alpha where t ~ N^alpha (alpha ≈ 1 ⇒ linear,
+the scale-safe target; alpha ≈ 2 ⇒ an all-pairs term survived
+somewhere).
 
 Usage:
     PYTHONPATH=/root/repo python tools/scale_soak.py \
@@ -57,6 +60,16 @@ QUERIES = (
     "pipe_dup_spans",
 )
 
+#: CEP plans soaked in the `cep` regime: events replicated with FRESH
+#: correlation keys (constant per-key stream and match density — scaling
+#: adds users, the production growth axis for a correlation engine).
+CEP_QUERIES = (
+    "cep_seq_two_step",
+    "cep_funnel_3step",
+    "cep_gap_sessions",
+    "cep_chain_reinject",
+)
+
 
 def synthesize(
     spark, sf_dir: str, scale: int, out_dir: str, modulus: int = 3
@@ -105,6 +118,37 @@ def synthesize(
     return dst
 
 
+def synthesize_events(spark, sf_dir: str, scale: int, out_dir: str) -> str:
+    """Write a scale× events.parquet under out_dir/ev_x{scale}: copies get
+    FRESH user_ids (and unique event_ids) with identical per-key streams,
+    so match density per key is constant and growth is all new keys —
+    the production scaling axis for the correlation path."""
+    from pyspark.sql import functions as F
+
+    from php_ec_spark.model import load_events
+
+    dst = os.path.join(out_dir, f"ev_x{scale}")
+    dest_parquet = os.path.join(dst, "events.parquet")
+    if os.path.exists(dest_parquet):
+        return dst
+    os.makedirs(dst, exist_ok=True)
+    ev = load_events(spark, sf_dir)  # normalizes ts whatever the encoding
+    if scale == 1:
+        ev.write.mode("overwrite").parquet(dest_parquet)
+        return dst
+    copies = spark.range(scale).withColumnRenamed("id", "copy")
+    big = ev.crossJoin(copies).select(
+        (F.col("event_id") * 100 + F.col("copy")).alias("event_id"),
+        "ts",
+        (F.col("user_id") * 100 + F.col("copy")).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    big.repartition(32).write.mode("overwrite").parquet(dest_parquet)
+    return dst
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,3,10")
@@ -115,8 +159,9 @@ def main() -> None:
     ap.add_argument("--keep", action="store_true", help="keep synthesized parquet")
     ap.add_argument(
         "--modes",
-        default="distinct,similar",
-        help="comma list of growth regimes to measure (distinct, similar)",
+        default="distinct,similar,cep",
+        help="comma list of growth regimes to measure "
+        "(distinct, similar, cep)",
     )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
@@ -132,7 +177,7 @@ def main() -> None:
     lo, hi = scales[0], scales[-1]
     doc = {}
     lines = [
-        "# SCALE — measured scaling of the heavy pipeline plans",
+        "# SCALE — measured scaling of the heavy pipeline + CEP plans",
         "",
         f"Generated by `tools/scale_soak.py` on a local[32] session; corpus "
         f"= sf0.1 `documents` replicated with constant duplicate density "
@@ -146,21 +191,30 @@ def main() -> None:
         "",
     ]
     for mode in modes:
+        queries = CEP_QUERIES if mode == "cep" else QUERIES
         modulus = 3 if mode == "distinct" else 8
-        results: dict[str, dict[int, dict]] = {q: {} for q in QUERIES}
+        results: dict[str, dict[int, dict]] = {q: {} for q in queries}
         n_docs: dict[int, int] = {}
         for scale in scales:
-            sdir = synthesize(
-                spark, args.sf_dir, scale, args.workdir, modulus=modulus
-            )
-            n_docs[scale] = spark.read.parquet(
-                os.path.join(sdir, "documents.parquet")
-            ).count()
+            if mode == "cep":
+                sdir = synthesize_events(spark, args.sf_dir, scale, args.workdir)
+                n_docs[scale] = spark.read.parquet(
+                    os.path.join(sdir, "events.parquet")
+                ).count()
+                unit = "events"
+            else:
+                sdir = synthesize(
+                    spark, args.sf_dir, scale, args.workdir, modulus=modulus
+                )
+                n_docs[scale] = spark.read.parquet(
+                    os.path.join(sdir, "documents.parquet")
+                ).count()
+                unit = "docs"
             print(
-                f"# [{mode}] scale {scale}x: {n_docs[scale]} docs",
+                f"# [{mode}] scale {scale}x: {n_docs[scale]} {unit}",
                 file=sys.stderr,
             )
-            for name in QUERIES:
+            for name in queries:
                 best, rows = None, 0
                 for _ in range(args.iters):
                     t0 = time.perf_counter()
@@ -176,21 +230,24 @@ def main() -> None:
 
         mid = scales[-2] if len(scales) > 2 else lo
         summary = {}
+        regime_blurb = {
+            "distinct": "(copies share zero shingles — growth is genuinely "
+            "new content)",
+            "similar": "(copies are ~0.45-Jaccard similar — adversarial "
+            "co-occurrence for the inverted-index join)",
+            "cep": "(events replicated with FRESH correlation keys — "
+            "constant per-key stream and match density; growth adds "
+            "users, the production axis for the state-machine path)",
+        }[mode]
         lines += [
-            f"## Regime: {mode} "
-            + (
-                "(copies share zero shingles — growth is genuinely new content)"
-                if mode == "distinct"
-                else "(copies are ~0.45-Jaccard similar — adversarial "
-                "co-occurrence for the inverted-index join)"
-            ),
+            f"## Regime: {mode} {regime_blurb}",
             "",
             "| query | "
             + " | ".join(f"{s}x sec (rows)" for s in scales)
             + " | alpha | alpha_hi |",
             "|---|" + "---|" * (len(scales) + 2),
         ]
-        for name in QUERIES:
+        for name in queries:
             r = results[name]
             alpha = math.log(r[hi]["sec"] / r[lo]["sec"]) / math.log(
                 n_docs[hi] / n_docs[lo]
