@@ -272,13 +272,33 @@ def main() -> None:
         "pipe_simhash rows under-scale by design — its hamming-1..3 "
         "'loose' pairs between non-identical docs drift apart under the "
         "perturbation while exact-dup pairs replicate. In the `similar` "
-        "regime pipe_jaccard_pairs' exact inverted-index join pays the "
-        "corpus's real co-occurrence growth (every doc ~0.45-similar to "
-        "scale-1 others); the max_df stop-shingle guard bounds it, and "
-        "minhash_lsh holds closer to linear because sub-threshold "
-        "similarity rarely collides 4-row bands. At 100 TB, prefer "
-        "minhash_lsh for near-dup discovery and reserve jaccard_pairs "
-        "for verification-sized subsets.",
+        "regime pipe_jaccard_pairs pays real shingle co-occurrence "
+        "growth; since round 8 its candidates come from a PREFIX-FILTERED "
+        "index with PPJoin positional filtering (candidate count grows "
+        "~linearly even here — pinned in tests/test_scale_growth.py), so "
+        "the historical alpha_hi 1.65 of the plain inverted-index join "
+        "no longer applies. minhash_lsh remains the preferred discovery "
+        "path at 100 TB; jaccard_pairs is exact and now scale-safe for "
+        "verification and moderate corpora. In the `cep` regime the "
+        "per-key state machines are embarrassingly parallel, so alpha "
+        "should sit at ~1 once fixed per-job overhead amortizes "
+        "(alpha_hi, the top-step exponent, is the number to read).",
+        "",
+        "## Durability of pinned intermediates",
+        "",
+        "The multi-branch operators (`jaccard_pairs`, `dup_span_stats`, "
+        "`pack_sequences`) pin their corpus-scale exploded frames with "
+        "`localCheckpoint` by default: fastest locally, but the blocks "
+        "live non-replicated on executor local storage with lineage "
+        "truncated — on a real cluster, losing one executor mid-query "
+        "kills a multi-hour job. Pass `reliable=True` to swap the pin "
+        "for `persist(StorageLevel.DISK_ONLY)` with lineage KEPT: lost "
+        "blocks recompute from the parquet scan instead of failing the "
+        "job (~identical speed locally, verified result-identical in "
+        "tests/test_pipeline_ops.py::"
+        "test_reliable_pin_matches_local_checkpoint_results). Flip it "
+        "for any run whose wall-clock exceeds the cluster's expected "
+        "executor MTBF.",
         "",
         "```json",
         json.dumps(doc, indent=2),
