@@ -631,6 +631,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    reliable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs: banded-LSH candidates → exact-Jaccard verification.
 
@@ -644,17 +645,23 @@ def minhash_lsh_pairs(
     # self-join would otherwise recompute on BOTH sides. At warehouse scale
     # this is "write the band table, then join it" — localCheckpoint is the
     # single-job equivalent.
-    banded = with_band_keys(
-        df, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col, id_col=id_col
-    ).localCheckpoint(eager=True)
+    banded = pin_intermediate(
+        with_band_keys(
+            df, num_hashes=num_hashes, bands=bands, n=n,
+            text_col=text_col, id_col=id_col,
+        ),
+        reliable=reliable,
+        eager=True,
+    )
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
         .filter(F.col("x.doc") < F.col("y.doc"))
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
-        .localCheckpoint(eager=True)  # small: near-dup candidates only
     )
+    # small: near-dup candidates only
+    cand = pin_intermediate(cand, reliable=reliable, eager=True)
     # exact verification of the (small) candidate set: shingle ONLY the
     # documents that appear in a candidate pair (left-semi prune) — the
     # full corpus never re-shingles for verification
@@ -692,6 +699,7 @@ def dedup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_iters: int = 20,
+    reliable: bool = False,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the similar-pair
     graph, labeled by the minimum doc id in each component.
@@ -711,9 +719,10 @@ def dedup_clusters(
     themselves.
     """
     pairs = minhash_lsh_pairs(
-        df, threshold=threshold, n=n, text_col=text_col, id_col=id_col
+        df, threshold=threshold, n=n, text_col=text_col, id_col=id_col,
+        reliable=reliable,
     ).select("doc_a", "doc_b")
-    labels = connected_components(pairs, max_iters=max_iters)
+    labels = connected_components(pairs, max_iters=max_iters, reliable=reliable)
     # singletons (the vast majority at scale) never entered the loop:
     # join the converged component labels back over the full corpus
     return (
@@ -729,7 +738,10 @@ def dedup_clusters(
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 20, jump_after: int = 3
+    pairs: DataFrame,
+    max_iters: int = 20,
+    jump_after: int = 3,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — min-label
     propagation with ADAPTIVE pointer jumping: O(log diameter) rounds.
@@ -752,24 +764,29 @@ def connected_components(
     bounded by O(|edges|); nodes not in any pair never enter the loop.
     Lineage is truncated per round (localCheckpoint); sweep with
     ``session.release_checkpoint_caches`` between queries in long-lived
-    sessions.
+    sessions. ``reliable=True`` swaps every pin for persist(DISK_ONLY)
+    with lineage kept (cluster-durable — a lost executor recomputes
+    instead of failing); the retained lineage is bounded by
+    ``max_iters`` (≤ 20 rounds), so the iterative depth stays safe.
 
     Input: (doc_a, doc_b) pairs. Output: (doc, label) for every node that
     appears in some pair, label = min node id of its component.
     """
-    edges = (
+    edges = pin_intermediate(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
+        ),
+        reliable=reliable,
+        eager=True,
     )
     # both edge directions exist, so src alone covers every paired node
-    labels = (
+    labels = pin_intermediate(
         edges.select(F.col("src").alias("doc"))
         .distinct()
-        .withColumn("label", F.col("doc"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("doc")),
+        reliable=reliable,
+        eager=True,
     )
     converged = False
     for round_no in range(max_iters):
@@ -789,8 +806,8 @@ def connected_components(
                 ).alias("new_label"),
                 F.col("label").alias("old_label"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = pin_intermediate(new_labels, reliable=reliable, eager=True)
         if round_no >= jump_after:
             # pointer jump: labels are node ids, so new_labels doubles as
             # the label table — chase one level of indirection (label :=
@@ -811,7 +828,9 @@ def connected_components(
                     F.coalesce("jlabel", "new_label").alias("new_label"),
                     "old_label",
                 )
-                .localCheckpoint(eager=True)
+            )
+            new_labels = pin_intermediate(
+                new_labels, reliable=reliable, eager=True
             )
         changed = new_labels.filter(
             F.col("new_label") != F.col("old_label")

@@ -105,7 +105,7 @@ class TestDedup:
         """reliable=True (persist DISK_ONLY, lineage kept) is a pure
         durability knob — results identical to the localCheckpoint
         default on every operator that exposes it."""
-        from php_ec_spark.operators.dedup import dup_span_stats
+        from php_ec_spark.operators.dedup import dedup_clusters, dup_span_stats
         from php_ec_spark.operators.packing import pack_sequences
         from php_ec_spark.session import release_checkpoint_caches
 
@@ -114,6 +114,7 @@ class TestDedup:
             lambda d, **kw: jaccard_pairs(d, threshold=0.8, **kw),
             lambda d, **kw: dup_span_stats(d, window=13, **kw),
             lambda d, **kw: pack_sequences(d, budget=512, **kw),
+            lambda d, **kw: dedup_clusters(d, threshold=0.8, **kw),
         ):
             fast = {tuple(r) for r in op(small).collect()}
             durable = {tuple(r) for r in op(small, reliable=True).collect()}
