@@ -101,6 +101,45 @@ class TestDedup:
         }
         assert got == want and len(want) >= 3
 
+    def test_prefix_filter_lossless_across_thresholds(self, spark):
+        """The prefix length p = s − ⌈τ·s⌉ + 1, the length filter, and
+        the positional overlap cap are all τ-dependent — sweep τ from
+        permissive to exact-dup and require the brute-force answer at
+        each (τ=1.0 exercises the degenerate single-shingle prefix;
+        τ=0.5 the near-full prefix)."""
+        import itertools
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        base = [f"w{rng.randrange(40)}" for _ in range(24)]
+        for d in range(18):
+            toks = list(base)
+            for j in rng.sample(range(24), d % 9):  # 0..8 substitutions
+                toks[j] = f"u{d}x{j}"
+            rows.append((d, " ".join(toks)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def shingles(text):
+            toks = text.strip(" ").split()
+            if len(toks) < 3:
+                return {" ".join(toks)}
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+        sh = {i: shingles(t) for i, t in rows}
+        for tau in (0.5, 0.7, 0.9, 1.0):
+            want = {}
+            for a, b in itertools.combinations(sorted(sh), 2):
+                inter = len(sh[a] & sh[b])
+                jac = round(inter / (len(sh[a]) + len(sh[b]) - inter), 6)
+                if jac >= tau:
+                    want[(a, b)] = jac
+            got = {
+                (r.doc_a, r.doc_b): r.jaccard
+                for r in jaccard_pairs(df, threshold=tau).collect()
+            }
+            assert got == want, f"threshold {tau}"
+
     def test_reliable_pin_matches_local_checkpoint_results(self, spark, docs):
         """reliable=True (persist DISK_ONLY, lineage kept) is a pure
         durability knob — results identical to the localCheckpoint
