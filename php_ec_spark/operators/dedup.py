@@ -171,10 +171,10 @@ def jaccard_pairs(
         max_df=max_df,
         reliable=reliable,
     )
-    # The candidate set feeds the verify join on both sides; materialize
-    # it once — it is small by construction (post prefix+length+
-    # positional filtering), same pattern as minhash_lsh_pairs' pin.
-    cand = pin_intermediate(cand, reliable=reliable, eager=True)
+    # cand has exactly ONE consumer (the verify join chain below), so it
+    # is NOT pinned: pinning would force an extra materialization job for
+    # lineage no second branch ever reads. (docsets/inv stay pinned —
+    # they feed two branches each.)
     # Exact verification over the candidates only: the candidate docs'
     # (filtered-space) shingle sets come straight off the pinned per-doc
     # frame — cost Σ over candidate pairs of (n_a + n_b), no Σ df² term.
