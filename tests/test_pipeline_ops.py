@@ -160,6 +160,30 @@ class TestDedup:
             assert durable == fast
             release_checkpoint_caches(spark)
 
+    def test_pin_intermediate_reliable_keeps_lineage(self, spark):
+        """reliable=True must persist DISK_ONLY with lineage KEPT (the
+        whole point: a lost executor recomputes instead of failing),
+        while the default truncates lineage via localCheckpoint."""
+        from pyspark import StorageLevel
+
+        from php_ec_spark.operators.dedup import pin_intermediate
+        from php_ec_spark.session import release_checkpoint_caches
+
+        df = spark.range(100).selectExpr("id", "id * 2 AS v")
+        rel = pin_intermediate(df, reliable=True, eager=True)
+        assert rel.storageLevel == StorageLevel.DISK_ONLY
+        assert rel.count() == 100
+        # lineage kept: unpersisting and recounting recomputes fine
+        rel.unpersist()
+        assert rel.count() == 100
+
+        loc = pin_intermediate(df, eager=True)
+        # localCheckpoint swaps the plan for the materialized blocks
+        # (lineage truncated — the plan scans an ExistingRDD, no Range)
+        assert "Range" not in loc._jdf.queryExecution().executedPlan().toString()
+        assert loc.count() == 100
+        release_checkpoint_caches(spark)
+
     def test_minhash_similarity_estimate(self, spark):
         df = spark.createDataFrame(
             [(0, "a b c d e f g h i j"), (1, "a b c d e f g h i k"), (2, "z y x w v u t s r q")],
