@@ -48,8 +48,13 @@ from php_ec_spark.operators.text import (
 from php_ec_spark.session import get_spark
 
 
-def curate(spark, sf_dir: str, seed: int = 7):
-    """Run the funnel; returns (per-stage counts dict, packed DataFrame)."""
+def curate(spark, sf_dir: str, seed: int = 7, reliable: bool = False):
+    """Run the funnel; returns (per-stage counts dict, packed DataFrame).
+
+    ``reliable=True`` makes every corpus-scale pinned intermediate
+    persist(DISK_ONLY) with lineage kept instead of localCheckpoint —
+    flip it when the job runs long enough that losing an executor
+    mid-funnel is a real possibility (see SCALE.md §Durability)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     funnel = {"input": docs.count()}
 
@@ -59,7 +64,7 @@ def curate(spark, sf_dir: str, seed: int = 7):
     funnel["exact_dedup"] = docs.count()
 
     # 2. near-dup clusters: keep the cluster representative (min doc_id)
-    clusters = dedup_clusters(docs)
+    clusters = dedup_clusters(docs, reliable=reliable)
     docs = docs.join(
         clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
             "doc_id"
@@ -72,7 +77,7 @@ def curate(spark, sf_dir: str, seed: int = 7):
     # 3. substring-duplication filter: drop docs whose 13-token windows
     #    are mostly copies of other docs (cross-doc verbatim spans that
     #    survive document-level dedup — boilerplate, quoted chains)
-    spans = dup_span_stats(docs, window=13, min_docs=2)
+    spans = dup_span_stats(docs, window=13, min_docs=2, reliable=reliable)
     docs = docs.join(
         spans.filter(F.col("dup_fraction") >= 0.8).select("doc_id"),
         "doc_id",
@@ -109,7 +114,7 @@ def curate(spark, sf_dir: str, seed: int = 7):
     funnel["sampled"] = docs.count()
 
     # 7+8. token counts -> packed training sequences (512-token budget)
-    packed = pack_sequences(docs, budget=512)
+    packed = pack_sequences(docs, budget=512, reliable=reliable)
     funnel["packed_docs"] = packed.count()
     return funnel, packed
 
