@@ -144,7 +144,13 @@ def jaccard_pairs(
     The candidate volume is Σ over shingles of (prefix-df)², which in a
     co-occurrence-heavy corpus is structurally far below the plain
     index's Σ df² (measured in SCALE.md's adversarial `similar` regime:
-    the un-prefixed join grew super-linearly, alpha_hi 1.65).
+    the un-prefixed join grew super-linearly, alpha_hi 1.65). The one
+    input no candidate scheme can save is a corpus of mutually-similar
+    docs ABOVE the threshold — there the OUTPUT is quadratic by
+    definition (k identical docs = k·(k−1)/2 pairs, and they share one
+    prefix shingle). Run :func:`exact_dedup` first (the curation
+    pipeline does) so byte-duplicates collapse before pair listing; AQE
+    skew-join handling splits any residual hot prefix bucket.
 
     ``max_df`` (optional) additionally drops shingles appearing in more
     than that many docs from the Jaccard space itself — a semantics
