@@ -109,6 +109,11 @@ class EngineCore:
         self._live: dict[str, dict[int, List[_Instance]]] = {
             r.name: {} for r in rules
         }
+        # hot-loop binding: handle() walks rules with their bucket dicts
+        # every event — pre-pairing saves a dict hash per rule per event.
+        # Valid for the core's lifetime: _live's inner dicts are only
+        # ever MUTATED (never replaced), incl. from_state/compaction.
+        self._rule_buckets = [(r, self._live[r.name]) for r in rules]
         self.seq = 0
         self.rows: list = []
         # Deadline min-heap with LAZY invalidation: every deadline
@@ -264,14 +269,20 @@ class EngineCore:
         (CorrelationEngine.php:171-328). ev = (event_id, ts_ns, type, value)."""
         t = ev[1]
         etype = ev[2]
-        # batch clock: fire timeouts up to t − 1 ms (CorrelationEngine.php:191-202)
-        self.fire_due(t - _MS)
+        # batch clock: fire timeouts up to t − 1 ms (CorrelationEngine.php:191-202).
+        # Guarded on the raw heap top: when even the smallest deadline KEY
+        # exceeds the limit, no entry (valid or stale) can fire, so the
+        # call is a no-op — skipping it saves a call + loop setup per
+        # event (stale-top GC just happens at the next real firing or
+        # next_deadline() instead, with identical emissions/state).
+        heap = self._heap
+        if heap and heap[0][0] <= t - _MS:
+            self.fire_due(t - _MS)
         suppressed = False
-        for r in self.rules:
+        for r, buckets in self._rule_buckets:
             if suppressed:
                 break
             handled = False
-            buckets = self._live[r.name]
             if buckets:
                 # only the buckets whose group wants this event type are
                 # scanned: instances waiting on other groups are never
