@@ -110,10 +110,15 @@ class EngineCore:
             r.name: {} for r in rules
         }
         # hot-loop binding: handle() walks rules with their bucket dicts
-        # every event — pre-pairing saves a dict hash per rule per event.
-        # Valid for the core's lifetime: _live's inner dicts are only
-        # ever MUTATED (never replaced), incl. from_state/compaction.
-        self._rule_buckets = [(r, self._live[r.name]) for r in rules]
+        # and first-group membership test every event — pre-binding saves
+        # a dict hash + two attribute chases per rule per event. Valid
+        # for the core's lifetime: _live's inner dicts are only ever
+        # MUTATED (never replaced), incl. from_state/compaction, and
+        # Rule is frozen.
+        self._rule_buckets = [
+            (r, self._live[r.name], r._group_any[0], r._group_sets[0])
+            for r in rules
+        ]
         self.seq = 0
         self.rows: list = []
         # Deadline min-heap with LAZY invalidation: every deadline
@@ -279,7 +284,7 @@ class EngineCore:
         if heap and heap[0][0] <= t - _MS:
             self.fire_due(t - _MS)
         suppressed = False
-        for r, buckets in self._rule_buckets:
+        for r, buckets, any0, set0 in self._rule_buckets:
             if suppressed:
                 break
             handled = False
@@ -323,7 +328,7 @@ class EngineCore:
                         if r.emit_progress:
                             self._emit(r, "progress", t, inst)
             # per-class dedup (CorrelationEngine.php:252-254)
-            if not handled and (r._group_any[0] or etype in r._group_sets[0]):
+            if not handled and (any0 or etype in set0):
                 if r.accept is None or self._safe_accept(r, ev, []):
                     inst = _Instance(
                         r,
