@@ -97,11 +97,13 @@ def pipe_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipe_jaccard_pairs",
     headline=True,
-    doc="EXACT n-gram Jaccard near-dup pairs via inverted shingle index "
-    "(no all-pairs scan) WITH the max_df stop-shingle guard enabled "
-    "(shingles in >5% of docs are dropped; sizes recomputed in filtered "
-    "space) — the hot-key cap that keeps the join sub-quadratic at scale; "
-    "oracle mirrors the same filtered-space definition.",
+    doc="EXACT n-gram Jaccard near-dup pairs via a PREFIX-FILTERED "
+    "inverted index (Chaudhuri/Bayardo prefix + PPJoin positional "
+    "filter, exact set-intersection verify — lossless, candidate "
+    "volume ~linear even in co-occurrence-heavy corpora, see SCALE.md) "
+    "WITH the max_df stop-shingle guard enabled (shingles in >5% of "
+    "docs are dropped; sizes recomputed in filtered space); oracle "
+    "mirrors the same filtered-space definition.",
     oracle=_SHINGLES + """
         , inv AS (
             SELECT doc_id, unnest(shingles) AS shingle FROM sh
