@@ -417,6 +417,11 @@ class MemoryHub:
         with os.fdopen(fd, "w") as f:
             doc["gen"] = self._gen
             json.dump(doc, f)
+        prev_target = None
+        try:
+            prev_target = os.readlink(self.snapshot_path)
+        except OSError:
+            pass  # first publish, or stat-signature fallback mode
         tmp = self.snapshot_path + ".lnk"
         try:
             try:
@@ -430,34 +435,49 @@ class MemoryHub:
             # (readers fall back to the stat signature automatically)
             os.replace(data, self.snapshot_path)
             return
-        # retire older generations, keeping the previous one so a reader
-        # that readlink'd just before the swing can still open its target
-        base = os.path.basename(self.snapshot_path) + ".g"
-        d = os.path.dirname(self.snapshot_path)
-        for fn in os.listdir(d):
-            if fn.startswith(base):
+        # Retire older generations. The keep-set is EXPLICIT — the file
+        # just swung to plus the link target it replaced — because with
+        # multi-writer leapfrogging neither a numeric cutoff (`< _gen−1`
+        # deletes a lower-numbered file another writer just published)
+        # nor top-N-by-number (a stale writer's fresh .g5 next to an old
+        # .g10 would lose its OWN current target) identifies them by
+        # number alone. The top-2-by-number union guards the race where
+        # a concurrent writer swings the link between our readlink and
+        # this sweep: its target is the new disk maximum, so it survives.
+        gens = sorted((n for n, _ in self._gen_files()), reverse=True)
+        keep = {f"{os.path.basename(self.snapshot_path)}.g{n}" for n in gens[:2]}
+        keep.add(os.path.basename(data))
+        if prev_target is not None:
+            keep.add(prev_target)
+        for _n, path in self._gen_files():
+            if os.path.basename(path) not in keep:
                 try:
-                    if int(fn[len(base):]) < self._gen - 1:
-                        os.unlink(os.path.join(d, fn))
-                except (ValueError, OSError):
+                    os.unlink(path)
+                except OSError:
                     pass
 
-    def _max_gen_on_disk(self) -> int:
-        """Highest generation number present next to snapshot_path (0 if
-        none) — used to leapfrog a colliding writer's counter."""
+    def _gen_files(self) -> list:
+        """[(N, path)] for every generation file next to snapshot_path —
+        the single owner of the '<name>.gN' naming convention (used by
+        the leapfrog probe and the retirement pass)."""
         base = os.path.basename(self.snapshot_path) + ".g"
         d = os.path.dirname(self.snapshot_path) or "."
-        best = 0
+        out = []
         try:
             for fn in os.listdir(d):
                 if fn.startswith(base):
                     try:
-                        best = max(best, int(fn[len(base):]))
+                        out.append((int(fn[len(base):]), os.path.join(d, fn)))
                     except ValueError:
                         pass
         except OSError:
             pass
-        return best
+        return out
+
+    def _max_gen_on_disk(self) -> int:
+        """Highest generation number present next to snapshot_path (0 if
+        none) — used to leapfrog a colliding writer's counter."""
+        return max((n for n, _ in self._gen_files()), default=0)
 
     # -- read side (driver convenience; executors use live_memory()) ------
     def get(self, ns: str, key: str, default=None):

@@ -51,9 +51,11 @@ _SHINGLES = r"""
         WITH tok AS (
             -- with_shingles' tokenization exactly: split(trim, '\s+')
             -- (single-space string_split diverges on repeated/tab/edge
-            -- whitespace; pipe_simhash already uses this convention)
+            -- whitespace; pipe_simhash already uses this convention);
+            -- NULL text ≡ '' mirrors with_shingles' coalesce so null-text
+            -- docs shingle as [''] instead of vanishing
             SELECT doc_id,
-                   string_split_regex(trim(text), '\s+') AS toks
+                   string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
             FROM documents
         ), sh AS (
             SELECT doc_id,
@@ -190,8 +192,11 @@ def pipe_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the oracle brute-forces the exact same pair set.",
     oracle="""
         WITH tok AS (
+            -- NULL text ≡ '' (with_simhash's kernel treats None as '')
             SELECT doc_id,
-                   list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+                   list_distinct(
+                       string_split_regex(trim(coalesce(text, '')), '\\s+')
+                   ) AS toks
             FROM documents
         ), th AS (
             SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h

@@ -814,6 +814,34 @@ def test_memory_hub_concurrent_writers_never_rewrite_a_generation(tmp_path):
     assert got[("ns", "b")] == 99
 
 
+def test_memory_hub_stale_writer_keeps_its_own_target_alive(tmp_path):
+    """A writer whose counter sits BELOW the generation numbers already
+    on disk (possible after a restart race: it bound before the other
+    writer's last publishes) claims an unused low number — .g1 next to
+    .g3/.g4. The retirement sweep must not treat 'highest numbers win'
+    as ground truth and delete the file the link was just swung to: the
+    keep-set is the new target + previous target, by name."""
+    import os as _os
+
+    from php_ec_spark.memory import MemoryHub
+
+    hub_a = MemoryHub(str(tmp_path))
+    hub_a.write("ns", "a", 1)
+    hub_a.write("ns", "a", 2)
+    hub_a.write("ns", "a", 3)  # disk now holds only high-numbered gens
+    link = _os.path.join(str(tmp_path), "memory", "current.json")
+
+    hub_b = MemoryHub(str(tmp_path))
+    hub_b._gen = 0  # stale counter: next publish claims .g1 (no collision)
+    hub_b.write("ns", "b", 99)
+
+    target = _os.readlink(link)
+    assert _os.path.exists(_os.path.join(str(tmp_path), "memory", target))
+    doc = json.load(open(link))  # link must resolve, not ENOENT
+    got = {(ns, k): json.loads(v) for ns, k, v, _e, _p in doc["entries"]}
+    assert got[("ns", "b")] == 99
+
+
 def test_memory_hub_rejects_uri_checkpoint(tmp_path):
     """The snapshot needs a POSIX path shared with executors; a URI
     checkpoint would silently give every executor an empty view, so the
