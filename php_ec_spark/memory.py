@@ -250,6 +250,10 @@ class MemoryHub:
         #: (ns, key) -> [value_json_str, expires_epoch_or_None, persistent]
         self._entries: dict = {}
         self._gen = 0
+        #: generation basenames THIS hub published — safe to retire
+        #: immediately (we swung past them); foreign files get an age
+        #: grace so another writer's claimed-but-unswung file survives
+        self._published: set = set()
         self._last_purge = time.monotonic()
         self._lock = threading.Lock()  # one hub may serve several queries
         #: deletions issued BEFORE bind(): a delete leaves no trace in
@@ -444,17 +448,38 @@ class MemoryHub:
         # number alone. The top-2-by-number union guards the race where
         # a concurrent writer swings the link between our readlink and
         # this sweep: its target is the new disk maximum, so it survives.
-        gens = sorted((n for n, _ in self._gen_files()), reverse=True)
+        # ONE directory snapshot serves both the keep-set and the delete
+        # loop: a second listing could see a file a concurrent writer
+        # created in between, absent from the keep-set computed on the
+        # first — and unlink the generation that writer is about to (or
+        # just did) swing the link to.
+        snapshot = self._gen_files()
+        gens = sorted((n for n, _ in snapshot), reverse=True)
         keep = {f"{os.path.basename(self.snapshot_path)}.g{n}" for n in gens[:2]}
         keep.add(os.path.basename(data))
         if prev_target is not None:
             keep.add(prev_target)
-        for _n, path in self._gen_files():
-            if os.path.basename(path) not in keep:
-                try:
-                    os.unlink(path)
-                except OSError:
-                    pass
+        self._published.add(os.path.basename(data))
+        now = time.time()
+        for _n, path in snapshot:
+            name = os.path.basename(path)
+            if name in keep:
+                continue
+            try:
+                # A FOREIGN low-numbered file may be another writer's
+                # O_EXCL claim not yet swung to — indistinguishable from
+                # garbage by name, but by AGE it is brand new (claims are
+                # swung within milliseconds). Give foreign files a grace
+                # window; our own retired generations (in _published) we
+                # know we swung past, so they go immediately.
+                if name not in self._published and (
+                    now - os.stat(path).st_mtime < 10.0
+                ):
+                    continue
+                os.unlink(path)
+                self._published.discard(name)
+            except OSError:
+                pass
 
     def _gen_files(self) -> list:
         """[(N, path)] for every generation file next to snapshot_path —

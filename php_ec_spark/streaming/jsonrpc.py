@@ -115,6 +115,14 @@ class _JsonRpcSimpleReader(SimpleDataSourceStreamReader):
         # restart rebase in read(): only a checkpoint-resumed child is
         # guaranteed to emit NEW data from the first notification.
         self._resumed = ckpt is not None
+        # Checkpoint-less restart semantics: the reader cannot KNOW
+        # whether such a child re-emits its stream from the beginning
+        # (a file reader — treat the first `offset` events as replays
+        # and filter them) or emits only new data (tail -f, a socket —
+        # filtering would silently DROP the first `offset` live events).
+        # `restart=replay` (default) filters; `restart=live` rebases
+        # (at-least-once: a replaying child would re-deliver history).
+        self._restart_live = options.get("restart", "replay") == "live"
         self._lock = threading.Lock()
         self._buf: deque[tuple[int, str]] = deque()
         self._seq = 0
@@ -192,15 +200,25 @@ class _JsonRpcSimpleReader(SimpleDataSourceStreamReader):
                 # gating on s > self._seq would then skip the rebase and
                 # silently drop the first s events of this run.
                 #
-                # ONLY when the child actually resumed from a checkpoint
-                # (_resumed): a checkpoint-less child replays its stream
-                # from scratch on restart, and renumbering would
-                # deterministically re-deliver the whole replayed backlog
-                # as duplicates. Without a checkpoint, keep the plain
-                # seq > s filter — the first s replayed events dedupe
-                # against the committed offset (at-least-once beyond
-                # that, the best any checkpoint-less source can do).
-                if s > 0 and self._resumed:
+                # Checkpoint-resumed children (_resumed) always rebase:
+                # everything they buffer is new by construction. For a
+                # checkpoint-less child the `restart` option decides
+                # (see __init__): `replay` keeps the plain seq > s
+                # filter — the first s replayed events dedupe against
+                # the committed offset — while `live` rebases so a
+                # child that emits only new data loses nothing. The
+                # replay assumption is loud: if it is wrong for this
+                # child, the filtered events are real data loss.
+                if s > 0 and not self._resumed and not self._restart_live:
+                    log.warning(
+                        "checkpoint-less source restarted at offset %d with "
+                        "restart='replay': treating the first %d buffered "
+                        "events as replays of committed data. If this child "
+                        "emits only live (non-replayed) events, set the "
+                        "source option restart='live' to avoid losing them.",
+                        s, s,
+                    )
+                if s > 0 and (self._resumed or self._restart_live):
                     self._buf = type(self._buf)(
                         (s + i, payload)
                         for i, (_, payload) in enumerate(self._buf, start=1)
@@ -249,7 +267,13 @@ class JsonRpcProcessSource(DataSource):
     Options: ``cmd`` (argv as a JSON array, or a shell-ish string),
     ``checkpointFile`` (where source checkpoint params persist and are
     handed back via PHPEC_CHECKPOINT on restart), ``env`` (JSON object of
-    extra env vars)."""
+    extra env vars), ``restart`` (checkpoint-less restart semantics:
+    ``replay`` (default) assumes the child re-emits its stream from the
+    beginning and filters the first committed-offset events as replays;
+    ``live`` assumes the child emits only new data and renumbers it past
+    the committed offset — at-least-once, nothing dropped). ``restart``
+    is ignored when the child resumed from ``checkpointFile`` (its
+    buffered data is new by construction)."""
 
     @classmethod
     def name(cls) -> str:
@@ -267,10 +291,14 @@ def jsonrpc_source(
     cmd: list[str] | str,
     checkpoint_file: Optional[str] = None,
     env: Optional[dict] = None,
+    restart: str = "replay",
 ) -> DataFrame:
     """Streaming DataFrame of (seq, value-JSON) rows from a JSON-RPC source
     child — the drop-in for the reference's input process config
-    (Scheduler::setInputProcesses)."""
+    (Scheduler::setInputProcesses). ``restart`` sets the checkpoint-less
+    restart semantics (see :class:`JsonRpcProcessSource`): ``replay``
+    filters the first committed-offset events as replays; ``live`` keeps
+    every buffered event (the child emits only new data)."""
     spark.dataSource.register(JsonRpcProcessSource)
     reader = (
         spark.readStream.format("phpec_jsonrpc")
@@ -280,6 +308,8 @@ def jsonrpc_source(
         reader = reader.option("checkpointFile", checkpoint_file)
     if env:
         reader = reader.option("env", json.dumps(env))
+    if restart != "replay":
+        reader = reader.option("restart", restart)
     return reader.load()
 
 

@@ -336,3 +336,31 @@ for i in range(4):
         assert [json.loads(v)["v"] for _s, v in rows] == [2, 3]
         assert [s for s, _v in rows] == [3, 4]
         assert off == {"seq": 4}
+
+    def test_checkpointless_restart_live_mode_loses_nothing(self):
+        """restart='live' declares the child emits only NEW data (tail -f,
+        a socket — nothing replays on restart). The replay filter would
+        silently drop the first `offset` live events; live mode rebases
+        instead, so all four events arrive renumbered past the committed
+        offset (at-least-once)."""
+        from php_ec_spark.streaming.jsonrpc import _JsonRpcSimpleReader
+
+        opts = {
+            "cmd": json.dumps([sys.executable, "-c", self.SCRIPT]),
+            "restart": "live",
+        }
+        r = _JsonRpcSimpleReader(opts)
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with r._lock:
+                if len(r._buf) == 4:
+                    break
+            time.sleep(0.05)
+        rows, off = [], {"seq": 5000}  # previous run's committed offset
+        while len(rows) < 4 and time.time() < deadline:
+            it, off = r.read(off)
+            rows.extend(it)
+            time.sleep(0.05)
+        assert [json.loads(v)["v"] for _s, v in rows] == [0, 1, 2, 3]
+        assert all(s > 5000 for s, _v in rows)
+        assert off == {"seq": 5004}

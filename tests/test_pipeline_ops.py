@@ -184,6 +184,22 @@ class TestDedup:
         assert loc.count() == 100
         release_checkpoint_caches(spark)
 
+    def test_release_clears_sql_cache_manager_entries(self, spark):
+        """release_checkpoint_caches must release reliable=True pins via
+        the SQL CacheManager, not just the block manager: an RDD-level
+        unpersist alone leaves the CacheManager entry behind, and a later
+        plan matching the cached fragment silently re-materializes it."""
+        from php_ec_spark.operators.dedup import pin_intermediate
+        from php_ec_spark.session import release_checkpoint_caches
+
+        df = spark.range(50).selectExpr("id", "id * 3 AS v")
+        pin_intermediate(df, reliable=True, eager=True)
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        assert not cm.isEmpty()
+        assert release_checkpoint_caches(spark) >= 1
+        assert cm.isEmpty()
+        assert not spark.sparkContext._jsc.getPersistentRDDs()
+
     def test_minhash_similarity_estimate(self, spark):
         df = spark.createDataFrame(
             [(0, "a b c d e f g h i j"), (1, "a b c d e f g h i k"), (2, "z y x w v u t s r q")],

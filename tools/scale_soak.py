@@ -90,6 +90,11 @@ def synthesize(
     if scale == 1:
         docs.write.mode("overwrite").parquet(dest_parquet)
         return dst
+    if scale > 100:
+        # id*100 + copy keeps ids disjoint only for copy < 100; beyond
+        # that, copies alias onto neighbouring source ids and the
+        # constant-density invariant silently breaks.
+        raise ValueError(f"scale {scale} > 100 would collide synthesized ids")
     copies = spark.range(scale).withColumnRenamed("id", "copy")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     perturbed = F.array_join(
@@ -136,6 +141,12 @@ def synthesize_events(spark, sf_dir: str, scale: int, out_dir: str) -> str:
     if scale == 1:
         ev.write.mode("overwrite").parquet(dest_parquet)
         return dst
+    if scale > 100:
+        # same id*100 + copy convention as the documents path: copy ≥ 100
+        # merges distinct users' streams (user 7 copy 100 == user 8 copy
+        # 0), breaking the constant per-key match density the cep regime
+        # measures.
+        raise ValueError(f"scale {scale} > 100 would collide synthesized ids")
     copies = spark.range(scale).withColumnRenamed("id", "copy")
     big = ev.crossJoin(copies).select(
         (F.col("event_id") * 100 + F.col("copy")).alias("event_id"),
