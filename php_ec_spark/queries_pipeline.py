@@ -25,6 +25,7 @@ from .operators.dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from .operators.lm import with_lm_bits
 from .operators.multimodal import attach_blob, extract_image_meta
 from .operators.similarity import cosine_dup_pairs, cosine_topk, ivf_topk
 from .operators.text import (
@@ -293,6 +294,53 @@ def pipe_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipe_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(_docs(spark, sf_dir), window=13, min_docs=2)
+
+
+@register(
+    "pipe_lm_score",
+    doc="CCNet-style LM quality signal: per-doc bits-per-token under a "
+    "self-trained bigram model with Laplace smoothing — two counting "
+    "aggregates (vocabulary-sized output) + two keyed joins, linear in "
+    "corpus tokens; gibberish scores high, templated spam abnormally low.",
+    oracle=r"""
+        WITH tok AS (
+            -- lowercased \s+ tokens; NULL text ≡ '' (the doc must appear
+            -- in the per-doc output with NULL bits, not vanish)
+            SELECT doc_id,
+                   string_split_regex(trim(lower(coalesce(text, ''))), '\s+')
+                       AS toks
+            FROM documents
+        ), tr AS (
+            SELECT doc_id,
+                   unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                           for i in range(1, len(toks))]) AS bg
+            FROM tok
+        ), trf AS (
+            SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM tr
+        ), c2 AS (
+            SELECT w1, w2, count(*) AS n2 FROM trf GROUP BY 1, 2
+        ), c1 AS (
+            SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY 1
+        ), v AS (
+            SELECT count(DISTINCT t) AS vs
+            FROM (SELECT unnest(toks) AS t FROM tok)
+        ), scored AS (
+            SELECT trf.doc_id,
+                   -log2((c2.n2 + 1.0) / (c1.n1 + v.vs)) AS bits
+            FROM trf JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        ), agg AS (
+            SELECT doc_id, count(*) AS n_trans,
+                   round(avg(bits), 3) AS lm_bits
+            FROM scored GROUP BY 1
+        )
+        SELECT t.doc_id,
+               CAST(coalesce(a.n_trans, 0) AS BIGINT) AS n_trans,
+               a.lm_bits
+        FROM tok t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def pipe_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_lm_bits(_docs(spark, sf_dir))
 
 
 @register(

@@ -391,11 +391,17 @@ def rel_datetime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the reference's schemaless Event payload as a JSON column) + the "
     "recent-events ring — kind='recent' rows are the last-100 event log "
     "(A4, Library/EventLog.php:13-31; was rel_recent_events, consolidated "
-    "to free a driver-window slot).",
+    "to free a driver-window slot) + the value histograms (A3, "
+    "Library/Histogram.php:8-43) — kind='linear50' = fixed-width /50 "
+    "buckets, kind='pow2' = the reference's exact power-of-two bucket "
+    "shape (inclusive upper bounds, -1 = overflow); was "
+    "rel_events_histogram, consolidated to free the slot for "
+    "pipe_lm_score.",
     oracle="""
         SELECT 'stats' AS kind, event_type,
                CAST(NULL AS BIGINT) AS event_id,
                CAST(NULL AS TIMESTAMP) AS ts,
+               CAST(NULL AS BIGINT) AS bucket,
                count(*) AS seen,
                count(DISTINCT user_id) AS n_users,
                round(sum(value), 2) AS value_total,
@@ -408,6 +414,7 @@ def rel_datetime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
         UNION ALL
         SELECT 'recent' AS kind, event_type, event_id, ts::TIMESTAMP AS ts,
+               CAST(NULL AS BIGINT) AS bucket,
                CAST(NULL AS BIGINT) AS seen, CAST(NULL AS BIGINT) AS n_users,
                CAST(NULL AS DOUBLE) AS value_total,
                CAST(NULL AS BIGINT) AS n_big_k, CAST(NULL AS BIGINT) AS big_k_total
@@ -419,6 +426,32 @@ def rel_datetime_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type, event_id, ts FROM events
             ORDER BY ts::TIMESTAMP DESC, event_id DESC LIMIT 100
         )
+        UNION ALL
+        SELECT 'linear50' AS kind, CAST(NULL AS VARCHAR) AS event_type,
+               CAST(NULL AS BIGINT) AS event_id,
+               CAST(NULL AS TIMESTAMP) AS ts,
+               CAST(floor(value / 50) AS BIGINT) AS bucket,
+               count(*) AS seen,
+               CAST(NULL AS BIGINT) AS n_users,
+               CAST(NULL AS DOUBLE) AS value_total,
+               CAST(NULL AS BIGINT) AS n_big_k, CAST(NULL AS BIGINT) AS big_k_total
+        FROM events GROUP BY 5
+        UNION ALL
+        SELECT 'pow2' AS kind, CAST(NULL AS VARCHAR) AS event_type,
+               CAST(NULL AS BIGINT) AS event_id,
+               CAST(NULL AS TIMESTAMP) AS ts,
+               CAST(CASE
+                 WHEN value <= 1 THEN 1 WHEN value <= 2 THEN 2
+                 WHEN value <= 4 THEN 4 WHEN value <= 8 THEN 8
+                 WHEN value <= 16 THEN 16 WHEN value <= 32 THEN 32
+                 WHEN value <= 64 THEN 64 WHEN value <= 128 THEN 128
+                 WHEN value <= 256 THEN 256 WHEN value <= 512 THEN 512
+                 ELSE -1 END AS BIGINT) AS bucket,
+               count(*) AS seen,
+               CAST(NULL AS BIGINT) AS n_users,
+               CAST(NULL AS DOUBLE) AS value_total,
+               CAST(NULL AS BIGINT) AS n_big_k, CAST(NULL AS BIGINT) AS big_k_total
+        FROM events GROUP BY 5
     """,
 )
 def rel_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,6 +468,7 @@ def rel_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("stats").alias("kind"), "event_type",
         F.lit(None).cast("long").alias("event_id"),
         F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("long").alias("bucket"),
         "seen", "n_users", "value_total", "n_big_k", "big_k_total",
     )
     recent = (
@@ -442,6 +476,7 @@ def rel_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(
             F.lit("recent").alias("kind"), "event_type", "event_id", "ts",
+            F.lit(None).cast("long").alias("bucket"),
             F.lit(None).cast("long").alias("seen"),
             F.lit(None).cast("long").alias("n_users"),
             F.lit(None).cast("double").alias("value_total"),
@@ -449,7 +484,30 @@ def rel_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("big_k_total"),
         )
     )
-    return stats.unionByName(recent)
+
+    def _hist_rows(kind: str, bucket_col):
+        return (
+            e.groupBy(bucket_col.cast("long").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("seen"))
+            .select(
+                F.lit(kind).alias("kind"),
+                F.lit(None).cast("string").alias("event_type"),
+                F.lit(None).cast("long").alias("event_id"),
+                F.lit(None).cast("timestamp").alias("ts"),
+                "bucket", "seen",
+                F.lit(None).cast("long").alias("n_users"),
+                F.lit(None).cast("double").alias("value_total"),
+                F.lit(None).cast("long").alias("n_big_k"),
+                F.lit(None).cast("long").alias("big_k_total"),
+            )
+        )
+
+    linear = _hist_rows("linear50", F.floor(F.col("value") / 50))
+    pow2_bucket = F.lit(-1)
+    for b in [512, 256, 128, 64, 32, 16, 8, 4, 2, 1]:
+        pow2_bucket = F.when(F.col("value") <= b, F.lit(b)).otherwise(pow2_bucket)
+    pow2 = _hist_rows("pow2", pow2_bucket)
+    return stats.unionByName(recent).unionByName(linear).unionByName(pow2)
 
 
 @register(
@@ -586,45 +644,6 @@ def rel_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("sess_start"), "n_events")
     )
-
-
-@register(
-    "rel_events_histogram",
-    doc="Value histograms (A3, Library/Histogram.php:8-43; consolidates "
-    "rel_pow2_histogram): kind='linear50' = fixed-width /50 buckets; "
-    "kind='pow2' = the reference's exact power-of-two bucket shape "
-    "(inclusive upper bounds, -1 = overflow).",
-    oracle="""
-        SELECT 'linear50' AS kind,
-               CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n
-        FROM events GROUP BY 2
-        UNION ALL
-        SELECT 'pow2' AS kind,
-               CAST(CASE
-                 WHEN value <= 1 THEN 1 WHEN value <= 2 THEN 2
-                 WHEN value <= 4 THEN 4 WHEN value <= 8 THEN 8
-                 WHEN value <= 16 THEN 16 WHEN value <= 32 THEN 32
-                 WHEN value <= 64 THEN 64 WHEN value <= 128 THEN 128
-                 WHEN value <= 256 THEN 256 WHEN value <= 512 THEN 512
-                 ELSE -1 END AS BIGINT) AS bucket,
-               count(*) AS n
-        FROM events GROUP BY 2
-    """,
-)
-def rel_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
-    linear = e.groupBy(
-        F.floor(F.col("value") / 50).cast("long").alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("linear50").alias("kind"), "bucket", "n"
-    )
-    bucket = F.lit(-1)
-    for b in [512, 256, 128, 64, 32, 16, 8, 4, 2, 1]:
-        bucket = F.when(F.col("value") <= b, F.lit(b)).otherwise(bucket)
-    pow2 = e.groupBy(bucket.cast("long").alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n")
-    ).select(F.lit("pow2").alias("kind"), "bucket", "n")
-    return linear.unionByName(pow2)
 
 
 @register(

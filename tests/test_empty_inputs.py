@@ -83,3 +83,12 @@ class TestEmptyCorpus:
         docs = _empty(spark, DOCS_DDL)
         assert with_token_stats(docs).count() == 0
         assert with_lang_id(docs).count() == 0
+
+    def test_lm_bits_empty_docs(self, spark):
+        """An empty corpus trains an empty model (vocab floor 1) and
+        scores nothing — no division by zero, no rows."""
+        from php_ec_spark.operators.lm import with_lm_bits
+
+        out = with_lm_bits(_empty(spark, DOCS_DDL))
+        assert out.count() == 0
+        assert set(out.columns) == {"doc_id", "n_trans", "lm_bits"}

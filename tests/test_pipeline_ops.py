@@ -149,11 +149,14 @@ class TestDedup:
         from php_ec_spark.session import release_checkpoint_caches
 
         small = docs.limit(120)
+        from php_ec_spark.operators.lm import with_lm_bits
+
         for op in (
             lambda d, **kw: jaccard_pairs(d, threshold=0.8, **kw),
             lambda d, **kw: dup_span_stats(d, window=13, **kw),
             lambda d, **kw: pack_sequences(d, budget=512, **kw),
             lambda d, **kw: dedup_clusters(d, threshold=0.8, **kw),
+            lambda d, **kw: with_lm_bits(d, **kw),
         ):
             fast = {tuple(r) for r in op(small).collect()}
             durable = {tuple(r) for r in op(small, reliable=True).collect()}
@@ -1253,3 +1256,114 @@ class TestRootModuleReviewRegressions:
             Rule(name="r", events=["placed", "paid"])
         with pytest.raises(ValueError, match="bare string"):
             Rule(name="r", events="placed")
+
+
+class TestNgramLm:
+    def _py_bits(self, corpus: dict, score: dict | None = None):
+        """Pure-Python reference for the bigram Laplace model."""
+        import math
+        from collections import Counter
+
+        def toks(t):
+            return (t or "").strip().lower().split()
+
+        # "" splits to [""] under the \s+ convention
+        def toks_spark(t):
+            s = (t or "").strip().lower()
+            import re
+            return re.split(r"\s+", s)
+
+        c2, c1, vocab = Counter(), Counter(), set()
+        for t in corpus.values():
+            w = toks_spark(t)
+            vocab.update(w)
+            for a, b in zip(w, w[1:]):
+                c2[(a, b)] += 1
+                c1[a] += 1
+        V = len(vocab) or 1
+        out = {}
+        for doc, t in (score or corpus).items():
+            w = toks_spark(t)
+            trans = list(zip(w, w[1:]))
+            if not trans:
+                out[doc] = (0, None)
+                continue
+            bits = [
+                -math.log2((c2[(a, b)] + 1) / (c1[a] + V))
+                for a, b in trans
+            ]
+            out[doc] = (len(trans), round(sum(bits) / len(bits), 3))
+        return out
+
+    def test_hand_computed_small_corpus(self, spark):
+        from php_ec_spark.operators.lm import with_lm_bits
+
+        texts = {0: "a b a b", 1: "a b", 2: "", 3: None, 4: "solo"}
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_trans, r.lm_bits)
+            for r in with_lm_bits(df).collect()
+        }
+        want = self._py_bits(texts)
+        assert set(got) == set(texts), "every document survives"
+        for doc in texts:
+            n_w, b_w = want[doc]
+            n_g, b_g = got[doc]
+            assert n_g == n_w, (doc, n_g, n_w)
+            if b_w is None:
+                assert b_g is None, doc
+            else:
+                assert abs(b_g - b_w) < 2e-3, (doc, b_g, b_w)
+
+    def test_foreign_train_corpus_unseen_pairs_score_smoothed(self, spark):
+        """Scoring against a DIFFERENT training corpus: bigrams absent
+        from training must score at the Laplace floor, never NULL/inf."""
+        from php_ec_spark.operators.lm import with_lm_bits
+
+        train = {0: "the cat sat", 1: "the dog sat"}
+        score = {10: "the cat sat", 11: "zebra quark plasma"}
+        tdf = spark.createDataFrame(list(train.items()), "doc_id long, text string")
+        sdf = spark.createDataFrame(list(score.items()), "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_trans, r.lm_bits)
+            for r in with_lm_bits(sdf, train_df=tdf).collect()
+        }
+        want = self._py_bits(train, score)
+        for doc in score:
+            assert got[doc][0] == want[doc][0]
+            assert abs(got[doc][1] - want[doc][1]) < 2e-3, (
+                doc, got[doc], want[doc],
+            )
+        # in-distribution text is strictly less surprising
+        assert got[10][1] < got[11][1]
+
+    def test_fuzz_against_python_reference(self, spark):
+        import random
+
+        from php_ec_spark.operators.lm import with_lm_bits
+
+        rng = random.Random(42)
+        words = ["a", "b", "c", "dd", "eee"]
+        texts = {
+            i: " ".join(
+                rng.choice(words) for _ in range(rng.randrange(0, 12))
+            )
+            for i in range(40)
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        ).repartition(7)  # partition-count invariance of the aggregates
+        got = {
+            r.doc_id: (r.n_trans, r.lm_bits)
+            for r in with_lm_bits(df).collect()
+        }
+        want = self._py_bits(texts)
+        assert set(got) == set(want)
+        for doc, (n_w, b_w) in want.items():
+            assert got[doc][0] == n_w, doc
+            if b_w is None:
+                assert got[doc][1] is None, doc
+            else:
+                assert abs(got[doc][1] - b_w) < 2e-3, (doc, got[doc][1], b_w)
