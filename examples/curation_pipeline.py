@@ -11,6 +11,8 @@ queries run, chained the way a real curation job would:
   4. decontamination        (operators.dedup.decontaminate, 13-gram probe)
   5. quality + repetition   (operators.text: quality_score, Gopher-style
      filtering                repetition signals)
+  5b. LM perplexity filter  (operators.lm.with_lm_bits, CCNet-style
+                             bits-per-token tail cut)
   6. stratified sampling    (operators.sampling.stratified_sample)
   7. token counting         (operators.text.with_bpe_token_count)
   8. sequence packing       (operators.packing.pack_sequences)
@@ -38,6 +40,7 @@ from php_ec_spark.operators.dedup import (
     dup_span_stats,
     exact_dedup,
 )
+from php_ec_spark.operators.lm import with_lm_bits
 from php_ec_spark.operators.packing import pack_sequences
 from php_ec_spark.operators.sampling import stratified_sample
 from php_ec_spark.operators.text import (
@@ -106,6 +109,25 @@ def curate(spark, sf_dir: str, seed: int = 7, reliable: bool = False):
         .select("doc_id", "text", "lang", "source")
     )
     funnel["quality_filtered"] = docs.count()
+
+    # 5b. LM perplexity filter (CCNet-style): drop the bits-per-token
+    # tail — gibberish scores high under the corpus's own bigram model.
+    # Self-trained on the post-dedup survivors (training on the raw
+    # corpus would let boilerplate that dedup just removed define
+    # "typical"); the cutoff keeps everything within 2× the corpus mean.
+    lm = with_lm_bits(docs, reliable=reliable)
+    mean_bits = (
+        lm.agg(F.avg("lm_bits")).collect()[0][0]  # one bounded scalar
+    )
+    if mean_bits is not None:
+        docs = docs.join(
+            lm.filter(
+                F.col("lm_bits").isNull()
+                | (F.col("lm_bits") <= 2.0 * mean_bits)
+            ).select("doc_id"),
+            "doc_id",
+        )
+    funnel["lm_filtered"] = docs.count()
 
     # 6. stratified sample: thin the over-represented language
     docs = stratified_sample(docs, {"en": 0.8}, "lang", seed=seed).select(

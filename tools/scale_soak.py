@@ -58,6 +58,7 @@ QUERIES = (
     "pipe_simhash",
     "pipe_pack_sequences",
     "pipe_dup_spans",
+    "pipe_lm_score",
 )
 
 #: CEP plans soaked in the `cep` regime: events replicated with FRESH
