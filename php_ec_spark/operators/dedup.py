@@ -923,21 +923,35 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    reliable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: chunk-banded candidates, Hamming verify.
 
     Hamming ≤ 3 over 60 bits ⇒ at least one of the 4 15-bit chunks is equal
     (pigeonhole), so candidates come from 4 equi-joins on chunk value — no
     all-pairs scan. Output: (doc_a, doc_b, hamming).
+
+    The fingerprint table (2 longs per doc) is pinned eagerly before the
+    chunk self-join: both join sides descend from the same Arrow kernel,
+    and Spark plans them as two independent scans (no ReusedExchange
+    across the mapInPandas boundary) — unpinned, the WHOLE corpus text
+    would be read and fingerprinted twice. Same rationale as the banded
+    MinHash table in :func:`minhash_lsh_pairs`; ``reliable=True`` swaps
+    the pin for persist(DISK_ONLY) with lineage kept (see
+    :func:`pin_intermediate`).
     """
     assert max_hamming <= 3  # pigeonhole bound for 4 chunks
     # project BEFORE the Arrow kernel: with_simhash's mapInPandas schema
     # is input+simhash, so an unprojected call would round-trip every
     # document column (the whole text twice) through Arrow just to drop
     # them here
-    sim = with_simhash(
-        df.select(id_col, text_col), text_col=text_col
-    ).select(F.col(id_col).alias("doc"), "simhash")
+    sim = pin_intermediate(
+        with_simhash(
+            df.select(id_col, text_col), text_col=text_col
+        ).select(F.col(id_col).alias("doc"), "simhash"),
+        reliable=reliable,
+        eager=True,
+    )
     chunk_bits = SIMHASH_BITS // 4
     chunk_mask = (1 << chunk_bits) - 1
     chunks = sim.select(

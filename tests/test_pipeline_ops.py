@@ -157,6 +157,7 @@ class TestDedup:
             lambda d, **kw: pack_sequences(d, budget=512, **kw),
             lambda d, **kw: dedup_clusters(d, threshold=0.8, **kw),
             lambda d, **kw: with_lm_bits(d, **kw),
+            lambda d, **kw: simhash_pairs(d, max_hamming=3, **kw),
         ):
             fast = {tuple(r) for r in op(small).collect()}
             durable = {tuple(r) for r in op(small, reliable=True).collect()}
