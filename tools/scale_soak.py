@@ -299,7 +299,8 @@ def main() -> None:
         "## Durability of pinned intermediates",
         "",
         "The multi-branch operators (`jaccard_pairs`, `dup_span_stats`, "
-        "`pack_sequences`) pin their corpus-scale exploded frames with "
+        "`pack_sequences`, `dedup_clusters`, `with_lm_bits`, "
+        "`simhash_pairs`) pin their corpus-scale intermediates with "
         "`localCheckpoint` by default: fastest locally, but the blocks "
         "live non-replicated on executor local storage with lineage "
         "truncated — on a real cluster, losing one executor mid-query "
