@@ -16,6 +16,8 @@ queries run, chained the way a real curation job would:
   6. stratified sampling    (operators.sampling.stratified_sample)
   7. token counting         (operators.text.with_bpe_token_count)
   8. sequence packing       (operators.packing.pack_sequences)
+  9. sharded export         (layout.export_training_shards — optional,
+     pass export_path: globally shuffled reproducible training shards)
 
 Run:  python examples/curation_pipeline.py [sf_dir]
       (default /root/testdata/sf0.01)
@@ -48,10 +50,18 @@ from php_ec_spark.operators.text import (
     with_quality_score,
     with_repetition_signals,
 )
+from php_ec_spark.layout import export_training_shards
 from php_ec_spark.session import get_spark
 
 
-def curate(spark, sf_dir: str, seed: int = 7, reliable: bool = False):
+def curate(
+    spark,
+    sf_dir: str,
+    seed: int = 7,
+    reliable: bool = False,
+    export_path: str | None = None,
+    export_shards: int = 16,
+):
     """Run the funnel; returns (per-stage counts dict, packed DataFrame).
 
     ``reliable=True`` makes every corpus-scale pinned intermediate
@@ -138,6 +148,15 @@ def curate(spark, sf_dir: str, seed: int = 7, reliable: bool = False):
     # 7+8. token counts -> packed training sequences (512-token budget)
     packed = pack_sequences(docs, budget=512, reliable=reliable)
     funnel["packed_docs"] = packed.count()
+
+    # 9. (optional) terminal write: globally shuffled, reproducible
+    # training shards of the curated docs — layout.export_training_shards
+    if export_path is not None:
+        export_training_shards(
+            docs, export_path, num_shards=export_shards, salt=seed,
+            mode="overwrite",
+        )
+        funnel["shards_written"] = export_shards
     return funnel, packed
 
 

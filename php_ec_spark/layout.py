@@ -15,6 +15,13 @@ usable and an unusable engine is mostly layout:
   state cannot be salted — a hot correlation key is inherently serial
   (same as the reference's single thread); salting applies to the
   commutative aggregations around it.
+- **Training shards** (:func:`export_training_shards`): the terminal
+  stage of a curation pipeline — a globally shuffled, REPRODUCIBLE
+  sharded copy of the curated corpus for the training loader. Shard
+  membership and intra-shard order are pure functions of
+  ``(id, salt)``, so re-running the export (or re-running it after a
+  lost-executor retry) yields identical shards, and bumping ``salt``
+  is a fresh epoch-level reshuffle without touching upstream.
 """
 
 from __future__ import annotations
@@ -44,6 +51,80 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def with_shard(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    shard_col: str = "shard",
+    ord_col: str = "ord",
+) -> DataFrame:
+    """Deterministic global-shuffle keys: ``shard`` (0..num_shards−1) and
+    ``ord`` (intra-shard order), both pure functions of ``(id, salt)``.
+
+    The key is the first 15 hex chars of ``md5(salt ':' id)`` read as an
+    integer (< 2⁶⁰, exact in a long) — the repo's engine-portable hash
+    convention (see SIMHASH_BITS in operators/dedup.py), so an external
+    loader (or a DuckDB audit query) can recompute shard membership from
+    the id alone: no row-position or partition-layout dependence
+    anywhere. ``shard = key mod num_shards``; ordering by (``ord``, id)
+    inside a shard is the epoch's document order. A different ``salt``
+    is an independent reshuffle.
+    """
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(salt)), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn(ord_col, key).withColumn(
+        shard_col, F.pmod(F.col(ord_col), F.lit(num_shards)).cast("int")
+    )
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    mode: str = "error",
+) -> None:
+    """Write ``df`` as ``num_shards`` globally shuffled, reproducible
+    training shards: ``path/shard=i/*.parquet``.
+
+    This is the terminal pipeline stage after dedup/filter/mix: training
+    loaders read one shard directory per worker and iterate it in
+    ``ord`` order — a deterministic global permutation of the corpus
+    (md5-keyed, so it is uncorrelated with crawl/source/time order; the
+    "shuffle the corpus once at scale, stream it sequentially at
+    training time" pattern).
+
+    Shape at 100 TB: assignment is a scan-local column expression (no
+    driver state), then ONE hash exchange on the shard column and a
+    per-task sort — the same cost class as any keyed write. Size shards
+    via ``num_shards`` ≈ corpus_bytes / target (1–10 GiB of parquet per
+    shard keeps loader seeks long and file counts sane); a shard
+    holding more than one task's worth of rows simply writes several
+    ``ord``-ordered files under its directory. Reproducibility contract:
+    per-shard MEMBERSHIP and the ``ord`` column are functions of
+    ``(id, salt)`` only — re-exports, AQE re-plans, and task retries
+    cannot change what a shard contains or the order a sorted reader
+    sees.
+    """
+    d = with_shard(df, num_shards, id_col=id_col, salt=salt)
+    (
+        d.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "ord", id_col)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
 
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:

@@ -77,10 +77,11 @@ def test_pipeline_is_one_spark_job_shape(spark, docs):
     assert "PushedFilters: [IsNotNull(doc_id)]" in plan
 
 
-def test_curation_example_runs(spark):
+def test_curation_example_runs(spark, tmp_path):
     """examples/curation_pipeline.py end to end at sf0.001: the funnel is
-    monotonically non-increasing, every stage keeps at least one doc, and
-    the packed output covers exactly the sampled survivors."""
+    monotonically non-increasing, every stage keeps at least one doc, the
+    packed output covers exactly the sampled survivors, and the optional
+    terminal shard export round-trips the curated docs."""
     import importlib.util
     import os
 
@@ -92,10 +93,16 @@ def test_curation_example_runs(spark):
     spec = importlib.util.spec_from_file_location("curation_pipeline", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    funnel, packed = mod.curate(spark, SF)
+    export = str(tmp_path / "shards")
+    funnel, packed = mod.curate(spark, SF, export_path=export, export_shards=4)
+    assert funnel.pop("shards_written") == 4
     stages = list(funnel.values())
     assert stages == sorted(stages, reverse=True)  # funnel never grows
     assert stages[-1] > 0
+    # the terminal export holds exactly the curated docs, 4 shard dirs
+    exported = spark.read.parquet(export)
+    assert exported.count() == funnel["sampled"]
+    assert exported.select("shard").distinct().count() == 4
     assert funnel["packed_docs"] == funnel["sampled"]
     rows = sorted(packed.collect(), key=lambda r: r.doc_id)
     running = 0
