@@ -132,3 +132,30 @@ class TestTrainingShards:
             # md5 is uniform: every shard within ±60% of mean (500 docs,
             # ~31/shard, binomial σ≈5.4 — a 60% band is ~3.5σ)
             assert all(abs(c - mean) < 0.6 * mean for c in sizes.values()), sizes
+
+    def test_assignment_is_engine_portable(self, spark):
+        """The docstring's portability contract: an external system (here
+        DuckDB, the repo's oracle engine) recomputes identical (ord,
+        shard) from the id alone — training loaders and audit queries
+        never need Spark to know what a shard contains."""
+        import duckdb
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        got = {
+            r.doc_id: (r.ord, r.shard)
+            for r in with_shard(docs, self.N, salt=7).collect()
+        }
+        con = duckdb.connect()
+        want = {
+            d: (o, s)
+            for d, o, s in con.execute(
+                f"""
+                SELECT doc_id,
+                       ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord,
+                       ('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {self.N} AS shard
+                FROM '{SF}/documents.parquet'
+                """
+            ).fetchall()
+        }
+        con.close()
+        assert got == want
