@@ -87,6 +87,44 @@ def exact_dedup(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    horizon: str = "24 hours",
+) -> DataFrame:
+    """Dedup-at-ingest for a document STREAM: drop every doc whose
+    normalized text digest already arrived within the ``horizon``.
+
+    :func:`exact_dedup` collapses a static corpus; a continuously
+    ingesting pipeline runs the same contract at the door instead of
+    re-sweeping 100 TB per crawl increment: digest the normalized text
+    scan-side, then ``dropDuplicatesWithinWatermark`` on the digest —
+    Spark keeps ONE state row per distinct digest and evicts it once
+    the watermark passes its arrival + horizon, so dedup state is
+    bounded by ingest-rate × horizon, NOT by corpus size. A re-crawl
+    inside the horizon dedups exactly; a repeat beyond it re-enters
+    (eviction lags the watermark-advancing micro-batch by one, pinned
+    in tests) — the standard at-ingest trade, closed by a periodic
+    batch :func:`exact_dedup` sweep over the landed corpus.
+
+    ``ts_col=None`` stamps arrival time (processing-time dedup); pass
+    an event-time column for replay-stable semantics. Output keeps the
+    input columns plus ``text_hash`` (pipelines persist it — the later
+    batch sweep and any cross-horizon audit join on it for free).
+    """
+    d = stream
+    tcol = ts_col
+    if tcol is None:
+        tcol = "__ingest_ts"
+        d = d.withColumn(tcol, F.current_timestamp())
+    d = d.withColumn("text_hash", F.md5(normalize_text(F.col(text_col))))
+    out = d.withWatermark(tcol, horizon).dropDuplicatesWithinWatermark(
+        ["text_hash"]
+    )
+    return out.drop("__ingest_ts") if ts_col is None else out
+
+
 def with_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", out_col: str = "shingles"
 ) -> DataFrame:

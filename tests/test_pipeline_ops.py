@@ -240,6 +240,112 @@ class TestDedup:
         got = {(r.doc_a, r.doc_b) for r in simhash_pairs(df, max_hamming=3).collect()}
         assert (0, 1) in got
 
+    def test_streaming_exact_dedup_horizon_semantics(self, spark, tmp_path):
+        """Dedup-at-ingest: a duplicate arriving WITHIN the horizon of the
+        first copy is dropped; once the watermark passes first-arrival +
+        horizon the digest's state is evicted and the text re-enters
+        (state eviction lags the watermark-advancing event by one
+        micro-batch — pinned here so a Spark behavior change surfaces).
+        Single-file micro-batches drive the watermark explicitly."""
+        import json
+
+        from php_ec_spark.operators.dedup import streaming_exact_dedup
+
+        src = tmp_path / "src"
+        src.mkdir()
+        mtime = [1_700_000_000]
+
+        def batch(name, rows):
+            p = src / name
+            with open(p, "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+            # FileStreamSource orders (and batches) files by modification
+            # time — give each file its own second so maxFilesPerTrigger=1
+            # yields three ordered micro-batches
+            import os
+
+            os.utime(p, (mtime[0], mtime[0]))
+            mtime[0] += 10
+
+        batch("01.json", [
+            {"doc_id": 1, "text": "alpha beta", "ts": "2024-01-01T00:00:00Z"},
+        ])
+        batch("02.json", [
+            # dup inside the 1h horizon of doc 1 -> dropped
+            {"doc_id": 2, "text": "Alpha  beta", "ts": "2024-01-01T00:30:00Z"},
+            # fresh text; its ts starts advancing the watermark
+            {"doc_id": 3, "text": "gamma", "ts": "2024-01-01T03:00:00Z"},
+        ])
+        batch("03.json", [
+            # the watermark has passed doc 1's horizon, but state eviction
+            # empirically lags one micro-batch behind the advancing event
+            # — so this dup is still dropped...
+            {"doc_id": 4, "text": "alpha beta", "ts": "2024-01-01T03:30:00Z"},
+            # still within doc 3's horizon (03:00 + 1h) -> dropped
+            {"doc_id": 5, "text": "gamma", "ts": "2024-01-01T03:30:00Z"},
+        ])
+        batch("04.json", [
+            {"doc_id": 6, "text": "omega", "ts": "2024-01-01T08:00:00Z"},
+        ])
+        batch("05.json", [
+            # ...while here, two batches past the horizon, the alpha
+            # digest's state is gone and the text re-enters
+            {"doc_id": 7, "text": "alpha beta", "ts": "2024-01-01T08:30:00Z"},
+        ])
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        out = streaming_exact_dedup(stream, ts_col="ts", horizon="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_dedup_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        rows = spark.sql("select * from stream_dedup_test").collect()
+        assert {r.doc_id for r in rows} == {1, 3, 6, 7}
+        # the digest rides along for the landed corpus's batch sweep
+        by_id = {r.doc_id: r.text_hash for r in rows}
+        assert by_id[1] == by_id[7]  # same normalized text, same digest
+
+    def test_streaming_exact_dedup_stamps_arrival_time(self, spark, tmp_path):
+        """ts_col=None: processing-time dedup — the synthetic arrival
+        column must not leak into the output, and an intra-batch
+        duplicate still collapses."""
+        import json
+
+        from php_ec_spark.operators.dedup import streaming_exact_dedup
+
+        src = tmp_path / "src"
+        src.mkdir()
+        with open(src / "01.json", "w") as f:
+            for r in (
+                {"doc_id": 1, "text": "delta"},
+                {"doc_id": 2, "text": " DELTA "},
+            ):
+                f.write(json.dumps(r) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, text string").json(str(src))
+        )
+        out = streaming_exact_dedup(stream, horizon="1 hour")
+        assert "__ingest_ts" not in out.columns
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_dedup_pt_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        rows = spark.sql("select * from stream_dedup_pt_test").collect()
+        assert len(rows) == 1 and rows[0].doc_id == 1
+
 
 class TestSimilarity:
     def test_topk_small_corpus_excludes_self(self, spark):
