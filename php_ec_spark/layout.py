@@ -119,7 +119,14 @@ def export_training_shards(
     """
     d = with_shard(df, num_shards, id_col=id_col, salt=salt)
     (
-        d.repartition(num_shards, "shard")
+        # Range partitioning, not hash: hashing the shard VALUE collides
+        # several shards into one task while ~1/e of tasks stay empty, so
+        # write parallelism and the per-task sort's memory degrade at large
+        # exports. Ranging over 0..num_shards−1 gives ~one shard directory
+        # per task (equal values never split across tasks); the extra
+        # sampling pass is one cheap scan of the derived shard column.
+        # Membership/order stay column-derived either way.
+        d.repartitionByRange(num_shards, "shard")
         .sortWithinPartitions("shard", "ord", id_col)
         .write.mode(mode)
         .partitionBy("shard")
@@ -127,12 +134,33 @@ def export_training_shards(
     )
 
 
-def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
+def with_salt(
+    df: DataFrame,
+    n_salts: int,
+    salt_col: str = "__salt",
+    salt_from: str | None = None,
+) -> DataFrame:
     """Add a per-row salt so any hot aggregation key spreads over
-    ``n_salts`` reducers. The salt is row-derived (monotonic row id), NOT
-    key-derived — a key-derived salt would map each key to one salt value
-    and do nothing for skew. Aggregate on (key, salt) first, then merge
-    the partials on key — the second pass touches only n_salts rows/key."""
+    ``n_salts`` reducers. The salt must be row-derived, NOT derived from
+    the aggregation key — a key-derived salt would map each hot key to one
+    salt value and do nothing for skew. Aggregate on (key, salt) first,
+    then merge the partials on key — the second pass touches only
+    n_salts rows/key.
+
+    RETRY-STABILITY CAVEAT (default mode): ``monotonically_increasing_id``
+    values depend on task/partition layout, so a task retry or AQE re-plan
+    can assign a row a DIFFERENT salt. That is harmless inside
+    :func:`salted_agg` (the merge phase is commutative, so the final
+    result is identical), but it makes the raw salt column unusable as a
+    persisted/stable key. For persisted use pass ``salt_from=<col>`` —
+    the name of a row-identifying column (a doc/row id; NOT the hot
+    aggregation key) — and the salt becomes the deterministic
+    ``pmod(xxhash64(col), n_salts)``, reproducible across retries,
+    re-plans, and re-runs."""
+    if salt_from is not None:
+        return df.withColumn(
+            salt_col, F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
+        )
     return df.withColumn(
         salt_col, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
@@ -143,15 +171,18 @@ def salted_agg(
     key: str,
     aggs: dict[str, str],
     n_salts: int = 16,
+    salt_from: str | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation: groupBy(key, salt) → groupBy(key).
 
     ``aggs`` maps column → 'sum'|'count'|'min'|'max' (the commutative,
     re-aggregatable ones). Equivalent to a plain groupBy for any data, but
     a single hot key costs n_salts parallel partials instead of one
-    straggler task.
+    straggler task. The default row-id salt is retry-UNstable but safe
+    here (commutative merge); pass ``salt_from=`` only if the phase-1
+    partials themselves are persisted (see :func:`with_salt`).
     """
-    salted = with_salt(df, n_salts)
+    salted = with_salt(df, n_salts, salt_from=salt_from)
     phase1 = salted.groupBy(key, "__salt").agg(
         *[
             (F.count(F.lit(1)) if how == "count" else getattr(F, how)(c)).alias(f"__p_{c}")

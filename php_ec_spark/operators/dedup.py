@@ -808,32 +808,76 @@ def connected_components(
     bounded by O(|edges|); nodes not in any pair never enter the loop.
     Lineage is truncated per round (localCheckpoint); sweep with
     ``session.release_checkpoint_caches`` between queries in long-lived
-    sessions. ``reliable=True`` swaps every pin for persist(DISK_ONLY)
-    with lineage kept (cluster-durable — a lost executor recomputes
-    instead of failing); the retained lineage is bounded by
-    ``max_iters`` (≤ 20 rounds), so the iterative depth stays safe.
+    sessions.
+
+    ``reliable=True`` — durability in an ITERATIVE loop needs lineage
+    truncation too, not just durable blocks: each jump round self-joins
+    the label frame, so kept lineage DOUBLES the logical plan per round
+    and Catalyst's rule application goes exponential long before
+    ``max_iters`` (a 64-node chain OOMs the driver). Therefore with a
+    checkpoint directory configured (``sc.setCheckpointDir`` — standard
+    on any cluster run) every pin is a RELIABLE ``checkpoint(eager=True)``:
+    replicated fault-tolerant files, lineage truncated, plans stay
+    round-sized — the GraphX/ALS pattern. Without a checkpoint dir it
+    falls back to persist(DISK_ONLY) with lineage kept, which is fine for
+    the shallow graphs real near-dup corpora produce (2-5 rounds) but
+    exponential past ~6 jump rounds — set a checkpoint dir for deep
+    chains.
+
+    Superseded rounds release eagerly either way: once a round's label
+    table is materialized, the previous round's pin — and, in jumping
+    rounds, the pre-jump pin — is unpersisted, so peak pinned storage is
+    ~2 edge-scale tables (edges + the live labels), not ``max_iters`` of
+    them accumulating until the session sweep. The unpersist goes through
+    the CacheManager (the persist path — where 20 DISK_ONLY tables would
+    actually hurt); localCheckpoint block sweeping stays with
+    ``release_checkpoint_caches``.
 
     Input: (doc_a, doc_b) pairs. Output: (doc, label) for every node that
     appears in some pair, label = min node id of its component.
     """
-    edges = pin_intermediate(
+    # reliable + checkpoint dir configured → reliable checkpoint():
+    # truncated lineage (bounded plans through the self-join rounds) on
+    # replicated storage. See the docstring's durability discussion.
+    use_ckpt = (
+        reliable and pairs.sparkSession.sparkContext.getCheckpointDir() is not None
+    )
+
+    def round_pin(df: DataFrame) -> DataFrame:
+        if use_ckpt:
+            return df.checkpoint(eager=True)
+        return pin_intermediate(df, reliable=reliable, eager=True)
+
+    edges = round_pin(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        ),
-        reliable=reliable,
-        eager=True,
+        )
     )
     # both edge directions exist, so src alone covers every paired node
-    labels = pin_intermediate(
+    labels = round_pin(
         edges.select(F.col("src").alias("doc"))
         .distinct()
-        .withColumn("label", F.col("doc")),
-        reliable=reliable,
-        eager=True,
+        .withColumn("label", F.col("doc"))
     )
     converged = False
+    prev_pin = labels  # release handle for the superseded round's pin
     for round_no in range(max_iters):
+        if reliable and not use_ckpt and round_no >= jump_after + 2:
+            # persist(DISK_ONLY) keeps lineage: the label frame enters
+            # each round's plan twice (neighbor join + carried old label)
+            # and jump rounds self-join it, so the analyzed tree grows
+            # ~4^round — Catalyst OOMs the driver around round 6
+            # (measured). Fail actionably before that instead.
+            raise RuntimeError(
+                "connected_components(reliable=True) without a checkpoint "
+                f"directory reached round {round_no}: kept lineage grows "
+                "the logical plan ~4x per round and the driver would OOM "
+                "before max_iters. Set a fault-tolerant checkpoint dir "
+                "(sc.setCheckpointDir) so rounds truncate via reliable "
+                "checkpoint(), or use reliable=False (localCheckpoint) "
+                "for single-job runs."
+            )
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc)
             .groupBy(F.col("dst").alias("doc2"))
@@ -851,13 +895,14 @@ def connected_components(
                 F.col("label").alias("old_label"),
             )
         )
-        new_labels = pin_intermediate(new_labels, reliable=reliable, eager=True)
+        new_labels = round_pin(new_labels)
         if round_no >= jump_after:
             # pointer jump: labels are node ids, so new_labels doubles as
             # the label table — chase one level of indirection (label :=
             # label of label). Labels only ever decrease, so the jump
             # target is always <= the current label and the fixed point
             # is unchanged.
+            pre_jump = new_labels
             new_labels = (
                 new_labels.join(
                     new_labels.select(
@@ -873,12 +918,21 @@ def connected_components(
                     "old_label",
                 )
             )
-            new_labels = pin_intermediate(
-                new_labels, reliable=reliable, eager=True
-            )
+            new_labels = round_pin(new_labels)
+            # the jumped pin is materialized (eager) — the pre-jump pin
+            # is superseded within the round (unpersist is a no-op for
+            # the checkpoint/localCheckpoint variants; it releases the
+            # DISK_ONLY table on the persist path)
+            pre_jump.unpersist(False)
         changed = new_labels.filter(
             F.col("new_label") != F.col("old_label")
         ).take(1)
+        # this round's labels are materialized AND consumed (take above):
+        # the previous round's pin has no remaining reader — release it
+        # now instead of letting up to max_iters edge-scale tables pile
+        # up until the session-level sweep
+        prev_pin.unpersist(False)
+        prev_pin = new_labels
         labels = new_labels.select("doc", F.col("new_label").alias("label"))
         if not changed:
             converged = True
@@ -890,6 +944,11 @@ def connected_components(
             "that means a component of diameter beyond "
             f"~2^{max(0, max_iters - jump_after)}; raise max_iters"
         )
+    # the converged label table is materialized; edges has no further
+    # reader (a lost labels block recomputes through kept lineage all the
+    # way from the pairs plan). The final labels pin itself is released
+    # by the caller / session sweep once consumed.
+    edges.unpersist(False)
     return labels
 
 

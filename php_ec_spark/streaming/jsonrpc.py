@@ -120,9 +120,20 @@ class _JsonRpcSimpleReader(SimpleDataSourceStreamReader):
         # (a file reader — treat the first `offset` events as replays
         # and filter them) or emits only new data (tail -f, a socket —
         # filtering would silently DROP the first `offset` live events).
-        # `restart=replay` (default) filters; `restart=live` rebases
-        # (at-least-once: a replaying child would re-deliver history).
-        self._restart_live = options.get("restart", "replay") == "live"
+        # `restart=replay` filters; `restart=live` rebases (at-least-once:
+        # a replaying child would re-deliver history). Either choice
+        # silently loses/duplicates data when it's wrong for the child, so
+        # there is NO default: an unset option raises in read() the moment
+        # a checkpoint-less restart actually happens (s > 0), and any
+        # other string is rejected here at query start.
+        restart = options.get("restart")
+        if restart is not None and restart not in ("replay", "live"):
+            raise ValueError(
+                f"invalid 'restart' option {restart!r}: expected 'replay' "
+                "(child re-emits its stream from the beginning on restart) "
+                "or 'live' (child emits only new data)"
+            )
+        self._restart = restart
         self._lock = threading.Lock()
         self._buf: deque[tuple[int, str]] = deque()
         self._seq = 0
@@ -206,19 +217,29 @@ class _JsonRpcSimpleReader(SimpleDataSourceStreamReader):
                 # (see __init__): `replay` keeps the plain seq > s
                 # filter — the first s replayed events dedupe against
                 # the committed offset — while `live` rebases so a
-                # child that emits only new data loses nothing. The
-                # replay assumption is loud: if it is wrong for this
-                # child, the filtered events are real data loss.
-                if s > 0 and not self._resumed and not self._restart_live:
-                    log.warning(
+                # child that emits only new data loses nothing. With the
+                # option UNSET, guessing either way silently loses or
+                # duplicates data, so the restart fails loudly instead:
+                # the operator must declare which kind of child this is.
+                if s > 0 and not self._resumed and self._restart is None:
+                    raise ValueError(
+                        f"checkpoint-less json-rpc source restarted at "
+                        f"committed offset {s} without a 'restart' option. "
+                        "Set restart='replay' if the child re-emits its "
+                        "stream from the beginning (the first "
+                        f"{s} events dedupe against the committed offset), "
+                        "or restart='live' if it emits only new data "
+                        "(nothing is filtered; at-least-once). Guessing "
+                        "would silently lose or duplicate events."
+                    )
+                if s > 0 and not self._resumed and self._restart == "replay":
+                    log.info(
                         "checkpoint-less source restarted at offset %d with "
                         "restart='replay': treating the first %d buffered "
-                        "events as replays of committed data. If this child "
-                        "emits only live (non-replayed) events, set the "
-                        "source option restart='live' to avoid losing them.",
+                        "events as replays of committed data.",
                         s, s,
                     )
-                if s > 0 and (self._resumed or self._restart_live):
+                if s > 0 and (self._resumed or self._restart == "live"):
                     self._buf = type(self._buf)(
                         (s + i, payload)
                         for i, (_, payload) in enumerate(self._buf, start=1)
@@ -268,10 +289,13 @@ class JsonRpcProcessSource(DataSource):
     ``checkpointFile`` (where source checkpoint params persist and are
     handed back via PHPEC_CHECKPOINT on restart), ``env`` (JSON object of
     extra env vars), ``restart`` (checkpoint-less restart semantics:
-    ``replay`` (default) assumes the child re-emits its stream from the
-    beginning and filters the first committed-offset events as replays;
-    ``live`` assumes the child emits only new data and renumbers it past
-    the committed offset — at-least-once, nothing dropped). ``restart``
+    ``replay`` assumes the child re-emits its stream from the beginning
+    and filters the first committed-offset events as replays; ``live``
+    assumes the child emits only new data and renumbers it past the
+    committed offset — at-least-once, nothing dropped. There is NO
+    default — any other value is rejected at query start, and leaving it
+    unset raises the moment a checkpoint-less restart actually happens,
+    because a wrong guess silently loses or duplicates data). ``restart``
     is ignored when the child resumed from ``checkpointFile`` (its
     buffered data is new by construction)."""
 
@@ -291,14 +315,16 @@ def jsonrpc_source(
     cmd: list[str] | str,
     checkpoint_file: Optional[str] = None,
     env: Optional[dict] = None,
-    restart: str = "replay",
+    restart: Optional[str] = None,
 ) -> DataFrame:
     """Streaming DataFrame of (seq, value-JSON) rows from a JSON-RPC source
     child — the drop-in for the reference's input process config
     (Scheduler::setInputProcesses). ``restart`` sets the checkpoint-less
     restart semantics (see :class:`JsonRpcProcessSource`): ``replay``
     filters the first committed-offset events as replays; ``live`` keeps
-    every buffered event (the child emits only new data)."""
+    every buffered event (the child emits only new data); ``None``
+    (default) raises if a checkpoint-less restart ever happens — sources
+    that run with ``checkpoint_file`` never need it."""
     spark.dataSource.register(JsonRpcProcessSource)
     reader = (
         spark.readStream.format("phpec_jsonrpc")
@@ -308,7 +334,7 @@ def jsonrpc_source(
         reader = reader.option("checkpointFile", checkpoint_file)
     if env:
         reader = reader.option("env", json.dumps(env))
-    if restart != "replay":
+    if restart is not None:
         reader = reader.option("restart", restart)
     return reader.load()
 

@@ -316,10 +316,16 @@ for i in range(4):
         """A source configured WITHOUT a checkpoint file replays its stream
         from scratch on restart. Renumbering that backlog past the
         committed offset would deterministically re-deliver every replayed
-        event as a duplicate — so the rebase must NOT fire: the plain
-        seq > s filter dedupes the first s replayed events, and only the
-        genuinely-new tail is delivered."""
-        r = self._reader(self.SCRIPT)  # no checkpointfile
+        event as a duplicate — so with restart='replay' (declared
+        EXPLICITLY: there is no default) the rebase must NOT fire: the
+        plain seq > s filter dedupes the first s replayed events, and only
+        the genuinely-new tail is delivered."""
+        from php_ec_spark.streaming.jsonrpc import _JsonRpcSimpleReader
+
+        r = _JsonRpcSimpleReader({  # no checkpointfile
+            "cmd": json.dumps([sys.executable, "-c", self.SCRIPT]),
+            "restart": "replay",
+        })
         deadline = time.time() + 20
         while time.time() < deadline:
             with r._lock:
@@ -364,3 +370,39 @@ for i in range(4):
         assert [json.loads(v)["v"] for _s, v in rows] == [0, 1, 2, 3]
         assert all(s > 5000 for s, _v in rows)
         assert off == {"seq": 5004}
+
+    def test_checkpointless_restart_without_option_raises(self):
+        """With `restart` UNSET, a checkpoint-less restart is ambiguous —
+        guessing replay loses live events, guessing live duplicates
+        replayed ones — so read() at a committed offset > 0 must fail
+        loudly instead of picking either silently. A fresh start
+        (offset 0) needs no declaration and proceeds."""
+        r = self._reader(self.SCRIPT)  # no checkpointfile, no restart opt
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with r._lock:
+                if len(r._buf) == 4:
+                    break
+            time.sleep(0.05)
+        with pytest.raises(ValueError, match="restart"):
+            r.read({"seq": 2})
+        # ...but the unset option is fine for a first run (no restart)
+        r2 = self._reader(self.SCRIPT)
+        rows, off = [], {"seq": 0}
+        deadline = time.time() + 20
+        while len(rows) < 4 and time.time() < deadline:
+            it, off = r2.read(off)
+            rows.extend(it)
+            time.sleep(0.05)
+        assert [json.loads(v)["v"] for _s, v in rows] == [0, 1, 2, 3]
+
+    def test_invalid_restart_option_rejected_at_init(self):
+        """Unknown option strings (e.g. 'Live') must not silently mean
+        replay — the reader rejects them when the query starts."""
+        from php_ec_spark.streaming.jsonrpc import _JsonRpcSimpleReader
+
+        with pytest.raises(ValueError, match="invalid 'restart'"):
+            _JsonRpcSimpleReader({
+                "cmd": json.dumps([sys.executable, "-c", self.SCRIPT]),
+                "restart": "Live",
+            })

@@ -66,6 +66,24 @@ class TestSaltedAgg:
             assert salted_n[uid] == n
             assert abs(salted_s[uid] - s) < 1e-6
 
+    def test_salt_from_is_deterministic_and_spreads(self, spark):
+        """The default row-id salt is retry-UNstable (monotonic ids depend
+        on task layout); salt_from=<row id column> must be a pure function
+        of the column — identical across re-runs and upstream
+        repartitioning — while still spreading rows of one hot key over
+        many salt values."""
+        from php_ec_spark.layout import with_salt
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        a = {r.doc_id: r["__salt"]
+             for r in with_salt(docs, 8, salt_from="doc_id").collect()}
+        b = {r.doc_id: r["__salt"]
+             for r in with_salt(docs.repartition(7), 8, salt_from="doc_id").collect()}
+        assert a == b
+        assert all(0 <= v < 8 for v in a.values())
+        # one "hot key" (all docs) spreads over every salt value
+        assert len(set(a.values())) == 8
+
 
 class TestTrainingShards:
     N = 16
@@ -114,6 +132,33 @@ class TestTrainingShards:
             for r in with_shard(docs, self.N, salt=7).select("doc_id", "ord").collect()
         }
         assert [r.ord for r in one] == sorted(recomputed[r.doc_id] for r in one)
+
+    def test_export_tasks_align_with_shards(self, spark):
+        """The export repartitions by RANGE on the shard value: a shard
+        never splits across two tasks, and — unlike hashing the shard
+        value, which leaves ~1/e of tasks empty while others write
+        several shards — nearly every task writes. Pinned on the same
+        repartition the writer uses (write parallelism is the point of
+        the ADVICE fix; membership is layout-independent either way)."""
+        from php_ec_spark.layout import with_shard
+
+        n = 64
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        d = (
+            with_shard(docs, n, salt=7)
+            .repartitionByRange(n, "shard")
+            .select("shard", F.spark_partition_id().alias("pid"))
+            .collect()
+        )
+        shard_pids: dict[int, set[int]] = {}
+        for r in d:
+            shard_pids.setdefault(r.shard, set()).add(r.pid)
+        # range partitioning keeps equal keys together: one task per shard
+        assert all(len(p) == 1 for p in shard_pids.values())
+        used = {next(iter(p)) for p in shard_pids.values()}
+        # hash partitioning leaves ~1/e of 64 tasks empty (~40 used);
+        # range boundaries over a uniform 0..63 use nearly all of them
+        assert len(used) >= n - 8, len(used)
 
     def test_salt_reshuffles_and_shards_stay_balanced(self, spark):
         docs = spark.read.parquet(f"{SF}/documents.parquet")

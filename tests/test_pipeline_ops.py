@@ -204,6 +204,85 @@ class TestDedup:
         assert cm.isEmpty()
         assert not spark.sparkContext._jsc.getPersistentRDDs()
 
+    def test_connected_components_releases_superseded_rounds(self, spark):
+        """reliable=True used to leave every round's DISK_ONLY label table
+        pinned until the session sweep — up to max_iters edge-scale tables.
+        Superseded pins must release as soon as the next round
+        materializes: after convergence only ~2 reliable pins (the final
+        labels + at most one in-flight) may remain. Shallow graph (one
+        jump round) — the no-checkpoint-dir persist path, where kept
+        lineage is still plan-safe."""
+        from php_ec_spark.operators.dedup import connected_components
+        from php_ec_spark.session import release_checkpoint_caches
+
+        release_checkpoint_caches(spark)
+        # an 8-node path: converges one round past jump_after, so both
+        # release sites (previous round + pre-jump) execute at least once
+        # while staying under the persist path's plan-growth guard
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(7)], "doc_a long, doc_b long"
+        )
+        labels = connected_components(pairs, max_iters=20, reliable=True)
+        got = {r.doc for r in labels.filter(F.col("label") == 0).collect()}
+        assert got == set(range(8))
+        live = len(spark.sparkContext._jsc.getPersistentRDDs())
+        assert live <= 2, f"{live} pinned tables survived the loop"
+        release_checkpoint_caches(spark)
+
+    def test_connected_components_reliable_deep_chain_needs_ckpt_dir(
+        self, spark
+    ):
+        """The persist fallback's plan grows ~4x/round (lineage kept):
+        past jump_after + 2 rounds it must fail ACTIONABLY (naming
+        sc.setCheckpointDir) instead of OOMing the driver mid-analysis."""
+        import pytest
+
+        from php_ec_spark.operators.dedup import connected_components
+        from php_ec_spark.session import release_checkpoint_caches
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(15)], "doc_a long, doc_b long"
+        )
+        with pytest.raises(RuntimeError, match="setCheckpointDir"):
+            connected_components(pairs, max_iters=20, reliable=True)
+        release_checkpoint_caches(spark)
+
+    def test_connected_components_deep_chain_reliable_checkpoints(
+        self, spark, tmp_path
+    ):
+        """Durability for a DEEP component: with kept lineage each pointer
+        jump self-join DOUBLES the logical plan, so persist(DISK_ONLY)
+        alone OOMs Catalyst long before max_iters (reproduced on a 64-node
+        chain). With a checkpoint dir configured — the standard cluster
+        setup — reliable=True must switch to reliable checkpoint()
+        (replicated files, truncated lineage): bounded plans, correct
+        labels, and no pinned-table accumulation."""
+        from php_ec_spark.operators.dedup import connected_components
+        from php_ec_spark.session import release_checkpoint_caches
+
+        release_checkpoint_caches(spark)
+        sc = spark.sparkContext
+        assert sc.getCheckpointDir() is None
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        try:
+            pairs = spark.createDataFrame(
+                [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+            )
+            labels = connected_components(pairs, max_iters=20, reliable=True)
+            got = {r.doc for r in labels.filter(F.col("label") == 0).collect()}
+            assert got == set(range(64))
+            # reliable checkpoints are files, not persisted RDDs
+            live = len(spark.sparkContext._jsc.getPersistentRDDs())
+            assert live == 0, f"{live} pinned tables survived the loop"
+        finally:
+            # a None checkpoint dir isn't settable back through the public
+            # API — clear the scala option directly so later tests see the
+            # same session state they started with
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.apply(None)
+            )
+            release_checkpoint_caches(spark)
+
     def test_minhash_similarity_estimate(self, spark):
         df = spark.createDataFrame(
             [(0, "a b c d e f g h i j"), (1, "a b c d e f g h i k"), (2, "z y x w v u t s r q")],
