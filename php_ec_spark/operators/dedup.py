@@ -64,10 +64,46 @@ def normalize_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+def dedup_digest(
+    key_cols: "Sequence[str] | None" = None, text_col: str = "text"
+) -> Column:
+    """The dedup key digest shared by :func:`exact_dedup` and
+    :func:`streaming_exact_dedup`.
+
+    Default (``key_cols=None``): ``md5(normalize_text(text_col))`` — the
+    single-text contract, oracle-reproducible as
+    ``md5(lower(trim(regexp_replace(text, '\\s+', ' '))))``.
+
+    With ``key_cols`` (real pipelines dedup on (url), (url, text),
+    (source, digest), …): a digest-of-digests — each key is cast to
+    string, normalized, md5'd, and the fixed-width parts are concatenated
+    and md5'd again. Fixed-width parts make the concatenation injective
+    (no separator-collision between ("ab","c") and ("a","bc")), and a
+    NULL key encodes as the 1-char marker ``-`` — impossible to collide
+    with a 32-char md5, so NULL ≠ '' ≠ 'null'. Equally reproducible in
+    any engine with md5 (the DuckDB portability test pins it).
+    """
+    if key_cols is None:
+        return F.md5(normalize_text(F.col(text_col)))
+    parts = [
+        F.coalesce(
+            F.md5(normalize_text(F.col(c).cast("string"))), F.lit("-")
+        )
+        for c in key_cols
+    ]
+    return F.md5(F.concat(*parts))
+
+
 def exact_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_cols: "Sequence[str] | None" = None,
 ) -> DataFrame:
-    """Exact dedup groups: one row per distinct normalized text.
+    """Exact dedup groups: one row per distinct normalized text — or, with
+    ``key_cols``, per distinct normalized key tuple (see
+    :func:`dedup_digest`; the output column keeps the name ``text_hash``
+    either way so downstream pipeline stages are key-agnostic).
 
     Returns (text_hash, doc_id = survivor min id, dup_count). A single
     hash-shuffle on the md5 digest; the digest (not the full text) is the
@@ -76,7 +112,7 @@ def exact_dedup(
     """
     return (
         df.select(
-            F.md5(normalize_text(F.col(text_col))).alias("text_hash"),
+            dedup_digest(key_cols, text_col).alias("text_hash"),
             F.col(id_col),
         )
         .groupBy("text_hash")
@@ -92,6 +128,7 @@ def streaming_exact_dedup(
     text_col: str = "text",
     ts_col: str | None = None,
     horizon: str = "24 hours",
+    key_cols: "Sequence[str] | None" = None,
 ) -> DataFrame:
     """Dedup-at-ingest for a document STREAM: drop every doc whose
     normalized text digest already arrived within the ``horizon``.
@@ -112,13 +149,19 @@ def streaming_exact_dedup(
     an event-time column for replay-stable semantics. Output keeps the
     input columns plus ``text_hash`` (pipelines persist it — the later
     batch sweep and any cross-horizon audit join on it for free).
+
+    ``key_cols`` switches the dedup identity from the normalized text to
+    a normalized key tuple — (url), (url, text), (source, digest) — via
+    the same :func:`dedup_digest` the batch sweep uses, so at-the-door
+    and batch dedup agree on what "duplicate" means; NULL keys are
+    distinct from empty strings, never silently merged.
     """
     d = stream
     tcol = ts_col
     if tcol is None:
         tcol = "__ingest_ts"
         d = d.withColumn(tcol, F.current_timestamp())
-    d = d.withColumn("text_hash", F.md5(normalize_text(F.col(text_col))))
+    d = d.withColumn("text_hash", dedup_digest(key_cols, text_col))
     out = d.withWatermark(tcol, horizon).dropDuplicatesWithinWatermark(
         ["text_hash"]
     )

@@ -42,6 +42,72 @@ class TestDedup:
         assert total == docs.count()  # every doc lands in exactly one group
         assert out.count() == docs.select("text").distinct().count()
 
+    def test_exact_dedup_multi_key(self, spark):
+        """key_cols switches dedup identity to a normalized key tuple:
+        same text under different urls stays distinct, same (url, text)
+        collapses, and the NULL url is its own group — distinct from the
+        empty string AND from the literal 'null' (digest-of-digests with
+        a non-md5-shaped NULL marker)."""
+        from php_ec_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "http://a", "hello world"),
+                (2, "http://a", " Hello   WORLD "),  # dup of 1 (normalized)
+                (3, "http://b", "hello world"),      # same text, other url
+                (4, None, "hello world"),            # NULL url group
+                (5, None, "hello world"),            # dup of 4
+                (6, "", "hello world"),              # empty-string url
+                (7, "null", "hello world"),          # the literal string
+            ],
+            "doc_id long, url string, text string",
+        )
+        out = {r.doc_id: r.dup_count
+               for r in exact_dedup(df, key_cols=["url", "text"]).collect()}
+        assert out == {1: 2, 3: 1, 4: 2, 6: 1, 7: 1}
+        # single-key form: dedup on url alone regardless of text — docs
+        # 1 and 2 share http://a, doc 3 stands alone on http://b
+        by_url = {r.doc_id: r.dup_count
+                  for r in exact_dedup(df, key_cols=["url"]).collect()}
+        assert by_url == {1: 2, 3: 1, 4: 2, 6: 1, 7: 1}
+
+    def test_multi_key_digest_is_engine_portable(self, spark):
+        """The composite digest must be recomputable by any md5-capable
+        engine (the batch sweep / audit contract): DuckDB derives the
+        identical text_hash from the raw columns."""
+        import duckdb
+
+        from php_ec_spark.operators.dedup import dedup_digest
+
+        rows = [
+            (1, "http://A", "x  Y z"),
+            (2, None, "x y z"),
+            (3, "", None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+        got = {
+            r.doc_id: r.h
+            for r in df.select(
+                "doc_id", dedup_digest(["url", "text"]).alias("h")
+            ).collect()
+        }
+        con = duckdb.connect()
+        norm = "md5(lower(trim(regexp_replace({c}, '\\s+', ' ', 'g'))))"
+        want = {
+            d: h
+            for d, h in con.execute(
+                f"""
+                SELECT doc_id,
+                       md5(coalesce({norm.format(c='url')}, '-')
+                           || coalesce({norm.format(c='text')}, '-')) AS h
+                FROM (VALUES {', '.join(str(r) for r in rows)})
+                     t(doc_id, url, text)
+                """.replace("None", "NULL")
+            ).fetchall()
+        }
+        con.close()
+        assert got == want
+
     def test_lsh_recall_equals_exact_pairs(self, spark, docs):
         """At J≥0.8 the banded-LSH miss probability is ~5e-8 — the verified
         candidate set must equal the exact inverted-index pair set."""
@@ -424,6 +490,45 @@ class TestDedup:
         q.awaitTermination(timeout=120)
         rows = spark.sql("select * from stream_dedup_pt_test").collect()
         assert len(rows) == 1 and rows[0].doc_id == 1
+
+    def test_streaming_exact_dedup_multi_key(self, spark, tmp_path):
+        """key_cols at the door: same text under two urls both land; the
+        (url, text) duplicate is dropped; NULL-url rows dedup as their own
+        group (not merged with ''-url rows) — same dedup_digest the batch
+        sweep uses, so both layers agree on identity."""
+        import json
+
+        from php_ec_spark.operators.dedup import streaming_exact_dedup
+
+        src = tmp_path / "src"
+        src.mkdir()
+        with open(src / "01.json", "w") as f:
+            for r in (
+                {"doc_id": 1, "url": "http://a", "text": "same text"},
+                {"doc_id": 2, "url": "http://b", "text": "same text"},
+                {"doc_id": 3, "url": "http://a", "text": " SAME   text "},
+                {"doc_id": 4, "url": None, "text": "same text"},
+                {"doc_id": 5, "url": None, "text": "same text"},
+                {"doc_id": 6, "url": "", "text": "same text"},
+            ):
+                f.write(json.dumps(r) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, url string, text string")
+            .json(str(src))
+        )
+        out = streaming_exact_dedup(
+            stream, horizon="1 hour", key_cols=["url", "text"]
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_dedup_mk_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        rows = spark.sql("select * from stream_dedup_mk_test").collect()
+        assert {r.doc_id for r in rows} == {1, 2, 4, 6}
 
 
 class TestSimilarity:
