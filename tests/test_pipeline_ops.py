@@ -1630,6 +1630,83 @@ class TestNgramLm:
         # in-distribution text is strictly less surprising
         assert got[10][1] < got[11][1]
 
+    def test_foreign_train_duckdb_parity_sf001(self, spark):
+        """Driver-style oracle parity for the FOREIGN-train path (the
+        actual CCNet setup: score a crawl against a trusted reference
+        corpus) at the gate's scale factor — the registered pipe_lm_score
+        only covers self-training. Trains on even doc_ids, scores odd
+        ones; the half-split guarantees unseen bigrams, exercising the
+        left-join + coalesce-to-0 Laplace floor on both engines."""
+        import duckdb
+
+        from php_ec_spark.operators.lm import with_lm_bits
+
+        sf = "/root/testdata/sf0.01"
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        train = docs.filter(F.col("doc_id") % 2 == 0)
+        score = docs.filter(F.col("doc_id") % 2 == 1)
+        got = {
+            r.doc_id: (r.n_trans, r.lm_bits)
+            for r in with_lm_bits(score, train_df=train).collect()
+        }
+
+        con = duckdb.connect()
+        want = {
+            d: (n, b)
+            for d, n, b in con.execute(
+                rf"""
+                WITH tok AS (
+                    SELECT doc_id,
+                           string_split_regex(trim(lower(coalesce(text, ''))),
+                                              '\s+') AS toks
+                    FROM '{sf}/documents.parquet'
+                ), trf AS (
+                    SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+                    FROM (
+                        SELECT doc_id,
+                               unnest([{{'w1': toks[i], 'w2': toks[i+1]}}
+                                       for i in range(1, len(toks))]) AS bg
+                        FROM tok
+                    )
+                ), c2 AS (
+                    SELECT w1, w2, count(*) AS n2 FROM trf
+                    WHERE doc_id % 2 = 0 GROUP BY 1, 2
+                ), c1 AS (
+                    SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY 1
+                ), v AS (
+                    SELECT count(DISTINCT t) AS vs
+                    FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 2 = 0)
+                ), scored AS (
+                    -- LEFT joins + coalesce(…, 0): the unseen-bigram floor
+                    SELECT s.doc_id,
+                           -log2((coalesce(c2.n2, 0) + 1.0)
+                                 / (coalesce(c1.n1, 0) + v.vs)) AS bits
+                    FROM (SELECT * FROM trf WHERE doc_id % 2 = 1) s
+                    LEFT JOIN c2 USING (w1, w2)
+                    LEFT JOIN c1 USING (w1)
+                    CROSS JOIN v
+                ), agg AS (
+                    SELECT doc_id, count(*) AS n_trans,
+                           round(avg(bits), 3) AS lm_bits
+                    FROM scored GROUP BY 1
+                )
+                SELECT t.doc_id,
+                       CAST(coalesce(a.n_trans, 0) AS BIGINT) AS n_trans,
+                       a.lm_bits
+                FROM (SELECT doc_id FROM tok WHERE doc_id % 2 = 1) t
+                LEFT JOIN agg a USING (doc_id)
+                """
+            ).fetchall()
+        }
+        con.close()
+        assert set(got) == set(want) and len(got) > 100
+        for doc, (n_w, b_w) in want.items():
+            assert got[doc][0] == n_w, doc
+            if b_w is None:
+                assert got[doc][1] is None, doc
+            else:
+                assert abs(got[doc][1] - b_w) < 2e-3, (doc, got[doc][1], b_w)
+
     def test_fuzz_against_python_reference(self, spark):
         import random
 
