@@ -9,8 +9,12 @@ Two paths:
   not O(|corpus|·|queries|).
 - :func:`ivf_topk` — IVF-style approximate path: corpus is bucketed by a
   coarse quantizer (nearest of C centroids), queries probe only the
-  ``nprobe`` nearest buckets. At 100 TB the bucket column becomes the
-  partition key so a probe touches 1/C of the data.
+  ``nprobe`` nearest buckets.
+- :func:`ivf_build` / :func:`ivf_search` — the persistent form of the
+  same index: build ONCE (centroid table + corpus written partitioned by
+  cluster), search MANY times with partition pruning — each search reads
+  nprobe/C of the data off disk instead of re-scanning the corpus. The
+  100 TB serving shape.
 
 Dot products run in the JVM via zip_with/aggregate — doubles, left-to-right
 summation, bit-identical to the DuckDB oracle's list arithmetic.
@@ -348,47 +352,46 @@ def build_centroids(
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
+def _probe_table(
     queries: DataFrame,
-    k: int = 5,
-    nprobe: int = 2,
-    cluster_col: str = "label",
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+    cents: DataFrame,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
 ) -> DataFrame:
-    """IVF approximate top-k: probe only the ``nprobe`` nearest clusters.
-
-    The corpus side is filtered by (query, cluster) assignment BEFORE any
-    distance math — at scale, with the corpus written partitioned by
-    cluster, this is partition pruning: each query reads nprobe/C of data.
-    Scoring inside the probed clusters runs as the same per-batch numpy
-    GEMM + JVM exact re-rank as :func:`cosine_topk`, restricted per row to
-    the queries probing that row's cluster.
-    """
-    import numpy as np
-    import pandas as pd
-
-    spark = corpus.sparkSession
-    cents = build_centroids(corpus, cluster_col, vec_col)
+    """(query_id, qv, cluster): each query's ``nprobe`` nearest centroids.
+    Deterministic — centroid cosines round to 6 dp and ties break on
+    cluster id, so probe sets are reproducible across engines/runs."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
     )
     qcos = F.round(_cos(F.col("qv"), F.col("centroid")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cluster"))
-    probes = (
+    return (
         q.join(F.broadcast(cents))
         .select("query_id", "qv", "cluster", qcos.alias("ccos"))
         .withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= nprobe)
         .select("query_id", "qv", "cluster")
     )
-    p_pdf = probes.toPandas()  # |queries|·nprobe rows — broadcast side
-    if len(p_pdf) == 0:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cos double, rank int"
-        )
+
+
+def _ivf_candidates(
+    corpus: DataFrame,
+    p_pdf,
+    k: int,
+    cluster_col: str,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """One corpus scan → (query_id, neighbor_id) candidates: per-cluster
+    numpy GEMM restricted to the queries probing that cluster (``p_pdf``
+    is the collected probe table, broadcast to executors)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
     qids = p_pdf["query_id"].to_numpy(dtype=np.int64)
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in p_pdf["qv"]])
     qn = np.sqrt((Q * Q).sum(axis=1))
@@ -435,7 +438,99 @@ def ivf_topk(
                     }
                 )
 
-    cand = corpus.select(id_col, cluster_col, vec_col).mapInPandas(
+    return corpus.select(id_col, cluster_col, vec_col).mapInPandas(
         gen_candidates, schema="query_id long, neighbor_id long"
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k in one pass: centroids, probes, and scoring
+    against an in-memory (unindexed) corpus.
+
+    Scoring inside the probed clusters runs as a per-batch numpy GEMM +
+    JVM exact re-rank (see :func:`cosine_topk`), restricted per row to
+    the queries probing that row's cluster. This single-job form
+    recomputes the centroid table per call and scans the whole corpus
+    once; for the search-many-times contract build the index ONCE with
+    :func:`ivf_build` and serve queries with :func:`ivf_search`, which
+    reads only the probed cluster partitions.
+    """
+    spark = corpus.sparkSession
+    cents = build_centroids(corpus, cluster_col, vec_col)
+    probes = _probe_table(queries, cents, nprobe, vec_col, id_col)
+    p_pdf = probes.toPandas()  # |queries|·nprobe rows — broadcast side
+    if len(p_pdf) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
+    cand = _ivf_candidates(corpus, p_pdf, k, cluster_col, vec_col, id_col)
+    return _exact_rerank(corpus, queries, cand, k, vec_col, id_col)
+
+
+def ivf_build(
+    corpus: DataFrame,
+    path: str,
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Build a persistent IVF index: ``path/centroids`` (the coarse
+    quantizer, C rows) + ``path/corpus`` written PARTITIONED BY the
+    cluster column.
+
+    This is the 100 TB shape — the index is built once (one centroid
+    aggregate + one partitioned write, both corpus-linear) and searched
+    many times: because the corpus lives under ``cluster=<c>/``
+    directories, a search's cluster filter becomes partition PRUNING at
+    file-listing time, so each :func:`ivf_search` reads nprobe/C of the
+    data instead of re-scanning and re-shuffling the corpus per query
+    batch. A NULL cluster writes to the default partition and reads back
+    as NULL — those rows stay searchable.
+    """
+    cents = build_centroids(corpus, cluster_col, vec_col)
+    cents.write.mode(mode).parquet(f"{path}/centroids")
+    corpus.write.mode(mode).partitionBy(cluster_col).parquet(f"{path}/corpus")
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a persistent :func:`ivf_build` index: probe the ``nprobe``
+    nearest centroids per query, then scan ONLY the probed cluster
+    partitions (partition pruning on the cluster directory column — the
+    plan's scan carries the cluster filter as a Partition Filter, pinned
+    in tests). Scoring and the exact re-rank are identical to
+    :func:`ivf_topk`, so the split is output-equivalent for the same
+    corpus and parameters.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    probes = _probe_table(queries, cents, nprobe, vec_col, id_col)
+    p_pdf = probes.toPandas()  # |queries|·nprobe rows — broadcast side
+    if len(p_pdf) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank int"
+        )
+    probed = {_cluster_key(cl) for cl in p_pdf["cluster"]}
+    non_null = [c for c in probed if c is not None]
+    pred = F.col(cluster_col).isin(non_null) if non_null else F.lit(False)
+    if None in probed:
+        pred = pred | F.col(cluster_col).isNull()
+    corpus = spark.read.parquet(f"{path}/corpus").filter(pred)
+    cand = _ivf_candidates(corpus, p_pdf, k, cluster_col, vec_col, id_col)
     return _exact_rerank(corpus, queries, cand, k, vec_col, id_col)

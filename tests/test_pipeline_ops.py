@@ -564,6 +564,91 @@ class TestSimilarity:
         recall = len(brute & approx) / len(brute)
         assert recall >= 0.9, recall
 
+    def test_ivf_build_search_split_matches_single_pass(self, spark, tmp_path):
+        """The persistent index (ivf_build once → ivf_search many) must be
+        OUTPUT-EQUIVALENT to the single-pass ivf_topk for the same corpus
+        and parameters — including NULL-label rows, which round-trip
+        through the default partition directory and stay searchable."""
+        from php_ec_spark.operators.similarity import (
+            ivf_build,
+            ivf_search,
+            ivf_topk,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        # inject a NULL-cluster row cloned from an existing vector
+        one = emb.limit(1).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            "embedding",
+            F.lit(None).cast(emb.schema["label"].dataType).alias("label"),
+        )
+        corpus = emb.unionByName(one)
+        queries = corpus.filter(
+            (F.col("vec_id") < 10) | (F.col("vec_id") >= 1_000_000)
+        )
+        want = {
+            (r.query_id, r.neighbor_id, r.cos, r.rank)
+            for r in ivf_topk(corpus, queries, k=5, nprobe=3).collect()
+        }
+        idx = str(tmp_path / "ivf")
+        ivf_build(corpus, idx)
+        got = {
+            (r.query_id, r.neighbor_id, r.cos, r.rank)
+            for r in ivf_search(spark, idx, queries, k=5, nprobe=3).collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_ivf_search_prunes_partitions(self, spark, tmp_path):
+        """The whole point of the split: a search must NOT re-scan the
+        corpus — the probed-cluster filter has to land in the scan's
+        PARTITION filters (pruned at file-listing time), and an unprobed
+        cluster's data never gets read: its files can be corrupted on
+        disk after the build and the search still succeeds."""
+        import numpy as np
+
+        from php_ec_spark.operators.similarity import ivf_build, ivf_search
+
+        rng = np.random.default_rng(3)
+        centers = rng.normal(size=(6, 8)) * 10
+        rows = [
+            (i, [float(x) for x in centers[i % 6] + rng.normal(size=8) * 0.1],
+             i % 6)
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        idx = str(tmp_path / "ivf")
+        ivf_build(df, idx)
+        # one query, one probe → exactly one probed cluster
+        q = df.filter(F.col("vec_id") == 0)
+        res = ivf_search(spark, idx, q, k=3, nprobe=1)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "label" in m.group(1), plan[:2000]
+        first = res.collect()
+        assert len(first) == 3
+        probed = {0 % 6}  # query 0 lives in cluster 0
+        got_clusters = {r.neighbor_id % 6 for r in first}
+        assert got_clusters <= probed
+        # corrupt every UNPROBED cluster's files: a pruned scan never
+        # opens them, a corpus-wide scan would die on the garbage footer
+        import pathlib
+
+        for d in pathlib.Path(idx, "corpus").glob("label=*"):
+            if d.name != "label=0":
+                for f in d.glob("*.parquet"):
+                    f.write_bytes(b"not a parquet file")
+        again = {
+            (r.query_id, r.neighbor_id, r.cos, r.rank)
+            for r in ivf_search(spark, idx, q, k=3, nprobe=1).collect()
+        }
+        assert again == {
+            (r.query_id, r.neighbor_id, r.cos, r.rank) for r in first
+        }
+
     def test_cosine_is_symmetric_and_bounded(self, spark, emb):
         out = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=3).collect()
         assert all(-1.0001 <= r.cos <= 1.0001 for r in out)
