@@ -168,6 +168,128 @@ def streaming_exact_dedup(
     return out.drop("__ingest_ts") if ts_col is None else out
 
 
+def streaming_minhash_dedup(
+    stream: DataFrame,
+    ts_col: str | None = None,
+    horizon: str = "24 hours",
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR-dup detection at ingest: flag every document whose MinHash
+    band bucket was already seen within the ``horizon`` — the fuzzy
+    companion to :func:`streaming_exact_dedup` (a crawl pipeline needs
+    both at the door: exact drops byte-dups, this flags boilerplate
+    drift).
+
+    FLAG, don't drop: LSH collisions are candidates — false positives
+    exist without exact verification, which needs the earlier document's
+    text and is a batch join, not an ingest decision. So the output is a
+    side stream of collision events ``(doc_id, band, bh, first_doc, ts)``
+    — one row per colliding band (``distinct doc_id`` downstream; join
+    ``first_doc`` against the landed corpus to verify/quarantine). The
+    main ingest keeps flowing untouched. ``dropDuplicatesWithinWatermark``
+    cannot express this (it emits the SURVIVORS; a flag needs the dropped
+    complement), hence an explicit ``applyInPandasWithState`` keyed on
+    ``(band, bh)`` with the same horizon contract: state per band bucket
+    is ``(first_doc, first_ts)`` + an event-time timer at
+    ``first_ts + horizon`` — bounded by ingest-rate × horizon × bands,
+    not corpus size. Eviction rides the watermark: like the exact
+    operator, a repeat arriving after the horizon re-enters as a fresh
+    first (timer firing lags the watermark-advancing micro-batch — pinned
+    in tests); close the gap with the periodic batch
+    :func:`minhash_lsh_pairs` sweep.
+
+    Band keys come from :func:`_band_hash_matrix` — the SAME kernel the
+    batch index uses — so at-ingest flags replay-match the batch
+    candidate pairs over the same window by construction (pinned in
+    tests against :func:`minhash_lsh_pairs`).
+
+    ``ts_col=None`` stamps arrival time (processing-time horizon); pass
+    an event-time column for replay-stable semantics.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    assert num_hashes % bands == 0
+    horizon_ms = int(pd.Timedelta(horizon).total_seconds() * 1000)
+    d = stream
+    tcol = ts_col
+    if tcol is None:
+        tcol = "__ingest_ts"
+        d = d.withColumn(tcol, F.current_timestamp())
+
+    def band_rows(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bh = _band_hash_matrix(pdf[text_col], n, num_hashes, bands)
+            n_docs = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "doc": np.repeat(
+                        np.asarray(pdf[id_col], dtype=np.int64), bands
+                    ),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n_docs),
+                    "bh": bh.reshape(-1),
+                    "ts": np.repeat(pdf[tcol].to_numpy(), bands),
+                }
+            )
+
+    exploded = (
+        d.select(F.col(id_col), F.col(text_col), F.col(tcol))
+        .mapInPandas(band_rows, schema="doc long, band int, bh long, ts timestamp")
+        .withWatermark("ts", horizon)
+    )
+
+    def flag(key, pdfs, state):
+        if state.hasTimedOut:
+            # watermark passed first_ts + horizon: bucket state evicted;
+            # the next arrival becomes a fresh first
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "doc"])
+        if state.exists:
+            first_doc, first_ts_ms = state.get
+            start = 0
+        else:
+            first = rows.iloc[0]
+            first_doc = int(first["doc"])
+            first_ts_ms = int(pd.Timestamp(first["ts"]).value // 1_000_000)
+            start = 1
+            state.update((first_doc, first_ts_ms))
+        # event-time timers are cleared on every invocation — re-arm;
+        # a timer at-or-below the current watermark is rejected, so late
+        # stragglers keep the bucket alive one tick past the watermark
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(first_ts_ms + horizon_ms, wm + 1))
+        dup = rows.iloc[start:]
+        if len(dup):
+            yield pd.DataFrame(
+                {
+                    "doc_id": dup["doc"].astype("int64"),
+                    "band": dup["band"].astype("int32"),
+                    "bh": dup["bh"].astype("int64"),
+                    "first_doc": np.int64(first_doc),
+                    "ts": dup["ts"],
+                }
+            )
+
+    return exploded.groupBy("band", "bh").applyInPandasWithState(
+        flag,
+        outputStructType=(
+            "doc_id long, band int, bh long, first_doc long, ts timestamp"
+        ),
+        stateStructType="first_doc long, first_ts long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def with_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", out_col: str = "shingles"
 ) -> DataFrame:
@@ -676,6 +798,33 @@ def with_band_keys(
     import pandas as pd
 
     assert num_hashes % bands == 0
+    def band_keys(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bh = _band_hash_matrix(pdf[text_col], n, num_hashes, bands)
+            n_docs = len(pdf)
+            ids = np.repeat(np.asarray(pdf[id_col], dtype=np.int64), bands)
+            yield pd.DataFrame(
+                {
+                    "doc": ids,
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n_docs),
+                    "bh": bh.reshape(-1),
+                }
+            )
+
+    return _parallelized(df).select(id_col, text_col).mapInPandas(
+        band_keys, schema="doc long, band int, bh long"
+    )
+
+
+def _band_hash_matrix(texts, n: int, num_hashes: int, bands: int):
+    """(len(texts) × bands) int64 band bucket hashes — the shared kernel
+    behind :func:`with_band_keys` (batch index) and
+    :func:`streaming_minhash_dedup` (at-ingest flagging), so both layers
+    bucket documents IDENTICALLY and replay parity holds by construction."""
+    import numpy as np
+
     rows = num_hashes // bands
     # odd multipliers make the per-row mix a bijection mod 2^64
     C = np.array(
@@ -685,29 +834,12 @@ def with_band_keys(
         ],
         dtype=np.uint64,
     )
-
-    def band_keys(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            sig = _sig_matrix(pdf[text_col], n, num_hashes).astype(np.uint64)
-            n_docs = len(pdf)
-            bh = np.empty((n_docs, bands), dtype=np.uint64)
-            for b in range(bands):
-                block = sig[:, b * rows : (b + 1) * rows]
-                bh[:, b] = (block * C[None, :]).sum(axis=1, dtype=np.uint64)
-            ids = np.repeat(np.asarray(pdf[id_col], dtype=np.int64), bands)
-            yield pd.DataFrame(
-                {
-                    "doc": ids,
-                    "band": np.tile(np.arange(bands, dtype=np.int32), n_docs),
-                    "bh": bh.reshape(-1).view(np.int64),
-                }
-            )
-
-    return _parallelized(df).select(id_col, text_col).mapInPandas(
-        band_keys, schema="doc long, band int, bh long"
-    )
+    sig = _sig_matrix(texts, n, num_hashes).astype(np.uint64)
+    bh = np.empty((len(texts), bands), dtype=np.uint64)
+    for b in range(bands):
+        block = sig[:, b * rows : (b + 1) * rows]
+        bh[:, b] = (block * C[None, :]).sum(axis=1, dtype=np.uint64)
+    return bh.view(np.int64)
 
 
 def minhash_lsh_pairs(

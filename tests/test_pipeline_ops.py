@@ -530,6 +530,141 @@ class TestDedup:
         rows = spark.sql("select * from stream_dedup_mk_test").collect()
         assert {r.doc_id for r in rows} == {1, 2, 4, 6}
 
+    def test_streaming_minhash_dedup_replay_parity_with_batch(
+        self, spark, tmp_path
+    ):
+        """Near-dup flagging at ingest must agree with the BATCH LSH index
+        over the same window: replaying a doc set through the stream flags
+        exactly the docs that are the non-first member of some batch band
+        bucket (same kernel ⇒ parity by construction, pinned here), and in
+        particular the LATER side of every verified minhash_lsh_pairs pair
+        is flagged."""
+        import json
+
+        from php_ec_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            streaming_minhash_dedup,
+            with_band_keys,
+        )
+
+        base = " ".join(f"tok{i}" for i in range(24))
+        variant = base.replace("tok7", "zzz7")      # J ≈ 0.75 vs base
+        variant2 = base.replace("tok19", "qqq19")   # J ≈ 0.77 vs base
+        distinct = " ".join(f"other{i}" for i in range(24))
+        rows = [
+            (1, base, "2024-01-01T00:00:00Z"),
+            (2, variant, "2024-01-01T00:10:00Z"),
+            (3, distinct, "2024-01-01T00:20:00Z"),
+            (4, variant2, "2024-01-01T01:00:00Z"),
+        ]
+        src = tmp_path / "src"
+        src.mkdir()
+        import os
+
+        for i, r in enumerate(rows):
+            p = src / f"{i:02d}.json"
+            p.write_text(json.dumps(
+                {"doc_id": r[0], "text": r[1], "ts": r[2]}
+            ) + "\n")
+            os.utime(p, (1_700_000_000 + 10 * i, 1_700_000_000 + 10 * i))
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        out = streaming_minhash_dedup(stream, ts_col="ts", horizon="6 hours")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_nd_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        got = spark.sql("select * from stream_nd_test").collect()
+        flagged = {r.doc_id for r in got}
+
+        # expected from the BATCH index: in every band bucket, everyone
+        # but the (ts, doc)-first member is a flag (arrival order here ==
+        # ts order, one file per micro-batch)
+        docs = spark.createDataFrame(
+            [(d, t) for d, t, _ in rows], "doc_id long, text string"
+        )
+        order = {d: i for i, (d, _, _) in enumerate(rows)}
+        buckets: dict = {}
+        for r in with_band_keys(docs).collect():
+            buckets.setdefault((r.band, r.bh), []).append(r.doc)
+        expect = set()
+        for members in buckets.values():
+            if len(members) > 1:
+                first = min(members, key=lambda d: order[d])
+                expect.update(m for m in members if m != first)
+        assert flagged == expect and 2 in flagged and 4 in flagged
+        assert 3 not in flagged  # distinct text collides nowhere
+        # every verified batch near-dup pair has its later side flagged
+        for p in minhash_lsh_pairs(docs, threshold=0.7).collect():
+            later = max((p.doc_a, p.doc_b), key=lambda d: order[d])
+            assert later in flagged, (p.doc_a, p.doc_b)
+        # the flag names the bucket's first document for downstream verify
+        assert {r.first_doc for r in got if r.doc_id == 2} == {1}
+
+    def test_streaming_minhash_dedup_horizon_eviction(self, spark, tmp_path):
+        """Horizon semantics of the band-bucket state: a near-dup within
+        the horizon is flagged; a repeat arriving in the SAME micro-batch
+        that crosses the horizon is still flagged (eviction needs a quiet
+        trigger for the bucket); after a quiet watermark-advancing batch
+        the bucket is evicted and the next near-dup re-enters as a fresh
+        first — same one-batch-lag contract as streaming_exact_dedup,
+        closed by the periodic batch sweep."""
+        import json
+        import os
+
+        from php_ec_spark.operators.dedup import streaming_minhash_dedup
+
+        base = " ".join(f"tok{i}" for i in range(24))
+        v = lambda i: base.replace(f"tok{i}", f"sub{i}")
+        batches = [
+            [(1, base, "2024-01-01T00:00:00Z")],
+            # within horizon -> flagged
+            [(2, v(3), "2024-01-01T00:30:00Z")],
+            # this batch's watermark still trails; its data crosses the
+            # horizon boundary but the bucket gets DATA, so no eviction:
+            # flagged against first_doc=1
+            [(3, v(5), "2024-01-01T03:30:00Z")],
+            # quiet for the bucket; watermark (03:30 - 1h) passes
+            # first_ts + horizon (01:00) -> timer fires, state evicted
+            [(9, "totally different words here now", "2024-01-01T08:00:00Z")],
+            # bucket state is gone: fresh first, NOT flagged
+            [(4, v(7), "2024-01-01T08:30:00Z")],
+        ]
+        src = tmp_path / "src"
+        src.mkdir()
+        for i, rows in enumerate(batches):
+            p = src / f"{i:02d}.json"
+            p.write_text("\n".join(
+                json.dumps({"doc_id": d, "text": t, "ts": ts})
+                for d, t, ts in rows
+            ) + "\n")
+            os.utime(p, (1_700_000_000 + 10 * i, 1_700_000_000 + 10 * i))
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        out = streaming_minhash_dedup(stream, ts_col="ts", horizon="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stream_nd_hz_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        got = spark.sql("select * from stream_nd_hz_test").collect()
+        assert {r.doc_id for r in got} == {2, 3}
+        assert {r.first_doc for r in got} == {1}
+
 
 class TestSimilarity:
     def test_topk_small_corpus_excludes_self(self, spark):
