@@ -475,6 +475,123 @@ def ivf_topk(
     return _exact_rerank(corpus, queries, cand, k, vec_col, id_col)
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 256,
+    sample_size: int = 100_000,
+    iters: int = 20,
+    seed: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Train a spherical k-means coarse quantizer on a bounded,
+    DETERMINISTIC corpus sample; returns a (n_clusters × dim) numpy
+    centroid matrix (unit rows, k-means++ init, Lloyd iterations).
+
+    This is the standard IVF practice — the quantizer trains on a sample
+    (the index quality is insensitive to sample size past ~100×k), so the
+    driver-side work is bounded by ``sample_size``, never corpus size.
+    The sample is hash-selected (xxhash64 of the id, fixed threshold) and
+    id-ordered, so re-training on the same corpus yields the same
+    centroids bit-for-bit regardless of partitioning/retries. Zero
+    vectors are excluded from training (they have no direction).
+    """
+    import numpy as np
+
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("kmeans_centroids: empty corpus")
+    # over-sample 20% against hash variance, trim to sample_size by id
+    frac = min(1.0, sample_size * 1.2 / n)
+    sampled = corpus.select(id_col, vec_col)
+    if frac < 1.0:
+        sampled = sampled.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000))
+            < int(frac * 1_000_000)
+        )
+    packed = _collect_matrix(sampled, id_col, vec_col)
+    if packed is None:
+        raise ValueError("kmeans_centroids: sample is empty")
+    ids, M, norms = packed
+    order = np.argsort(ids)[:sample_size]
+    M, norms = M[order], norms[order]
+    keep = norms > 0
+    V = M[keep] / norms[keep][:, None]
+    if len(V) == 0:
+        raise ValueError("kmeans_centroids: every sampled vector is zero")
+    k = min(n_clusters, len(V))
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on cosine distance (1 - dot of unit vectors)
+    cents = np.empty((k, V.shape[1]))
+    cents[0] = V[rng.integers(len(V))]
+    d2 = np.maximum(1.0 - V @ cents[0], 0.0)
+    for c in range(1, k):
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        cents[c] = V[rng.choice(len(V), p=probs)]
+        d2 = np.minimum(d2, np.maximum(1.0 - V @ cents[c], 0.0))
+    for _ in range(iters):
+        # assign: argmax dot == min cosine distance; ties -> lowest id
+        a = np.argmax(V @ cents.T, axis=1)
+        moved = False
+        for c in range(k):
+            members = V[a == c]
+            if len(members) == 0:
+                continue  # empty cluster keeps its centroid
+            m = members.sum(axis=0)
+            nm = np.linalg.norm(m)
+            if nm > 0:
+                m = m / nm
+                if not np.allclose(m, cents[c]):
+                    moved = True
+                cents[c] = m
+        if not moved:
+            break
+    return cents
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Add the nearest-centroid id (max cosine; ties → lowest cluster id;
+    zero vectors → cluster 0) as ``out_col``. The centroid matrix is
+    broadcast and assignment is a per-batch GEMM argmax — scan-local,
+    no shuffle, deterministic across retries/re-plans."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    Cu = np.where(cn[:, None] > 0, C / np.maximum(cn, 1e-300)[:, None], C)
+    bc = corpus.sparkSession.sparkContext.broadcast(Cu)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_fields = corpus.schema.fieldNames() + [out_col]
+    # a fresh StructType: .add() MUTATES (and returns) the df's cached
+    # schema object, silently corrupting the input frame's resolution
+    schema = StructType(
+        list(corpus.schema.fields) + [StructField(out_col, IntegerType())]
+    )
+
+    def assign(batches):
+        Cm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            vn = np.linalg.norm(V, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(vn[:, None] > 0, (V @ Cm.T) / vn[:, None], 0.0)
+            pdf = pdf.copy()
+            # np.argmax takes the FIRST max -> lowest cluster id on ties
+            pdf[out_col] = np.argmax(S, axis=1).astype(np.int32)
+            yield pdf[out_fields]
+
+    return corpus.mapInPandas(assign, schema=schema)
+
+
 def ivf_build(
     corpus: DataFrame,
     path: str,
@@ -482,7 +599,8 @@ def ivf_build(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     mode: str = "overwrite",
-) -> None:
+    n_clusters: int | None = None,
+) -> str:
     """Build a persistent IVF index: ``path/centroids`` (the coarse
     quantizer, C rows) + ``path/corpus`` written PARTITIONED BY the
     cluster column.
@@ -495,10 +613,26 @@ def ivf_build(
     data instead of re-scanning and re-shuffling the corpus per query
     batch. A NULL cluster writes to the default partition and reads back
     as NULL — those rows stay searchable.
+
+    With ``n_clusters`` set, ``cluster_col`` is IGNORED and the quantizer
+    is trained from the embeddings themselves: :func:`kmeans_centroids`
+    (sample-trained spherical k-means, deterministic) +
+    :func:`assign_clusters` (broadcast GEMM argmax) produce a ``cluster``
+    column — the path for raw unlabeled corpora, which is what real
+    pipelines have. Either way the function returns the cluster column
+    name actually written; pass it to :func:`ivf_search` as
+    ``cluster_col``.
     """
+    if n_clusters is not None:
+        cents_m = kmeans_centroids(
+            corpus, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col
+        )
+        corpus = assign_clusters(corpus, cents_m, vec_col=vec_col, out_col="cluster")
+        cluster_col = "cluster"
     cents = build_centroids(corpus, cluster_col, vec_col)
     cents.write.mode(mode).parquet(f"{path}/centroids")
     corpus.write.mode(mode).partitionBy(cluster_col).parquet(f"{path}/corpus")
+    return cluster_col
 
 
 def ivf_search(

@@ -784,6 +784,52 @@ class TestSimilarity:
             (r.query_id, r.neighbor_id, r.cos, r.rank) for r in first
         }
 
+    def test_ivf_build_trains_quantizer_on_unlabeled_corpus(
+        self, spark, tmp_path
+    ):
+        """Real corpora have no label column: n_clusters= trains a
+        spherical k-means quantizer on a deterministic sample and assigns
+        clusters via broadcast GEMM. On data with actual cluster geometry
+        the auto-built index must recover nearly all true neighbors, and
+        training+assignment must be bit-reproducible across builds."""
+        import numpy as np
+
+        from php_ec_spark.operators.similarity import (
+            assign_clusters,
+            ivf_build,
+            ivf_search,
+            kmeans_centroids,
+        )
+
+        rng = np.random.default_rng(11)
+        centers = rng.normal(size=(6, 12)) * 6
+        rows = [
+            (i, [float(x) for x in centers[i % 6] + rng.normal(size=12) * 0.2])
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        queries = df.filter(F.col("vec_id") < 6)
+        idx = str(tmp_path / "ivf_auto")
+        ccol = ivf_build(df, idx, n_clusters=6)
+        assert ccol == "cluster"
+        got = ivf_search(
+            spark, idx, queries, k=5, nprobe=2, cluster_col=ccol
+        ).collect()
+        brute = {
+            (r.query_id, r.neighbor_id)
+            for r in cosine_topk(df, queries, k=5).collect()
+        }
+        approx = {(r.query_id, r.neighbor_id) for r in got}
+        assert len(brute & approx) / len(brute) >= 0.9
+        # determinism: re-training yields the identical assignment
+        c1 = kmeans_centroids(df, n_clusters=6)
+        c2 = kmeans_centroids(df.repartition(5), n_clusters=6)
+        assert np.array_equal(c1, c2)
+        a1 = {r.vec_id: r.cluster for r in assign_clusters(df, c1).collect()}
+        a2 = {r.vec_id: r.cluster
+              for r in assign_clusters(df.repartition(3), c2).collect()}
+        assert a1 == a2
+
     def test_cosine_is_symmetric_and_bounded(self, spark, emb):
         out = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=3).collect()
         assert all(-1.0001 <= r.cos <= 1.0001 for r in out)
