@@ -504,8 +504,12 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
     if path is None:
         from .operators.similarity import ivf_build
 
+        import os
+
+        # pid-scoped: two driver processes over the same sf_dir must not
+        # overwrite each other's index mid-search
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        path = f"{tempfile.gettempdir()}/php_ec_ivf_{tag}"
+        path = f"{tempfile.gettempdir()}/php_ec_ivf_{os.getpid()}_{tag}"
         ivf_build(_emb(spark, sf_dir), path)
         _IVF_INDEX_CACHE[sf_dir] = path
     return path
