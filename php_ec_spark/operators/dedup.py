@@ -85,6 +85,9 @@ def dedup_digest(
     """
     if key_cols is None:
         return F.md5(normalize_text(F.col(text_col)))
+    if not key_cols:
+        # md5 of an empty concat is a constant: every row would "dup"
+        raise ValueError("dedup_digest: key_cols must be None or non-empty")
     parts = [
         F.coalesce(
             F.md5(normalize_text(F.col(c).cast("string"))), F.lit("-")

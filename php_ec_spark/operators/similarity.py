@@ -526,8 +526,15 @@ def kmeans_centroids(
     cents[0] = V[rng.integers(len(V))]
     d2 = np.maximum(1.0 - V @ cents[0], 0.0)
     for c in range(1, k):
-        probs = d2 / d2.sum() if d2.sum() > 0 else None
-        cents[c] = V[rng.choice(len(V), p=probs)]
+        total = d2.sum()
+        if total > 0:
+            # d²-weighted draw via inverse-CDF: rng.choice(p=...) rejects
+            # float weights whose sum drifts past its 1±1e-8 check
+            pick = int(np.searchsorted(np.cumsum(d2), rng.random() * total))
+            pick = min(pick, len(V) - 1)
+        else:
+            pick = int(rng.integers(len(V)))
+        cents[c] = V[pick]
         d2 = np.minimum(d2, np.maximum(1.0 - V @ cents[c], 0.0))
     for _ in range(iters):
         # assign: argmax dot == min cosine distance; ties -> lowest id
@@ -568,6 +575,13 @@ def assign_clusters(
     bc = corpus.sparkSession.sparkContext.broadcast(Cu)
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    if out_col in corpus.columns:
+        # a duplicate field name would make the output frame unusable
+        # (ambiguous resolution) — fail here with the remedy
+        raise ValueError(
+            f"assign_clusters: column {out_col!r} already exists on the "
+            "corpus; pass a different out_col or drop it first"
+        )
     out_fields = corpus.schema.fieldNames() + [out_col]
     # a fresh StructType: .add() MUTATES (and returns) the df's cached
     # schema object, silently corrupting the input frame's resolution

@@ -70,6 +70,11 @@ class TestDedup:
         by_url = {r.doc_id: r.dup_count
                   for r in exact_dedup(df, key_cols=["url"]).collect()}
         assert by_url == {1: 2, 3: 1, 4: 2, 6: 1, 7: 1}
+        # empty key list would hash a constant (everything "dups")
+        import pytest
+
+        with pytest.raises(ValueError, match="key_cols"):
+            exact_dedup(df, key_cols=[])
 
     def test_multi_key_digest_is_engine_portable(self, spark):
         """The composite digest must be recomputable by any md5-capable
@@ -829,6 +834,12 @@ class TestSimilarity:
         a2 = {r.vec_id: r.cluster
               for r in assign_clusters(df.repartition(3), c2).collect()}
         assert a1 == a2
+        # guard: a pre-existing out_col would create an ambiguous
+        # duplicate field — must fail with the remedy, not mis-resolve
+        import pytest
+
+        with pytest.raises(ValueError, match="out_col"):
+            assign_clusters(assign_clusters(df, c1), c1)
 
     def test_cosine_is_symmetric_and_bounded(self, spark, emb):
         out = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=3).collect()
