@@ -566,10 +566,13 @@ class TestDedup:
         src.mkdir()
         import os
 
-        for i, r in enumerate(rows):
+        # two rows per file: (1, 2) collide INTRA-batch (first claim +
+        # same-trigger flag), 4 collides cross-batch
+        for i in range(0, len(rows), 2):
             p = src / f"{i:02d}.json"
-            p.write_text(json.dumps(
-                {"doc_id": r[0], "text": r[1], "ts": r[2]}
+            p.write_text("\n".join(
+                json.dumps({"doc_id": d, "text": t, "ts": ts})
+                for d, t, ts in rows[i : i + 2]
             ) + "\n")
             os.utime(p, (1_700_000_000 + 10 * i, 1_700_000_000 + 10 * i))
 
