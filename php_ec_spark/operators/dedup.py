@@ -884,9 +884,31 @@ def minhash_lsh_pairs(
     )
     # small: near-dup candidates only
     cand = pin_intermediate(cand, reliable=reliable, eager=True)
-    # exact verification of the (small) candidate set: shingle ONLY the
-    # documents that appear in a candidate pair (left-semi prune) — the
-    # full corpus never re-shingles for verification
+    return exact_jaccard_verify(
+        df, cand, threshold=threshold, n=n, text_col=text_col, id_col=id_col
+    )
+
+
+def exact_jaccard_verify(
+    df: DataFrame,
+    cand: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram-Jaccard verification of a (doc_a, doc_b) candidate
+    frame against the corpus: returns (doc_a, doc_b, jaccard) for pairs
+    with J ≥ threshold — the shared verify stage behind
+    :func:`minhash_lsh_pairs`, public so ANY candidate source closes its
+    loop the same way (notably :func:`streaming_minhash_dedup` flags:
+    ``flags.select(least(first_doc, doc_id), greatest(...)).distinct()``
+    → this → the verified near-dups among what ingest flagged).
+
+    Shape: only documents that appear in some candidate pair re-shingle
+    (left-semi prune against the broadcast candidate id set) — the corpus
+    never re-shingles for verification, so cost is O(|candidates|), not
+    O(|corpus|)."""
     cand_ids = (
         cand.select(F.col("doc_a").alias("cid"))
         .unionByName(cand.select(F.col("doc_b").alias("cid")))

@@ -649,6 +649,75 @@ def ivf_build(
     return cluster_col
 
 
+def ivf_add(
+    spark,
+    path: str,
+    increment: DataFrame,
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append a corpus INCREMENT to an existing :func:`ivf_build` index —
+    the daily-crawl shape: the quantizer stays fixed (standard IVF
+    practice; re-train + rebuild periodically when the distribution
+    drifts), new vectors land in their cluster's partition directory,
+    and the next :func:`ivf_search` sees them with no rebuild and no
+    rescan of the existing data.
+
+    If the increment already carries ``cluster_col`` (a label-built
+    index) it is written as-is; otherwise each vector is assigned to the
+    nearest STORED centroid (max cosine, ties → smallest cluster value,
+    NULL-cluster centroids sort last; zero vectors go to the first
+    centroid) — the same quantizer the probes use, so an added vector is
+    always findable through the cluster that ranks it highest. The
+    centroid table is NOT re-centered by an append.
+    """
+    if cluster_col in increment.columns:
+        out = increment
+    else:
+        import numpy as np
+        import pandas as pd
+
+        cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+        if not cent_rows:
+            raise ValueError(f"ivf_add: no centroids under {path}")
+        cents_df = spark.read.parquet(f"{path}/centroids")
+        ctype = cents_df.schema["cluster"].dataType
+        # deterministic assignment order: by cluster value, NULLs last
+        cent_rows.sort(key=lambda r: (r.cluster is None, r.cluster))
+        vals = [r.cluster for r in cent_rows]
+        C = np.stack([np.asarray(r.centroid, dtype=np.float64) for r in cent_rows])
+        cn = np.linalg.norm(C, axis=1)
+        Cu = np.where(cn[:, None] > 0, C / np.maximum(cn, 1e-300)[:, None], C)
+        bc = spark.sparkContext.broadcast((vals, Cu))
+
+        from pyspark.sql.types import StructField, StructType
+
+        out_fields = increment.schema.fieldNames() + [cluster_col]
+        schema = StructType(
+            list(increment.schema.fields) + [StructField(cluster_col, ctype)]
+        )
+
+        def assign(batches):
+            values, Cm = bc.value
+            varr = pd.Series(values)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                vn = np.linalg.norm(V, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = np.where(vn[:, None] > 0, (V @ Cm.T) / vn[:, None], 0.0)
+                pdf = pdf.copy()
+                pdf[cluster_col] = varr.iloc[np.argmax(S, axis=1)].to_numpy()
+                yield pdf[out_fields]
+
+        out = increment.mapInPandas(assign, schema=schema)
+    out.write.mode("append").partitionBy(cluster_col).parquet(f"{path}/corpus")
+
+
 def ivf_search(
     spark,
     path: str,

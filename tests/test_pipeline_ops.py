@@ -113,6 +113,29 @@ class TestDedup:
         con.close()
         assert got == want
 
+    def test_exact_jaccard_verify_public_loop_closer(self, spark):
+        """exact_jaccard_verify is the public verify stage any candidate
+        source feeds (streaming flags included): a true near-dup pair
+        passes with the brute-force Jaccard, an LSH false positive is
+        rejected, and ids absent from the corpus simply drop out."""
+        from php_ec_spark.operators.dedup import exact_jaccard_verify
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j"),
+                (2, "a b c d e f g h i k"),   # J = 7/9 vs doc 1 (3-grams)
+                (3, "z y x w v u t s r q"),   # unrelated
+            ],
+            "doc_id long, text string",
+        )
+        cand = spark.createDataFrame(
+            [(1, 2), (1, 3), (1, 999)], "doc_a long, doc_b long"
+        )
+        got = {(r.doc_a, r.doc_b): r.jaccard
+               for r in exact_jaccard_verify(docs, cand, threshold=0.5).collect()}
+        assert set(got) == {(1, 2)}
+        assert abs(got[(1, 2)] - round(7 / 9, 6)) < 1e-9
+
     def test_lsh_recall_equals_exact_pairs(self, spark, docs):
         """At J≥0.8 the banded-LSH miss probability is ~5e-8 — the verified
         candidate set must equal the exact inverted-index pair set."""
@@ -843,6 +866,61 @@ class TestSimilarity:
 
         with pytest.raises(ValueError, match="out_col"):
             assign_clusters(assign_clusters(df, c1), c1)
+
+    def test_ivf_add_appends_searchable_increment(self, spark, tmp_path):
+        """The daily-crawl shape: ivf_add appends new vectors to an
+        existing index without rebuilding — unlabeled increments are
+        assigned to the nearest STORED centroid (the same quantizer the
+        probes use), labeled increments write as-is, and the next search
+        finds the additions through partition-pruned reads."""
+        import numpy as np
+
+        from php_ec_spark.operators.similarity import (
+            ivf_add,
+            ivf_build,
+            ivf_search,
+        )
+
+        rng = np.random.default_rng(5)
+        centers = rng.normal(size=(4, 10)) * 8
+        base_rows = [
+            (i, [float(x) for x in centers[i % 4] + rng.normal(size=10) * 0.2],
+             i % 4)
+            for i in range(80)
+        ]
+        df = spark.createDataFrame(
+            base_rows, "vec_id long, embedding array<float>, label int"
+        )
+        idx = str(tmp_path / "ivf")
+        ivf_build(df, idx)
+
+        # unlabeled increment: two near-copies of cluster 2's center
+        inc = spark.createDataFrame(
+            [
+                (1000, [float(x) for x in centers[2] + 0.01]),
+                (1001, [float(x) for x in centers[2] - 0.01]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        ivf_add(spark, idx, inc)
+        q = df.filter(F.col("vec_id") == 2)  # lives in cluster 2
+        got = ivf_search(spark, idx, q, k=3, nprobe=1).collect()
+        assert {1000, 1001} <= {r.neighbor_id for r in got}
+        # the assigned partition is cluster 2's directory
+        import pathlib
+
+        files = list(pathlib.Path(idx, "corpus", "label=2").glob("*.parquet"))
+        assert len(files) >= 2  # original write + appended increment
+
+        # labeled increment appends as-is (no reassignment)
+        inc2 = spark.createDataFrame(
+            [(2000, [float(x) for x in centers[1] + 0.01], 1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        ivf_add(spark, idx, inc2)
+        q1 = df.filter(F.col("vec_id") == 1)
+        got2 = ivf_search(spark, idx, q1, k=3, nprobe=1).collect()
+        assert 2000 in {r.neighbor_id for r in got2}
 
     def test_cosine_is_symmetric_and_bounded(self, spark, emb):
         out = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=3).collect()
