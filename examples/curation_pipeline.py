@@ -9,6 +9,8 @@ queries run, chained the way a real curation job would:
   3. substring-dup filter   (operators.dedup.dup_span_stats, Lee-et-al-
      style 13-token window duplication fraction)
   4. decontamination        (operators.dedup.decontaminate, 13-gram probe)
+  4b. PII scrub             (operators.text.scrub_pii — emails/IPs/long
+                             digit runs → placeholders, pre-scoring)
   5. quality + repetition   (operators.text: quality_score, Gopher-style
      filtering                repetition signals)
   5b. LM perplexity filter  (operators.lm.with_lm_bits, CCNet-style
@@ -46,6 +48,7 @@ from php_ec_spark.operators.lm import with_lm_bits
 from php_ec_spark.operators.packing import pack_sequences
 from php_ec_spark.operators.sampling import stratified_sample
 from php_ec_spark.operators.text import (
+    scrub_pii,
     with_bpe_token_count,
     with_quality_score,
     with_repetition_signals,
@@ -107,6 +110,12 @@ def curate(
         "left_anti",
     )
     funnel["decontaminated"] = docs.count()
+
+    # 4b. PII scrub (heuristic, curation-grade): emails / IPs / long
+    #     digit runs become placeholder tokens BEFORE quality + LM stats
+    #     so the scrubbed form is what gets scored and exported
+    docs = scrub_pii(docs).drop("pii_matches")
+    funnel["pii_scrubbed"] = funnel["decontaminated"]  # scrub drops nothing
 
     # 5. quality + repetition filters (Gopher-style cutoffs)
     docs = (

@@ -223,3 +223,53 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+#: PII scrub patterns, applied IN ORDER (emails first: they contain digit
+#: runs the phone pattern would half-eat). Kept to the regex dialect both
+#: Java (Spark) and RE2-style (DuckDB) engines interpret identically:
+#: plain character classes and bounded quantifiers — no backreferences,
+#: no lookaround. Heuristic by design (curation-grade scrubbing, not a
+#: compliance tool): a long digit-and-separator run reads as a phone/card
+#: number even when it is an invoice id — at corpus scale over-scrubbing
+#: identifiers is the right trade for a training set.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    # 9+ digits with optional ()+-. / space separators, digit-anchored at
+    # both ends: phone and card shapes without eating short numbers
+    ("phone", r"\+?[0-9][0-9()\-. ]{7,}[0-9]\b", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Replace emails / IPv4 addresses / long phone-or-card digit runs
+    with placeholder tokens — the standard pre-training scrub stage
+    (CCNet/Dolma-style), as pure chained ``regexp_replace`` column
+    expressions: whole-stage codegen, zero shuffle, linear in bytes.
+
+    ``out_col=None`` scrubs in place; otherwise the original column is
+    kept and the scrubbed text lands in ``out_col``. Also appends
+    ``pii_matches`` — how many placeholders the scrub left, the cheap
+    audit signal (docs saturated with PII usually want dropping, not
+    scrubbing). Patterns are engine-portable (:data:`PII_PATTERNS`);
+    the DuckDB twin is pinned in tests/test_pipeline_ops.py.
+    """
+    target = out_col or text_col
+    scrubbed = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    d = df.withColumn(target, scrubbed)
+    n_ph = sum(
+        (
+            F.length(F.col(target))
+            - F.length(F.regexp_replace(F.col(target), F.lit(repl), F.lit("")))
+        )
+        / len(repl)
+        for _, _, repl in PII_PATTERNS
+    )
+    return d.withColumn(
+        "pii_matches", F.coalesce(n_ph.cast("long"), F.lit(0))
+    )

@@ -696,6 +696,66 @@ class TestDedup:
         assert {r.doc_id for r in got} == {2, 3}
         assert {r.first_doc for r in got} == {1}
 
+    def test_streaming_minhash_dedup_state_survives_restart(
+        self, spark, tmp_path
+    ):
+        """Band-bucket state lives in the state store: a SECOND run over
+        the same checkpoint (a restarted query) must flag a new near-dup
+        against the FIRST run's document — the whole point of
+        dedup-at-ingest vs a per-run cache."""
+        import json
+        import os
+
+        from php_ec_spark.operators.dedup import streaming_minhash_dedup
+
+        base = " ".join(f"tok{i}" for i in range(24))
+        src = tmp_path / "src"
+        src.mkdir()
+
+        def write_batch(name, rows, mtime):
+            p = src / name
+            p.write_text("\n".join(
+                json.dumps({"doc_id": d, "text": t, "ts": ts})
+                for d, t, ts in rows
+            ) + "\n")
+            os.utime(p, (mtime, mtime))
+
+        out_dir = str(tmp_path / "flags_out")
+
+        def run_once():
+            stream = (
+                spark.readStream
+                .schema("doc_id long, text string, ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+            out = streaming_minhash_dedup(
+                stream, ts_col="ts", horizon="6 hours"
+            )
+            # the memory sink cannot recover from a checkpoint — a real
+            # restart needs a fault-tolerant sink
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(timeout=120)
+
+        write_batch("00.json", [(1, base, "2024-01-01T00:00:00Z")],
+                    1_700_000_000)
+        run_once()  # run 1: doc 1 claims its buckets, query stops
+        write_batch(
+            "01.json",
+            [(2, base.replace("tok9", "xyz9"), "2024-01-01T00:30:00Z")],
+            1_700_000_010,
+        )
+        run_once()  # run 2 (the restart): only the new file processes
+        got = spark.read.parquet(out_dir).collect()
+        assert {r.doc_id for r in got} == {2}
+        assert {r.first_doc for r in got} == {1}  # state from run 1
+
 
 class TestSimilarity:
     def test_topk_small_corpus_excludes_self(self, spark):
@@ -1603,6 +1663,77 @@ class TestRepetitionSignals:
                     assert abs(got[k] - v) < 1e-9, (i, k, t, got[k], v)
                 else:
                     assert got[k] == v, (i, k, t, got[k], v)
+
+
+class TestScrubPii:
+    TEXTS = [
+        (0, "contact me at jane.doe+spam@example.co.uk or at work"),
+        (1, "server 192.168.0.1 responded, backup at 10.0.0.255 ok"),
+        (2, "call +1 (650) 555-0199 or 020 7946 0958 today"),
+        (3, "card 4111 1111 1111 1111 billed"),
+        (4, "perfectly clean prose with numbers like 42 and 3.14"),
+        (5, "a@b.co and 1.2.3.4 and tiny"),
+        (6, None),
+        (7, "two mails x@y.io y@z.ai one ip 8.8.8.8"),
+    ]
+
+    def test_duckdb_parity(self, spark):
+        """scrub_pii must be engine-portable like every text operator: the
+        same ordered regex chain in DuckDB (RE2 dialect — the patterns
+        are restricted to the common subset) yields byte-identical
+        scrubbed text and match counts."""
+        import duckdb
+
+        from php_ec_spark.operators.text import PII_PATTERNS, scrub_pii
+
+        df = spark.createDataFrame(self.TEXTS, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.pii_matches)
+            for r in scrub_pii(df).collect()
+        }
+        expr = "text"
+        for _, pat, repl in PII_PATTERNS:
+            expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+        counts = " + ".join(
+            f"(length(s) - length(replace(s, '{repl}', ''))) / {len(repl)}"
+            for _, _, repl in PII_PATTERNS
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({d}, " + ("NULL" if t is None else "'" + t.replace("'", "''") + "'") + ")"
+                for d, t in self.TEXTS
+            )
+            + ") v(doc_id, text)"
+        )
+        want = {
+            d: (s, int(c))
+            for d, s, c in con.execute(
+                f"SELECT doc_id, s, coalesce(CAST(({counts}) AS BIGINT), 0)"
+                f" FROM (SELECT doc_id, {expr} AS s FROM t)"
+            ).fetchall()
+        }
+        con.close()
+        assert got == want
+
+    def test_scrub_semantics(self, spark):
+        """The placeholders land where PII was, clean text is untouched,
+        and out_col= keeps the original column."""
+        from php_ec_spark.operators.text import scrub_pii
+
+        df = spark.createDataFrame(self.TEXTS, "doc_id long, text string")
+        out = {r.doc_id: r for r in scrub_pii(df, out_col="clean").collect()}
+        assert "<EMAIL>" in out[0].clean and "@" not in out[0].clean
+        assert out[1].clean.count("<IP>") == 2
+        assert "<PHONE>" in out[2].clean and "555" not in out[2].clean
+        assert "<PHONE>" in out[3].clean  # card shape scrubs too
+        assert out[4].clean == out[4].text and out[4].pii_matches == 0
+        assert out[5].clean == "<EMAIL> and <IP> and tiny"
+        assert out[6].clean is None and out[6].pii_matches == 0
+        assert out[7].pii_matches == 3
+        # original column intact under out_col=
+        assert out[0].text.count("@") == 1
 
 
 class TestPackSequences:
