@@ -11,6 +11,10 @@ training-data pipeline needs, each designed Spark-first:
   generation with exact verification, SimHash fingerprints, benchmark
   decontamination, and log-diameter connected components for cluster
   labeling.
+- :mod:`.dedup_index` — the build-once / probe-many deployment of dedup:
+  persistent bucketed digest + LSH-band tables; a crawl increment probes
+  corpus history for exact and verified near duplicates with no
+  stored-side shuffle and no corpus rescan, then appends idempotently.
 - :mod:`.similarity` — brute-force cosine top-k (broadcast queries, one
   corpus pass) and IVF-style partitioned ANN.
 - :mod:`.sampling` — hash-stable stratified sampling and weighted corpus

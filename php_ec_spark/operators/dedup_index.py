@@ -1,0 +1,360 @@
+"""Persistent incremental dedup index: dedup a crawl INCREMENT against a
+stored corpus without rescanning or reshuffling the corpus.
+
+The batch operators (:func:`~php_ec_spark.operators.dedup.exact_dedup`,
+:func:`~php_ec_spark.operators.dedup.minhash_lsh_pairs`) collapse ONE
+static corpus; the streaming operators dedup at the door within a bounded
+horizon. What a production pipeline additionally needs is the middle
+shape — "here is today's crawl, which of these documents already exist
+(exactly or nearly) in the 100 TB we landed over the last year?" — and
+that must NOT cost a corpus-wide job per increment. The answer is the
+same build-once / probe-many split as the IVF ANN index
+(similarity.py:609-753), applied to dedup:
+
+- **build** writes three bucketed catalog tables: the digest table
+  (one 32-byte md5 per distinct normalized text, bucketed by digest),
+  the LSH band table ((doc, band, bh), bucketed by the band bucket
+  hash), and the docs table ((doc_id, text), bucketed by doc_id, used
+  only to fetch the handful of near-dup candidates for exact
+  verification). Bucketing is the point: Spark reads a bucketed table
+  as already-hash-partitioned on the bucket columns, so every probe
+  join plans with NO exchange on the stored side — only the (small)
+  increment shuffles, and only 32-byte digests / 8-byte band hashes of
+  it at that. Build-time parameters (num_hashes, bands, n, key_cols)
+  are pinned in a meta table so probe and append can never silently
+  drift from the signatures the index was built with — the same
+  quantizer-pinning discipline as ``ivf_build``/``ivf_search``.
+- **probe** annotates the increment: ``exact_dup_of`` (the stored
+  survivor doc for an identical normalized text), ``near_dup_of`` /
+  ``near_jaccard`` (the best exactly-verified n-gram-Jaccard match ≥
+  threshold among LSH band-collision candidates). Cost is
+  O(|increment| + |candidates|): the corpus contributes only bucketed
+  index scans of its digests/band keys; corpus TEXT is touched only for
+  verified-candidate ids (a bucketed semi-fetch from the docs table).
+- **add** appends the surviving increment rows to all three tables,
+  keeping the one-row-per-digest invariant (anti-join) and id-level
+  idempotence (re-running a failed orchestration step adds nothing
+  twice). Appends to a bucketed table stay bucketed — each append job
+  writes its own per-bucket files and Spark unions them per bucket at
+  scan time, so probe plans are unchanged as the index grows.
+
+Index semantics are aligned with the batch operators by construction:
+the digest is :func:`~php_ec_spark.operators.dedup.dedup_digest` (same
+normalization, same ``key_cols`` multi-key contract), the band keys come
+from the same ``_band_hash_matrix`` kernel as ``minhash_lsh_pairs`` and
+``streaming_minhash_dedup``, and verification reuses
+:func:`~php_ec_spark.operators.dedup.exact_jaccard_verify`'s shingle
+formula — so "duplicate" means the same thing at the door (streaming),
+in the nightly sweep (batch), and against history (this index).
+
+NULL-text note: the default single-text digest of a NULL text is NULL,
+and SQL join semantics mean a NULL digest never matches the index (each
+NULL-text doc probes as novel). Pipelines that want NULL keys to compare
+equal should build with ``key_cols=`` — the multi-key digest encodes
+NULL as a 1-char marker, making NULL == NULL and NULL ≠ '' explicit.
+
+The reference engine has no corpus-history surface (its memory layer,
+reference src/scheduler/Scheduler.php + StateManager, persists rule
+STATE, not data history); this module is part of the training-data
+pipeline surface that extends it.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .dedup import (
+    dedup_digest,
+    exact_jaccard_verify,
+    with_band_keys,
+    with_shingles,
+)
+from ..layout import write_bucketed
+
+__all__ = [
+    "dedup_index_build",
+    "dedup_index_probe",
+    "dedup_index_add",
+    "dedup_index_drop",
+]
+
+
+def _t(name: str, part: str) -> str:
+    return f"{name}_{part}"
+
+
+def _read_meta(spark: SparkSession, name: str) -> dict:
+    row = spark.table(_t(name, "meta")).head()
+    if row is None:
+        raise ValueError(f"dedup index {name!r}: empty meta table")
+    meta = row.asDict()
+    meta["key_cols"] = json.loads(meta["key_cols"]) if meta["key_cols"] else None
+    return meta
+
+
+def dedup_index_build(
+    df: DataFrame,
+    name: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_cols: "Sequence[str] | None" = None,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    num_buckets: int = 16,
+    near: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Build a persistent dedup index over ``df`` as catalog tables
+    ``{name}_digests`` / ``{name}_bands`` / ``{name}_docs`` /
+    ``{name}_meta`` (the latter two only when ``near=True``).
+
+    ``num_buckets`` sizes the bucketed layout — pick it so one bucket is
+    ~one task's worth of digests at target scale (a 100 TB corpus at
+    100 KB/doc is ~1e9 digest rows ≈ 40 GB of index; 256 buckets keeps
+    a probe's stored-side scan tasks at ~150 MB). ``near=False`` builds
+    the exact layer only (no band/docs tables, no text retained —
+    one-third the footprint when near-dup probing is handled elsewhere).
+
+    The digest table keeps ONE row per distinct digest with the survivor
+    (min id) — probing returns the same survivor the batch
+    ``exact_dedup`` sweep would have chosen.
+    """
+    if num_hashes % bands:
+        raise ValueError("dedup_index_build: bands must divide num_hashes")
+    spark = df.sparkSession
+    digests = (
+        df.select(
+            dedup_digest(key_cols, text_col).alias("text_hash"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        # a NULL digest can never match a probe (SQL join semantics) —
+        # storing it would only pad the index
+        .filter(F.col("text_hash").isNotNull())
+    )
+    write_bucketed(
+        digests, _t(name, "digests"), ["text_hash"], num_buckets,
+        sort_cols=["text_hash"], mode=mode,
+    )
+    if near:
+        band = with_band_keys(
+            df, num_hashes=num_hashes, bands=bands, n=n,
+            text_col=text_col, id_col=id_col,
+        )
+        write_bucketed(
+            band, _t(name, "bands"), ["band", "bh"], num_buckets,
+            sort_cols=["band", "bh"], mode=mode,
+        )
+        docs = df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        write_bucketed(
+            docs, _t(name, "docs"), ["doc_id"], num_buckets,
+            sort_cols=["doc_id"], mode=mode,
+        )
+    meta = spark.createDataFrame(
+        [
+            (
+                int(num_hashes), int(bands), int(n), int(num_buckets),
+                bool(near),
+                json.dumps(list(key_cols)) if key_cols is not None else None,
+            )
+        ],
+        "num_hashes int, bands int, n int, num_buckets int, near boolean,"
+        " key_cols string",
+    )
+    meta.write.mode("overwrite").saveAsTable(_t(name, "meta"))
+
+
+def dedup_index_probe(
+    spark: SparkSession,
+    name: str,
+    increment: DataFrame,
+    *,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Annotate ``increment`` against the stored index: adds
+
+    - ``text_hash`` — the increment row's dedup digest (build's
+      ``key_cols`` contract, read from the meta table);
+    - ``exact_dup_of`` — the stored survivor doc_id when an identical
+      normalized digest exists in the index, else NULL;
+    - ``near_dup_of`` / ``near_jaccard`` — the best stored document with
+      exact n-gram Jaccard ≥ ``threshold`` among LSH band-collision
+      candidates (ties → smallest stored doc_id), else NULLs. Only
+      present when the index was built with ``near=True``.
+
+    Plan shape (the part that must survive 100 TB): both probe joins run
+    against BUCKETED stored tables, so the executed plan has no exchange
+    on any stored-side scan — pinned in tests/test_dedup_index.py. The
+    stored digest/band scans are index-column-only (32 B + 8 B per doc);
+    stored TEXT is read only for the candidate ids that reached
+    verification, through the doc_id-bucketed docs table.
+
+    Probing checks the increment against the INDEX only — duplicates
+    WITHIN the increment are intra-batch business (run
+    ``exact_dedup``/``minhash_lsh_pairs`` over the increment, or probe
+    after :func:`dedup_index_add`). A doc whose id already exists in the
+    index may be its own near-dup (``near_dup_of == doc_id``): that is
+    the re-crawl signal — the url's stored content nearly matches the
+    new fetch.
+    """
+    meta = _read_meta(spark, name)
+    inc = increment.withColumn(
+        "text_hash", dedup_digest(meta["key_cols"], text_col)
+    )
+    exact = spark.table(_t(name, "digests")).select(
+        "text_hash", F.col("doc_id").alias("exact_dup_of")
+    )
+    out = inc.join(exact, "text_hash", "left")
+    if not meta["near"]:
+        return out
+
+    inc_bands = with_band_keys(
+        increment,
+        num_hashes=meta["num_hashes"], bands=meta["bands"], n=meta["n"],
+        text_col=text_col, id_col=id_col,
+    ).withColumnRenamed("doc", "inc_doc")
+    stored_bands = spark.table(_t(name, "bands")).withColumnRenamed(
+        "doc", "idx_doc"
+    )
+    cand = (
+        inc_bands.join(stored_bands, ["band", "bh"])
+        .select("inc_doc", "idx_doc")
+        .distinct()
+    )
+    # Fetch candidate texts: stored side through the doc_id-bucketed docs
+    # table (no exchange on the stored scan; only candidate ids shuffle),
+    # increment side by broadcast-semi prune — candidates are near-dups
+    # only, bounded far below the increment.
+    idx_docs = spark.table(_t(name, "docs")).join(
+        cand.select(F.col("idx_doc").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    inc_ids = cand.select(F.col("inc_doc").alias("cid")).distinct()
+    inc_docs = increment.join(
+        F.broadcast(inc_ids), F.col(id_col) == F.col("cid"), "left_semi"
+    ).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    sh_inc = with_shingles(inc_docs, n=meta["n"]).select(
+        F.col("doc_id").alias("inc_doc"), F.col("shingles").alias("sh_a")
+    )
+    sh_idx = with_shingles(idx_docs, n=meta["n"]).select(
+        F.col("doc_id").alias("idx_doc"), F.col("shingles").alias("sh_b")
+    )
+    # Same exact-Jaccard formula as exact_jaccard_verify (dedup.py:892) —
+    # inlined because the pair sides come from two different frames here
+    # (increment vs stored docs), not one corpus.
+    verified = (
+        cand.join(sh_inc, "inc_doc")
+        .join(sh_idx, "idx_doc")
+        .select(
+            "inc_doc",
+            "idx_doc",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ).alias("near_jaccard"),
+        )
+        .filter(F.col("near_jaccard") >= threshold)
+    )
+    best = (
+        verified.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("inc_doc").orderBy(
+                    F.col("near_jaccard").desc(), F.col("idx_doc").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select(
+            F.col("inc_doc"),
+            F.col("idx_doc").alias("near_dup_of"),
+            "near_jaccard",
+        )
+    )
+    return out.join(
+        best, out[id_col] == best["inc_doc"], "left"
+    ).drop("inc_doc")
+
+
+def dedup_index_add(
+    spark: SparkSession,
+    name: str,
+    increment: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append ``increment`` to the index — the daily-crawl shape: signature
+    parameters stay pinned (read from the meta table, same kernels as
+    build), new rows land as additional per-bucket files, and the next
+    :func:`dedup_index_probe` sees them with no rebuild.
+
+    Pass the SURVIVORS (probe-filtered / intra-increment-deduped rows);
+    the function still defends the index invariants regardless of input:
+    rows whose doc_id is already stored are skipped entirely (id-level
+    idempotence — a retried orchestration step is a no-op), and the
+    digest table is anti-joined so it keeps exactly one survivor row per
+    distinct digest even if a duplicate text slips through.
+    """
+    meta = _read_meta(spark, name)
+    if meta["near"]:
+        known = spark.table(_t(name, "docs")).select(
+            F.col("doc_id").alias("__known_id")
+        )
+        fresh = increment.join(
+            known, increment[id_col] == known["__known_id"], "left_anti"
+        )
+        # Materialize once: three appends below would otherwise re-run the
+        # anti-join (and, mid-sequence, see their OWN earlier appends).
+        fresh = fresh.localCheckpoint(eager=True)
+        band = with_band_keys(
+            fresh,
+            num_hashes=meta["num_hashes"], bands=meta["bands"], n=meta["n"],
+            text_col=text_col, id_col=id_col,
+        )
+        write_bucketed(
+            band, _t(name, "bands"), ["band", "bh"], meta["num_buckets"],
+            sort_cols=["band", "bh"], mode="append",
+        )
+        docs = fresh.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        write_bucketed(
+            docs, _t(name, "docs"), ["doc_id"], meta["num_buckets"],
+            sort_cols=["doc_id"], mode="append",
+        )
+    else:
+        fresh = increment
+    new_digests = (
+        fresh.select(
+            dedup_digest(meta["key_cols"], text_col).alias("text_hash"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .filter(F.col("text_hash").isNotNull())
+        .join(spark.table(_t(name, "digests")), "text_hash", "left_anti")
+    )
+    write_bucketed(
+        new_digests, _t(name, "digests"), ["text_hash"], meta["num_buckets"],
+        sort_cols=["text_hash"], mode="append",
+    )
+
+
+def dedup_index_drop(spark: SparkSession, name: str) -> None:
+    """Drop every table of the index (build's inverse; missing parts ok)."""
+    for part in ("digests", "bands", "docs", "meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {_t(name, part)}")

@@ -1,0 +1,264 @@
+"""Persistent incremental dedup index: probe an increment against a
+stored corpus with no corpus rescan, no stored-side shuffle; appends keep
+the index invariants and are idempotent."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from php_ec_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from php_ec_spark.operators.dedup_index import (
+    dedup_index_add,
+    dedup_index_build,
+    dedup_index_drop,
+    dedup_index_probe,
+)
+
+SF = "/root/testdata/sf0.001"
+PARAMS = dict(num_hashes=64, bands=16, n=3, num_buckets=4)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def split(spark, docs):
+    """Index on the first ~60% of docs, increment = the rest + crafted
+    rows: an exact copy, a whitespace/case variant, a near copy, a novel
+    doc, and a NULL text."""
+    base = docs.filter(F.col("doc_id") < 300)
+    rest = docs.filter(F.col("doc_id") >= 300)
+    sample = {r.doc_id: r.text for r in base.filter(F.col("doc_id") < 5).collect()}
+    src_id = min(k for k, v in sample.items() if v and len(v.split()) > 20)
+    src = sample[src_id]
+    toks = src.split()
+    near = " ".join(toks[:-2] + ["zq1", "zq2"])  # perturb 2 trailing tokens
+    crafted = docs.sparkSession.createDataFrame(
+        [
+            (90001, src),
+            (90002, "  " + src.upper() + "  "),
+            (90003, near),
+            (90004, "totally novel document zz yy xx ww vv uu tt ss rr qq"),
+            (90005, None),
+        ],
+        "doc_id long, text string",
+    )
+    inc = rest.unionByName(crafted).localCheckpoint(eager=True)
+    dedup_index_build(base, "dix", **PARAMS)
+    yield {"base": base, "inc": inc, "src_id": src_id}
+    dedup_index_drop(docs.sparkSession, "dix")
+
+
+class TestProbe:
+    def test_exact_near_and_novel_annotations(self, spark, split):
+        out = dedup_index_probe(spark, "dix", split["inc"], threshold=0.6)
+        rows = {r.doc_id: r for r in out.filter(F.col("doc_id") >= 90000).collect()}
+        # exact copy and normalization variant hit the stored survivor
+        assert rows[90001].exact_dup_of == split["src_id"]
+        assert rows[90002].exact_dup_of == split["src_id"]
+        # near copy: not exact, but a verified near-dup of SOME stored doc
+        # (the testdata plants near-dup families, so the best match may
+        # beat the perturbation source — probe picks the max-jaccard one)
+        assert rows[90003].exact_dup_of is None
+        assert rows[90003].near_dup_of is not None
+        assert rows[90003].near_dup_of < 300  # a stored doc, not increment
+        assert 0.6 <= rows[90003].near_jaccard < 1.0
+        # novel doc: untouched
+        assert rows[90004].exact_dup_of is None
+        assert rows[90004].near_dup_of is None
+        # NULL text digests to NULL → never matches the index
+        assert rows[90005].exact_dup_of is None
+        assert rows[90005].text_hash is None
+
+    def test_probe_preserves_increment_rowcount(self, spark, split):
+        out = dedup_index_probe(spark, "dix", split["inc"], threshold=0.6)
+        assert out.count() == split["inc"].count()
+
+    def test_exact_layer_matches_batch_sweep(self, spark, split):
+        """Index-count + probe-survivor count == batch exact_dedup over the
+        union corpus: the incremental path and the nightly sweep agree on
+        how many distinct texts exist (NULL digests excluded — the batch
+        groupBy pools NULLs, the index never matches them)."""
+        base, inc = split["base"], split["inc"]
+        probed = dedup_index_probe(spark, "dix", inc, threshold=0.6)
+        survivors = probed.filter(
+            F.col("exact_dup_of").isNull() & F.col("text_hash").isNotNull()
+        )
+        # increment-internal duplicates are out of probe scope: collapse
+        n_inc_new = survivors.select("text_hash").distinct().count()
+        n_index = spark.table("dix_digests").count()
+        union = base.unionByName(inc)
+        n_union = (
+            exact_dedup(union).filter(F.col("text_hash").isNotNull()).count()
+        )
+        assert n_index + n_inc_new == n_union
+
+    def test_near_layer_finds_batch_cross_pairs(self, spark, split):
+        """Every cross-split near-dup pair the batch minhash_lsh_pairs job
+        finds over the union is surfaced by the probe (same kernels, same
+        verify formula → parity by construction)."""
+        base, inc = split["base"], split["inc"]
+        union = base.unionByName(inc)
+        pairs = minhash_lsh_pairs(
+            union, threshold=0.6,
+            num_hashes=PARAMS["num_hashes"], bands=PARAMS["bands"],
+            n=PARAMS["n"],
+        ).collect()
+        base_ids = {r.doc_id for r in base.collect()}
+        inc_ids = {r.doc_id for r in inc.collect()}
+        cross = {
+            (a, b) if a in base_ids else (b, a)
+            for a, b in ((r.doc_a, r.doc_b) for r in pairs)
+            if (a in base_ids) != (b in base_ids)
+        }
+        probed = {
+            r.doc_id: r
+            for r in dedup_index_probe(spark, "dix", inc, threshold=0.6)
+            .filter(F.col("near_dup_of").isNotNull())
+            .collect()
+        }
+        for idx_doc, inc_doc in cross:
+            assert inc_doc in probed, (idx_doc, inc_doc)
+            # the probe's pick is SOME stored doc at >= threshold (ties /
+            # better matches allowed), not necessarily this exact partner
+            assert probed[inc_doc].near_jaccard >= 0.6
+
+
+class TestAdd:
+    def test_add_then_probe_sees_new_docs(self, spark, docs):
+        base = docs.filter(F.col("doc_id") < 100)
+        nov = spark.createDataFrame(
+            [(80001, "fresh crawl text aa bb cc dd ee ff gg hh ii jj")],
+            "doc_id long, text string",
+        )
+        dedup_index_build(base, "dax", **PARAMS)
+        try:
+            before = dedup_index_probe(spark, "dax", nov).head()
+            assert before.exact_dup_of is None
+            dedup_index_add(spark, "dax", nov)
+            after = dedup_index_probe(spark, "dax", nov).head()
+            assert after.exact_dup_of == 80001
+            assert after.near_dup_of == 80001  # re-crawl self-signal
+        finally:
+            dedup_index_drop(spark, "dax")
+
+    def test_add_is_idempotent_and_digest_unique(self, spark, docs):
+        base = docs.filter(F.col("doc_id") < 100)
+        dedup_index_build(base, "dix_add", **PARAMS)
+        try:
+            inc = spark.createDataFrame(
+                [
+                    (70001, "one two three four five six seven"),
+                    (70002, "one  TWO three four five six seven"),  # same digest
+                    (70003, "other text entirely for this row here"),
+                ],
+                "doc_id long, text string",
+            )
+            dedup_index_add(spark, "dix_add", inc)
+            counts1 = {
+                t: spark.table(f"dix_add_{t}").count()
+                for t in ("digests", "docs", "bands")
+            }
+            # one digest row for the 70001/70002 pair, survivor = min id
+            surv = (
+                spark.table("dix_add_digests")
+                .filter(F.col("doc_id").isin(70001, 70002))
+                .collect()
+            )
+            assert [r.doc_id for r in surv] == [70001]
+            assert counts1["docs"] == 100 + 3  # all rows retained as docs
+            # a retried orchestration step adds nothing twice
+            dedup_index_add(spark, "dix_add", inc)
+            counts2 = {
+                t: spark.table(f"dix_add_{t}").count()
+                for t in ("digests", "docs", "bands")
+            }
+            assert counts1 == counts2
+        finally:
+            dedup_index_drop(spark, "dix_add")
+
+
+class TestKeyCols:
+    def test_multi_key_digest_and_null_key_matching(self, spark):
+        base = spark.createDataFrame(
+            [(1, "u1", "text a"), (2, None, "text b")],
+            "doc_id long, url string, text string",
+        )
+        inc = spark.createDataFrame(
+            [
+                (11, "u1", "DIFFERENT text"),   # same url → dup
+                (12, None, "also different"),   # NULL url == NULL url
+                (13, "u9", "text a"),           # same text, new url → novel
+            ],
+            "doc_id long, url string, text string",
+        )
+        dedup_index_build(base, "dkx", key_cols=["url"], near=False, **PARAMS)
+        try:
+            rows = {
+                r.doc_id: r
+                for r in dedup_index_probe(spark, "dkx", inc).collect()
+            }
+            assert rows[11].exact_dup_of == 1
+            assert rows[12].exact_dup_of == 2  # NULL key encodes, matches
+            assert rows[13].exact_dup_of is None
+        finally:
+            dedup_index_drop(spark, "dkx")
+
+
+class TestPlanShape:
+    def test_bucketing_removes_stored_side_exchanges(self, spark, docs):
+        """Differential proof that the stored-side scans are shuffle-free
+        BECAUSE of the bucketed layout: the same probe planned with
+        bucketed reads disabled needs strictly more exchanges."""
+        base = docs.filter(F.col("doc_id") < 200)
+        inc = docs.filter(F.col("doc_id") >= 400)
+        dedup_index_build(base, "dpx", **PARAMS)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            def n_exchanges():
+                plan = (
+                    dedup_index_probe(spark, "dpx", inc, threshold=0.6)
+                    ._jdf.queryExecution().executedPlan().toString()
+                )
+                return plan.count("Exchange hashpartitioning")
+
+            bucketed = n_exchanges()
+            spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+            unbucketed = n_exchanges()
+            # three stored tables touched (digests, bands, docs); each one
+            # shuffle-free only under the bucketed layout. The increment-
+            # side verify joins intentionally keep the broadcast semi-
+            # prune, so the delta is exactly the stored-side scans.
+            assert bucketed + 3 <= unbucketed, (bucketed, unbucketed)
+        finally:
+            spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            dedup_index_drop(spark, "dpx")
+
+    def test_exact_only_probe_single_increment_exchange(self, spark, docs):
+        """near=False index: the whole probe is ONE hash exchange (the
+        increment's digests) against the bucketed digest table."""
+        base = docs.filter(F.col("doc_id") < 200)
+        inc = docs.filter(F.col("doc_id") >= 400)
+        dedup_index_build(base, "dex", near=False, **PARAMS)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            plan = (
+                dedup_index_probe(spark, "dex", inc)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert plan.count("Exchange hashpartitioning") == 1, plan
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            dedup_index_drop(spark, "dex")
