@@ -70,6 +70,7 @@ from pyspark.sql import functions as F
 from .dedup import (
     dedup_digest,
     exact_jaccard_verify,
+    pin_intermediate,
     with_band_keys,
     with_shingles,
 )
@@ -181,6 +182,7 @@ def dedup_index_probe(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    reliable: bool = False,
 ) -> DataFrame:
     """Annotate ``increment`` against the stored index: adds
 
@@ -207,6 +209,12 @@ def dedup_index_probe(
     index may be its own near-dup (``near_dup_of == doc_id``): that is
     the re-crawl signal — the url's stored content nearly matches the
     new fetch.
+
+    ``key_cols`` (from the build) scopes the EXACT layer's identity; the
+    near layer is always text-based — two docs with different urls but
+    nearly identical text are exactly what it exists to flag.
+    ``reliable=True`` swaps the candidate pin for a cluster-durable one
+    (same knob as the batch dedup operators).
     """
     meta = _read_meta(spark, name)
     inc = increment.withColumn(
@@ -227,10 +235,15 @@ def dedup_index_probe(
     stored_bands = spark.table(_t(name, "bands")).withColumnRenamed(
         "doc", "idx_doc"
     )
-    cand = (
+    # Pinned: three consumers below (stored-docs semi-fetch, increment
+    # semi-prune, the verify join) would otherwise each re-run the
+    # increment's band kernel AND the band-bucket join.
+    cand = pin_intermediate(
         inc_bands.join(stored_bands, ["band", "bh"])
         .select("inc_doc", "idx_doc")
-        .distinct()
+        .distinct(),
+        reliable=reliable,
+        eager=True,
     )
     # Fetch candidate texts: stored side through the doc_id-bucketed docs
     # table (no exchange on the stored scan; only candidate ids shuffle),

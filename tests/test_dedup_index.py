@@ -223,12 +223,23 @@ class TestPlanShape:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
+            from php_ec_spark.operators.dedup import with_band_keys
+
             def n_exchanges():
+                # final probe plan (the candidate stage is pinned inside
+                # probe, so its band join is measured separately below)
                 plan = (
                     dedup_index_probe(spark, "dpx", inc, threshold=0.6)
                     ._jdf.queryExecution().executedPlan().toString()
                 )
-                return plan.count("Exchange hashpartitioning")
+                bands = (
+                    with_band_keys(inc, num_hashes=PARAMS["num_hashes"],
+                                   bands=PARAMS["bands"], n=PARAMS["n"])
+                    .withColumnRenamed("doc", "inc_doc")
+                    .join(spark.table("dpx_bands"), ["band", "bh"])
+                    ._jdf.queryExecution().executedPlan().toString()
+                )
+                return (plan + bands).count("Exchange hashpartitioning")
 
             bucketed = n_exchanges()
             spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
