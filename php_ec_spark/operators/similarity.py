@@ -561,11 +561,16 @@ def assign_clusters(
     centroids,
     vec_col: str = "embedding",
     out_col: str = "cluster",
+    cos_col: str | None = None,
 ) -> DataFrame:
     """Add the nearest-centroid id (max cosine; ties → lowest cluster id;
     zero vectors → cluster 0) as ``out_col``. The centroid matrix is
     broadcast and assignment is a per-batch GEMM argmax — scan-local,
-    no shuffle, deterministic across retries/re-plans."""
+    no shuffle, deterministic across retries/re-plans.
+
+    ``cos_col`` additionally emits the winning cosine (6-dp-rounded, so
+    downstream orderings are stable across batch shapes) from the SAME
+    GEMM — :func:`semdedup` ranks representatives by it for free."""
     import numpy as np
     import pandas as pd
 
@@ -573,21 +578,23 @@ def assign_clusters(
     cn = np.linalg.norm(C, axis=1)
     Cu = np.where(cn[:, None] > 0, C / np.maximum(cn, 1e-300)[:, None], C)
     bc = corpus.sparkSession.sparkContext.broadcast(Cu)
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-    if out_col in corpus.columns:
-        # a duplicate field name would make the output frame unusable
-        # (ambiguous resolution) — fail here with the remedy
-        raise ValueError(
-            f"assign_clusters: column {out_col!r} already exists on the "
-            "corpus; pass a different out_col or drop it first"
-        )
-    out_fields = corpus.schema.fieldNames() + [out_col]
+    for c in (out_col,) + ((cos_col,) if cos_col else ()):
+        if c in corpus.columns:
+            # a duplicate field name would make the output frame unusable
+            # (ambiguous resolution) — fail here with the remedy
+            raise ValueError(
+                f"assign_clusters: column {c!r} already exists on the "
+                "corpus; pass a different name or drop it first"
+            )
+    new_fields = [StructField(out_col, IntegerType())] + (
+        [StructField(cos_col, DoubleType())] if cos_col else []
+    )
+    out_fields = corpus.schema.fieldNames() + [f.name for f in new_fields]
     # a fresh StructType: .add() MUTATES (and returns) the df's cached
     # schema object, silently corrupting the input frame's resolution
-    schema = StructType(
-        list(corpus.schema.fields) + [StructField(out_col, IntegerType())]
-    )
+    schema = StructType(list(corpus.schema.fields) + new_fields)
 
     def assign(batches):
         Cm = bc.value
@@ -601,9 +608,111 @@ def assign_clusters(
             pdf = pdf.copy()
             # np.argmax takes the FIRST max -> lowest cluster id on ties
             pdf[out_col] = np.argmax(S, axis=1).astype(np.int32)
+            if cos_col:
+                pdf[cos_col] = np.round(np.max(S, axis=1), 6)
             yield pdf[out_fields]
 
     return corpus.mapInPandas(assign, schema=schema)
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_clusters: int = 64,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids=None,
+    sample_size: int = 100_000,
+    max_iters: int = 20,
+    reliable: bool = False,
+) -> DataFrame:
+    """Semantic deduplication in embedding space (the SemDeDup recipe,
+    Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the corpus,
+    find within-cluster pairs with cosine ≥ ``threshold``, connect them
+    into duplicate groups, and KEEP exactly one representative per group
+    — the member with the LOWEST cosine to its cluster centroid (the
+    paper's choice: of a redundant group, retain the least prototypical
+    example; ties → smallest id).
+
+    Returns one row per corpus document:
+    ``(id, cluster, cent_cos, semdup_group, keep)`` — ``semdup_group``
+    is the min-id label of the document's duplicate group (its own id
+    for non-duplicates), ``keep`` is the survivor flag. Filtering on
+    ``keep`` is the dedup; keeping the columns is the audit trail.
+
+    Scale shape: quantizer training is sample-bounded
+    (:func:`kmeans_centroids`), assignment + centroid-cosine come from
+    one scan-local GEMM (:func:`assign_clusters`), pair-finding is
+    Σ|cluster|² within-bucket work (:func:`cosine_dup_pairs` — never
+    corpus-wide all-pairs), grouping is O(log diameter) label
+    propagation over dup-involved nodes only, and the keep decision
+    shuffles ONLY dup-involved rows (3 small columns) — the singleton
+    majority joins back untouched. The contract is the paper's: pairs
+    split across clusters are not compared (that approximation is what
+    buys the Σ|cluster|² bound).
+
+    ``centroids`` accepts a pre-trained matrix (e.g. the quantizer of an
+    existing :func:`ivf_build` index) so embedding search and semantic
+    dedup can share one geometry.
+    """
+    from .dedup import connected_components, pin_intermediate
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, n_clusters=n_clusters, sample_size=sample_size,
+            vec_col=vec_col, id_col=id_col,
+        )
+    # ≥3 consumers (both sides of the within-cluster self-join + the
+    # output join) and the lineage is a corpus-wide Arrow kernel: pin.
+    assigned = pin_intermediate(
+        assign_clusters(
+            corpus.select(id_col, vec_col), centroids,
+            vec_col=vec_col, out_col="cluster", cos_col="cent_cos",
+        ),
+        reliable=reliable,
+        eager=True,
+    )
+    pairs = cosine_dup_pairs(
+        assigned, threshold=threshold,
+        vec_col=vec_col, id_col=id_col, cluster_col="cluster",
+    )
+    labels = connected_components(
+        pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        ),
+        max_iters=max_iters,
+        reliable=reliable,
+    )
+    ranked = (
+        labels.join(
+            assigned.select(F.col(id_col).alias("doc"), "cent_cos"), "doc"
+        )
+        .withColumn(
+            "keep",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(
+                    F.col("cent_cos").asc(), F.col("doc").asc()
+                )
+            )
+            == 1,
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("label").alias("semdup_group"),
+            "keep",
+        )
+    )
+    return (
+        assigned.select(id_col, "cluster", "cent_cos")
+        .join(ranked, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            "cent_cos",
+            F.coalesce("semdup_group", F.col(id_col)).alias("semdup_group"),
+            F.coalesce("keep", F.lit(True)).alias("keep"),
+        )
+    )
 
 
 def ivf_build(

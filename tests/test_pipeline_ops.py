@@ -2224,3 +2224,116 @@ class TestNgramLm:
                 assert got[doc][1] is None, doc
             else:
                 assert abs(got[doc][1] - b_w) < 2e-3, (doc, got[doc][1], b_w)
+
+
+class TestSemDedup:
+    """SemDeDup (embedding-space dedup): one row per doc, exactly one
+    survivor per duplicate group, the paper's least-prototypical
+    representative choice, deterministic across runs, and group parity
+    with the within-cluster pair ground truth. sf0.001 embeddings have
+    no natural cosine dups (max pairwise ~0.48), so near-dup families
+    are planted: tight clones of two base vectors."""
+
+    PARAMS = dict(n_clusters=8, threshold=0.9, sample_size=500)
+
+    @pytest.fixture(scope="class")
+    def emb_dup(self, spark, emb):
+        import numpy as np
+
+        base = {
+            r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.filter(F.col("vec_id").isin(1, 2)).collect()
+        }
+
+        def perturb(v, seed):
+            rng = np.random.default_rng(seed)
+            w = v + rng.normal(0.0, 0.01 * np.abs(v).mean(), len(v))
+            return [float(x) for x in w]
+
+        clones = [
+            (9101, perturb(base[1], 1), -1),
+            (9102, perturb(base[1], 2), -1),
+            (9201, perturb(base[2], 3), -1),
+        ]
+        return emb.unionByName(
+            spark.createDataFrame(clones, emb.schema)
+        ).localCheckpoint(eager=True)
+
+    def test_partition_and_survivor_invariants(self, spark, emb_dup):
+        from php_ec_spark.operators.similarity import semdedup
+
+        out = semdedup(emb_dup, **self.PARAMS).collect()
+        assert len(out) == emb_dup.count()  # one row per doc, none lost
+        by_group = {}
+        for r in out:
+            by_group.setdefault(r.semdup_group, []).append(r)
+        # the planted family collapsed: group label = min id = the source
+        assert len(by_group[1]) >= 3  # vec 1 + its 2 clones
+        for g, rows in by_group.items():
+            assert sum(r.keep for r in rows) == 1, g
+            # representative = lowest (cent_cos, id) in the group
+            rep = min(rows, key=lambda r: (r.cent_cos, r.vec_id))
+            assert next(r for r in rows if r.keep).vec_id == rep.vec_id
+            # group label is the min id of the group (CC convention)
+            assert g == min(r.vec_id for r in rows)
+
+    def test_groups_match_pair_ground_truth(self, spark, emb_dup):
+        from php_ec_spark.operators.similarity import (
+            assign_clusters,
+            cosine_dup_pairs,
+            kmeans_centroids,
+            semdedup,
+        )
+
+        cents = kmeans_centroids(emb_dup, n_clusters=8, sample_size=600)
+        out = {r.vec_id: r for r in semdedup(
+            emb_dup, centroids=cents, threshold=0.9
+        ).collect()}
+        assigned = assign_clusters(
+            emb_dup.select("vec_id", "embedding"), cents
+        )
+        pairs = cosine_dup_pairs(
+            assigned, threshold=0.9, cluster_col="cluster"
+        ).collect()
+        assert pairs, "planted clones must pair up at 0.9"
+        for p in pairs:  # every found pair ended up in one group
+            assert out[p.id_a].semdup_group == out[p.id_b].semdup_group
+        paired = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+        for vid, r in out.items():  # non-paired docs are their own group
+            if vid not in paired:
+                assert r.semdup_group == vid and r.keep
+
+    def test_deterministic_and_shared_quantizer(self, spark, emb_dup):
+        from php_ec_spark.operators.similarity import (
+            kmeans_centroids,
+            semdedup,
+        )
+
+        a = sorted(map(tuple, semdedup(emb_dup, **self.PARAMS).collect()))
+        b = sorted(map(tuple, semdedup(emb_dup, **self.PARAMS).collect()))
+        assert a == b
+        # an externally trained quantizer (e.g. an ivf_build index's) with
+        # the same geometry gives the same dedup
+        cents = kmeans_centroids(emb_dup, n_clusters=8, sample_size=500)
+        c = sorted(map(tuple, semdedup(
+            emb_dup, centroids=cents, threshold=0.9
+        ).collect()))
+        assert a == c
+
+    def test_planted_exact_clone_tie_breaks_to_min_id(self, spark, emb):
+        from php_ec_spark.operators.similarity import semdedup
+
+        src = emb.filter(F.col("vec_id") == 7).head()
+        clone = spark.createDataFrame(
+            [(9007, src.embedding, src.label)], emb.schema
+        )
+        out = {
+            r.vec_id: r
+            for r in semdedup(
+                emb.unionByName(clone), **self.PARAMS
+            ).collect()
+        }
+        # identical vectors: same cluster, same rounded cent_cos, one group
+        assert out[9007].semdup_group == out[7].semdup_group
+        # tie on cent_cos -> min id survives
+        assert out[7].keep and not out[9007].keep
