@@ -92,3 +92,58 @@ class TestEmptyCorpus:
         out = with_lm_bits(_empty(spark, DOCS_DDL))
         assert out.count() == 0
         assert set(out.columns) == {"doc_id", "n_trans", "lm_bits"}
+
+
+class TestEmptyIncrementalIndex:
+    def test_dedup_index_empty_increment_and_empty_base(self, spark):
+        import pytest as _pytest
+
+        from php_ec_spark.operators.dedup_index import (
+            dedup_index_add,
+            dedup_index_build,
+            dedup_index_drop,
+            dedup_index_probe,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "some text here"), (2, "other text there")],
+            "doc_id long, text string",
+        )
+        # empty BASE: a legal (if pointless) index — everything probes novel
+        dedup_index_build(_empty(spark, DOCS_DDL), "e_ix", num_buckets=2)
+        try:
+            out = dedup_index_probe(spark, "e_ix", docs)
+            assert out.count() == 2
+            assert out.filter(F.col("exact_dup_of").isNotNull()).count() == 0
+            # empty INCREMENT: probe returns empty with the full schema,
+            # add is a no-op
+            empty_out = dedup_index_probe(
+                spark, "e_ix", _empty(spark, "doc_id long, text string")
+            )
+            assert empty_out.count() == 0
+            for c in ("text_hash", "exact_dup_of", "near_dup_of",
+                      "near_jaccard"):
+                assert c in empty_out.columns
+            dedup_index_add(
+                spark, "e_ix", _empty(spark, "doc_id long, text string")
+            )
+            assert spark.table("e_ix_digests").count() == 0
+        finally:
+            dedup_index_drop(spark, "e_ix")
+
+    def test_semdedup_empty_corpus(self, spark):
+        import numpy as np
+        import pytest as _pytest
+
+        from php_ec_spark.operators.similarity import semdedup
+
+        # no vectors to train a quantizer on: loud, actionable error
+        with _pytest.raises(ValueError):
+            semdedup(_empty(spark, EMB_DDL), n_clusters=4)
+        # with a provided quantizer an empty corpus is a legal no-op
+        cents = np.eye(4, 8)
+        out = semdedup(_empty(spark, EMB_DDL), centroids=cents)
+        assert out.count() == 0
+        assert set(out.columns) == {
+            "vec_id", "cluster", "cent_cos", "semdup_group", "keep"
+        }
