@@ -196,3 +196,67 @@ def test_cep_core_touches_scale_linearly():
     )
     # emissions track the stream linearly too (constant match density)
     assert 2.5 * r1 <= r3 <= 3.5 * r1
+
+
+@pytest.mark.slow
+def test_index_probe_candidates_are_increment_bound(spark):
+    """The incremental-index scale contract: growing the CORPUS by
+    genuinely new content (distinct regime — added copies share zero
+    shingles with copy 0) must leave a fixed increment's probe candidate
+    volume ~UNCHANGED. Probe cost is O(|increment| + |candidates|) plus
+    a bucketed index scan; if candidates grew with corpus size here,
+    probing a daily crawl against a year of history would degrade into
+    a corpus-scale job — the exact regression this pins against. Exact
+    matches must stay constant too (new distinct content can't absorb
+    the increment's digests)."""
+    from php_ec_spark.operators.dedup import with_band_keys
+    from php_ec_spark.operators.dedup_index import (
+        dedup_index_build,
+        dedup_index_drop,
+        dedup_index_probe,
+    )
+
+    s1, s3 = _corpus(spark, 1), _corpus(spark, 3)
+    # fixed increment: exact re-crawls of copy-0 texts under fresh ids
+    # (copy 0 is the unperturbed original in both corpora)
+    inc = (
+        spark.read.parquet(SF_DOCS)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+
+    def probe_counts(corpus, name):
+        dedup_index_build(corpus, name, num_buckets=4)
+        try:
+            cand = (
+                with_band_keys(inc)
+                .withColumnRenamed("doc", "inc_doc")
+                .join(
+                    spark.table(f"{name}_bands").withColumnRenamed(
+                        "doc", "idx_doc"
+                    ),
+                    ["band", "bh"],
+                )
+                .select("inc_doc", "idx_doc")
+                .distinct()
+                .count()
+            )
+            exact = (
+                dedup_index_probe(spark, name, inc)
+                .filter(F.col("exact_dup_of").isNotNull())
+                .count()
+            )
+            return cand, exact
+        finally:
+            dedup_index_drop(spark, name)
+
+    c1, e1 = probe_counts(s1, "sg_ix1")
+    c3, e3 = probe_counts(s3, "sg_ix3")
+    assert c1 > 0 and e1 == inc.count()  # every re-crawl exact-matches
+    assert e3 == e1, "exact probe matches must not change with new content"
+    # allow 25% for random 64-bit band-bucket collisions against the new
+    # copies; candidate growth tracking corpus size (~3x) is the failure
+    assert c3 <= 1.25 * c1, (
+        f"probe candidates grew {c3 / c1:.2f}x for a 3x corpus of distinct "
+        "content (expected ~1x): probe cost is no longer increment-bound"
+    )
