@@ -1,0 +1,112 @@
+"""Day-over-day curation: dedup each crawl increment against HISTORY.
+
+examples/curation_pipeline.py sweeps one landed corpus;
+examples/ingest_dedup.py gates the live stream at the door. This example
+runs the third deployment shape — the one between them in every real
+pipeline: a persistent dedup index over everything landed so far, probed
+by each day's increment without rescanning history
+(operators/dedup_index.py; same digest/band kernels as the other two, so
+"duplicate" means one thing in all three places).
+
+The loop, per increment:
+
+  1. probe   — annotate the increment with exact_dup_of /
+               near_dup_of+near_jaccard against the stored corpus
+               (stored side: exchange-free bucketed scans; corpus text
+               read only for verified candidates)
+  2. filter  — drop exact dups; route near-dups to review or drop
+  3. add     — append the survivors (idempotent: a retried step
+               is a no-op)
+
+Day 2 re-crawls some of day 1's documents, so its probe shows the index
+learned day 1's survivors. Also shown: `semdedup` (embedding-space
+dedup) over the embeddings table, sharing one k-means geometry with
+ANN search.
+
+Run:  python examples/incremental_curation.py [sf_dir]
+      (default /root/testdata/sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from php_ec_spark.operators.dedup_index import (
+    dedup_index_add,
+    dedup_index_build,
+    dedup_index_drop,
+    dedup_index_probe,
+)
+from php_ec_spark.operators.similarity import semdedup
+from php_ec_spark.session import get_spark
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    spark = get_spark(app_name="incremental-curation-example", cpus=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+
+    # ---- day 0: the historical corpus, indexed once -------------------
+    history = docs.filter(F.col("doc_id") < 300)
+    dedup_index_build(history, "curation_ix", num_buckets=8)
+    print(f"day 0: indexed {history.count()} docs")
+
+    try:
+        # ---- day 1: a crawl increment — some novel, some re-crawls ----
+        novel1 = docs.filter(F.col("doc_id").between(300, 399)).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+        recrawl = history.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 2000).alias("doc_id"), "text"
+        )
+        day1 = novel1.unionByName(recrawl)
+
+        probed = dedup_index_probe(spark, "curation_ix", day1, threshold=0.8)
+        n_exact = probed.filter(F.col("exact_dup_of").isNotNull()).count()
+        n_near = probed.filter(
+            F.col("exact_dup_of").isNull() & F.col("near_dup_of").isNotNull()
+        ).count()
+        survivors = probed.filter(F.col("exact_dup_of").isNull()).select(
+            "doc_id", "text"
+        )
+        print(
+            f"day 1: {day1.count()} crawled -> {n_exact} exact dups dropped, "
+            f"{n_near} near-dups flagged, {survivors.count()} landed"
+        )
+        dedup_index_add(spark, "curation_ix", survivors)
+
+        # ---- day 2: re-crawls day-1 documents — the index learned them
+        day2 = novel1.limit(25).select(
+            (F.col("doc_id") + 5000).alias("doc_id"), "text"
+        )
+        probed2 = dedup_index_probe(spark, "curation_ix", day2)
+        n_caught = probed2.filter(F.col("exact_dup_of").isNotNull()).count()
+        print(
+            f"day 2: {day2.count()} re-crawls of day-1 docs -> "
+            f"{n_caught} caught against the updated index"
+        )
+        assert n_caught == 25, "day-1 survivors must be probeable on day 2"
+    finally:
+        dedup_index_drop(spark, "curation_ix")
+
+    # ---- embedding-space dedup over the same corpus's vectors ---------
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sd = semdedup(emb, n_clusters=8, threshold=0.95, sample_size=1000)
+    kept = sd.filter("keep").count()
+    groups = sd.groupBy("semdup_group").count().filter("count > 1").count()
+    print(
+        f"semdedup: {emb.count()} vectors -> {kept} kept "
+        f"({groups} multi-member duplicate groups)"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
