@@ -273,3 +273,79 @@ def scrub_pii(
     return d.withColumn(
         "pii_matches", F.coalesce(n_ph.cast("long"), F.lit(0))
     )
+
+
+#: Query parameters dropped by :func:`normalize_url` — tracking/session
+#: junk that makes byte-identical pages look distinct to URL-keyed dedup.
+#: One RE2∩Java-safe alternation, anchored at the parameter name.
+URL_TRACKING_RE = (
+    r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref_src)="
+)
+
+
+def normalize_url(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str | None = None,
+    strip_www: bool = True,
+) -> DataFrame:
+    """Canonicalize a URL column for identity use — the standard crawl
+    convention: lowercase scheme+host (path/query case is significant),
+    assume ``http`` when the scheme is missing, drop the fragment and
+    userinfo, drop the scheme's default port (http:80 / https:443, other
+    ports kept), optionally strip a leading ``www.``, collapse duplicate
+    and trailing slashes in the path, drop tracking parameters
+    (:data:`URL_TRACKING_RE`) and empty parameters, and SORT the
+    surviving query parameters — so the same logical page fetched via
+    differently-ordered or tracking-suffixed URLs gets one canonical
+    string.
+
+    Built for ``dedup_digest(key_cols=[out_col])`` /
+    ``dedup_index_build(key_cols=...)``: URL-keyed dedup of a crawl
+    should key on THIS column, not the raw fetch URL. Pure column
+    expressions (regex chain + split/filter/array_sort — whole-stage
+    codegen, zero shuffle); the DuckDB twin is pinned byte-identical in
+    tests/test_pipeline_ops.py. NULL stays NULL; non-URL garbage
+    normalizes deterministically (garbage in, canonical garbage out).
+    ``out_col`` defaults to ``{url_col}_norm`` — identity columns should
+    not silently overwrite the raw fetch URL.
+    """
+    target = out_col or f"{url_col}_norm"
+    u = F.regexp_replace(F.trim(F.col(url_col)), r"#.*$", "")
+    scheme0 = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    scheme = F.when(scheme0 == "", F.lit("http")).otherwise(scheme0)
+    rest = F.regexp_replace(
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", ""),
+        r"^[^/?@]*@",
+        "",
+    )
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_replace(
+        F.regexp_replace(F.regexp_extract(pathq, r"^([^?]*)", 1), r"//+", "/"),
+        r"/+$",
+        "",
+    )
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(URL_TRACKING_RE),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+    return df.withColumn(
+        target,
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+        ),
+    )
