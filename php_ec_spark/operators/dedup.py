@@ -1280,3 +1280,86 @@ def simhash_pairs(
         .distinct()
     )
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def remove_dup_lines(
+    df: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level boilerplate removal (the RefinedWeb/Dolma recipe):
+    drop every LINE whose normalized form occurs ``min_count`` or more
+    times across the corpus — navigation bars, cookie banners, footers,
+    and license blurbs repeat across pages while real prose doesn't.
+
+    Returns ``(id, text, lines_total, lines_removed)`` — one row per
+    input document, ``text`` rebuilt from the surviving lines in their
+    original order (documents whose every line is boilerplate come back
+    as the empty string; NULL text stays NULL with zero counts).
+
+    Occurrences are counted per APPEARANCE, not per document, matching
+    the published recipes — a line pasted 3× inside one document with
+    ``min_count=3`` is boilerplate by its own repetition. Line identity
+    is ``md5(normalize_text(line))`` (case/whitespace-insensitive), the
+    same normalization as exact document dedup, so the two stages agree
+    on what "the same text" means. Blank/whitespace-only lines are
+    never removed — they are document structure and would trivially
+    exceed any count threshold.
+
+    Scale shape: explode to lines once, count by 32-byte line digest
+    (map-side partial combine — only digests shuffle), anti-join the
+    over-represented digest set (linear, no broadcast of what can be a
+    corpus-scale set), rebuild per document (one shuffle back on the
+    doc id). Two linear shuffles of the line table, no pairwise term —
+    run it once as a landing transform, not per query.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lkey", F.md5(normalize_text(F.col("line"))))
+    common = (
+        # blank lines are structure, not boilerplate — they'd trivially
+        # exceed any count threshold and collapse every paragraph break
+        lines.filter(normalize_text(F.col("line")) != "")
+        .groupBy("lkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("lkey")
+    )
+    kept = lines.join(common, "lkey", "left_anti")
+    rebuilt = (
+        lines.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("lines_total"))
+        .join(
+            kept.groupBy(id_col).agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                ).alias("__kept_text"),
+                F.count(F.lit(1)).alias("__kept_n"),
+            ),
+            id_col,
+            "left",
+        )
+    )
+    # NULL-text docs never exploded: restore them with NULL text; docs
+    # whose lines were all removed rebuild as ''
+    return (
+        df.select(id_col, F.col(text_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("__kept_text", F.lit("")))
+            .alias(text_col),
+            F.coalesce("lines_total", F.lit(0)).alias("lines_total"),
+            (
+                F.coalesce("lines_total", F.lit(0))
+                - F.coalesce("__kept_n", F.lit(0))
+            ).alias("lines_removed"),
+        )
+    )

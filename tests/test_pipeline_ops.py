@@ -2450,3 +2450,95 @@ class TestNormalizeUrl:
         """.replace("FROM f_pre", "FROM e")
         oracle = dict(con.execute(sql).fetchall())
         assert {k: oracle[k] for k in got} == got
+
+
+class TestRemoveDupLines:
+    DOCS = [
+        (0, "Cookie notice\nReal unique prose zero\nCookie notice"),
+        (1, "Cookie notice\n\nReal unique prose one"),
+        (2, "cookie   NOTICE\nReal unique prose two"),  # normalizes equal
+        (3, "Entirely original paragraph here"),
+        (4, "Cookie notice"),   # nothing survives -> empty string
+        (5, None),
+        (6, ""),                # one blank line, kept (structure)
+    ]
+
+    def _got(self, spark, **kw):
+        from php_ec_spark.operators.dedup import remove_dup_lines
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        return {
+            r.doc_id: (r.text, r.lines_total, r.lines_removed)
+            for r in remove_dup_lines(df, **kw).collect()
+        }
+
+    def test_boilerplate_lines_removed_everywhere(self, spark):
+        got = self._got(spark, min_count=3)
+        # 'cookie notice' normalizes identically 4x across docs 0,1,2,4
+        assert got[0] == ("Real unique prose zero", 3, 2)
+        assert got[1] == ("\nReal unique prose one", 3, 1)
+        assert got[2] == ("Real unique prose two", 2, 1)
+        assert got[3] == ("Entirely original paragraph here", 1, 0)
+        assert got[4] == ("", 1, 1)  # all-boilerplate doc -> empty
+        assert got[5] == (None, 0, 0)  # NULL text preserved
+        assert got[6] == ("", 1, 0)  # blank line is structure, kept
+
+    def test_below_threshold_untouched(self, spark):
+        # 'cookie notice' occurs exactly 5x corpus-wide; 6 spares it
+        got = self._got(spark, min_count=6)
+        for did, text in self.DOCS:
+            assert got[did][0] == text
+            assert got[did][2] == 0
+
+    def test_duckdb_parity(self, spark):
+        """Same recipe in DuckDB: split to lines with ordinality, count
+        normalized non-blank lines, anti-join, string_agg back in line
+        order — byte-identical rebuilt text and counts."""
+        import duckdb
+
+        got = self._got(spark, min_count=3)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t AS SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({d}, "
+                + ("NULL" if x is None else "'" + x.replace("'", "''") + "'")
+                + ")"
+                for d, x in self.DOCS
+            )
+            + ") v(doc_id, text)"
+        )
+        sql = r"""
+        WITH raw AS (  -- no WITH ORDINALITY in DuckDB: zip unnest
+          SELECT doc_id, unnest(ls) AS line,
+                 generate_subscripts(ls, 1) AS pos
+          FROM (SELECT doc_id, string_split(text, chr(10)) ls FROM t)
+        ), lines AS (
+          SELECT doc_id, line, pos,
+            md5(lower(trim(regexp_replace(line, '\s+', ' ', 'g')))) lkey,
+            lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) norm
+          FROM raw
+        ), common AS (
+          SELECT lkey FROM lines WHERE norm <> ''
+          GROUP BY lkey HAVING count(*) >= 3
+        ), kept AS (
+          SELECT * FROM lines WHERE lkey NOT IN (SELECT lkey FROM common)
+        ), rebuilt AS (
+          SELECT l.doc_id, count(*) lines_total,
+            (SELECT count(*) FROM kept k WHERE k.doc_id = l.doc_id) kept_n,
+            (SELECT string_agg(k.line, chr(10) ORDER BY k.pos)
+             FROM kept k WHERE k.doc_id = l.doc_id) kept_text
+          FROM lines l GROUP BY l.doc_id
+        )
+        SELECT t.doc_id,
+          CASE WHEN t.text IS NULL THEN NULL
+               ELSE coalesce(r.kept_text, '') END AS "text",
+          coalesce(r.lines_total, 0) lines_total,
+          coalesce(r.lines_total, 0) - coalesce(r.kept_n, 0) lines_removed
+        FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+        """
+        oracle = {
+            d: (tx, int(lt), int(lr))
+            for d, tx, lt, lr in con.execute(sql).fetchall()
+        }
+        assert oracle == got
