@@ -217,6 +217,14 @@ def dedup_index_probe(
     (same knob as the batch dedup operators).
     """
     meta = _read_meta(spark, name)
+    reserved = {"text_hash", "exact_dup_of", "near_dup_of", "near_jaccard"}
+    clash = reserved & set(increment.columns)
+    if clash:
+        # a silent overwrite/ambiguity here would corrupt the annotations
+        raise ValueError(
+            f"dedup_index_probe: increment already has column(s) "
+            f"{sorted(clash)}; rename or drop them first"
+        )
     inc = increment.withColumn(
         "text_hash", dedup_digest(meta["key_cols"], text_col)
     )
@@ -309,6 +317,7 @@ def dedup_index_add(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    reliable: bool = False,
 ) -> None:
     """Append ``increment`` to the index — the daily-crawl shape: signature
     parameters stay pinned (read from the meta table, same kernels as
@@ -321,6 +330,17 @@ def dedup_index_add(
     idempotence — a retried orchestration step is a no-op), and the
     digest table is anti-joined so it keeps exactly one survivor row per
     distinct digest even if a duplicate text slips through.
+
+    Doc ids must be unique WITHIN the increment (crawl pipelines assign
+    them) — the idempotence guard is id-level against the STORE, it does
+    not collapse an increment that reuses an id internally. Appends are
+    single-writer: run one add at a time per index (the anti-join reads
+    the store the append then extends). ``reliable=True`` pins the
+    filtered increment with a replicated ``checkpoint()`` (requires
+    ``sc.setCheckpointDir``; raises without one) — unlike the batch
+    operators' persist knob, KEPT lineage is semantically wrong here: a
+    lost block recomputed against the half-appended store would drop
+    rows.
     """
     meta = _read_meta(spark, name)
     if meta["near"]:
@@ -330,9 +350,24 @@ def dedup_index_add(
         fresh = increment.join(
             known, increment[id_col] == known["__known_id"], "left_anti"
         )
-        # Materialize once: three appends below would otherwise re-run the
-        # anti-join (and, mid-sequence, see their OWN earlier appends).
-        fresh = fresh.localCheckpoint(eager=True)
+        # Materialize once with TRUNCATED lineage: the three appends below
+        # would otherwise re-run the anti-join, and a mid-sequence
+        # recompute would read a store that already contains this add's
+        # earlier appends — silently dropping rows. A kept-lineage persist
+        # is therefore semantically wrong here, not just slow: reliable
+        # durability must come from a replicated checkpoint instead.
+        if reliable:
+            if spark.sparkContext.getCheckpointDir() is None:
+                raise RuntimeError(
+                    "dedup_index_add(reliable=True) needs a fault-tolerant "
+                    "checkpoint directory (sc.setCheckpointDir): the "
+                    "filtered increment must pin with truncated lineage — "
+                    "a lost block recomputed against the half-appended "
+                    "store would drop rows."
+                )
+            fresh = fresh.checkpoint(eager=True)
+        else:
+            fresh = fresh.localCheckpoint(eager=True)
         band = with_band_keys(
             fresh,
             num_hashes=meta["num_hashes"], bands=meta["bands"], n=meta["n"],

@@ -273,3 +273,36 @@ class TestPlanShape:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             dedup_index_drop(spark, "dex")
+
+
+class TestReliableAdd:
+    def test_reliable_add_needs_then_uses_checkpoint_dir(
+        self, spark, docs, tmp_path
+    ):
+        """reliable=True must refuse to run on kept lineage (a lost block
+        recomputed against the half-appended store would drop rows) and
+        switch to replicated checkpoint() when a dir is configured."""
+        sc = spark.sparkContext
+
+        def _clear_dir():
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.apply(None)
+            )
+
+        base = docs.filter(F.col("doc_id") < 100)
+        inc = spark.createDataFrame(
+            [(60001, "reliably appended fresh text aa bb cc dd")],
+            "doc_id long, text string",
+        )
+        dedup_index_build(base, "drx", **PARAMS)
+        _clear_dir()
+        try:
+            with pytest.raises(RuntimeError, match="setCheckpointDir"):
+                dedup_index_add(spark, "drx", inc, reliable=True)
+            sc.setCheckpointDir(str(tmp_path / "ckpt"))
+            dedup_index_add(spark, "drx", inc, reliable=True)
+            got = dedup_index_probe(spark, "drx", inc).head()
+            assert got.exact_dup_of == 60001
+        finally:
+            _clear_dir()
+            dedup_index_drop(spark, "drx")
