@@ -81,6 +81,7 @@ __all__ = [
     "dedup_index_probe",
     "dedup_index_add",
     "dedup_index_drop",
+    "streaming_index_ingest",
 ]
 
 
@@ -400,9 +401,98 @@ def dedup_index_add(
         new_digests, _t(name, "digests"), ["text_hash"], meta["num_buckets"],
         sort_cols=["text_hash"], mode="append",
     )
+    # A same-session append invalidates the cached file listing on its
+    # own, but OTHER sessions over the same catalog (a foreachBatch
+    # clone, a concurrent reader session) keep a stale FileIndex and
+    # would silently probe the pre-append index: refresh explicitly.
+    for part in ("digests",) + (("bands", "docs") if meta["near"] else ()):
+        spark.catalog.refreshTable(_t(name, part))
 
 
 def dedup_index_drop(spark: SparkSession, name: str) -> None:
     """Drop every table of the index (build's inverse; missing parts ok)."""
     for part in ("digests", "bands", "docs", "meta"):
         spark.sql(f"DROP TABLE IF EXISTS {_t(name, part)}")
+
+
+def streaming_index_ingest(
+    spark: SparkSession,
+    name: str,
+    stream: DataFrame,
+    *,
+    landed_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+    drop_near: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = False,
+):
+    """Continuous ingestion THROUGH the index: each micro-batch is probed
+    against corpus history, exact duplicates (and intra-batch digest
+    repeats) are dropped, survivors land under
+    ``landed_path/batch=<id>/`` and are appended to the index — so batch
+    N+1 already dedups against batch N's survivors, with no horizon
+    bound (unlike ``streaming_exact_dedup``, whose state—and therefore
+    memory—is bounded by rate × horizon; this operator's state IS the
+    index, bounded by corpus size on disk).
+
+    Exactly-once landing by construction, not by trust: a retried batch
+    OVERWRITES its own ``batch=<id>`` directory (idempotent landing) and
+    :func:`dedup_index_add` is id-level idempotent (re-adding survivors
+    is a no-op) — the two halves a ``foreachBatch`` sink needs to make
+    Spark's at-least-once replay exactly-once. Reading ``landed_path``
+    as parquet exposes ``batch`` as a partition column — the free audit
+    trail of which micro-batch landed each document.
+
+    ``drop_near=True`` additionally drops verified near-duplicates
+    (J ≥ ``threshold``) — unlike LSH-flagging at the door, these are
+    exact-verified, so dropping is safe; requires a ``near=True`` index.
+    Returns the started StreamingQuery.
+    """
+    meta = _read_meta(spark, name)
+    if drop_near and not meta["near"]:
+        raise ValueError(
+            "streaming_index_ingest: drop_near=True needs an index built "
+            "with near=True"
+        )
+
+    def ingest_batch(batch_df, batch_id):
+        # foreachBatch hands frames bound to a CLONED session with its own
+        # relation cache — run the whole probe/add cycle through it so
+        # every table read resolves against the same catalog state the
+        # appends invalidate
+        s = batch_df.sparkSession
+        probed = dedup_index_probe(
+            s, name, batch_df,
+            threshold=threshold, text_col=text_col, id_col=id_col,
+        )
+        keep = F.col("exact_dup_of").isNull()
+        if drop_near:
+            keep = keep & F.col("near_dup_of").isNull()
+        # collapse intra-batch digest repeats (probe only sees the INDEX):
+        # min-id survivor per digest, same convention as the batch sweep;
+        # NULL digests (NULL text) all pass — nothing to compare
+        rank = F.row_number().over(
+            Window.partitionBy("text_hash").orderBy(F.col(id_col).asc())
+        )
+        survivors = (
+            probed.filter(keep)
+            .withColumn("__rk", rank)
+            .filter((F.col("__rk") == 1) | F.col("text_hash").isNull())
+            .select(*batch_df.columns)
+            .localCheckpoint(eager=True)  # landed write + add both consume
+        )
+        survivors.write.mode("overwrite").parquet(
+            f"{landed_path}/batch={batch_id}"
+        )
+        dedup_index_add(
+            s, name, survivors, text_col=text_col, id_col=id_col
+        )
+
+    writer = stream.writeStream.foreachBatch(ingest_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

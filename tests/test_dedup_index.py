@@ -306,3 +306,97 @@ class TestReliableAdd:
         finally:
             _clear_dir()
             dedup_index_drop(spark, "drx")
+
+
+class TestStreamingIngest:
+    def test_ingest_through_index_is_exactly_once_and_dedups(
+        self, spark, tmp_path
+    ):
+        """File-replayed micro-batches through streaming_index_ingest:
+        cross-batch dups are dropped against the growing index,
+        intra-batch digest repeats collapse to the min id, survivors
+        land under batch=<id> partitions, and the index ends consistent
+        with the landed corpus."""
+        import json as _json
+        import os
+
+        from php_ec_spark.operators.dedup_index import streaming_index_ingest
+
+        src = tmp_path / "src"
+        src.mkdir()
+        mtime = [1_700_000_000]
+
+        def batch(fname, rows):
+            p = src / fname
+            with open(p, "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+            os.utime(p, (mtime[0], mtime[0]))
+            mtime[0] += 10
+
+        batch("01.json", [
+            {"doc_id": 1, "text": "alpha beta gamma"},
+            {"doc_id": 2, "text": "delta epsilon zeta"},
+        ])
+        batch("02.json", [
+            {"doc_id": 3, "text": "ALPHA  beta gamma"},   # dup of 1 (index)
+            {"doc_id": 4, "text": "eta theta iota"},      # novel
+            {"doc_id": 5, "text": "eta  THETA iota"},     # intra-batch dup of 4
+        ])
+        batch("03.json", [
+            {"doc_id": 6, "text": "eta theta iota"},      # dup of 4 (index)
+            {"doc_id": 7, "text": "kappa lambda mu"},     # novel
+        ])
+
+        dedup_index_build(
+            spark.createDataFrame([], "doc_id long, text string"),
+            "strix", **PARAMS,
+        )
+        landed = str(tmp_path / "landed")
+        try:
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+            q = streaming_index_ingest(
+                spark, "strix", stream,
+                landed_path=landed,
+                checkpoint=str(tmp_path / "ckpt"),
+                available_now=True,
+            )
+            q.awaitTermination(120)
+            got = spark.read.parquet(landed)
+            assert {r.doc_id for r in got.collect()} == {1, 2, 4, 7}
+            # batch partition column = the audit trail
+            assert "batch" in got.columns
+            # index digest table consistent with the landed corpus
+            assert spark.table("strix_digests").count() == 4
+            # landed corpus itself contains no duplicate digests
+            from php_ec_spark.operators.dedup import exact_dedup
+
+            assert exact_dedup(got).filter("dup_count > 1").count() == 0
+        finally:
+            dedup_index_drop(spark, "strix")
+
+    def test_drop_near_requires_near_index(self, spark, tmp_path):
+        from php_ec_spark.operators.dedup_index import streaming_index_ingest
+
+        dedup_index_build(
+            spark.createDataFrame([], "doc_id long, text string"),
+            "strixe", near=False, **PARAMS,
+        )
+        try:
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .json(str(tmp_path))
+            )
+            with pytest.raises(ValueError, match="near=True"):
+                streaming_index_ingest(
+                    spark, "strixe", stream,
+                    landed_path=str(tmp_path / "l"),
+                    checkpoint=str(tmp_path / "c"),
+                    drop_near=True,
+                )
+        finally:
+            dedup_index_drop(spark, "strixe")
