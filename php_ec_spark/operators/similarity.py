@@ -586,7 +586,7 @@ def assign_clusters(
             # (ambiguous resolution) — fail here with the remedy
             raise ValueError(
                 f"assign_clusters: column {c!r} already exists on the "
-                "corpus; pass a different name or drop it first"
+                "corpus; pass a different out_col/cos_col or drop it first"
             )
     new_fields = [StructField(out_col, IntegerType())] + (
         [StructField(cos_col, DoubleType())] if cos_col else []
