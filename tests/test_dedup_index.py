@@ -400,3 +400,67 @@ class TestStreamingIngest:
                 )
         finally:
             dedup_index_drop(spark, "strixe")
+
+    def test_restart_resumes_from_checkpoint(self, spark, tmp_path):
+        """Stop after draining, drop MORE files, restart with the SAME
+        checkpoint: only the new files process (batch ids continue), the
+        earlier landed partitions are untouched, and the new batch still
+        dedups against everything the previous run indexed."""
+        import json as _json
+        import os
+
+        from php_ec_spark.operators.dedup_index import streaming_index_ingest
+
+        src = tmp_path / "src"
+        src.mkdir()
+        mtime = [1_700_000_000]
+
+        def batch(fname, rows):
+            p = src / fname
+            with open(p, "w") as f:
+                for r in rows:
+                    f.write(_json.dumps(r) + "\n")
+            os.utime(p, (mtime[0], mtime[0]))
+            mtime[0] += 10
+
+        def run():
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+            q = streaming_index_ingest(
+                spark, "strir", stream,
+                landed_path=str(tmp_path / "landed"),
+                checkpoint=str(tmp_path / "ckpt"),
+                available_now=True,
+            )
+            q.awaitTermination(120)
+
+        batch("01.json", [{"doc_id": 1, "text": "alpha beta gamma"}])
+        dedup_index_build(
+            spark.createDataFrame([], "doc_id long, text string"),
+            "strir", **PARAMS,
+        )
+        try:
+            run()
+            landed1 = {
+                (r.doc_id, r.batch)
+                for r in spark.read.parquet(str(tmp_path / "landed")).collect()
+            }
+            assert landed1 == {(1, 0)}
+            # second run: one dup of run 1 (must be caught via the INDEX,
+            # not in-memory state — the query object is new) + one novel
+            batch("02.json", [
+                {"doc_id": 2, "text": "ALPHA beta  gamma"},
+                {"doc_id": 3, "text": "nu xi omicron"},
+            ])
+            run()
+            landed2 = {
+                (r.doc_id, r.batch)
+                for r in spark.read.parquet(str(tmp_path / "landed")).collect()
+            }
+            assert landed2 == {(1, 0), (3, 1)}  # batch ids continued
+            assert spark.table("strir_digests").count() == 2
+        finally:
+            dedup_index_drop(spark, "strir")
