@@ -81,6 +81,7 @@ __all__ = [
     "dedup_index_probe",
     "dedup_index_add",
     "dedup_index_drop",
+    "dedup_index_compact",
     "streaming_index_ingest",
 ]
 
@@ -496,3 +497,60 @@ def streaming_index_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_index_compact(spark: SparkSession, name: str) -> dict:
+    """Rewrite each index table into a fresh single-generation bucketed
+    layout — the maintenance half of an append-heavy index.
+
+    Every :func:`dedup_index_add` (and each ``streaming_index_ingest``
+    micro-batch) writes its own per-bucket file set; after months of
+    daily increments the probe's stored-side scans pay the classic
+    warehouse small-files tax — per-file open/seek cost and listing
+    overhead — without any change in plan shape. Compaction reads each
+    table once and rewrites it as one file set per bucket (corpus-linear,
+    one job per table); bucket count and sort order come from the meta
+    table, so probe plans are bit-identical before and after. Run it when
+    files-per-bucket grows past ~10 (the returned dict reports file
+    counts per table before/after).
+
+    NOT crash-atomic (Spark's catalog has no multi-table transaction):
+    the sequence per table is write ``{table}__compact`` → drop → rename.
+    A crash between drop and rename loses no DATA (the compacted table
+    holds everything) but leaves it under the ``__compact`` name — rerun
+    compact or rename it back manually; probes in that window fail loudly
+    on the missing table rather than answering from half an index. Like
+    ``add``, single-writer: do not compact concurrently with appends.
+    """
+    meta = _read_meta(spark, name)
+    parts = [("digests", ["text_hash"])]
+    if meta["near"]:
+        parts += [("bands", ["band", "bh"]), ("docs", ["doc_id"])]
+    report = {}
+    for part, cols in parts:
+        t = _t(name, part)
+        before = len(spark.table(t).inputFiles())
+        tmp = f"{t}__compact"
+        # One file per bucket needs all of a bucket's rows in ONE task:
+        # bucketBy only splits each task's rows by bucket id, so N input
+        # tasks write up to N×buckets files (and a plain repartition on
+        # the columns uses a partitioner that does NOT coincide with the
+        # bucket-id function). Range-partitioning on the explicit bucket
+        # id — pmod(murmur3, buckets), the same formula the writer
+        # applies — guarantees equal bucket ids never split across tasks.
+        bucket_id = F.pmod(
+            F.hash(*[F.col(c) for c in cols]), F.lit(meta["num_buckets"])
+        )
+        write_bucketed(
+            spark.table(t).repartitionByRange(meta["num_buckets"], bucket_id),
+            tmp, cols, meta["num_buckets"],
+            sort_cols=cols, mode="overwrite",
+        )
+        spark.sql(f"DROP TABLE {t}")
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
+        spark.catalog.refreshTable(t)
+        report[part] = {
+            "files_before": before,
+            "files_after": len(spark.table(t).inputFiles()),
+        }
+    return report

@@ -464,3 +464,66 @@ class TestStreamingIngest:
             assert spark.table("strir_digests").count() == 2
         finally:
             dedup_index_drop(spark, "strir")
+
+
+class TestCompact:
+    def test_compact_shrinks_files_and_preserves_probes(self, spark, docs):
+        """Five small appends leave five file generations per table;
+        compaction rewrites each table to one generation with identical
+        probe answers (bucket spec and sort from the meta table)."""
+        from php_ec_spark.operators.dedup_index import dedup_index_compact
+
+        base = docs.filter(F.col("doc_id") < 100)
+        dedup_index_build(base, "dcx", **PARAMS)
+        try:
+            for i in range(5):
+                inc = spark.createDataFrame(
+                    [(50000 + i, f"increment number {i} text aa bb cc")],
+                    "doc_id long, text string",
+                )
+                dedup_index_add(spark, "dcx", inc)
+            probe_inc = spark.createDataFrame(
+                [(91, "probe only zz"), (92, "increment number 3 text aa bb cc")],
+                "doc_id long, text string",
+            )
+            before = {
+                r.doc_id: (r.exact_dup_of, r.near_dup_of)
+                for r in dedup_index_probe(spark, "dcx", probe_inc).collect()
+            }
+            counts_before = {
+                t: spark.table(f"dcx_{t}").count()
+                for t in ("digests", "bands", "docs")
+            }
+            report = dedup_index_compact(spark, "dcx")
+            for part, r in report.items():
+                assert r["files_after"] < r["files_before"], (part, r)
+                assert r["files_after"] <= PARAMS["num_buckets"]
+            counts_after = {
+                t: spark.table(f"dcx_{t}").count()
+                for t in ("digests", "bands", "docs")
+            }
+            assert counts_before == counts_after
+            after = {
+                r.doc_id: (r.exact_dup_of, r.near_dup_of)
+                for r in dedup_index_probe(spark, "dcx", probe_inc).collect()
+            }
+            assert before == after
+            assert after[92] == (50003, 50003)  # appended doc still found
+            # the compacted layout still appends + probes normally
+            dedup_index_add(
+                spark, "dcx",
+                spark.createDataFrame(
+                    [(50010, "post compact addition dd ee ff")],
+                    "doc_id long, text string",
+                ),
+            )
+            got = dedup_index_probe(
+                spark, "dcx",
+                spark.createDataFrame(
+                    [(93, "post compact addition dd ee ff")],
+                    "doc_id long, text string",
+                ),
+            ).head()
+            assert got.exact_dup_of == 50010
+        finally:
+            dedup_index_drop(spark, "dcx")
