@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from php_ec_spark.operators.dedup_index import (
     dedup_index_add,
     dedup_index_build,
+    dedup_index_compact,
     dedup_index_drop,
     dedup_index_probe,
 )
@@ -93,6 +94,16 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             f"{n_caught} caught against the updated index"
         )
         assert n_caught == 25, "day-1 survivors must be probeable on day 2"
+
+        # ---- maintenance: squash the append generations ---------------
+        report = dedup_index_compact(spark, "curation_ix")
+        print(
+            "compact: "
+            + ", ".join(
+                f"{p} {r['files_before']}->{r['files_after']} files"
+                for p, r in report.items()
+            )
+        )
     finally:
         dedup_index_drop(spark, "curation_ix")
 
