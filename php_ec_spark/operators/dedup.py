@@ -102,25 +102,47 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     key_cols: "Sequence[str] | None" = None,
+    keep: str = "min_id",
 ) -> DataFrame:
     """Exact dedup groups: one row per distinct normalized text — or, with
     ``key_cols``, per distinct normalized key tuple (see
     :func:`dedup_digest`; the output column keeps the name ``text_hash``
     either way so downstream pipeline stages are key-agnostic).
 
-    Returns (text_hash, doc_id = survivor min id, dup_count). A single
+    Returns (text_hash, doc_id = survivor, dup_count). A single
     hash-shuffle on the md5 digest; the digest (not the full text) is the
     shuffle key, so 100 TB of text shuffles only 32-byte keys + ids after
     map-side partial aggregation.
+
+    ``keep`` picks the survivor: ``"min_id"`` (default — deterministic,
+    the convention shared with :mod:`.dedup_index` and the oracles) or
+    ``"longest"`` — the longest RAW text, ties → min id (crawl pipelines
+    often keep the fullest fetch of a page whose normalized form
+    collides: same whitespace-collapsed content, richer original).
+    ``"longest"`` is the same single combinable aggregation —
+    ``max_by`` over a (length, −id) struct — no extra shuffle or pass.
     """
+    if keep == "min_id":
+        surv = F.min(id_col)
+    elif keep == "longest":
+        surv = F.max_by(
+            id_col,
+            F.struct(
+                F.coalesce(F.length("__raw"), F.lit(-1)).alias("l"),
+                (-F.col(id_col)).alias("nid"),
+            ),
+        )
+    else:
+        raise ValueError(f"exact_dedup: keep must be min_id|longest, got {keep!r}")
     return (
         df.select(
             dedup_digest(key_cols, text_col).alias("text_hash"),
             F.col(id_col),
+            F.col(text_col).alias("__raw"),
         )
         .groupBy("text_hash")
         .agg(
-            F.min(id_col).alias(id_col),
+            surv.alias(id_col),
             F.count(F.lit(1)).alias("dup_count"),
         )
     )

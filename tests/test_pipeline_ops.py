@@ -2542,3 +2542,47 @@ class TestRemoveDupLines:
             for d, tx, lt, lr in con.execute(sql).fetchall()
         }
         assert oracle == got
+
+
+class TestExactDedupKeepPolicy:
+    DOCS = [
+        (10, "a  b"),     # normalized 'a b', raw len 4
+        (11, "a b"),      # normalized 'a b', raw len 3
+        (12, "A B  "),    # normalized 'a b', raw len 5 -> longest
+        (20, "solo text"),
+        (30, None),
+        (31, None),
+    ]
+
+    def test_keep_longest_vs_min_id(self, spark):
+        from php_ec_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        by_min = {r.doc_id: r.dup_count for r in exact_dedup(df).collect()}
+        assert by_min == {10: 3, 20: 1, 30: 2}
+        by_len = {
+            r.doc_id: r.dup_count
+            for r in exact_dedup(df, keep="longest").collect()
+        }
+        # longest raw text survives the collided group; NULL texts tie at
+        # sentinel length -> min id; singletons unaffected
+        assert by_len == {12: 3, 20: 1, 30: 2}
+
+    def test_keep_longest_tie_breaks_to_min_id(self, spark):
+        from php_ec_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(5, "x  y"), (3, "X  y"), (9, "equally long")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id for r in exact_dedup(df, keep="longest").collect()}
+        assert got == {3, 9}  # equal lengths -> min id
+
+    def test_unknown_keep_raises(self, spark):
+        import pytest as _pytest
+
+        from php_ec_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="min_id|longest"):
+            exact_dedup(df, keep="shortest")
