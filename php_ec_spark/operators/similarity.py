@@ -860,3 +860,42 @@ def ivf_search(
     corpus = spark.read.parquet(f"{path}/corpus").filter(pred)
     cand = _ivf_candidates(corpus, p_pdf, k, cluster_col, vec_col, id_col)
     return _exact_rerank(corpus, queries, cand, k, vec_col, id_col)
+
+
+def ivf_compact(spark, src_path: str, dst_path: str, cluster_col: str = "label") -> dict:
+    """Write a compacted COPY of an :func:`ivf_build` index: same
+    centroids, same rows, but the corpus rewritten as ~one file per
+    cluster directory — the maintenance pass for an index grown by many
+    :func:`ivf_add` increments, each of which leaves its own file
+    generation per touched cluster (the same small-files tax
+    :func:`~php_ec_spark.operators.dedup_index.dedup_index_compact`
+    removes for the dedup index).
+
+    Copy-compact rather than in-place: Spark cannot safely overwrite a
+    path it is reading, and a partial in-place rewrite would leave a
+    half-index with no recovery story. Writing to ``dst_path`` and
+    flipping the pointer at the orchestration layer is atomic-by-rename
+    on every store that matters; the old index stays searchable until
+    the flip. Rows are range-partitioned on the cluster value before the
+    write so one task owns each cluster directory (equal values never
+    split across tasks — the :func:`ivf_search` partition-pruning layout
+    is unchanged, just defragmented). Returns
+    ``{"files_before": n, "files_after": m, "rows": r}`` for the corpus.
+    """
+    cents = spark.read.parquet(f"{src_path}/centroids")
+    corpus = spark.read.parquet(f"{src_path}/corpus")
+    before = len(corpus.inputFiles())
+    n_clusters = cents.count()
+    cents.write.mode("error").parquet(f"{dst_path}/centroids")
+    (
+        corpus.repartitionByRange(max(int(n_clusters), 1), cluster_col)
+        .write.mode("error")
+        .partitionBy(cluster_col)
+        .parquet(f"{dst_path}/corpus")
+    )
+    out = spark.read.parquet(f"{dst_path}/corpus")
+    return {
+        "files_before": before,
+        "files_after": len(out.inputFiles()),
+        "rows": out.count(),
+    }

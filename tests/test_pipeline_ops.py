@@ -2586,3 +2586,63 @@ class TestExactDedupKeepPolicy:
         df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="min_id|longest"):
             exact_dedup(df, keep="shortest")
+
+
+class TestIvfCompact:
+    def test_compact_copy_defragments_and_search_matches(self, spark, tmp_path):
+        """Five ivf_add increments fragment the cluster directories; the
+        compacted copy has ~one file per cluster, identical rows, and
+        byte-identical search results (same centroids, same layout)."""
+        import numpy as np
+
+        from php_ec_spark.operators.similarity import (
+            ivf_add,
+            ivf_build,
+            ivf_compact,
+            ivf_search,
+        )
+
+        rng = np.random.default_rng(3)
+        centers = rng.normal(size=(4, 8)) * 5
+        rows = [
+            (i, [float(x) for x in centers[i % 4] + rng.normal(size=8) * 0.1])
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        src = str(tmp_path / "src")
+        ccol = ivf_build(df, src, n_clusters=4)
+        for j in range(5):
+            inc = spark.createDataFrame(
+                [
+                    (
+                        1000 + j,
+                        [float(x) for x in centers[j % 4] + rng.normal(size=8) * 0.1],
+                    )
+                ],
+                "vec_id long, embedding array<float>",
+            )
+            ivf_add(spark, src, inc, cluster_col=ccol)
+        queries = df.filter(F.col("vec_id") < 4)
+        before = sorted(
+            (r.query_id, r.neighbor_id, r.cos, r.rank)
+            for r in ivf_search(
+                spark, src, queries, k=5, nprobe=2, cluster_col=ccol
+            ).collect()
+        )
+        dst = str(tmp_path / "dst")
+        report = ivf_compact(spark, src, dst, cluster_col=ccol)
+        assert report["rows"] == 125
+        assert report["files_after"] < report["files_before"]
+        assert report["files_after"] <= 4 + 1  # ~one file per cluster
+        after = sorted(
+            (r.query_id, r.neighbor_id, r.cos, r.rank)
+            for r in ivf_search(
+                spark, dst, queries, k=5, nprobe=2, cluster_col=ccol
+            ).collect()
+        )
+        assert before == after
+        # copy-compact never mutates the source: dst must not pre-exist
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            ivf_compact(spark, src, dst, cluster_col=ccol)
