@@ -899,3 +899,42 @@ def ivf_compact(spark, src_path: str, dst_path: str, cluster_col: str = "label")
         "files_after": len(out.inputFiles()),
         "rows": out.count(),
     }
+
+
+def embedding_dup_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe new embeddings against a persistent :func:`ivf_build` index
+    for SEMANTIC duplicates: each query is annotated with its best stored
+    match at cosine ≥ ``threshold`` (``dup_of``/``dup_cos``, NULLs when
+    novel) — the embedding-space member of the incremental triad, beside
+    the text layers of ``dedup_index_probe`` and the batch
+    :func:`semdedup`.
+
+    Cost is one :func:`ivf_search` (centroid probe + partition-pruned
+    scan of nprobe/C of the corpus) — never a corpus rescan. Same
+    approximation contract as SemDeDup/IVF: a duplicate quantized into a
+    cluster the probe misses is not flagged; raise ``nprobe`` to trade
+    scan for recall. Output keeps one row per query (left join), so
+    survivors filter as ``dup_of IS NULL``.
+    """
+    hits = (
+        ivf_search(
+            spark, path, queries, k=1, nprobe=nprobe,
+            cluster_col=cluster_col, vec_col=vec_col, id_col=id_col,
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("neighbor_id").alias("dup_of"),
+            F.col("cos").alias("dup_cos"),
+        )
+    )
+    return queries.join(hits, id_col, "left")

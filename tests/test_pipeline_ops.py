@@ -2646,3 +2646,39 @@ class TestIvfCompact:
 
         with _pytest.raises(Exception):
             ivf_compact(spark, src, dst, cluster_col=ccol)
+
+
+class TestEmbeddingDupProbe:
+    def test_probe_flags_stored_near_dups(self, spark, tmp_path):
+        import numpy as np
+
+        from php_ec_spark.operators.similarity import (
+            embedding_dup_probe,
+            ivf_build,
+        )
+
+        rng = np.random.default_rng(5)
+        centers = rng.normal(size=(4, 8)) * 5
+        rows = [
+            (i, [float(x) for x in centers[i % 4] + rng.normal(size=8) * 0.1])
+            for i in range(80)
+        ]
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        idx = str(tmp_path / "ivf")
+        ccol = ivf_build(corpus, idx, n_clusters=4)
+        # queries: a near-clone of stored vec 7 + a genuinely novel vector
+        clone = [float(x) for x in np.asarray(rows[7][1]) * 1.001]
+        novel = [float(x) for x in rng.normal(size=8) * 5]
+        q = spark.createDataFrame(
+            [(9001, clone), (9002, novel)], "vec_id long, embedding array<float>"
+        )
+        got = {
+            r.vec_id: (r.dup_of, r.dup_cos)
+            for r in embedding_dup_probe(
+                spark, idx, q, threshold=0.95, cluster_col=ccol
+            ).collect()
+        }
+        assert got[9001][0] == 7 and got[9001][1] >= 0.99
+        assert got[9002] == (None, None)
+        # one row per query either way
+        assert len(got) == 2
