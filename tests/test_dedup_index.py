@@ -527,3 +527,119 @@ class TestCompact:
             assert got.exact_dup_of == 50010
         finally:
             dedup_index_drop(spark, "dcx")
+
+
+class TestProbeDifferential:
+    """Differential fuzz: dedup_index_probe against a pure-Python
+    reference over randomized small corpora (same style as the engine's
+    test_core_differential). The reference recomputes the exact layer
+    from first principles (md5 of normalized text, min-id survivor) and
+    the near layer through the SHARED band kernel + an independent
+    shingle-Jaccard implementation, so any Spark-side join/window/
+    bucketing mistake shows up as a disagreement."""
+
+    NH, BANDS, N, THR = 64, 16, 3, 0.5
+
+    def _gen(self, seed):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+
+        def doc():
+            return " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 14)))
+
+        base = [(i, doc()) for i in range(30)]
+        inc = []
+        for j in range(15):
+            r = rng.random()
+            if r < 0.25:  # exact or case/space variant of a base doc
+                t = rng.choice(base)[1]
+                if rng.random() < 0.5:
+                    t = "  " + t.upper().replace(" ", "  ") + " "
+            elif r < 0.5:  # perturb a base doc's tail (near-dup shape)
+                toks = rng.choice(base)[1].split()
+                toks[-1:] = [rng.choice(vocab), rng.choice(vocab)]
+                t = " ".join(toks)
+            elif r < 0.6:
+                t = rng.choice([None, ""])  # degenerate docs
+            else:
+                t = doc()
+            inc.append((100 + j, t))
+        return base, inc
+
+    def _py_reference(self, base, inc):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        from php_ec_spark.operators.dedup import _band_hash_matrix
+
+        def norm(t):
+            return re.sub(r"\s+", " ", t.strip().lower())
+
+        def shingle_set(t):
+            toks = re.split(r"\s+", (t or "").strip(" "))
+            if len(toks) < self.N:
+                return {" ".join(toks)}
+            return {
+                " ".join(toks[i : i + self.N])
+                for i in range(len(toks) - self.N + 1)
+            }
+
+        digests = {}
+        for i, t in sorted(base):
+            if t is None:
+                continue
+            d = hashlib.md5(norm(t).encode()).hexdigest()
+            digests.setdefault(d, i)
+        bb = _band_hash_matrix(
+            pd.Series([t for _, t in base]), self.N, self.NH, self.BANDS
+        )
+        ib = _band_hash_matrix(
+            pd.Series([t for _, t in inc]), self.N, self.NH, self.BANDS
+        )
+        out = {}
+        for j, (iid, itext) in enumerate(inc):
+            exact = (
+                digests.get(hashlib.md5(norm(itext).encode()).hexdigest())
+                if itext is not None
+                else None
+            )
+            best = None
+            ish = shingle_set(itext)
+            for b, (bid, btext) in enumerate(base):
+                if not any(ib[j, k] == bb[b, k] for k in range(self.BANDS)):
+                    continue  # no band collision -> never a candidate
+                bsh = shingle_set(btext)
+                jac = round(len(ish & bsh) / len(ish | bsh), 6)
+                if jac >= self.THR and (
+                    best is None or (jac, -bid) > (best[1], -best[0])
+                ):
+                    best = (bid, jac)
+            out[iid] = (exact, best[0] if best else None,
+                        best[1] if best else None)
+        return out
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_probe_matches_python_reference(self, spark, seed):
+        base, inc = self._gen(seed)
+        name = f"dfz{seed}"
+        dedup_index_build(
+            spark.createDataFrame(base, "doc_id long, text string"),
+            name,
+            num_hashes=self.NH, bands=self.BANDS, n=self.N, num_buckets=4,
+        )
+        try:
+            got = {
+                r.doc_id: (r.exact_dup_of, r.near_dup_of, r.near_jaccard)
+                for r in dedup_index_probe(
+                    spark, name,
+                    spark.createDataFrame(inc, "doc_id long, text string"),
+                    threshold=self.THR,
+                ).collect()
+            }
+            assert got == self._py_reference(base, inc), f"seed {seed}"
+        finally:
+            dedup_index_drop(spark, name)
