@@ -643,3 +643,51 @@ class TestProbeDifferential:
             assert got == self._py_reference(base, inc), f"seed {seed}"
         finally:
             dedup_index_drop(spark, name)
+
+
+class TestDropNear:
+    def test_drop_near_drops_verified_near_dups_at_ingest(
+        self, spark, tmp_path
+    ):
+        import json as _json
+
+        from php_ec_spark.operators.dedup_index import streaming_index_ingest
+
+        base = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        )
+        dedup_index_build(base, "strin", **PARAMS)
+        src = tmp_path / "src"
+        src.mkdir()
+        with open(src / "01.json", "w") as f:
+            # near-dup of doc 1 (last token changed: J ~ 0.78, band
+            # miss probability ~7e-4 at 16x4) + a novel doc
+            f.write(_json.dumps({
+                "doc_id": 10,
+                "text": "the quick brown fox jumps over the lazy dog now",
+            }) + "\n")
+            f.write(_json.dumps({
+                "doc_id": 11, "text": "completely different content here",
+            }) + "\n")
+        try:
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .json(str(src))
+            )
+            q = streaming_index_ingest(
+                spark, "strin", stream,
+                landed_path=str(tmp_path / "landed"),
+                checkpoint=str(tmp_path / "ckpt"),
+                threshold=0.5,
+                drop_near=True,
+                available_now=True,
+            )
+            q.awaitTermination(120)
+            landed = {
+                r.doc_id
+                for r in spark.read.parquet(str(tmp_path / "landed")).collect()
+            }
+            assert landed == {11}  # near-dup 10 dropped, novel 11 landed
+        finally:
+            dedup_index_drop(spark, "strin")
