@@ -125,11 +125,16 @@ def exact_dedup(
     if keep == "min_id":
         surv = F.min(id_col)
     elif keep == "longest":
-        surv = F.max_by(
+        # min_by over (-length, id): longest text, ties -> min id. The id
+        # is never negated, so non-numeric id types order correctly (an
+        # arithmetic -id would NULL-cast string ids and break the
+        # tie-break); NULL text takes the sentinel -1 -> largest -length,
+        # i.e. sorts after every real text.
+        surv = F.min_by(
             id_col,
             F.struct(
-                F.coalesce(F.length("__raw"), F.lit(-1)).alias("l"),
-                (-F.col(id_col)).alias("nid"),
+                (-F.coalesce(F.length("__raw"), F.lit(-1))).alias("nl"),
+                F.col(id_col).alias("i"),
             ),
         )
     else:
@@ -1309,6 +1314,7 @@ def remove_dup_lines(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    reliable: bool = False,
 ) -> DataFrame:
     """Line-level boilerplate removal (the RefinedWeb/Dolma recipe):
     drop every LINE whose normalized form occurs ``min_count`` or more
@@ -1336,10 +1342,17 @@ def remove_dup_lines(
     doc id). Two linear shuffles of the line table, no pairwise term —
     run it once as a landing transform, not per query.
     """
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("lkey", F.md5(normalize_text(F.col("line"))))
+    # three consumers (the count aggregation, the anti-join, the per-doc
+    # totals) would each re-run the corpus-wide explode + per-line
+    # regex/md5 without a pin — the dominant cost of the operator
+    lines = pin_intermediate(
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        ).withColumn("lkey", F.md5(normalize_text(F.col("line")))),
+        reliable=reliable,
+        eager=True,
+    )
     common = (
         # blank lines are structure, not boilerplate — they'd trivially
         # exceed any count threshold and collapse every paragraph break

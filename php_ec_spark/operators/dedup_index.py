@@ -48,10 +48,16 @@ formula — so "duplicate" means the same thing at the door (streaming),
 in the nightly sweep (batch), and against history (this index).
 
 NULL-text note: the default single-text digest of a NULL text is NULL,
-and SQL join semantics mean a NULL digest never matches the index (each
-NULL-text doc probes as novel). Pipelines that want NULL keys to compare
-equal should build with ``key_cols=`` — the multi-key digest encodes
-NULL as a 1-char marker, making NULL == NULL and NULL ≠ '' explicit.
+and SQL join semantics mean a NULL digest never matches the index in the
+EXACT layer (each NULL-text doc probes as exact-novel). Pipelines that
+want NULL keys to compare equal should build with ``key_cols=`` — the
+multi-key digest encodes NULL as a 1-char marker, making NULL == NULL
+and NULL ≠ '' explicit. The NEAR layer follows ``with_shingles``'s
+NULL ≡ '' convention (shared with every batch/streaming dedup kernel):
+a NULL/empty/whitespace-only doc near-matches a stored empty doc at
+J = 1.0 — so under ``streaming_index_ingest(drop_near=True)`` empty
+documents deduplicate against each other, which is normally exactly
+what a curation pipeline wants from them.
 
 The reference engine has no corpus-history surface (its memory layer,
 reference src/scheduler/Scheduler.php + StateManager, persists rule
@@ -127,6 +133,15 @@ def dedup_index_build(
     The digest table keeps ONE row per distinct digest with the survivor
     (min id) — probing returns the same survivor the batch
     ``exact_dedup`` sweep would have chosen.
+
+    REBUILDING over an existing index (``mode='overwrite'``, e.g. to
+    change the signature parameters) has a crash window: the tables are
+    rewritten before the meta row, so a job that dies mid-build can
+    leave new tables under old parameters (or vice versa) and probes
+    would be silently wrong, not loudly broken. Rebuild under a NEW
+    index name and flip the name at the orchestration layer — the same
+    copy-then-flip contract as ``ivf_compact`` — rather than rebuilding
+    in place.
     """
     if num_hashes % bands:
         raise ValueError("dedup_index_build: bands must divide num_hashes")
@@ -386,10 +401,17 @@ def dedup_index_add(
             docs, _t(name, "docs"), ["doc_id"], meta["num_buckets"],
             sort_cols=["doc_id"], mode="append",
         )
-    else:
-        fresh = increment
+    # Digests derive from the INCREMENT, not from `fresh`: a retried add
+    # whose first attempt crashed after the docs append but before this
+    # point would find every increment id already "known" (fresh empty)
+    # and permanently skip the digest rows — every later probe would call
+    # those texts novel. The digest-table anti-join below is what makes
+    # this idempotent; the id-level anti-join is only a docs/bands
+    # concern. (The symmetric window — crash after the bands append,
+    # before docs — re-appends duplicate band rows on retry: storage
+    # bloat only, probe candidates are .distinct(); compact squashes.)
     new_digests = (
-        fresh.select(
+        increment.select(
             dedup_digest(meta["key_cols"], text_col).alias("text_hash"),
             F.col(id_col).alias("doc_id"),
         )
@@ -446,9 +468,15 @@ def streaming_index_ingest(
     as parquet exposes ``batch`` as a partition column — the free audit
     trail of which micro-batch landed each document.
 
-    ``drop_near=True`` additionally drops verified near-duplicates
-    (J ≥ ``threshold``) — unlike LSH-flagging at the door, these are
-    exact-verified, so dropping is safe; requires a ``near=True`` index.
+    ``drop_near=True`` additionally drops verified near-duplicates of
+    the STORED corpus (J ≥ ``threshold``) — unlike LSH-flagging at the
+    door, these are exact-verified, so dropping is safe; requires a
+    ``near=True`` index. Scope caveat (inherited from
+    :func:`dedup_index_probe`): near-duplicates WITHIN one micro-batch
+    both land and both enter the index — only exact intra-batch digest
+    repeats collapse. Batches are bounded, so close that gap with a
+    periodic batch ``minhash_lsh_pairs`` sweep over the landed corpus,
+    the same reconciliation the horizon-bounded streaming dedups need.
     Returns the started StreamingQuery.
     """
     meta = _read_meta(spark, name)
@@ -468,9 +496,34 @@ def streaming_index_ingest(
             s, name, batch_df,
             threshold=threshold, text_col=text_col, id_col=id_col,
         )
-        keep = F.col("exact_dup_of").isNull()
+        # SELF-matches are kept: on a replay (batch ran fully, driver died
+        # before the streaming checkpoint committed) every survivor now
+        # probes as an exact dup OF ITSELF — filtering those would
+        # overwrite the batch's landed directory with an EMPTY dataset,
+        # destroying the previous run's output. Exempting exact_dup_of ==
+        # doc_id (and the near self-hit under drop_near) makes the replay
+        # reproduce the original survivor set bit-for-bit. Corollary: a
+        # genuine re-crawl that reuses a stored doc_id with identical text
+        # lands again (audit via the batch column); key re-crawls by url
+        # if that is not wanted.
+        keep = F.col("exact_dup_of").isNull() | (
+            F.col("exact_dup_of") == F.col(id_col)
+        )
         if drop_near:
-            keep = keep & F.col("near_dup_of").isNull()
+            # the near exemption must cover any BATCH-MATE, not just
+            # self: a replayed survivor can near-match another doc this
+            # same batch landed (intra-batch near-dups land by design —
+            # probe checks the INDEX only), and dropping it on replay
+            # would diverge from the original run
+            mates = batch_df.select(F.col(id_col).alias("__mate"))
+            probed = probed.join(
+                F.broadcast(mates),
+                probed["near_dup_of"] == F.col("__mate"),
+                "left",
+            )
+            keep = keep & (
+                F.col("near_dup_of").isNull() | F.col("__mate").isNotNull()
+            )
         # collapse intra-batch digest repeats (probe only sees the INDEX):
         # min-id survivor per digest, same convention as the batch sweep;
         # NULL digests (NULL text) all pass — nothing to compare

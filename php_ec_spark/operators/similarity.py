@@ -580,6 +580,11 @@ def assign_clusters(
     bc = corpus.sparkSession.sparkContext.broadcast(Cu)
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
+    if cos_col == out_col:
+        raise ValueError(
+            "assign_clusters: out_col and cos_col must differ — a "
+            "duplicate field name makes the output frame unusable"
+        )
     for c in (out_col,) + ((cos_col,) if cos_col else ()):
         if c in corpus.columns:
             # a duplicate field name would make the output frame unusable
@@ -925,6 +930,14 @@ def embedding_dup_probe(
     scan for recall. Output keeps one row per query (left join), so
     survivors filter as ``dup_of IS NULL``.
     """
+    clash = {"dup_of", "dup_cos"} & set(queries.columns)
+    if clash:
+        # an already-annotated frame would join into duplicate column
+        # names (ambiguous resolution) — same guard as dedup_index_probe
+        raise ValueError(
+            f"embedding_dup_probe: queries already has column(s) "
+            f"{sorted(clash)}; rename or drop them first"
+        )
     hits = (
         ivf_search(
             spark, path, queries, k=1, nprobe=nprobe,

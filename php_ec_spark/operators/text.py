@@ -312,6 +312,11 @@ def normalize_url(
     """
     target = out_col or f"{url_col}_norm"
     u = F.regexp_replace(F.trim(F.col(url_col)), r"#.*$", "")
+    # protocol-relative hrefs ('//host/path', common in crawl data) get
+    # the default scheme — otherwise the host would parse as empty and
+    # fold into the path ('http:///host/path'), never unifying with the
+    # absolute form
+    u = F.when(u.rlike(r"^//"), F.concat(F.lit("http:"), u)).otherwise(u)
     scheme0 = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     scheme = F.when(scheme0 == "", F.lit("http")).otherwise(scheme0)
     rest = F.regexp_replace(

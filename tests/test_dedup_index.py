@@ -691,3 +691,105 @@ class TestDropNear:
             assert landed == {11}  # near-dup 10 dropped, novel 11 landed
         finally:
             dedup_index_drop(spark, "strin")
+
+
+class TestCrashWindows:
+    def test_add_retry_after_docs_append_still_writes_digests(self, spark, docs):
+        """Simulates an add whose first attempt crashed after the bands +
+        docs appends but before the digest append: the retried add must
+        still write the digest rows (they derive from the increment, not
+        from the docs anti-join) or every later probe calls those texts
+        novel forever."""
+        from php_ec_spark.layout import write_bucketed
+        from php_ec_spark.operators.dedup import with_band_keys
+
+        base = docs.filter(F.col("doc_id") < 50)
+        dedup_index_build(base, "dcw", **PARAMS)
+        try:
+            inc = spark.createDataFrame(
+                [(40001, "crashed halfway through the append qq ww")],
+                "doc_id long, text string",
+            )
+            # replay the first attempt's completed half manually
+            write_bucketed(
+                with_band_keys(inc, num_hashes=PARAMS["num_hashes"],
+                               bands=PARAMS["bands"], n=PARAMS["n"]),
+                "dcw_bands", ["band", "bh"], PARAMS["num_buckets"],
+                sort_cols=["band", "bh"], mode="append",
+            )
+            write_bucketed(
+                inc.select(F.col("doc_id"), F.col("text")),
+                "dcw_docs", ["doc_id"], PARAMS["num_buckets"],
+                sort_cols=["doc_id"], mode="append",
+            )
+            spark.catalog.refreshTable("dcw_docs")
+            # the retry: id is already "known", digest must append anyway
+            dedup_index_add(spark, "dcw", inc)
+            got = dedup_index_probe(spark, "dcw", inc).head()
+            assert got.exact_dup_of == 40001
+        finally:
+            dedup_index_drop(spark, "dcw")
+
+    def test_replay_does_not_wipe_landed_batches(self, spark, tmp_path):
+        """The exactly-once claim under its worst window: re-running the
+        WHOLE stream with a fresh checkpoint (every batch replays against
+        an index that already contains its own survivors) must leave the
+        landed directories with their original content — self-matches and
+        batch-mate near-matches are exempt from the keep filter."""
+        import json as _json
+
+        from php_ec_spark.operators.dedup_index import streaming_index_ingest
+
+        src = tmp_path / "src"
+        src.mkdir()
+        with open(src / "01.json", "w") as f:
+            # two docs that are near-dups of EACH OTHER (intra-batch:
+            # both land) + one unique
+            f.write(_json.dumps({
+                "doc_id": 1,
+                "text": "the quick brown fox jumps over the lazy dog",
+            }) + "\n")
+            f.write(_json.dumps({
+                "doc_id": 2,
+                "text": "the quick brown fox jumps over the lazy cat",
+            }) + "\n")
+            f.write(_json.dumps({
+                "doc_id": 3, "text": "entirely different content",
+            }) + "\n")
+        dedup_index_build(
+            spark.createDataFrame([], "doc_id long, text string"),
+            "drw", **PARAMS,
+        )
+        landed = str(tmp_path / "landed")
+        try:
+            def run(ckpt):
+                stream = (
+                    spark.readStream.schema("doc_id long, text string")
+                    .json(str(src))
+                )
+                q = streaming_index_ingest(
+                    spark, "drw", stream,
+                    landed_path=landed,
+                    checkpoint=str(tmp_path / ckpt),
+                    threshold=0.5,
+                    drop_near=True,
+                    available_now=True,
+                )
+                q.awaitTermination(120)
+
+            run("ckpt1")
+            first = {
+                r.doc_id
+                for r in spark.read.parquet(landed).collect()
+            }
+            assert first == {1, 2, 3}
+            run("ckpt2")  # full replay: fresh checkpoint, same batch ids
+            second = {
+                r.doc_id
+                for r in spark.read.parquet(landed).collect()
+            }
+            assert second == first, "replay wiped or changed landed data"
+            # and the index did not duplicate anything
+            assert spark.table("drw_digests").count() == 3
+        finally:
+            dedup_index_drop(spark, "drw")

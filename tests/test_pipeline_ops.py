@@ -2351,6 +2351,7 @@ class TestNormalizeUrl:
         (7, "ftp://Files.Example.com:21/data"),
         (8, "http://example.com/?&gclid=1"),
         (9, "http://example.com/a/b?a=1&b=2&utm_medium=mail"),
+        (10, "//WWW.Example.com/a"),  # protocol-relative crawl href
     ]
     EXPECT = {
         0: "http://example.com/a/b?a=1&b=2",
@@ -2363,6 +2364,7 @@ class TestNormalizeUrl:
         7: "ftp://files.example.com:21/data",
         8: "http://example.com",
         9: "http://example.com/a/b?a=1&b=2",
+        10: "http://example.com/a",
     }
 
     def test_canonical_forms(self, spark):
@@ -2409,8 +2411,13 @@ class TestNormalizeUrl:
             + ") v(doc_id, url)"
         )
         sql = f"""
-        WITH s AS (
-          SELECT doc_id, regexp_replace(trim(url), '#.*$', '', 'g') u FROM t
+        WITH s0 AS (
+          SELECT doc_id, regexp_replace(trim(url), '#.*$', '', 'g') u0 FROM t
+        ), s AS (  -- protocol-relative gets the default scheme
+          SELECT doc_id,
+            CASE WHEN regexp_matches(u0, '^//') THEN 'http:' || u0
+                 ELSE u0 END u
+          FROM s0
         ), c AS (
           SELECT doc_id,
             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) sch0,
@@ -2682,3 +2689,20 @@ class TestEmbeddingDupProbe:
         assert got[9002] == (None, None)
         # one row per query either way
         assert len(got) == 2
+
+
+class TestExactDedupStringIds:
+    def test_keep_longest_ties_deterministic_for_string_ids(self, spark):
+        """The tie-break must not arithmetically negate the id (a string
+        id would NULL-cast and break determinism): equal-length collided
+        texts keep the lexicographically smallest id."""
+        from php_ec_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [("u-b", "x  y"), ("u-a", "X  y"), ("u-c", "solo")],
+            "doc_id string, text string",
+        )
+        got = {r.doc_id for r in exact_dedup(df, keep="longest").collect()}
+        assert got == {"u-a", "u-c"}
+        got_min = {r.doc_id for r in exact_dedup(df).collect()}
+        assert got_min == {"u-a", "u-c"}
