@@ -43,7 +43,12 @@ from php_ec_spark.operators.dedup_index import (
     dedup_index_drop,
     dedup_index_probe,
 )
-from php_ec_spark.operators.similarity import semdedup
+from php_ec_spark.operators.similarity import (
+    embedding_dup_probe,
+    ivf_add,
+    ivf_build,
+    semdedup,
+)
 from php_ec_spark.session import get_spark
 
 
@@ -116,6 +121,29 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         f"semdedup: {emb.count()} vectors -> {kept} kept "
         f"({groups} multi-member duplicate groups)"
     )
+
+    # ---- and the INCREMENTAL form of it: probe new vectors against a
+    #      persistent IVF index, append only the semantically novel ones
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="ivf_curation_")
+    ccol = ivf_build(emb, idx, n_clusters=8)
+    inc_emb = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )  # re-embeds of stored docs: every one should flag
+    probed_emb = embedding_dup_probe(
+        spark, idx, inc_emb, threshold=0.999, cluster_col=ccol
+    )
+    novel = probed_emb.filter(F.col("dup_of").isNull()).select(
+        "vec_id", "embedding"
+    )
+    n_dup = inc_emb.count() - novel.count()
+    ivf_add(spark, idx, novel, cluster_col=ccol)
+    print(
+        f"embedding increment: {inc_emb.count()} vectors -> "
+        f"{n_dup} semantic dups flagged, {novel.count()} appended"
+    )
+    assert n_dup == 50, "re-embedded vectors must all flag at cos~1"
     spark.stop()
 
 
