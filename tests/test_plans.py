@@ -279,3 +279,84 @@ class TestNewPipelinePlanShapes:
         # SinglePartition only downstream of the per-pid HashAggregate
         single = plan.count("Exchange SinglePartition")
         assert single == 1, plan
+
+
+class TestUnregisteredOperatorPlans:
+    """The round-9 operators live outside the 50-query catalog census, so
+    they get their own anti-pattern gate: no CartesianProduct, no
+    row-at-a-time Python (BatchEvalPython) anywhere in their plans. Arrow
+    kernels (ArrowEvalPython / mapInPandas) are the sanctioned Python
+    path and are allowed."""
+
+    def _assert_clean(self, df, label):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{label}: CartesianProduct"
+        assert "BatchEvalPython" not in plan, f"{label}: row-wise Python"
+
+    def test_dedup_index_probe_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from php_ec_spark.operators.dedup_index import (
+            dedup_index_build,
+            dedup_index_drop,
+            dedup_index_probe,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        dedup_index_build(
+            docs.filter(F.col("doc_id") < 200), "plx", num_buckets=4
+        )
+        try:
+            probe = dedup_index_probe(
+                spark, "plx", docs.filter(F.col("doc_id") >= 400)
+            )
+            self._assert_clean(probe, "dedup_index_probe")
+        finally:
+            dedup_index_drop(spark, "plx")
+
+    def test_semdedup_and_dup_probe_plans(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from php_ec_spark.operators.similarity import (
+            embedding_dup_probe,
+            ivf_build,
+            semdedup,
+        )
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        self._assert_clean(
+            semdedup(emb, n_clusters=4, sample_size=200), "semdedup"
+        )
+        idx = str(tmp_path / "ivf")
+        ccol = ivf_build(emb, idx, n_clusters=4)
+        self._assert_clean(
+            embedding_dup_probe(
+                spark, idx, emb.filter(F.col("vec_id") < 3),
+                cluster_col=ccol,
+            ),
+            "embedding_dup_probe",
+        )
+
+    def test_text_operators_plans(self, spark):
+        from pyspark.sql import functions as F
+
+        from php_ec_spark.operators.dedup import exact_dedup, remove_dup_lines
+        from php_ec_spark.operators.text import normalize_url
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        self._assert_clean(remove_dup_lines(docs), "remove_dup_lines")
+        self._assert_clean(
+            exact_dedup(docs, keep="longest"), "exact_dedup_longest"
+        )
+        urls = docs.select(
+            "doc_id", F.concat(F.lit("http://h/"), "doc_id").alias("url")
+        )
+        plan = (
+            normalize_url(urls)._jdf.queryExecution().executedPlan().toString()
+        )
+        # pure column expressions: single codegen stage, no exchange at all
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
