@@ -76,12 +76,22 @@ def dedup_digest(
 
     With ``key_cols`` (real pipelines dedup on (url), (url, text),
     (source, digest), …): a digest-of-digests — each key is cast to
-    string, normalized, md5'd, and the fixed-width parts are concatenated
-    and md5'd again. Fixed-width parts make the concatenation injective
-    (no separator-collision between ("ab","c") and ("a","bc")), and a
-    NULL key encodes as the 1-char marker ``-`` — impossible to collide
-    with a 32-char md5, so NULL ≠ '' ≠ 'null'. Equally reproducible in
-    any engine with md5 (the DuckDB portability test pins it).
+    string, md5'd RAW, and the fixed-width parts are concatenated and
+    md5'd again. Keys are byte-exact identities: no case folding, no
+    whitespace collapse — ``/Page`` and ``/page`` are different urls, and
+    an upstream canonicalizer like
+    :func:`~php_ec_spark.operators.text.normalize_url` (whose contract
+    says path/query case is significant) composes without silent merges.
+    A pipeline that wants FOLDED identity for a key makes it explicit by
+    keying on a pre-normalized column (e.g. ``key_cols=['url_norm']``,
+    or a ``lower(trim(...))`` column it derives) — so ``key_cols=
+    ['text']`` is byte-exact while the default text contract normalizes.
+    Fixed-width parts make the concatenation injective (no
+    separator-collision between ("ab","c") and ("a","bc")), and a NULL
+    key encodes as the 1-char marker ``-`` — impossible to collide with
+    a 32-char md5, so NULL ≠ '' ≠ 'null'. Equally reproducible in any
+    engine with md5 (the DuckDB portability test pins it):
+    ``md5(coalesce(md5(k1::VARCHAR), '-') || ...)``.
     """
     if key_cols is None:
         return F.md5(normalize_text(F.col(text_col)))
@@ -89,9 +99,7 @@ def dedup_digest(
         # md5 of an empty concat is a constant: every row would "dup"
         raise ValueError("dedup_digest: key_cols must be None or non-empty")
     parts = [
-        F.coalesce(
-            F.md5(normalize_text(F.col(c).cast("string"))), F.lit("-")
-        )
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-"))
         for c in key_cols
     ]
     return F.md5(F.concat(*parts))
@@ -105,7 +113,7 @@ def exact_dedup(
     keep: str = "min_id",
 ) -> DataFrame:
     """Exact dedup groups: one row per distinct normalized text — or, with
-    ``key_cols``, per distinct normalized key tuple (see
+    ``key_cols``, per distinct BYTE-EXACT key tuple (see
     :func:`dedup_digest`; the output column keeps the name ``text_hash``
     either way so downstream pipeline stages are key-agnostic).
 
@@ -124,6 +132,9 @@ def exact_dedup(
     """
     if keep == "min_id":
         surv = F.min(id_col)
+        # key-only dedup (key_cols=('url',) on a frame with no text
+        # column) never touches the text — don't reference it
+        cols = []
     elif keep == "longest":
         # min_by over (-length, id): longest text, ties -> min id. The id
         # is never negated, so non-numeric id types order correctly (an
@@ -137,13 +148,14 @@ def exact_dedup(
                 F.col(id_col).alias("i"),
             ),
         )
+        cols = [F.col(text_col).alias("__raw")]
     else:
         raise ValueError(f"exact_dedup: keep must be min_id|longest, got {keep!r}")
     return (
         df.select(
             dedup_digest(key_cols, text_col).alias("text_hash"),
             F.col(id_col),
-            F.col(text_col).alias("__raw"),
+            *cols,
         )
         .groupBy("text_hash")
         .agg(
@@ -181,10 +193,10 @@ def streaming_exact_dedup(
     batch sweep and any cross-horizon audit join on it for free).
 
     ``key_cols`` switches the dedup identity from the normalized text to
-    a normalized key tuple — (url), (url, text), (source, digest) — via
-    the same :func:`dedup_digest` the batch sweep uses, so at-the-door
-    and batch dedup agree on what "duplicate" means; NULL keys are
-    distinct from empty strings, never silently merged.
+    a byte-exact key tuple — (url_norm), (url, text), (source, digest) —
+    via the same :func:`dedup_digest` the batch sweep uses, so
+    at-the-door and batch dedup agree on what "duplicate" means; NULL
+    keys are distinct from empty strings, never silently merged.
     """
     d = stream
     tcol = ts_col

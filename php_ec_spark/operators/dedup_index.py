@@ -96,12 +96,43 @@ def _t(name: str, part: str) -> str:
     return f"{name}_{part}"
 
 
+def _table_gen(spark: SparkSession, table: str) -> "str | None":
+    """The build-generation id stamped on an index table (None if absent)."""
+    for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect():
+        if r.key == "phpec.gen":
+            return r.value
+    return None
+
+
+def _stamp_gen(spark: SparkSession, table: str, gen: str) -> None:
+    spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('phpec.gen'='{gen}')")
+
+
 def _read_meta(spark: SparkSession, name: str) -> dict:
     row = spark.table(_t(name, "meta")).head()
     if row is None:
         raise ValueError(f"dedup index {name!r}: empty meta table")
     meta = row.asDict()
     meta["key_cols"] = json.loads(meta["key_cols"]) if meta["key_cols"] else None
+    # Build-generation agreement: every data table must carry the gen the
+    # meta row was committed with. A rebuild that died between rewriting
+    # the tables and writing meta leaves mixed generations — without this
+    # check a probe would run NEW signatures against OLD parameters (or
+    # vice versa) and return silently wrong annotations. Loud beats wrong.
+    gen = meta.get("gen")
+    if gen is not None:
+        parts = ("digests",) + (("bands", "docs") if meta["near"] else ())
+        for part in parts:
+            got = _table_gen(spark, _t(name, part))
+            if got != gen:
+                raise RuntimeError(
+                    f"dedup index {name!r}: table {_t(name, part)!r} has "
+                    f"build generation {got!r} but the meta row commits "
+                    f"generation {gen!r} — the index is half-rebuilt "
+                    f"(a dedup_index_build died before committing meta). "
+                    f"Re-run dedup_index_build, or rebuild under a new "
+                    f"name and flip at the orchestration layer."
+                )
     return meta
 
 
@@ -135,17 +166,22 @@ def dedup_index_build(
     ``exact_dedup`` sweep would have chosen.
 
     REBUILDING over an existing index (``mode='overwrite'``, e.g. to
-    change the signature parameters) has a crash window: the tables are
-    rewritten before the meta row, so a job that dies mid-build can
-    leave new tables under old parameters (or vice versa) and probes
-    would be silently wrong, not loudly broken. Rebuild under a NEW
-    index name and flip the name at the orchestration layer — the same
-    copy-then-flip contract as ``ivf_compact`` — rather than rebuilding
-    in place.
+    change the signature parameters) is crash-DETECTED: every data table
+    is stamped with a fresh build-generation id and the meta row —
+    written LAST — commits that generation; a rebuild that dies
+    mid-build leaves mixed generations, which every subsequent
+    ``_read_meta`` caller (probe/add/ingest/compact) refuses loudly
+    instead of answering from a half-rebuilt index. For zero-downtime
+    rebuilds, build under a NEW index name and flip the name at the
+    orchestration layer — the same copy-then-flip contract as
+    ``ivf_compact`` (probes against the old name stay valid throughout).
     """
+    import uuid
+
     if num_hashes % bands:
         raise ValueError("dedup_index_build: bands must divide num_hashes")
     spark = df.sparkSession
+    gen = uuid.uuid4().hex
     digests = (
         df.select(
             dedup_digest(key_cols, text_col).alias("text_hash"),
@@ -161,6 +197,7 @@ def dedup_index_build(
         digests, _t(name, "digests"), ["text_hash"], num_buckets,
         sort_cols=["text_hash"], mode=mode,
     )
+    _stamp_gen(spark, _t(name, "digests"), gen)
     if near:
         band = with_band_keys(
             df, num_hashes=num_hashes, bands=bands, n=n,
@@ -170,6 +207,7 @@ def dedup_index_build(
             band, _t(name, "bands"), ["band", "bh"], num_buckets,
             sort_cols=["band", "bh"], mode=mode,
         )
+        _stamp_gen(spark, _t(name, "bands"), gen)
         docs = df.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
@@ -177,16 +215,20 @@ def dedup_index_build(
             docs, _t(name, "docs"), ["doc_id"], num_buckets,
             sort_cols=["doc_id"], mode=mode,
         )
+        _stamp_gen(spark, _t(name, "docs"), gen)
+    # meta commits LAST: its gen must agree with every stamped table, so
+    # any crash above leaves a detectable half-build, never a silent one
     meta = spark.createDataFrame(
         [
             (
                 int(num_hashes), int(bands), int(n), int(num_buckets),
                 bool(near),
                 json.dumps(list(key_cols)) if key_cols is not None else None,
+                gen,
             )
         ],
         "num_hashes int, bands int, n int, num_buckets int, near boolean,"
-        " key_cols string",
+        " key_cols string, gen string",
     )
     meta.write.mode("overwrite").saveAsTable(_t(name, "meta"))
 
@@ -200,6 +242,7 @@ def dedup_index_probe(
     text_col: str = "text",
     id_col: str = "doc_id",
     reliable: bool = False,
+    matches: str = "best",
 ) -> DataFrame:
     """Annotate ``increment`` against the stored index: adds
 
@@ -211,6 +254,15 @@ def dedup_index_probe(
       exact n-gram Jaccard ≥ ``threshold`` among LSH band-collision
       candidates (ties → smallest stored doc_id), else NULLs. Only
       present when the index was built with ``near=True``.
+
+    ``matches="all"`` returns EVERY verified near match instead of the
+    best one — one row per (increment doc, stored match), docs with no
+    match keep their single NULL row. A consumer that must make the drop
+    decision on a FILTERED match set (e.g.
+    :func:`streaming_index_ingest` excluding batch-mates before ranking)
+    needs the full set: picking the global best first and filtering
+    after would resurrect documents whose best match happens to be
+    excluded even though a non-excluded match exists.
 
     Plan shape (the part that must survive 100 TB): both probe joins run
     against BUCKETED stored tables, so the executed plan has no exchange
@@ -233,6 +285,10 @@ def dedup_index_probe(
     ``reliable=True`` swaps the candidate pin for a cluster-durable one
     (same knob as the batch dedup operators).
     """
+    if matches not in ("best", "all"):
+        raise ValueError(
+            f"dedup_index_probe: matches must be best|all, got {matches!r}"
+        )
     meta = _read_meta(spark, name)
     reserved = {"text_hash", "exact_dup_of", "near_dup_of", "near_jaccard"}
     clash = reserved & set(increment.columns)
@@ -306,24 +362,24 @@ def dedup_index_probe(
         )
         .filter(F.col("near_jaccard") >= threshold)
     )
-    best = (
-        verified.withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("inc_doc").orderBy(
-                    F.col("near_jaccard").desc(), F.col("idx_doc").asc()
-                )
-            ),
+    if matches == "best":
+        verified = (
+            verified.withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("inc_doc").orderBy(
+                        F.col("near_jaccard").desc(), F.col("idx_doc").asc()
+                    )
+                ),
+            )
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
         )
-        .filter(F.col("__rk") == 1)
-        .select(
-            F.col("inc_doc"),
-            F.col("idx_doc").alias("near_dup_of"),
-            "near_jaccard",
-        )
+    hits = verified.select(
+        F.col("inc_doc"), F.col("idx_doc").alias("near_dup_of"), "near_jaccard"
     )
     return out.join(
-        best, out[id_col] == best["inc_doc"], "left"
+        hits, out[id_col] == hits["inc_doc"], "left"
     ).drop("inc_doc")
 
 
@@ -468,15 +524,28 @@ def streaming_index_ingest(
     as parquet exposes ``batch`` as a partition column — the free audit
     trail of which micro-batch landed each document.
 
-    ``drop_near=True`` additionally drops verified near-duplicates of
-    the STORED corpus (J ≥ ``threshold``) — unlike LSH-flagging at the
-    door, these are exact-verified, so dropping is safe; requires a
-    ``near=True`` index. Scope caveat (inherited from
-    :func:`dedup_index_probe`): near-duplicates WITHIN one micro-batch
-    both land and both enter the index — only exact intra-batch digest
-    repeats collapse. Batches are bounded, so close that gap with a
-    periodic batch ``minhash_lsh_pairs`` sweep over the landed corpus,
-    the same reconciliation the horizon-bounded streaming dedups need.
+    ``drop_near=True`` additionally drops verified near-duplicates (J ≥
+    ``threshold``) — unlike LSH-flagging at the door, these are
+    exact-verified, so dropping is safe; requires a ``near=True`` index.
+    Two layers, both replay-stable:
+
+    - **vs the stored corpus**: the drop decision is made on the best
+      NON-batch-mate match — probe returns ALL verified matches
+      (``matches='all'``) and rows whose match is in the current batch
+      are excluded BEFORE deciding. Exempting mates after picking the
+      single global best would be replay-unsafe: on a crash-replay a
+      landed batch-mate (now in the index) can outscore the stored match
+      that originally dropped a doc, flipping the exemption and
+      resurrecting a verified near-dup.
+    - **within the micro-batch**: survivors run a bounded band self-join
+      + exact verify (same kernels/parameters as the index, micro-batch
+      cost) and collapse per connected component to the min-id survivor
+      — the same labeling the batch ``dedup_clusters`` sweep would
+      assign, so batch-mates deduplicate at the door instead of both
+      landing. Both layers are pure functions of (index state ∖ this
+      batch, batch content), so a replay reproduces the original
+      survivor set bit-for-bit.
+
     Returns the started StreamingQuery.
     """
     meta = _read_meta(spark, name)
@@ -495,35 +564,49 @@ def streaming_index_ingest(
         probed = dedup_index_probe(
             s, name, batch_df,
             threshold=threshold, text_col=text_col, id_col=id_col,
+            matches="all" if drop_near else "best",
         )
         # SELF-matches are kept: on a replay (batch ran fully, driver died
         # before the streaming checkpoint committed) every survivor now
         # probes as an exact dup OF ITSELF — filtering those would
         # overwrite the batch's landed directory with an EMPTY dataset,
         # destroying the previous run's output. Exempting exact_dup_of ==
-        # doc_id (and the near self-hit under drop_near) makes the replay
-        # reproduce the original survivor set bit-for-bit. Corollary: a
-        # genuine re-crawl that reuses a stored doc_id with identical text
-        # lands again (audit via the batch column); key re-crawls by url
-        # if that is not wanted.
-        keep = F.col("exact_dup_of").isNull() | (
-            F.col("exact_dup_of") == F.col(id_col)
+        # doc_id (and batch-mate near matches under drop_near) makes the
+        # replay reproduce the original survivor set bit-for-bit.
+        # Corollary: a genuine re-crawl that reuses a stored doc_id with
+        # identical text lands again (audit via the batch column); key
+        # re-crawls by url if that is not wanted.
+        exact_drop = F.col("exact_dup_of").isNotNull() & (
+            F.col("exact_dup_of") != F.col(id_col)
         )
         if drop_near:
-            # the near exemption must cover any BATCH-MATE, not just
-            # self: a replayed survivor can near-match another doc this
-            # same batch landed (intra-batch near-dups land by design —
-            # probe checks the INDEX only), and dropping it on replay
-            # would diverge from the original run
-            mates = batch_df.select(F.col(id_col).alias("__mate"))
+            # Decide on the best NON-MATE match: with matches='all' every
+            # verified match is a row, so excluding batch-mates here (not
+            # after a global best-1 pick) means a doc near-matching BOTH
+            # a stored doc and a batch-mate still drops — and on replay,
+            # when its mates are in the index too, the decision inputs
+            # are unchanged.
+            mates = batch_df.select(F.col(id_col).alias("__mate")).distinct()
             probed = probed.join(
                 F.broadcast(mates),
                 probed["near_dup_of"] == F.col("__mate"),
                 "left",
             )
-            keep = keep & (
-                F.col("near_dup_of").isNull() | F.col("__mate").isNotNull()
+            near_drop = F.col("near_dup_of").isNotNull() & F.col(
+                "__mate"
+            ).isNull()
+            drop_ids = (
+                probed.filter(exact_drop | near_drop)
+                .select(F.col(id_col).alias("__drop"))
+                .distinct()
             )
+        else:
+            drop_ids = probed.filter(exact_drop).select(
+                F.col(id_col).alias("__drop")
+            )
+        kept = batch_df.join(
+            drop_ids, batch_df[id_col] == F.col("__drop"), "left_anti"
+        )
         # collapse intra-batch digest repeats (probe only sees the INDEX):
         # min-id survivor per digest, same convention as the batch sweep;
         # NULL digests (NULL text) all pass — nothing to compare
@@ -531,12 +614,49 @@ def streaming_index_ingest(
             Window.partitionBy("text_hash").orderBy(F.col(id_col).asc())
         )
         survivors = (
-            probed.filter(keep)
+            kept.withColumn(
+                "text_hash", dedup_digest(meta["key_cols"], text_col)
+            )
             .withColumn("__rk", rank)
             .filter((F.col("__rk") == 1) | F.col("text_hash").isNull())
             .select(*batch_df.columns)
-            .localCheckpoint(eager=True)  # landed write + add both consume
         )
+        if drop_near:
+            # collapse intra-batch NEAR dups too: bounded band self-join
+            # + exact verify over the (micro-batch-sized) survivor set,
+            # same kernels and parameters as the index, then min-id per
+            # connected component — the labeling the batch dedup_clusters
+            # sweep would assign. Without this, near-dup batch-mates both
+            # land and both enter the index.
+            from .dedup import connected_components, minhash_lsh_pairs
+
+            survivors = survivors.localCheckpoint(eager=True)
+            pairs = (
+                minhash_lsh_pairs(
+                    survivors,
+                    threshold=threshold,
+                    num_hashes=meta["num_hashes"],
+                    bands=meta["bands"],
+                    n=meta["n"],
+                    text_col=text_col,
+                    id_col=id_col,
+                )
+                .select("doc_a", "doc_b")
+                .localCheckpoint(eager=True)
+            )
+            # common case — no intra-batch near-dups: skip the component
+            # rounds entirely
+            if pairs.head(1):
+                comp = connected_components(pairs)
+                losers = comp.filter(F.col("doc") != F.col("label")).select(
+                    F.col("doc").alias("__drop")
+                )
+                survivors = survivors.join(
+                    losers, survivors[id_col] == F.col("__drop"), "left_anti"
+                )
+        survivors = survivors.localCheckpoint(
+            eager=True
+        )  # landed write + add both consume
         survivors.write.mode("overwrite").parquet(
             f"{landed_path}/batch={batch_id}"
         )
@@ -599,6 +719,11 @@ def dedup_index_compact(spark: SparkSession, name: str) -> dict:
             tmp, cols, meta["num_buckets"],
             sort_cols=cols, mode="overwrite",
         )
+        # carry the build-generation stamp: the compacted replacement IS
+        # the same build, and _read_meta refuses a table whose gen
+        # disagrees with the meta row
+        if meta.get("gen") is not None:
+            _stamp_gen(spark, tmp, meta["gen"])
         spark.sql(f"DROP TABLE {t}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {t}")
         spark.catalog.refreshTable(t)

@@ -352,16 +352,19 @@ def build_centroids(
     )
 
 
-def _probe_table(
+def _probe_pairs(
     queries: DataFrame,
     cents: DataFrame,
     nprobe: int,
     vec_col: str,
     id_col: str,
 ) -> DataFrame:
-    """(query_id, qv, cluster): each query's ``nprobe`` nearest centroids.
+    """(query_id, cluster): each query's ``nprobe`` nearest centroids.
     Deterministic — centroid cosines round to 6 dp and ties break on
-    cluster id, so probe sets are reproducible across engines/runs."""
+    cluster id, so probe sets are reproducible across engines/runs.
+    Deliberately does NOT carry the query vector: the pair table is the
+    small driver-crossing side (ids + cluster values only); vectors
+    travel separately as executor-packed bytes (:func:`_collect_probes`)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
@@ -370,34 +373,74 @@ def _probe_table(
     w = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cluster"))
     return (
         q.join(F.broadcast(cents))
-        .select("query_id", "qv", "cluster", qcos.alias("ccos"))
+        .select("query_id", "cluster", qcos.alias("ccos"))
         .withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= nprobe)
-        .select("query_id", "qv", "cluster")
+        .select("query_id", "cluster")
     )
+
+
+def _collect_probes(
+    queries: DataFrame,
+    cents: DataFrame,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+):
+    """Assemble the probe structure ``(qids, Q, qnorms, by_cluster)`` for
+    :func:`_ivf_candidates` WITHOUT a driver-side pandas round-trip.
+
+    The previous shape collected the full probe table — query_id + the
+    query VECTOR × nprobe — as per-row pandas objects; fine for a small
+    query batch, but the increment-dedup path (:func:`embedding_dup_probe`)
+    probes a whole daily increment, and millions of vectors transiting the
+    driver as pandas objects cost ~10× their raw bytes in heap. Instead:
+
+    - vectors cross once (not ×nprobe) as executor-packed raw bytes via
+      :func:`_collect_matrix`;
+    - the query→cluster probe assignment crosses as ≤C rows of
+      ``(cluster, [query ids])`` — bounded by the centroid count, not the
+      query count, and carrying no vectors.
+
+    Returns ``None`` when there are no queries or no centroids.
+    ``by_cluster`` maps cluster key → sorted row indices into ``Q``."""
+    packed = _collect_matrix(queries.select(id_col, vec_col), id_col, vec_col)
+    if packed is None:
+        return None
+    qids, Q, qn = packed
+    idx_of = {int(q): i for i, q in enumerate(qids)}
+    rows = (
+        _probe_pairs(queries, cents, nprobe, vec_col, id_col)
+        .groupBy("cluster")
+        .agg(F.collect_list("query_id").alias("qids"))
+        .collect()
+    )
+    if not rows:
+        return None
+    by_cluster = {
+        _cluster_key(r.cluster): sorted(idx_of[int(q)] for q in r.qids)
+        for r in rows
+    }
+    return qids, Q, qn, by_cluster
 
 
 def _ivf_candidates(
     corpus: DataFrame,
-    p_pdf,
+    probes,
     k: int,
     cluster_col: str,
     vec_col: str,
     id_col: str,
 ) -> DataFrame:
     """One corpus scan → (query_id, neighbor_id) candidates: per-cluster
-    numpy GEMM restricted to the queries probing that cluster (``p_pdf``
-    is the collected probe table, broadcast to executors)."""
+    numpy GEMM restricted to the queries probing that cluster (``probes``
+    is :func:`_collect_probes`' packed structure, broadcast to
+    executors)."""
     import numpy as np
     import pandas as pd
 
     spark = corpus.sparkSession
-    qids = p_pdf["query_id"].to_numpy(dtype=np.int64)
-    Q = np.stack([np.asarray(v, dtype=np.float64) for v in p_pdf["qv"]])
-    qn = np.sqrt((Q * Q).sum(axis=1))
-    by_cluster: dict = {}
-    for i, cl in enumerate(p_pdf["cluster"]):
-        by_cluster.setdefault(_cluster_key(cl), []).append(i)
+    qids, Q, qn, by_cluster = probes
     bq = spark.sparkContext.broadcast((qids, Q, qn, by_cluster))
     pad = 16
 
@@ -465,13 +508,12 @@ def ivf_topk(
     """
     spark = corpus.sparkSession
     cents = build_centroids(corpus, cluster_col, vec_col)
-    probes = _probe_table(queries, cents, nprobe, vec_col, id_col)
-    p_pdf = probes.toPandas()  # |queries|·nprobe rows — broadcast side
-    if len(p_pdf) == 0:
+    probes = _collect_probes(queries, cents, nprobe, vec_col, id_col)
+    if probes is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos double, rank int"
         )
-    cand = _ivf_candidates(corpus, p_pdf, k, cluster_col, vec_col, id_col)
+    cand = _ivf_candidates(corpus, probes, k, cluster_col, vec_col, id_col)
     return _exact_rerank(corpus, queries, cand, k, vec_col, id_col)
 
 
@@ -513,7 +555,16 @@ def kmeans_centroids(
     if packed is None:
         raise ValueError("kmeans_centroids: sample is empty")
     ids, M, norms = packed
-    order = np.argsort(ids)[:sample_size]
+    # Trim the ~20% over-sample by a UNIFORM hash of the id (splitmix64
+    # finalizer — deterministic, partitioning-independent), ties → id.
+    # Trimming by raw id order would systematically exclude the top of
+    # the id range — and ids routinely correlate with crawl time, so the
+    # newest documents would never influence the quantizer.
+    z = ids.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    order = np.lexsort((ids, z))[:sample_size]
     M, norms = M[order], norms[order]
     keep = norms > 0
     V = M[keep] / norms[keep][:, None]
@@ -851,19 +902,20 @@ def ivf_search(
     corpus and parameters.
     """
     cents = spark.read.parquet(f"{path}/centroids")
-    probes = _probe_table(queries, cents, nprobe, vec_col, id_col)
-    p_pdf = probes.toPandas()  # |queries|·nprobe rows — broadcast side
-    if len(p_pdf) == 0:
+    probes = _collect_probes(queries, cents, nprobe, vec_col, id_col)
+    if probes is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos double, rank int"
         )
-    probed = {_cluster_key(cl) for cl in p_pdf["cluster"]}
+    # the pruning predicate needs only the DISTINCT probed cluster ids —
+    # ≤C values regardless of how large the query increment is
+    probed = set(probes[3])
     non_null = [c for c in probed if c is not None]
     pred = F.col(cluster_col).isin(non_null) if non_null else F.lit(False)
     if None in probed:
         pred = pred | F.col(cluster_col).isNull()
     corpus = spark.read.parquet(f"{path}/corpus").filter(pred)
-    cand = _ivf_candidates(corpus, p_pdf, k, cluster_col, vec_col, id_col)
+    cand = _ivf_candidates(corpus, probes, k, cluster_col, vec_col, id_col)
     return _exact_rerank(corpus, queries, cand, k, vec_col, id_col)
 
 

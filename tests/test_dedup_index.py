@@ -692,6 +692,76 @@ class TestDropNear:
         finally:
             dedup_index_drop(spark, "strin")
 
+    def test_stored_match_drop_survives_replay_with_stronger_mate(
+        self, spark, tmp_path
+    ):
+        """The replay-resurrection window: X near-matches stored S (J =
+        0.538 ≥ threshold → dropped) AND batch-mate M at a HIGHER J
+        (0.739). On a crash-replay M is in the index and would outrank S
+        as X's single best match — an exemption applied after a global
+        best-1 pick would flip to 'mate, keep' and resurrect X,
+        rewriting the landed batch with a different survivor set. The
+        drop decision must therefore be made on the best NON-mate match:
+        X stays dropped on replay, bit-for-bit."""
+        import json as _json
+
+        from php_ec_spark.operators.dedup_index import streaming_index_ingest
+
+        core = [f"c{i:02d}" for i in range(1, 17)]
+        s_doc = " ".join(core + ["s1", "s2", "s3", "s4", "s5", "s6"])
+        x_core = core
+        x_doc = " ".join(x_core + ["x1", "x2", "x3", "x4", "x5", "x6"])
+        m_core = core.copy()
+        m_core[7] = "mz"  # one core change: far from S, still close to X
+        m_doc = " ".join(m_core + ["x1", "x2", "x3", "x4", "x5", "x6"])
+        # J(X,S)=14/26≈0.538, J(X,M)=17/23≈0.739, J(M,S)=11/29≈0.379
+        base = spark.createDataFrame(
+            [(100, s_doc)], "doc_id long, text string"
+        )
+        # 64 single-row bands: recall at J≈0.54 is 1-(1-J)^64 ≈ 1-4e-22,
+        # so the S-match candidate is never lost to banding luck
+        dedup_index_build(
+            base, "dres", num_hashes=64, bands=64, n=3, num_buckets=4
+        )
+        src = tmp_path / "src"
+        src.mkdir()
+        with open(src / "01.json", "w") as f:
+            f.write(_json.dumps({"doc_id": 10, "text": m_doc}) + "\n")
+            f.write(_json.dumps({"doc_id": 20, "text": x_doc}) + "\n")
+        landed = str(tmp_path / "landed")
+        try:
+            def run(ckpt):
+                stream = (
+                    spark.readStream.schema("doc_id long, text string")
+                    .json(str(src))
+                )
+                q = streaming_index_ingest(
+                    spark, "dres", stream,
+                    landed_path=landed,
+                    checkpoint=str(tmp_path / ckpt),
+                    threshold=0.5,
+                    drop_near=True,
+                    available_now=True,
+                )
+                q.awaitTermination(120)
+
+            run("ckpt1")
+            first = {
+                r.doc_id for r in spark.read.parquet(landed).collect()
+            }
+            assert first == {10}  # X dropped (S match), M landed
+            run("ckpt2")  # full replay on a fresh checkpoint
+            second = {
+                r.doc_id for r in spark.read.parquet(landed).collect()
+            }
+            assert second == {10}, (
+                "replay resurrected a doc originally dropped for a stored "
+                "near-match (mate outranked the stored match)"
+            )
+            assert spark.table("dres_digests").count() == 2  # S + M only
+        finally:
+            dedup_index_drop(spark, "dres")
+
 
 class TestCrashWindows:
     def test_add_retry_after_docs_append_still_writes_digests(self, spark, docs):
@@ -734,8 +804,11 @@ class TestCrashWindows:
         """The exactly-once claim under its worst window: re-running the
         WHOLE stream with a fresh checkpoint (every batch replays against
         an index that already contains its own survivors) must leave the
-        landed directories with their original content — self-matches and
-        batch-mate near-matches are exempt from the keep filter."""
+        landed directories with their original content — self-matches are
+        exempt, the stored-corpus drop decision never consults batch-mate
+        matches, and the intra-batch collapse (near-dup mates 1 and 2
+        collapse to min-id survivor 1 at the door) recomputes
+        identically."""
         import json as _json
 
         from php_ec_spark.operators.dedup_index import streaming_index_ingest
@@ -744,7 +817,7 @@ class TestCrashWindows:
         src.mkdir()
         with open(src / "01.json", "w") as f:
             # two docs that are near-dups of EACH OTHER (intra-batch:
-            # both land) + one unique
+            # min-id survivor 1 lands, 2 collapses) + one unique
             f.write(_json.dumps({
                 "doc_id": 1,
                 "text": "the quick brown fox jumps over the lazy dog",
@@ -782,7 +855,7 @@ class TestCrashWindows:
                 r.doc_id
                 for r in spark.read.parquet(landed).collect()
             }
-            assert first == {1, 2, 3}
+            assert first == {1, 3}
             run("ckpt2")  # full replay: fresh checkpoint, same batch ids
             second = {
                 r.doc_id
@@ -790,6 +863,85 @@ class TestCrashWindows:
             }
             assert second == first, "replay wiped or changed landed data"
             # and the index did not duplicate anything
-            assert spark.table("drw_digests").count() == 3
+            assert spark.table("drw_digests").count() == 2
         finally:
             dedup_index_drop(spark, "drw")
+
+
+class TestBuildGeneration:
+    def test_half_rebuilt_index_fails_loudly(self, spark, docs):
+        """An in-place rebuild that dies before committing the meta row
+        leaves data tables stamped with a NEWER build generation than
+        meta records. Probes/adds against that state must raise — a
+        silent answer would run new signatures against old parameters."""
+        from php_ec_spark.operators.dedup_index import (
+            _stamp_gen,
+            dedup_index_compact,
+        )
+
+        base = docs.filter(F.col("doc_id") < 150)
+        inc = docs.filter(F.col("doc_id") >= 400).limit(20)
+        dedup_index_build(base, "dgen", **PARAMS)
+        try:
+            # healthy index probes fine
+            dedup_index_probe(spark, "dgen", inc).collect()
+            # simulate the crash window: one data table re-stamped by a
+            # rebuild attempt whose meta write never happened
+            _stamp_gen(spark, "dgen_bands", "deadbeefcafef00d")
+            with pytest.raises(RuntimeError, match="half-rebuilt"):
+                dedup_index_probe(spark, "dgen", inc)
+            with pytest.raises(RuntimeError, match="half-rebuilt"):
+                dedup_index_add(spark, "dgen", inc)
+            # a completed rebuild repairs the agreement...
+            dedup_index_build(base, "dgen", **PARAMS)
+            assert dedup_index_probe(spark, "dgen", inc).count() == inc.count()
+            # ...and compact carries the stamp through its drop/rename
+            dedup_index_compact(spark, "dgen")
+            assert dedup_index_probe(spark, "dgen", inc).count() == inc.count()
+        finally:
+            dedup_index_drop(spark, "dgen")
+
+
+class TestProbeAllMatches:
+    def test_matches_all_returns_every_verified_match(self, spark):
+        """matches='all' emits one row per verified stored match (the
+        consumer ranks after filtering); 'best' keeps the single top row
+        (J desc, idx_doc asc); unmatched docs keep one NULL row either
+        way; bad values raise."""
+        toks = [f"t{i:02d}" for i in range(1, 21)]
+        a = " ".join(toks)                          # stored id 1
+        b = " ".join(toks[:18] + ["u", "v"])        # stored id 2, J(a,b)=0.8
+        x = " ".join(toks[:19] + ["w"])             # probe: J(x,a)=17/19, J(x,b)=16/20
+        base = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        inc = spark.createDataFrame(
+            [(50, x), (51, "entirely unrelated content zz qq")],
+            "doc_id long, text string",
+        )
+        dedup_index_build(base, "dall", **PARAMS)
+        try:
+            allm = dedup_index_probe(
+                spark, "dall", inc, threshold=0.5, matches="all"
+            ).collect()
+            by_doc = {}
+            for r in allm:
+                by_doc.setdefault(r.doc_id, []).append(
+                    (r.near_dup_of, r.near_jaccard)
+                )
+            assert sorted(by_doc[50]) == [
+                (1, round(17 / 19, 6)), (2, round(16 / 20, 6))
+            ]
+            assert by_doc[51] == [(None, None)]
+            best = {
+                r.doc_id: (r.near_dup_of, r.near_jaccard)
+                for r in dedup_index_probe(
+                    spark, "dall", inc, threshold=0.5
+                ).collect()
+            }
+            assert best[50] == (1, round(17 / 19, 6))
+            assert best[51] == (None, None)
+            with pytest.raises(ValueError, match="best|all"):
+                dedup_index_probe(spark, "dall", inc, matches="top")
+        finally:
+            dedup_index_drop(spark, "dall")

@@ -43,17 +43,19 @@ class TestDedup:
         assert out.count() == docs.select("text").distinct().count()
 
     def test_exact_dedup_multi_key(self, spark):
-        """key_cols switches dedup identity to a normalized key tuple:
-        same text under different urls stays distinct, same (url, text)
-        collapses, and the NULL url is its own group — distinct from the
-        empty string AND from the literal 'null' (digest-of-digests with
-        a non-md5-shaped NULL marker)."""
+        """key_cols switches dedup identity to a BYTE-EXACT key tuple:
+        same text under different urls stays distinct, keys are never
+        case-folded or whitespace-collapsed (a case-varied fetch of the
+        same url is a different key — fold explicitly via normalize_url /
+        a derived column when that is wanted), and the NULL url is its
+        own group — distinct from the empty string AND from the literal
+        'null' (digest-of-digests with a non-md5-shaped NULL marker)."""
         from php_ec_spark.operators.dedup import exact_dedup
 
         df = spark.createDataFrame(
             [
                 (1, "http://a", "hello world"),
-                (2, "http://a", " Hello   WORLD "),  # dup of 1 (normalized)
+                (2, "http://a", " Hello   WORLD "),  # distinct raw text
                 (3, "http://b", "hello world"),      # same text, other url
                 (4, None, "hello world"),            # NULL url group
                 (5, None, "hello world"),            # dup of 4
@@ -64,7 +66,7 @@ class TestDedup:
         )
         out = {r.doc_id: r.dup_count
                for r in exact_dedup(df, key_cols=["url", "text"]).collect()}
-        assert out == {1: 2, 3: 1, 4: 2, 6: 1, 7: 1}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 2, 6: 1, 7: 1}
         # single-key form: dedup on url alone regardless of text — docs
         # 1 and 2 share http://a, doc 3 stands alone on http://b
         by_url = {r.doc_id: r.dup_count
@@ -97,14 +99,13 @@ class TestDedup:
             ).collect()
         }
         con = duckdb.connect()
-        norm = "md5(lower(trim(regexp_replace({c}, '\\s+', ' ', 'g'))))"
         want = {
             d: h
             for d, h in con.execute(
                 f"""
                 SELECT doc_id,
-                       md5(coalesce({norm.format(c='url')}, '-')
-                           || coalesce({norm.format(c='text')}, '-')) AS h
+                       md5(coalesce(md5(url), '-')
+                           || coalesce(md5(text), '-')) AS h
                 FROM (VALUES {', '.join(str(r) for r in rows)})
                      t(doc_id, url, text)
                 """.replace("None", "NULL")
@@ -521,9 +522,11 @@ class TestDedup:
 
     def test_streaming_exact_dedup_multi_key(self, spark, tmp_path):
         """key_cols at the door: same text under two urls both land; the
-        (url, text) duplicate is dropped; NULL-url rows dedup as their own
-        group (not merged with ''-url rows) — same dedup_digest the batch
-        sweep uses, so both layers agree on identity."""
+        byte-identical (url, text) duplicate is dropped while a
+        case/whitespace-varied fetch is a DIFFERENT key (byte-exact
+        contract); NULL-url rows dedup as their own group (not merged
+        with ''-url rows) — same dedup_digest the batch sweep uses, so
+        both layers agree on identity."""
         import json
 
         from php_ec_spark.operators.dedup import streaming_exact_dedup
@@ -556,7 +559,7 @@ class TestDedup:
         )
         q.awaitTermination(timeout=120)
         rows = spark.sql("select * from stream_dedup_mk_test").collect()
-        assert {r.doc_id for r in rows} == {1, 2, 4, 6}
+        assert {r.doc_id for r in rows} == {1, 2, 3, 4, 6}
 
     def test_streaming_minhash_dedup_replay_parity_with_batch(
         self, spark, tmp_path
@@ -926,6 +929,89 @@ class TestSimilarity:
 
         with pytest.raises(ValueError, match="out_col"):
             assign_clusters(assign_clusters(df, c1), c1)
+
+    def test_ivf_search_probe_assembly_transfers_raw_bytes(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The probe path must never round-trip vectors through the
+        driver as per-row pandas objects: embedding_dup_probe's 'queries'
+        are a whole daily increment, and pandas-object transfer costs
+        ~10x the raw bytes in driver heap. Pin by forbidding
+        DataFrame.toPandas for the duration — the packed path
+        (_collect_matrix raw bytes + <=C (cluster, [ids]) rows) must be
+        the only driver crossing."""
+        import numpy as np
+        from pyspark.sql import DataFrame as _DF
+
+        from php_ec_spark.operators.similarity import (
+            embedding_dup_probe,
+            ivf_build,
+            ivf_search,
+        )
+
+        rng = np.random.default_rng(7)
+        centers = rng.normal(size=(4, 8)) * 8
+        rows = [
+            (i, [float(x) for x in centers[i % 4] + rng.normal(size=8) * 0.2],
+             i % 4)
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        idx = str(tmp_path / "ivf_nopd")
+        ivf_build(df, idx)
+        queries = df.filter(F.col("vec_id") < 6).select("vec_id", "embedding")
+        expected = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in ivf_search(spark, idx, queries, k=3, nprobe=2).collect()
+        }
+
+        def _no_pandas(self, *a, **kw):
+            raise AssertionError(
+                "DataFrame.toPandas called inside the IVF probe path"
+            )
+
+        monkeypatch.setattr(_DF, "toPandas", _no_pandas)
+        got = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in ivf_search(spark, idx, queries, k=3, nprobe=2).collect()
+        }
+        assert got == expected and len(got) == 18
+        probed = embedding_dup_probe(
+            spark, idx, queries, threshold=0.99, nprobe=2
+        ).collect()
+        assert len(probed) == 6
+        # every query has an essentially-identical clustermate
+        assert all(r.dup_of is not None for r in probed)
+
+    def test_kmeans_sample_trim_is_uniform_over_id_range(self, spark):
+        """When the 20% over-sample trims down to sample_size, the kept
+        subset must stay uniform over the id range (trim by a hash of the
+        id) — a trim by raw id order would exclude the top of the range
+        entirely, and ids routinely correlate with crawl time."""
+        import numpy as np
+
+        from php_ec_spark.operators.similarity import kmeans_centroids
+
+        rng = np.random.default_rng(3)
+        # two well-separated direction clusters, but cluster B lives ONLY
+        # in the top fifth of the id range: an id-ordered trim at
+        # sample_size=400 of ~480 sampled rows would drop most of B and
+        # the quantizer would never learn its direction
+        rows = []
+        for i in range(2000):
+            base = [8.0, 0.0, 0.0] if i < 1600 else [0.0, 8.0, 0.0]
+            rows.append(
+                (i, [float(x) for x in np.asarray(base) + rng.normal(size=3) * 0.1])
+            )
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = kmeans_centroids(df, n_clusters=2, sample_size=400)
+        # one centroid must point along cluster B's axis (y-dominant)
+        assert any(c[1] > 0.9 for c in np.abs(cents)), cents
+        # determinism across partitionings still holds with the hash trim
+        c2 = kmeans_centroids(df.repartition(7), n_clusters=2, sample_size=400)
+        assert np.array_equal(cents, c2)
 
     def test_ivf_add_appends_searchable_increment(self, spark, tmp_path):
         """The daily-crawl shape: ivf_add appends new vectors to an
@@ -2593,6 +2679,25 @@ class TestExactDedupKeepPolicy:
         df = spark.createDataFrame([(1, "t")], "doc_id long, text string")
         with _pytest.raises(ValueError, match="min_id|longest"):
             exact_dedup(df, keep="shortest")
+
+    def test_key_only_dedup_needs_no_text_column(self, spark):
+        """key_cols dedup in min_id mode never touches the text — a frame
+        with no 'text' column (url-keyed crawl manifests) must work;
+        keep='longest' genuinely needs the text and should fail loudly."""
+        import pytest as _pytest
+        from pyspark.sql.utils import AnalysisException
+
+        from php_ec_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(1, "http://a"), (2, "http://a"), (3, "http://b")],
+            "doc_id long, url string",
+        )
+        got = {r.doc_id: r.dup_count
+               for r in exact_dedup(df, key_cols=["url"]).collect()}
+        assert got == {1: 2, 3: 1}
+        with _pytest.raises(AnalysisException):
+            exact_dedup(df, key_cols=["url"], keep="longest").collect()
 
 
 class TestIvfCompact:
