@@ -169,7 +169,7 @@ class TestCounterSkewPlans:
 
 class TestNoCartesianInPairOps:
     @pytest.mark.parametrize(
-        "name", ["pipe_embedding_dup_pairs", "pipe_minhash_lsh", "pipe_jaccard_pairs"]
+        "name", ["pipe_cosine_topk", "pipe_minhash_lsh", "pipe_jaccard_pairs"]
     )
     def test_no_cartesian_over_corpus(self, spark, name):
         # pair generation must never materialize the n² space as Spark rows:
@@ -181,11 +181,18 @@ class TestNoCartesianInPairOps:
 
 class TestNoDriverMaterialization:
     def test_embedding_dup_pairs_builds_lazily(self, spark, monkeypatch):
-        """The registered dup-pairs query is the bucketed scale path: plan
-        construction must trigger NO driver materialization — no toPandas,
-        no collect, no count. (The exact path's broadcast-matrix collect is
-        a deliberate small-corpus special case and is not registered.)"""
+        """The bucketed dup-pairs path (the 'dup' branch of the
+        consolidated pipe_cosine_topk): plan construction must trigger NO
+        driver materialization — no toPandas, no collect, no count. (The
+        exact path's broadcast-matrix collect is a deliberate small-corpus
+        special case and is not registered; the topk branch's 10-row query
+        collect is a small-side contract, so the lint targets the operator
+        directly.)"""
         from pyspark.sql import DataFrame
+
+        from php_ec_spark.operators.similarity import cosine_dup_pairs
+
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
 
         def boom(self, *a, **k):
             raise AssertionError("driver materialization during plan construction")
@@ -193,7 +200,7 @@ class TestNoDriverMaterialization:
         monkeypatch.setattr(DataFrame, "toPandas", boom)
         monkeypatch.setattr(DataFrame, "collect", boom)
         monkeypatch.setattr(DataFrame, "count", boom)
-        q = all_queries()["pipe_embedding_dup_pairs"].spark(spark, SF)
+        q = cosine_dup_pairs(emb, threshold=0.4, cluster_col="label")
         assert q.columns == ["id_a", "id_b", "cos"]
 
 
