@@ -61,9 +61,36 @@ def _measure_pure_eps(iters: int) -> float:
     return eps_pure
 
 
+def _settle() -> None:
+    """Cooldown gate before any measurement (round-9 verdict bench-hygiene
+    ask): a test suite or soak finishing just before bench leaves ~10 min
+    of residual host load that depresses the single-thread pure-eps number
+    ~35% and inflates query wall-times 15-45% UNIFORMLY — min-of-5 cannot
+    save a window where every iteration is loaded. Wait (bounded) for the
+    1-minute loadavg to drop below a quarter of the cores before starting;
+    SPARK_GRAFT_BENCH_SETTLE=0 disables."""
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "120"))
+    if max_wait <= 0:
+        return  # explicitly disabled: no gate, no data-quality warning
+    thresh = max((os.cpu_count() or 4) * 0.25, 2.0)
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        load = os.getloadavg()[0]
+        if load < thresh:
+            if time.time() - t0 > 1:
+                print(f"# settle: waited {time.time() - t0:.0f}s "
+                      f"(load {load:.1f} < {thresh:.1f})", file=sys.stderr)
+            return
+        time.sleep(5)
+    print(f"# settle: gave up after {max_wait:.0f}s (load "
+          f"{os.getloadavg()[0]:.1f} >= {thresh:.1f}) — numbers may read "
+          "uniformly high", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+    _settle()
     eps_pure = _measure_pure_eps(iters)
 
     from php_ec_spark.catalog import all_queries

@@ -92,8 +92,28 @@ __all__ = [
 ]
 
 
+#: Version of the key-tuple digest algorithm (dedup_digest key_cols
+#: contract). 1 (implicit, legacy metas without the column) normalized
+#: each key (lowercase + whitespace collapse) before hashing; 2 hashes
+#: keys byte-exact. An index built under one version probes WRONG under
+#: the other (every duplicate reads as novel), so _read_meta refuses a
+#: key_cols index whose recorded version differs. The default text
+#: digest is unversioned — its formula is unchanged.
+DIGEST_VER = 2
+
+
 def _t(name: str, part: str) -> str:
     return f"{name}_{part}"
+
+
+#: (index name, generation) pairs whose table stamps this process already
+#: verified — _read_meta runs per probe/add, i.e. twice per streaming
+#: micro-batch, and the SHOW TBLPROPERTIES round-trips (up to 3 driver
+#: catalog queries each) verify a value that cannot change under the
+#: single-writer contract unless a rebuild writes a NEW generation, which
+#: changes the key and forces re-verification. build/compact/drop evict
+#: the index's entries so a same-process rebuild never reads stale trust.
+_GEN_VERIFIED: set = set()
 
 
 def _table_gen(spark: SparkSession, table: str) -> "str | None":
@@ -114,13 +134,23 @@ def _read_meta(spark: SparkSession, name: str) -> dict:
         raise ValueError(f"dedup index {name!r}: empty meta table")
     meta = row.asDict()
     meta["key_cols"] = json.loads(meta["key_cols"]) if meta["key_cols"] else None
+    if meta["key_cols"] is not None and meta.get("digest_ver") != DIGEST_VER:
+        # probing with a different key-digest algorithm than the build's
+        # would silently report every duplicate key as novel
+        raise RuntimeError(
+            f"dedup index {name!r}: built with key-digest version "
+            f"{meta.get('digest_ver') or 1} but this code computes version "
+            f"{DIGEST_VER} (key_cols digests became byte-exact — see "
+            f"MIGRATION.md 'Upgrade notes'). Rebuild the index with "
+            f"dedup_index_build."
+        )
     # Build-generation agreement: every data table must carry the gen the
     # meta row was committed with. A rebuild that died between rewriting
     # the tables and writing meta leaves mixed generations — without this
     # check a probe would run NEW signatures against OLD parameters (or
     # vice versa) and return silently wrong annotations. Loud beats wrong.
     gen = meta.get("gen")
-    if gen is not None:
+    if gen is not None and (name, gen) not in _GEN_VERIFIED:
         parts = ("digests",) + (("bands", "docs") if meta["near"] else ())
         for part in parts:
             got = _table_gen(spark, _t(name, part))
@@ -133,6 +163,7 @@ def _read_meta(spark: SparkSession, name: str) -> dict:
                     f"Re-run dedup_index_build, or rebuild under a new "
                     f"name and flip at the orchestration layer."
                 )
+        _GEN_VERIFIED.add((name, gen))
     return meta
 
 
@@ -181,6 +212,11 @@ def dedup_index_build(
     if num_hashes % bands:
         raise ValueError("dedup_index_build: bands must divide num_hashes")
     spark = df.sparkSession
+    # a rebuild invalidates any verification this process cached — evict
+    # BEFORE touching tables so a failed rebuild cannot read stale trust
+    _GEN_VERIFIED.difference_update(
+        {e for e in _GEN_VERIFIED if e[0] == name}
+    )
     gen = uuid.uuid4().hex
     digests = (
         df.select(
@@ -225,10 +261,11 @@ def dedup_index_build(
                 bool(near),
                 json.dumps(list(key_cols)) if key_cols is not None else None,
                 gen,
+                DIGEST_VER,
             )
         ],
         "num_hashes int, bands int, n int, num_buckets int, near boolean,"
-        " key_cols string, gen string",
+        " key_cols string, gen string, digest_ver int",
     )
     meta.write.mode("overwrite").saveAsTable(_t(name, "meta"))
 
@@ -243,6 +280,7 @@ def dedup_index_probe(
     id_col: str = "doc_id",
     reliable: bool = False,
     matches: str = "best",
+    near_layer: bool = True,
 ) -> DataFrame:
     """Annotate ``increment`` against the stored index: adds
 
@@ -263,6 +301,12 @@ def dedup_index_probe(
     needs the full set: picking the global best first and filtering
     after would resurrect documents whose best match happens to be
     excluded even though a non-excluded match exists.
+
+    ``near_layer=False`` skips the near probe entirely (exact
+    annotations only, no band scan/join/verify — the output has no
+    near columns, as if the index were built ``near=False``). Use it
+    when only exact decisions are needed this call; the cost saved is
+    the whole LSH candidate pipeline per probe.
 
     Plan shape (the part that must survive 100 TB): both probe joins run
     against BUCKETED stored tables, so the executed plan has no exchange
@@ -305,7 +349,7 @@ def dedup_index_probe(
         "text_hash", F.col("doc_id").alias("exact_dup_of")
     )
     out = inc.join(exact, "text_hash", "left")
-    if not meta["near"]:
+    if not meta["near"] or not near_layer:
         return out
 
     inc_bands = with_band_keys(
@@ -490,6 +534,9 @@ def dedup_index_add(
 
 def dedup_index_drop(spark: SparkSession, name: str) -> None:
     """Drop every table of the index (build's inverse; missing parts ok)."""
+    _GEN_VERIFIED.difference_update(
+        {e for e in _GEN_VERIFIED if e[0] == name}
+    )
     for part in ("digests", "bands", "docs", "meta"):
         spark.sql(f"DROP TABLE IF EXISTS {_t(name, part)}")
 
@@ -561,10 +608,13 @@ def streaming_index_ingest(
         # every table read resolves against the same catalog state the
         # appends invalidate
         s = batch_df.sparkSession
+        # exact-only ingest never consumes near annotations — skip the
+        # whole LSH candidate pipeline per micro-batch in that mode
         probed = dedup_index_probe(
             s, name, batch_df,
             threshold=threshold, text_col=text_col, id_col=id_col,
             matches="all" if drop_near else "best",
+            near_layer=drop_near,
         )
         # SELF-matches are kept: on a replay (batch ran fully, driver died
         # before the streaming checkpoint committed) every survivor now
@@ -586,7 +636,40 @@ def streaming_index_ingest(
             # a stored doc and a batch-mate still drops — and on replay,
             # when its mates are in the index too, the decision inputs
             # are unchanged.
-            mates = batch_df.select(F.col(id_col).alias("__mate")).distinct()
+            #
+            # "Mate" is id AND text: a match target whose id appears in
+            # the batch counts as a mate only if the stored doc under
+            # that id (if any) carries the SAME normalized text as the
+            # batch row. Id alone would be wrong under id reuse — a
+            # batch that re-crawls a stored doc_id with new text must
+            # not exempt OTHER docs' genuine near-matches to the OLD
+            # stored text behind that id. On a replay the landed mates
+            # are stored with identical text, so they stay exempt and
+            # the decision inputs are unchanged. (Text identity, not the
+            # key_cols digest: the near layer is always text-based.)
+            tdg = F.coalesce(dedup_digest(None, text_col), F.lit("-"))
+            mates = batch_df.select(
+                F.col(id_col).alias("__mate"), tdg.alias("__mdg")
+            ).distinct()
+            stored_tx = (
+                s.table(_t(name, "docs"))
+                .select(
+                    F.col("doc_id").alias("__mate"),
+                    F.coalesce(dedup_digest(None, "text"), F.lit("-")).alias(
+                        "__sdg"
+                    ),
+                    F.lit(True).alias("__stored"),
+                )
+                .join(F.broadcast(mates.select("__mate")), "__mate", "left_semi")
+            )
+            mates = (
+                mates.join(stored_tx, "__mate", "left")
+                .filter(
+                    F.col("__stored").isNull()
+                    | (F.col("__sdg") == F.col("__mdg"))
+                )
+                .select("__mate")
+            )
             probed = probed.join(
                 F.broadcast(mates),
                 probed["near_dup_of"] == F.col("__mate"),
@@ -696,6 +779,11 @@ def dedup_index_compact(spark: SparkSession, name: str) -> dict:
     ``add``, single-writer: do not compact concurrently with appends.
     """
     meta = _read_meta(spark, name)
+    # compact rewrites tables under the SAME generation; drop the cached
+    # verification so the next probe re-checks the rewritten stamps
+    _GEN_VERIFIED.difference_update(
+        {e for e in _GEN_VERIFIED if e[0] == name}
+    )
     parts = [("digests", ["text_hash"])]
     if meta["near"]:
         parts += [("bands", ["band", "bh"]), ("docs", ["doc_id"])]

@@ -417,10 +417,24 @@ def _collect_probes(
     )
     if not rows:
         return None
-    by_cluster = {
-        _cluster_key(r.cluster): sorted(idx_of[int(q)] for q in r.qids)
-        for r in rows
-    }
+    try:
+        by_cluster = {
+            _cluster_key(r.cluster): sorted(idx_of[int(q)] for q in r.qids)
+            for r in rows
+        }
+    except KeyError as e:
+        # the matrix collect and the probe-pairs collect are two separate
+        # jobs over `queries`; a frame that is not deterministic across
+        # jobs (sample()/limit() without ordering, a path being written
+        # concurrently) yields different row sets and would otherwise
+        # mis-probe or crash obscurely
+        raise ValueError(
+            "ivf probe: query id "
+            f"{e.args[0]} appeared in the centroid-probe job but not in "
+            "the matrix-collect job — the queries DataFrame must be "
+            "deterministic across jobs (avoid un-ordered sample()/limit(); "
+            "pin it with localCheckpoint() before searching)"
+        ) from e
     return qids, Q, qn, by_cluster
 
 
@@ -533,9 +547,11 @@ def kmeans_centroids(
     This is the standard IVF practice — the quantizer trains on a sample
     (the index quality is insensitive to sample size past ~100×k), so the
     driver-side work is bounded by ``sample_size``, never corpus size.
-    The sample is hash-selected (xxhash64 of the id, fixed threshold) and
-    id-ordered, so re-training on the same corpus yields the same
-    centroids bit-for-bit regardless of partitioning/retries. Zero
+    The sample is hash-selected (xxhash64 of the id, fixed threshold),
+    trimmed and ordered by a uniform hash of the id (splitmix64, ties →
+    id), so re-training on the same corpus yields the same centroids
+    bit-for-bit regardless of partitioning/retries and the kept subset
+    stays uniform over the id range even when the trim engages. Zero
     vectors are excluded from training (they have no direction).
     """
     import numpy as np

@@ -406,17 +406,8 @@ def pipe_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pipe_cosine_topk",
     headline=True,
-    doc="The two GEMM-candidate embedding queries consolidated as kind "
-    "rows (slot freed for pipe_index_probe): kind='topk' is brute-force "
-    "cosine top-5 for 10 query vectors (broadcast queries, single corpus "
-    "pass, deterministic (rounded cos, id) ranking); kind='dup' is "
-    "embedding-cosine near-dup pairs >= 0.4 over the IVF-bucketed scale "
-    "path — pairs compared only within a coarse-quantizer bucket "
-    "(cluster_col='label'), cost Σ|bucket|², a pure bucket equi-join "
-    "with ZERO driver materialization (pinned by a lazy-construction "
-    "lint in tests/test_plans.py). The exact all-pairs baseline stays "
-    "available as cosine_dup_pairs() without cluster_col and is "
-    "parity-tested in pytest against numpy brute force.",
+    doc="Brute-force cosine top-5 for 10 query vectors: broadcast queries, "
+    "single corpus pass, deterministic (rounded cos, id) ranking.",
     oracle="""
         WITH q AS (
             -- zero-norm guard on BOTH sides: the Spark kernels mask
@@ -442,44 +433,17 @@ def pipe_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 PARTITION BY query_id ORDER BY cos DESC, neighbor_id
             ) AS rank
             FROM s
-        ), e AS (
-            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         )
-        SELECT 'topk' AS kind, query_id AS id_a, neighbor_id AS id_b,
-               cos, CAST(rank AS INT) AS rank
+        SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 5
-        UNION ALL
-        SELECT 'dup' AS kind, a.vec_id AS id_a, b.vec_id AS id_b,
-               round(
-                   list_dot_product(a.v, b.v)
-                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6
-               ) AS cos,
-               CAST(NULL AS INT) AS rank
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(
-                  list_dot_product(a.v, b.v)
-                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6
-              ) >= 0.4
     """,
 )
 def pipe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    topk = cosine_topk(emb, queries, k=5).select(
-        F.lit("topk").alias("kind"),
-        F.col("query_id").alias("id_a"),
-        F.col("neighbor_id").alias("id_b"),
-        "cos",
-        F.col("rank").cast("int").alias("rank"),
+    return cosine_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank")
     )
-    dup = cosine_dup_pairs(emb, threshold=0.4, cluster_col="label").select(
-        F.lit("dup").alias("kind"),
-        "id_a",
-        "id_b",
-        "cos",
-        F.lit(None).cast("int").alias("rank"),
-    )
-    return topk.unionByName(dup)
 
 
 @register(
@@ -524,14 +488,23 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "pipe_ann_ivf",
-    doc="IVF approximate top-k through the PERSISTENT build/search split: "
+    doc="The two cluster-bucketed embedding queries consolidated as kind "
+    "rows (slot freed for pipe_index_probe). kind='topk': IVF "
+    "approximate top-k through the PERSISTENT build/search split — "
     "ivf_build writes centroids + the corpus partitioned by cluster ONCE "
     "per process, ivf_search probes 2 of C clusters and reads only those "
     "partitions (partition pruning — the scan carries the cluster filter "
-    "as a Partition Filter). Approximate w.r.t. exact search but fully "
+    "as a Partition Filter); approximate w.r.t. exact search but fully "
     "DETERMINISTIC — centroids round to 6 dp on both engines, probe "
     "ranking ties break on cluster id, so the oracle replicates the probe "
-    "+ in-cluster top-k exactly.",
+    "+ in-cluster top-k exactly. kind='dup': embedding-cosine near-dup "
+    "pairs >= 0.4 over the same coarse-quantizer geometry — pairs "
+    "compared only within a bucket (cluster_col='label'), cost "
+    "Σ|bucket|², a pure bucket equi-join with ZERO driver "
+    "materialization (pinned by a lazy-construction lint in "
+    "tests/test_plans.py); the exact all-pairs baseline stays available "
+    "as cosine_dup_pairs() without cluster_col, parity-tested in pytest "
+    "against numpy brute force.",
     oracle="""
         WITH e AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -578,8 +551,23 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
             ) AS rank
             FROM s
         )
-        SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+        SELECT 'topk' AS kind, query_id AS id_a, neighbor_id AS id_b,
+               cos, CAST(rank AS INT) AS rank
         FROM r WHERE rank <= 5
+        UNION ALL
+        SELECT 'dup' AS kind, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(
+                   list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6
+               ) AS cos,
+               CAST(NULL AS INT) AS rank
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(
+                  list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6
+              ) >= 0.4
     """,
 )
 def pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,9 +575,23 @@ def pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_search(spark, _ivf_index(spark, sf_dir), queries, k=5, nprobe=2).select(
-        "query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank")
+    topk = ivf_search(
+        spark, _ivf_index(spark, sf_dir), queries, k=5, nprobe=2
+    ).select(
+        F.lit("topk").alias("kind"),
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cos",
+        F.col("rank").cast("int").alias("rank"),
     )
+    dup = cosine_dup_pairs(emb, threshold=0.4, cluster_col="label").select(
+        F.lit("dup").alias("kind"),
+        "id_a",
+        "id_b",
+        "cos",
+        F.lit(None).cast("int").alias("rank"),
+    )
+    return topk.unionByName(dup)
 
 
 #: sf_dir → built persistent dedup-index name, once per process — the real

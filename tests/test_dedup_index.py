@@ -692,6 +692,71 @@ class TestDropNear:
         finally:
             dedup_index_drop(spark, "strin")
 
+    def test_id_reuse_does_not_exempt_matches_to_old_stored_text(
+        self, spark, tmp_path
+    ):
+        """'Mate' means id AND text: a batch that re-crawls a STORED
+        doc_id with different text must not exempt another doc's genuine
+        near-match to the OLD text behind that id. Doc 42 near-matches
+        stored doc 7's text; the batch also carries a new, unrelated
+        fetch under id 7 — with an id-only mate rule 42 would land (its
+        match target '7' is in the batch); with id+text it drops. Replay
+        must reproduce the same survivor set (the landed id-7 row keeps
+        its NEW text, the stored doc keeps the old one — id-level add
+        idempotence)."""
+        import json as _json
+
+        from php_ec_spark.operators.dedup_index import streaming_index_ingest
+
+        t_old = " ".join(f"w{i:02d}" for i in range(1, 21))
+        t_near = " ".join(t_old.split()[:-1] + ["zq"])  # J = 17/19 vs t_old
+        t_new = "completely different re-crawled content for this url now"
+        base = spark.createDataFrame(
+            [(7, t_old)], "doc_id long, text string"
+        )
+        dedup_index_build(base, "didr", **PARAMS)
+        src = tmp_path / "src"
+        src.mkdir()
+        with open(src / "01.json", "w") as f:
+            f.write(_json.dumps({"doc_id": 7, "text": t_new}) + "\n")
+            f.write(_json.dumps({"doc_id": 42, "text": t_near}) + "\n")
+        landed = str(tmp_path / "landed")
+        try:
+            def run(ckpt):
+                stream = (
+                    spark.readStream.schema("doc_id long, text string")
+                    .json(str(src))
+                )
+                q = streaming_index_ingest(
+                    spark, "didr", stream,
+                    landed_path=landed,
+                    checkpoint=str(tmp_path / ckpt),
+                    threshold=0.5,
+                    drop_near=True,
+                    available_now=True,
+                )
+                q.awaitTermination(120)
+
+            run("ckpt1")
+            first = {
+                r.doc_id for r in spark.read.parquet(landed).collect()
+            }
+            assert first == {7}, (
+                "42 near-dups STORED content; reusing id 7 in the batch "
+                "must not exempt it"
+            )
+            run("ckpt2")  # full replay on a fresh checkpoint
+            second = {
+                r.doc_id for r in spark.read.parquet(landed).collect()
+            }
+            assert second == {7}
+            # old text stayed behind id 7 (id-level idempotence), and
+            # both digests (old + re-crawl) are indexed
+            assert spark.table("didr_docs").count() == 1
+            assert spark.table("didr_digests").count() == 2
+        finally:
+            dedup_index_drop(spark, "didr")
+
     def test_stored_match_drop_survives_replay_with_stronger_mate(
         self, spark, tmp_path
     ):
@@ -888,6 +953,12 @@ class TestBuildGeneration:
             # simulate the crash window: one data table re-stamped by a
             # rebuild attempt whose meta write never happened
             _stamp_gen(spark, "dgen_bands", "deadbeefcafef00d")
+            # the crash happened in ANOTHER process: this process's cached
+            # generation trust would not exist there — simulate by
+            # clearing the per-process memo
+            from php_ec_spark.operators import dedup_index as _di
+
+            _di._GEN_VERIFIED.clear()
             with pytest.raises(RuntimeError, match="half-rebuilt"):
                 dedup_index_probe(spark, "dgen", inc)
             with pytest.raises(RuntimeError, match="half-rebuilt"):
@@ -945,3 +1016,81 @@ class TestProbeAllMatches:
                 dedup_index_probe(spark, "dall", inc, matches="top")
         finally:
             dedup_index_drop(spark, "dall")
+
+
+class TestNearLayerSkip:
+    def test_near_layer_false_skips_band_pipeline(self, spark):
+        """near_layer=False must return exact-only annotations and plan
+        WITHOUT touching the band/docs tables — it exists so exact-only
+        consumers (streaming ingest with drop_near=False) don't pay the
+        LSH candidate pipeline per micro-batch."""
+        base = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "some other text here")],
+            "doc_id long, text string",
+        )
+        dedup_index_build(base, "dnl", **PARAMS)
+        try:
+            inc = spark.createDataFrame(
+                [(91001, "ALPHA  beta gamma delta"),
+                 (91002, "utterly novel words qq zz")],
+                "doc_id long, text string",
+            )
+            out = dedup_index_probe(spark, "dnl", inc, near_layer=False)
+            assert "near_dup_of" not in out.columns
+            assert "near_jaccard" not in out.columns
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "dnl_bands" not in plan and "dnl_docs" not in plan
+            rows = {r.doc_id: r.exact_dup_of for r in out.collect()}
+            assert rows[91001] == 1 and rows[91002] is None
+        finally:
+            dedup_index_drop(spark, "dnl")
+
+
+class TestDigestVersion:
+    def test_legacy_key_cols_index_refused_loudly(self, spark):
+        """A key_cols index whose meta predates the byte-exact digest
+        (v2) must refuse probes instead of silently reporting every
+        duplicate as novel; a legacy default-text index (digest formula
+        unchanged) keeps working."""
+        base = spark.createDataFrame(
+            [(1, "u1", "text a"), (2, "u2", "text b")],
+            "doc_id long, url string, text string",
+        )
+        inc = spark.createDataFrame(
+            [(11, "u1", "x")], "doc_id long, url string, text string"
+        )
+        dedup_index_build(base, "dver", key_cols=["url"], near=False,
+                          **PARAMS)
+        try:
+            # simulate a pre-v2 index: meta without the digest_ver column
+            # (materialize first — Spark refuses to overwrite a table it
+            # is simultaneously reading)
+            legacy = spark.table("dver_meta").drop("digest_ver")
+            rows, schema = legacy.collect(), legacy.schema
+            spark.createDataFrame(rows, schema).write.mode(
+                "overwrite"
+            ).saveAsTable("dver_meta")
+            with pytest.raises(RuntimeError, match="digest"):
+                dedup_index_probe(spark, "dver", inc)
+            with pytest.raises(RuntimeError, match="digest"):
+                dedup_index_add(spark, "dver", inc)
+        finally:
+            dedup_index_drop(spark, "dver")
+        # default text digest: unversioned, legacy meta still probes
+        tbase = spark.createDataFrame(
+            [(1, "text a")], "doc_id long, text string"
+        )
+        tinc = spark.createDataFrame(
+            [(11, "TEXT  a")], "doc_id long, text string"
+        )
+        dedup_index_build(tbase, "dver2", near=False, **PARAMS)
+        try:
+            legacy = spark.table("dver2_meta").drop("digest_ver")
+            rows, schema = legacy.collect(), legacy.schema
+            spark.createDataFrame(rows, schema).write.mode(
+                "overwrite"
+            ).saveAsTable("dver2_meta")
+            got = dedup_index_probe(spark, "dver2", tinc).head()
+            assert got.exact_dup_of == 1
+        finally:
+            dedup_index_drop(spark, "dver2")

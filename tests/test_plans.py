@@ -169,7 +169,7 @@ class TestCounterSkewPlans:
 
 class TestNoCartesianInPairOps:
     @pytest.mark.parametrize(
-        "name", ["pipe_cosine_topk", "pipe_minhash_lsh", "pipe_jaccard_pairs"]
+        "name", ["pipe_ann_ivf", "pipe_minhash_lsh", "pipe_jaccard_pairs"]
     )
     def test_no_cartesian_over_corpus(self, spark, name):
         # pair generation must never materialize the n² space as Spark rows:
