@@ -607,19 +607,18 @@ class TestProbeDifferential:
                 if itext is not None
                 else None
             )
-            best = None
+            matches = []
             ish = shingle_set(itext)
             for b, (bid, btext) in enumerate(base):
                 if not any(ib[j, k] == bb[b, k] for k in range(self.BANDS)):
                     continue  # no band collision -> never a candidate
                 bsh = shingle_set(btext)
                 jac = round(len(ish & bsh) / len(ish | bsh), 6)
-                if jac >= self.THR and (
-                    best is None or (jac, -bid) > (best[1], -best[0])
-                ):
-                    best = (bid, jac)
+                if jac >= self.THR:
+                    matches.append((bid, jac))
+            best = max(matches, key=lambda m: (m[1], -m[0]), default=None)
             out[iid] = (exact, best[0] if best else None,
-                        best[1] if best else None)
+                        best[1] if best else None, frozenset(matches))
         return out
 
     @pytest.mark.parametrize("seed", [0, 1, 2, 3])
@@ -632,15 +631,32 @@ class TestProbeDifferential:
             num_hashes=self.NH, bands=self.BANDS, n=self.N, num_buckets=4,
         )
         try:
+            inc_df = spark.createDataFrame(inc, "doc_id long, text string")
             got = {
                 r.doc_id: (r.exact_dup_of, r.near_dup_of, r.near_jaccard)
                 for r in dedup_index_probe(
-                    spark, name,
-                    spark.createDataFrame(inc, "doc_id long, text string"),
-                    threshold=self.THR,
+                    spark, name, inc_df, threshold=self.THR
                 ).collect()
             }
-            assert got == self._py_reference(base, inc), f"seed {seed}"
+            ref = self._py_reference(base, inc)
+            assert got == {
+                k: v[:3] for k, v in ref.items()
+            }, f"seed {seed}"
+            # matches='all': the FULL verified match set per doc (one
+            # NULL row for docs without matches), same exact layer
+            allm = {}
+            exacts = {}
+            for r in dedup_index_probe(
+                spark, name, inc_df, threshold=self.THR, matches="all"
+            ).collect():
+                exacts[r.doc_id] = r.exact_dup_of
+                s = allm.setdefault(r.doc_id, set())
+                if r.near_dup_of is not None:
+                    s.add((r.near_dup_of, r.near_jaccard))
+            assert exacts == {k: v[0] for k, v in ref.items()}, f"seed {seed}"
+            assert allm == {
+                k: set(v[3]) for k, v in ref.items()
+            }, f"seed {seed}"
         finally:
             dedup_index_drop(spark, name)
 

@@ -128,6 +128,17 @@ class TestEmptyIncrementalIndex:
                 spark, "e_ix", _empty(spark, "doc_id long, text string")
             )
             assert spark.table("e_ix_digests").count() == 0
+            # the round-10 probe variants hold the same empty contracts
+            allm = dedup_index_probe(
+                spark, "e_ix", _empty(spark, "doc_id long, text string"),
+                matches="all",
+            )
+            assert allm.count() == 0 and "near_jaccard" in allm.columns
+            exact_only = dedup_index_probe(
+                spark, "e_ix", docs, near_layer=False
+            )
+            assert exact_only.count() == 2
+            assert "near_dup_of" not in exact_only.columns
         finally:
             dedup_index_drop(spark, "e_ix")
 
