@@ -1410,3 +1410,158 @@ def remove_dup_lines(
             ).alias("lines_removed"),
         )
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    window: int = 13,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reliable: bool = False,
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL — the excision counterpart of
+    :func:`dup_span_stats`'s signal (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" ExactSubstr recipe,
+    approximated with fixed ``window``-token spans instead of suffix
+    arrays): every token covered by a ``window``-token span whose exact
+    form occurs ``min_count``+ times in the corpus is removed, EXCEPT in
+    the span's canonical occurrence — the (doc_id, start)-minimal one —
+    which is kept, so exactly one copy of each duplicated span survives.
+    A contiguous region duplicated between documents therefore stays
+    intact in its lowest-id holder and is excised everywhere else
+    (within-doc repeats count as occurrences, so a doc that pastes its
+    own paragraph twice keeps the first paste). Caveat of the
+    window-level approximation, stated honestly: the canonical copy of a
+    span is protected from its OWN hash's flag, but an overlapping
+    DIFFERENT duplicated span whose canonical copy lives elsewhere can
+    still cover some of its tokens — pathological interleavings may
+    over-remove; real boilerplate (contiguous regions) does not.
+
+    Returns ``(id, text, n_tokens, tokens_removed)``, one row per input
+    document: ``text`` rebuilt from the surviving tokens in order
+    (single-space joined — affected documents lose their original
+    whitespace; UNTOUCHED documents keep their text verbatim), NULL text
+    stays NULL with zero counts, documents shorter than ``window``
+    tokens are never touched (the window cannot see them — run
+    :func:`exact_dedup` / :func:`remove_dup_lines` for short-form
+    duplication), and a fully-covered document comes back as ``''``.
+
+    Scale shape: one window explode (corpus tokens × 1 row each, md5
+    window hashes — the same portable 13-gram convention as
+    :func:`decontaminate` and :func:`dup_span_stats`), one
+    map-side-combinable count + min-(doc,start) aggregate per hash, one
+    equi-join back to flag non-canonical occurrences, then token-level
+    work ONLY for affected documents (semi-join first): covered
+    positions explode to ``window`` rows per flagged span, surviving
+    tokens reassemble with one keyed shuffle. Everything is linear in
+    corpus tokens with the token-row stage linear in AFFECTED-doc tokens
+    — no per-doc quadratic coverage test, no pairwise term. Run it once
+    as a landing transform, not per query.
+    """
+    if window < 2:
+        raise ValueError("remove_dup_spans: window must be >= 2")
+    d = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.split(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+        ).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    # posexplode_outer for the same Catalyst reason as dup_span_stats:
+    # plain explode re-inlines the window expression below the inferred
+    # size()>0 filter (the array is never empty after the length filter)
+    w = (
+        d.filter(F.size(toks) >= window)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode_outer(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+                    lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
+                )
+            ).alias("i0", "wh"),
+        )
+        .select("doc", (F.col("i0") + 1).alias("start"), "wh")
+    )
+    # two consumers (the frequency aggregate and the flag join) would
+    # each re-run the corpus-wide window explode without a pin
+    w = pin_intermediate(w, reliable=reliable)
+    freq = (
+        w.groupBy("wh")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            # canonical occurrence: min (doc, start) — deterministic,
+            # fully map-side-combinable
+            F.min(F.struct(F.col("doc"), F.col("start"))).alias("__keep"),
+        )
+        .filter(F.col("__c") >= min_count)
+    )
+    flagged = (
+        w.join(freq, "wh")
+        .filter(
+            ~(
+                (F.col("doc") == F.col("__keep").getField("doc"))
+                & (F.col("start") == F.col("__keep").getField("start"))
+            )
+        )
+        .select("doc", "start")
+    )
+    # covered token positions; three consumers (affected-doc set, the
+    # anti-join, the removed-count totals)
+    cov = pin_intermediate(
+        flagged.select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (window - 1))
+            ).alias("pos"),
+        ).distinct(),
+        reliable=reliable,
+    )
+    affected = cov.select("doc").distinct()
+    toks_rows = (
+        d.join(affected, d[id_col] == F.col("doc"), "left_semi")
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode_outer(toks).alias("i0", "tok"),
+        )
+        .select("doc", (F.col("i0") + 1).alias("pos"), "tok")
+    )
+    kept = toks_rows.join(cov, ["doc", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("__kept_text")
+    )
+    removed = cov.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("tokens_removed")
+    )
+    return (
+        d.select(id_col, F.col(text_col), F.size(toks).alias("__nt"))
+        .join(removed.withColumnRenamed("doc", id_col), id_col, "left")
+        .join(rebuilt.withColumnRenamed("doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.when(
+                F.col(text_col).isNull(), F.lit(None).cast("string")
+            )
+            .when(
+                F.col("tokens_removed").isNotNull(),
+                F.coalesce("__kept_text", F.lit("")),
+            )
+            .otherwise(F.col(text_col))
+            .alias(text_col),
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.col("__nt"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.coalesce("tokens_removed", F.lit(0))
+            .cast("long")
+            .alias("tokens_removed"),
+        )
+    )

@@ -70,6 +70,15 @@ class TestEmptyCorpus:
             "doc_id", "n_windows", "n_dup_windows", "dup_fraction"
         }
 
+    def test_remove_dup_spans_empty_docs(self, spark):
+        from php_ec_spark.operators.dedup import remove_dup_spans
+
+        out = remove_dup_spans(_empty(spark, DOCS_DDL))
+        assert out.count() == 0
+        assert set(out.columns) == {
+            "doc_id", "text", "n_tokens", "tokens_removed"
+        }
+
     def test_similarity_empty_corpus_or_queries(self, spark):
         from php_ec_spark.operators.similarity import cosine_dup_pairs, cosine_topk
 

@@ -2811,3 +2811,159 @@ class TestExactDedupStringIds:
         assert got == {"u-a", "u-c"}
         got_min = {r.doc_id for r in exact_dedup(df).collect()}
         assert got_min == {"u-a", "u-c"}
+
+
+class TestRemoveDupSpans:
+    DOCS = [
+        # doc 1: unique prefix A (20 toks) + SPAN (15 toks) — canonical
+        # holder of the span (lowest (doc,start)); has irregular spacing
+        # to prove untouched docs keep their text VERBATIM
+        (1, " ".join(f"a{i:02d}" for i in range(20)) + "  "
+            + " ".join(f"s{i:02d}" for i in range(15))),
+        # doc 2: the same SPAN + unique suffix B (20 toks) — loses the span
+        (2, " ".join(f"s{i:02d}" for i in range(15)) + " "
+            + " ".join(f"b{i:02d}" for i in range(20))),
+        # doc 3: unrelated
+        (3, " ".join(f"c{i:02d}" for i in range(30))),
+        # doc 4: within-doc repeat — C (13 toks) + filler (5) + C again
+        (4, " ".join(f"d{i:02d}" for i in range(13)) + " "
+            + " ".join(f"f{i}" for i in range(5)) + " "
+            + " ".join(f"d{i:02d}" for i in range(13))),
+        # docs 7/8: identical SHORT docs (< window) — never touched
+        (7, "tiny shared text"),
+        (8, "tiny shared text"),
+        # docs 50/60: byte-identical long docs — 60 excises fully
+        (50, " ".join(f"e{i:02d}" for i in range(26))),
+        (60, " ".join(f"e{i:02d}" for i in range(26))),
+        # degenerate
+        (90, None),
+        (91, ""),
+    ]
+
+    def _spark_out(self, spark):
+        from php_ec_spark.operators.dedup import remove_dup_spans
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        return {
+            r.doc_id: (r.text, r.n_tokens, r.tokens_removed)
+            for r in remove_dup_spans(df, window=13).collect()
+        }
+
+    def test_excision_semantics(self, spark):
+        got = self._spark_out(spark)
+        span = " ".join(f"s{i:02d}" for i in range(15))
+        # canonical holder untouched — verbatim, double space intact
+        assert got[1] == (self.DOCS[0][1], 35, 0)
+        # the other holder loses exactly the 15 span tokens
+        assert got[2] == (
+            " ".join(f"b{i:02d}" for i in range(20)), 35, 15
+        )
+        assert span not in got[2][0]
+        # unrelated doc untouched
+        assert got[3] == (self.DOCS[2][1], 30, 0)
+        # within-doc repeat: first paste survives, second excised
+        assert got[4] == (
+            " ".join(f"d{i:02d}" for i in range(13)) + " "
+            + " ".join(f"f{i}" for i in range(5)),
+            31, 13,
+        )
+        # short duplicates invisible to the window
+        assert got[7] == ("tiny shared text", 3, 0)
+        assert got[8] == ("tiny shared text", 3, 0)
+        # byte-identical long docs: lower id keeps, higher id empties
+        assert got[50] == (self.DOCS[6][1], 26, 0)
+        assert got[60] == ("", 26, 26)
+        # degenerate forms
+        assert got[90] == (None, 0, 0)
+        assert got[91] == ("", 1, 0)
+
+    def test_partitioning_invariance(self, spark):
+        from php_ec_spark.operators.dedup import remove_dup_spans
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        a = {
+            r.doc_id: (r.text, r.n_tokens, r.tokens_removed)
+            for r in remove_dup_spans(df, window=13).collect()
+        }
+        b = {
+            r.doc_id: (r.text, r.n_tokens, r.tokens_removed)
+            for r in remove_dup_spans(df.repartition(7), window=13).collect()
+        }
+        assert a == b
+
+    def test_duckdb_twin_byte_identical(self, spark):
+        """The portability contract every identity-bearing operator
+        carries: an independent DuckDB implementation of the same recipe
+        (window hashes, count >= 2, keeper = row_number over (doc,
+        start), covered-position anti-join, ordered string_agg) produces
+        byte-identical output over the testdata documents table."""
+        import duckdb
+
+        from php_ec_spark.operators.dedup import remove_dup_spans
+
+        sf = "/root/testdata/sf0.001/documents.parquet"
+        docs = spark.read.parquet(sf).select("doc_id", "text")
+        got = {
+            r.doc_id: (r.text, r.n_tokens, r.tokens_removed)
+            for r in remove_dup_spans(docs, window=13).collect()
+        }
+        con = duckdb.connect()
+        w = 13
+        want = {
+            d: (t, nt, tr)
+            for d, t, nt, tr in con.execute(f"""
+                WITH d AS (
+                    SELECT doc_id, text,
+                           string_split_regex(trim(coalesce(text, '')), '\\s+') AS toks
+                    FROM '{sf}'
+                ), w AS (
+                    SELECT doc_id AS doc, i.i AS start,
+                           md5(array_to_string(toks[i.i:i.i+{w - 1}], ' ')) AS wh
+                    FROM d, LATERAL (
+                        SELECT unnest(range(1, len(toks) - {w} + 2)) AS i
+                    ) i
+                    WHERE len(toks) >= {w}
+                ), w2 AS (
+                    SELECT doc, start,
+                           count(*) OVER (PARTITION BY wh) AS c,
+                           row_number() OVER (
+                               PARTITION BY wh ORDER BY doc, start
+                           ) AS rk
+                    FROM w
+                ), cov AS (
+                    SELECT DISTINCT doc, start + k.k AS pos
+                    FROM w2, LATERAL (
+                        SELECT unnest(range(0, {w})) AS k
+                    ) k
+                    WHERE c >= 2 AND rk > 1
+                ), tr AS (
+                    SELECT d.doc_id AS doc,
+                           generate_subscripts(toks, 1) AS pos,
+                           unnest(toks) AS tok
+                    FROM d
+                    WHERE doc_id IN (SELECT doc FROM cov)
+                ), kept AS (
+                    SELECT t.doc, t.pos, t.tok
+                    FROM tr t ANTI JOIN cov USING (doc, pos)
+                ), rebuilt AS (
+                    SELECT doc,
+                           coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS ktext
+                    FROM kept GROUP BY doc
+                ), removed AS (
+                    SELECT doc, count(*) AS tokens_removed FROM cov GROUP BY doc
+                )
+                SELECT d.doc_id,
+                       CASE WHEN d.text IS NULL THEN NULL
+                            WHEN rm.tokens_removed IS NOT NULL
+                                THEN coalesce(rb.ktext, '')
+                            ELSE d.text END AS text,
+                       CASE WHEN d.text IS NULL THEN 0
+                            ELSE len(d.toks) END AS n_tokens,
+                       coalesce(rm.tokens_removed, 0) AS tokens_removed
+                FROM d
+                LEFT JOIN removed rm ON rm.doc = d.doc_id
+                LEFT JOIN rebuilt rb ON rb.doc = d.doc_id
+            """).fetchall()
+        }
+        con.close()
+        assert got == want

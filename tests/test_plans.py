@@ -349,13 +349,18 @@ class TestUnregisteredOperatorPlans:
     def test_text_operators_plans(self, spark):
         from pyspark.sql import functions as F
 
-        from php_ec_spark.operators.dedup import exact_dedup, remove_dup_lines
+        from php_ec_spark.operators.dedup import (
+            exact_dedup,
+            remove_dup_lines,
+            remove_dup_spans,
+        )
         from php_ec_spark.operators.text import normalize_url
 
         docs = spark.read.parquet(f"{SF}/documents.parquet").select(
             "doc_id", "text"
         )
         self._assert_clean(remove_dup_lines(docs), "remove_dup_lines")
+        self._assert_clean(remove_dup_spans(docs), "remove_dup_spans")
         self._assert_clean(
             exact_dedup(docs, keep="longest"), "exact_dedup_longest"
         )
