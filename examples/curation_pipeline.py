@@ -101,6 +101,23 @@ def curate(
     )
     funnel["substring_dedup"] = docs.count()
 
+    # 3b. span EXCISION for the survivors (remove_dup_spans — the Lee
+    #     et al. ExactSubstr removal): docs below the drop cutoff can
+    #     still carry shorter duplicated spans; excise every non-
+    #     canonical copy so the quality/LM stats downstream score the
+    #     deduplicated text. Rewrites text, drops no documents.
+    from php_ec_spark.operators.dedup import remove_dup_spans
+
+    rewritten = remove_dup_spans(
+        docs, window=13, reliable=reliable
+    ).select("doc_id", F.col("text").alias("__excised"))
+    docs = (
+        docs.drop("text")
+        .join(rewritten, "doc_id")
+        .withColumnRenamed("__excised", "text")
+    )
+    funnel["span_excised"] = funnel["substring_dedup"]  # rewrite, no drops
+
     # 4. decontamination: drop docs overlapping the "benchmark" slice
     #    (stand-in: every 50th doc plays the benchmark corpus)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
