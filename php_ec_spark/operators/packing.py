@@ -34,6 +34,81 @@ from pyspark.sql import functions as F
 DEFAULT_BUDGET = 512
 
 
+def running_prefix_sum(
+    df: DataFrame,
+    order_cols: "list[str]",
+    value_col: str,
+    num_partitions: int | None = None,
+    reliable: bool = False,
+) -> DataFrame:
+    """Distributed INCLUSIVE prefix sum of ``value_col`` over rows in
+    ``order_cols`` order — the two-pass parallel scan shared by
+    :func:`pack_sequences` (document offsets in id order) and
+    :func:`~php_ec_spark.operators.sampling.sample_to_token_budget`
+    (budget cutoff in hashed order). Adds ``__cum_end``; the combination
+    of ``order_cols`` values must be unique per row or the within-tie
+    order (and so the split of the running sum among tied rows) is
+    engine-dependent.
+
+    Shape (see the module docstring): range-partition on the order key so
+    partition k's keys all precede partition k+1's, local window scans per
+    physical partition, then per-partition totals — ONE row each — roll up
+    through a driver-sized window and broadcast back. The result is
+    invariant to ``num_partitions``.
+    """
+    if num_partitions is None:
+        # shuffle_partitions handles non-numeric conf values like 'auto'
+        # (managed platforms) by falling back to defaultParallelism
+        from ..session import shuffle_partitions
+
+        num_partitions = shuffle_partitions(df.sparkSession)
+    # Range-partition so partition k's keys are all below partition
+    # k+1's, then stamp the physical partition id; spark_partition_id is
+    # non-deterministic to the optimizer, which (correctly) pins it to
+    # this exact exchange. Both consumers below (local cumsum +
+    # per-partition totals) must see the SAME pid stamping: pin the
+    # stamped frame so the scan + range exchange run once and the
+    # branches read its blocks, instead of re-running two independent
+    # range exchanges and trusting their sampled boundaries to agree.
+    # reliable=True swaps the local checkpoint for persist(DISK_ONLY)
+    # with lineage kept (cluster-durable; block recompute re-pulls the
+    # SAME range-exchange shuffle output, so pid stamping stays
+    # consistent). Sweep with session.release_checkpoint_caches between
+    # queries.
+    d = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    from .dedup import pin_intermediate
+
+    d = pin_intermediate(d, reliable=reliable)
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("__local_cum", F.sum(value_col).over(local_w))
+    # Exclusive running offset per partition: the totals frame has one row
+    # per partition, so the unpartitioned window below is over hundreds of
+    # rows, not the corpus. Ordered by each partition's min ORDER KEY (not
+    # __pid) so correctness never rests on pid numbering.
+    totals = d.groupBy("__pid").agg(
+        F.sum(value_col).alias("__tot"),
+        F.min(F.struct(*order_cols)).alias("__min_key"),
+    )
+    off_w = Window.orderBy("__min_key").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__tot").over(off_w), F.lit(0)).alias("__off"),
+    )
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn("__cum_end", F.col("__off") + F.col("__local_cum"))
+        .drop("__pid", "__local_cum", "__off")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = DEFAULT_BUDGET,
@@ -63,59 +138,13 @@ def pack_sequences(
         raise ValueError(f"budget must be positive, got {budget}")
     n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
     d = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
-    if num_partitions is None:
-        # shuffle_partitions handles non-numeric conf values like 'auto'
-        # (managed platforms) by falling back to defaultParallelism
-        from ..session import shuffle_partitions
-
-        num_partitions = shuffle_partitions(df.sparkSession)
-    # Range-partition so partition k's doc_ids are all below partition
-    # k+1's, then stamp the physical partition id; spark_partition_id is
-    # non-deterministic to the optimizer, which (correctly) pins it to
-    # this exact exchange.
-    d = (
-        d.repartitionByRange(num_partitions, id_col)
-        .withColumn("__pid", F.spark_partition_id())
-        # Both consumers below (local cumsum + per-partition totals) must
-        # see the SAME pid stamping: pin the stamped frame so the scan +
-        # range exchange run once and the branches read its blocks,
-        # instead of re-running two independent range exchanges and
-        # trusting their sampled boundaries to agree. reliable=True swaps
-        # the local checkpoint for persist(DISK_ONLY) with lineage kept
-        # (cluster-durable; block recompute re-pulls the SAME range-
-        # exchange shuffle output, so pid stamping stays consistent).
-        # Sweep with session.release_checkpoint_caches between queries.
-    )
-    from .dedup import pin_intermediate
-
-    d = pin_intermediate(d, reliable=reliable)
-    local_w = (
-        Window.partitionBy("__pid")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    d = d.withColumn("__local_cum", F.sum("n_tokens").over(local_w))
-    # Exclusive running offset per partition: the totals frame has one row
-    # per partition, so the unpartitioned window below is over hundreds of
-    # rows, not the corpus. Ordered by each partition's min doc_id (not
-    # __pid) so correctness never rests on pid numbering.
-    totals = d.groupBy("__pid").agg(
-        F.sum("n_tokens").alias("__tot"), F.min(id_col).alias("__min_id")
-    )
-    off_w = Window.orderBy("__min_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = totals.select(
-        "__pid",
-        F.coalesce(F.sum("__tot").over(off_w), F.lit(0)).alias("__off"),
-    )
-    start = (F.col("__off") + F.col("__local_cum") - F.col("n_tokens")).alias(
-        "start_offset"
-    )
-    out = d.join(F.broadcast(offsets), "__pid").select(
+    out = running_prefix_sum(
+        d, [id_col], "n_tokens",
+        num_partitions=num_partitions, reliable=reliable,
+    ).select(
         F.col(id_col),
         F.col("n_tokens"),
-        start,
+        (F.col("__cum_end") - F.col("n_tokens")).alias("start_offset"),
     )
     # DIV (integer division) keeps sequence ids in exact int64 — a double
     # round-trip would lose exactness past 2^53 token offsets.

@@ -119,3 +119,74 @@ def weighted_mix(
             )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: "str | None" = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash: str = "xxhash64",
+    num_partitions: int | None = None,
+    reliable: bool = False,
+) -> DataFrame:
+    """Take an (approximately ``budget``-token) uniform sample of the
+    corpus: documents are laid out in a deterministic pseudo-random
+    order — the hash of ``(id, seed)``, same determinism contract as
+    :func:`stratified_sample` — and the PREFIX whose cumulative token
+    count fits within ``budget`` is kept. This is the mixture-building
+    primitive "give me N tokens of source X": unlike a row-fraction
+    sample, the stop condition is measured in tokens, which is the unit
+    training budgets are written in.
+
+    Semantics, precisely: a prefix take in a fixed random order — the
+    first document whose inclusion would exceed ``budget`` ends the
+    sample (documents after it in hash order are excluded even if they
+    would individually fit; no bin-packing/backfill, which would bias
+    the tail toward short documents). The kept token total is therefore
+    ≤ ``budget``, within one document of it. Deterministic given
+    ``(seed, corpus)`` across retries, partitionings and re-runs; a
+    different ``seed`` is an independent redraw. ``hash='md5'`` switches
+    to the engine-portable hash (see :func:`stratified_sample`) so an
+    external auditor can recompute membership.
+
+    ``token_col`` uses a precomputed token count; otherwise ``text_col``
+    is counted by the corpus single-space convention (same as
+    :func:`~php_ec_spark.operators.packing.pack_sequences`). A NULL
+    count (NULL text) contributes zero to the running total and the
+    document rides along if the prefix reaches it — filter NULLs
+    upstream when that is not wanted. Returns the
+    kept rows with all input columns plus ``n_tokens`` and ``cum_tokens``
+    (the running total through each kept document — the audit trail of
+    the cutoff).
+
+    Scale shape: the cumulative count is the same two-pass distributed
+    prefix sum as sequence packing
+    (:func:`~php_ec_spark.operators.packing.running_prefix_sum` — range
+    partition on the hash order, local window scans, driver-sized totals
+    roll-up), so there is no global single-partition window anywhere;
+    the budget filter then prunes on the summed column.
+    """
+    if budget <= 0:
+        raise ValueError(f"sample_to_token_budget: budget must be positive, got {budget}")
+    from .packing import running_prefix_sum
+
+    n_tokens = (
+        F.col(token_col).cast("long")
+        if token_col is not None
+        else F.size(F.split(F.col(text_col), " ")).cast("long")
+    )
+    d = df.withColumn("n_tokens", n_tokens).withColumn(
+        "__u", _u(F.col(id_col), seed, "token_budget", hash)
+    )
+    out = running_prefix_sum(
+        d, ["__u", id_col], "n_tokens",
+        num_partitions=num_partitions, reliable=reliable,
+    )
+    return (
+        out.filter(F.col("__cum_end") <= budget)
+        .withColumnRenamed("__cum_end", "cum_tokens")
+        .drop("__u")
+    )

@@ -79,6 +79,15 @@ class TestEmptyCorpus:
             "doc_id", "text", "n_tokens", "tokens_removed"
         }
 
+    def test_sample_to_token_budget_empty_docs(self, spark):
+        from php_ec_spark.operators.sampling import sample_to_token_budget
+
+        out = sample_to_token_budget(_empty(spark, DOCS_DDL), 1000)
+        assert out.count() == 0
+        assert {"doc_id", "text", "n_tokens", "cum_tokens"} <= set(
+            out.columns
+        )
+
     def test_similarity_empty_corpus_or_queries(self, spark):
         from php_ec_spark.operators.similarity import cosine_dup_pairs, cosine_topk
 

@@ -2967,3 +2967,115 @@ class TestRemoveDupSpans:
         }
         con.close()
         assert got == want
+
+
+class TestSampleToTokenBudget:
+    def test_prefix_semantics_and_determinism(self, spark, sf_dir):
+        from php_ec_spark.operators.sampling import (
+            _u,
+            sample_to_token_budget,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        budget = 3000
+        out = sample_to_token_budget(docs, budget, seed=3)
+        rows = {r.doc_id: r for r in out.collect()}
+        assert rows, "budget of 3000 tokens should admit some docs"
+        total = sum(r.n_tokens for r in rows.values())
+        assert total <= budget
+        assert max(r.cum_tokens for r in rows.values()) == total
+        # the kept set is EXACTLY the hash-order prefix: every document
+        # ordered before the cutoff is kept, and the first excluded
+        # document would overflow the budget
+        ordered = (
+            docs.withColumn("__u", _u(F.col("doc_id"), 3, "token_budget"))
+            .withColumn(
+                "n", F.size(F.split(F.col("text"), " ")).cast("long")
+            )
+            .orderBy("__u", "doc_id")
+            .select("doc_id", "n")
+            .collect()
+        )
+        cum, expect = 0, set()
+        for r in ordered:
+            if cum + r.n > budget:
+                break
+            cum += r.n
+            expect.add(r.doc_id)
+        assert set(rows) == expect and cum == total
+        # deterministic across partitionings; different seed = redraw
+        again = {
+            r.doc_id
+            for r in sample_to_token_budget(
+                docs.repartition(7), budget, seed=3
+            ).collect()
+        }
+        assert again == set(rows)
+        other = {
+            r.doc_id
+            for r in sample_to_token_budget(docs, budget, seed=4).collect()
+        }
+        assert other != set(rows)
+
+    def test_token_col_and_edges(self, spark):
+        from php_ec_spark.operators.sampling import sample_to_token_budget
+
+        df = spark.createDataFrame(
+            [(i, "ignored", 100) for i in range(10)],
+            "doc_id long, text string, toks int",
+        )
+        out = sample_to_token_budget(df, 350, token_col="toks").collect()
+        assert len(out) == 3  # 3 * 100 <= 350 < 4 * 100
+        assert all(r.n_tokens == 100 for r in out)
+        # budget below the first doc -> empty; huge budget -> everything
+        assert sample_to_token_budget(df, 50, token_col="toks").count() == 0
+        assert (
+            sample_to_token_budget(df, 10_000, token_col="toks").count() == 10
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="budget"):
+            sample_to_token_budget(df, 0, token_col="toks")
+
+    def test_md5_path_duckdb_recomputable(self, spark, sf_dir):
+        """hash='md5' membership must be recomputable outside Spark — an
+        auditor derives the same kept set from the parquet file alone."""
+        import duckdb
+
+        from php_ec_spark.operators.sampling import sample_to_token_budget
+
+        src = f"{sf_dir}/documents.parquet"
+        docs = spark.read.parquet(src).select("doc_id", "text")
+        budget = 2500
+        got = {
+            r.doc_id
+            for r in sample_to_token_budget(
+                docs, budget, seed=9, hash="md5"
+            ).collect()
+        }
+        con = duckdb.connect()
+        want = {
+            d
+            for (d,) in con.execute(f"""
+                WITH u AS (
+                    SELECT doc_id,
+                           len(string_split(text, ' ')) AS n,
+                           ('0x' || substr(
+                               md5(doc_id::VARCHAR || ':token_budget:9'),
+                               1, 8))::BIGINT / 4294967296.0 AS u
+                    FROM '{src}'
+                ), c AS (
+                    SELECT doc_id,
+                           sum(n) OVER (
+                               ORDER BY u, doc_id
+                               ROWS UNBOUNDED PRECEDING
+                           ) AS cum
+                    FROM u
+                )
+                SELECT doc_id FROM c WHERE cum <= {budget}
+            """).fetchall()
+        }
+        con.close()
+        assert got == want and got

@@ -361,6 +361,11 @@ class TestUnregisteredOperatorPlans:
         )
         self._assert_clean(remove_dup_lines(docs), "remove_dup_lines")
         self._assert_clean(remove_dup_spans(docs), "remove_dup_spans")
+        from php_ec_spark.operators.sampling import sample_to_token_budget
+
+        self._assert_clean(
+            sample_to_token_budget(docs, 1000), "sample_to_token_budget"
+        )
         self._assert_clean(
             exact_dedup(docs, keep="longest"), "exact_dedup_longest"
         )
