@@ -106,14 +106,27 @@ def _t(name: str, part: str) -> str:
     return f"{name}_{part}"
 
 
-#: (index name, generation) pairs whose table stamps this process already
-#: verified — _read_meta runs per probe/add, i.e. twice per streaming
-#: micro-batch, and the SHOW TBLPROPERTIES round-trips (up to 3 driver
-#: catalog queries each) verify a value that cannot change under the
-#: single-writer contract unless a rebuild writes a NEW generation, which
-#: changes the key and forces re-verification. build/compact/drop evict
-#: the index's entries so a same-process rebuild never reads stale trust.
+#: (index name, generation) pairs pre-verified for a running STREAM —
+#: consulted by _read_meta but populated ONLY by streaming_index_ingest
+#: at stream start, so per-micro-batch probe/add calls skip the SHOW
+#: TBLPROPERTIES round-trips (up to 3 driver catalog queries each, twice
+#: per batch) while every DIRECT probe/add still verifies on each call.
+#: That scoping matters: a memo populated by any successful read would
+#: re-open the cross-process half-rebuild window (another process
+#: rewrites the tables with a new stamp and dies before meta — meta's
+#: gen is unchanged, so a cached (name, old_gen) entry would skip the
+#: very comparison that catches it). A stream trusting its start-of-run
+#: verification is the documented single-writer contract: do not rebuild
+#: an index a stream is ingesting into. build/compact/drop evict.
 _GEN_VERIFIED: set = set()
+
+
+def _evict_gen(name: str) -> None:
+    """Forget cached generation trust for ``name`` (any writer path that
+    rewrites index tables must call this first)."""
+    _GEN_VERIFIED.difference_update(
+        {e for e in _GEN_VERIFIED if e[0] == name}
+    )
 
 
 def _table_gen(spark: SparkSession, table: str) -> "str | None":
@@ -163,7 +176,8 @@ def _read_meta(spark: SparkSession, name: str) -> dict:
                     f"Re-run dedup_index_build, or rebuild under a new "
                     f"name and flip at the orchestration layer."
                 )
-        _GEN_VERIFIED.add((name, gen))
+        # deliberately NOT memoized here — see _GEN_VERIFIED: only a
+        # stream's start-of-run verification may prime the cache
     return meta
 
 
@@ -214,9 +228,7 @@ def dedup_index_build(
     spark = df.sparkSession
     # a rebuild invalidates any verification this process cached — evict
     # BEFORE touching tables so a failed rebuild cannot read stale trust
-    _GEN_VERIFIED.difference_update(
-        {e for e in _GEN_VERIFIED if e[0] == name}
-    )
+    _evict_gen(name)
     gen = uuid.uuid4().hex
     digests = (
         df.select(
@@ -534,9 +546,7 @@ def dedup_index_add(
 
 def dedup_index_drop(spark: SparkSession, name: str) -> None:
     """Drop every table of the index (build's inverse; missing parts ok)."""
-    _GEN_VERIFIED.difference_update(
-        {e for e in _GEN_VERIFIED if e[0] == name}
-    )
+    _evict_gen(name)
     for part in ("digests", "bands", "docs", "meta"):
         spark.sql(f"DROP TABLE IF EXISTS {_t(name, part)}")
 
@@ -596,6 +606,12 @@ def streaming_index_ingest(
     Returns the started StreamingQuery.
     """
     meta = _read_meta(spark, name)
+    # the start-of-stream verification above is the one that counts:
+    # prime the memo so per-micro-batch probe/add calls skip the catalog
+    # round-trips (single-writer contract — do not rebuild an index a
+    # stream is ingesting into; see _GEN_VERIFIED)
+    if meta.get("gen") is not None:
+        _GEN_VERIFIED.add((name, meta["gen"]))
     if drop_near and not meta["near"]:
         raise ValueError(
             "streaming_index_ingest: drop_near=True needs an index built "
@@ -623,9 +639,17 @@ def streaming_index_ingest(
         # destroying the previous run's output. Exempting exact_dup_of ==
         # doc_id (and batch-mate near matches under drop_near) makes the
         # replay reproduce the original survivor set bit-for-bit.
-        # Corollary: a genuine re-crawl that reuses a stored doc_id with
-        # identical text lands again (audit via the batch column); key
-        # re-crawls by url if that is not wanted.
+        # Re-crawl corollaries (ids reused from the stored corpus):
+        # a byte-identical re-crawl lands again via the exact
+        # self-exemption (audit via the batch column); under drop_near a
+        # NEAR-self re-crawl — edited text still within threshold of its
+        # own stored copy — is DROPPED like any other verified near-dup
+        # of stored content (the id+text mate rule below does not exempt
+        # it). That is the coherent choice with id-level add idempotence:
+        # the index would keep the OLD text behind that id regardless, so
+        # landing the edit would store a parquet row whose text the index
+        # never indexes. Re-crawl pipelines that want edits to supersede
+        # should key by url and rebuild/compact, not ingest-through.
         exact_drop = F.col("exact_dup_of").isNotNull() & (
             F.col("exact_dup_of") != F.col(id_col)
         )
@@ -651,16 +675,24 @@ def streaming_index_ingest(
             mates = batch_df.select(
                 F.col(id_col).alias("__mate"), tdg.alias("__mdg")
             ).distinct()
+            # restrict FIRST, digest after: the semi-join prunes the
+            # stored side to at most |batch| rows before the
+            # md5(normalize_text) projection, so the per-batch cost is
+            # the docs-table scan the probe already pays — NOT a
+            # corpus-wide text digest per micro-batch (the projection
+            # sits above the join in the plan; Catalyst pushes column
+            # pruning down, not expression evaluation)
             stored_tx = (
                 s.table(_t(name, "docs"))
+                .withColumnRenamed("doc_id", "__mate")
+                .join(F.broadcast(mates.select("__mate")), "__mate", "left_semi")
                 .select(
-                    F.col("doc_id").alias("__mate"),
+                    "__mate",
                     F.coalesce(dedup_digest(None, "text"), F.lit("-")).alias(
                         "__sdg"
                     ),
                     F.lit(True).alias("__stored"),
                 )
-                .join(F.broadcast(mates.select("__mate")), "__mate", "left_semi")
             )
             mates = (
                 mates.join(stored_tx, "__mate", "left")
@@ -781,9 +813,7 @@ def dedup_index_compact(spark: SparkSession, name: str) -> dict:
     meta = _read_meta(spark, name)
     # compact rewrites tables under the SAME generation; drop the cached
     # verification so the next probe re-checks the rewritten stamps
-    _GEN_VERIFIED.difference_update(
-        {e for e in _GEN_VERIFIED if e[0] == name}
-    )
+    _evict_gen(name)
     parts = [("digests", ["text_hash"])]
     if meta["near"]:
         parts += [("bands", ["band", "bh"]), ("docs", ["doc_id"])]

@@ -155,22 +155,41 @@ def sample_to_token_budget(
     ``token_col`` uses a precomputed token count; otherwise ``text_col``
     is counted by the corpus single-space convention (same as
     :func:`~php_ec_spark.operators.packing.pack_sequences`). A NULL
-    count (NULL text) contributes zero to the running total and the
-    document rides along if the prefix reaches it — filter NULLs
-    upstream when that is not wanted. Returns the
-    kept rows with all input columns plus ``n_tokens`` and ``cum_tokens``
-    (the running total through each kept document — the audit trail of
-    the cutoff).
+    count (NULL text) counts as ZERO tokens — the document contributes
+    nothing to the running total and rides along if the prefix reaches
+    it (coalesced before the sum: a window sum over leading NULLs would
+    otherwise go NULL and silently drop partition-head rows, breaking
+    partitioning invariance); filter NULLs upstream when that is not
+    wanted. Returns the kept rows with all input columns plus
+    ``n_tokens`` and ``cum_tokens`` (the running total through each kept
+    document — the audit trail of the cutoff); those two output names
+    are reserved and a frame already carrying either raises (pass
+    ``token_col='n_tokens'`` to USE a precomputed count of that name).
 
     Scale shape: the cumulative count is the same two-pass distributed
     prefix sum as sequence packing
     (:func:`~php_ec_spark.operators.packing.running_prefix_sum` — range
     partition on the hash order, local window scans, driver-sized totals
-    roll-up), so there is no global single-partition window anywhere;
-    the budget filter then prunes on the summed column.
+    roll-up), so there is no global single-partition window anywhere —
+    and, like ``pack_sequences``, the scan runs over a PROJECTED
+    (id, hash, count) frame: corpus text is never range-shuffled or
+    pinned, the kept ids join back to the input at the end.
     """
     if budget <= 0:
-        raise ValueError(f"sample_to_token_budget: budget must be positive, got {budget}")
+        raise ValueError(
+            f"sample_to_token_budget: budget must be positive, got {budget}"
+        )
+    reserved = {"n_tokens", "cum_tokens"} & set(df.columns)
+    if token_col == "n_tokens":
+        reserved.discard("n_tokens")
+    if reserved:
+        # a precomputed n_tokens silently replaced by the whitespace
+        # recount would measure the budget in the wrong unit
+        raise ValueError(
+            f"sample_to_token_budget: input already has column(s) "
+            f"{sorted(reserved)} (reserved for the output); rename them, "
+            f"or pass token_col='n_tokens' to use a precomputed count"
+        )
     from .packing import running_prefix_sum
 
     n_tokens = (
@@ -178,15 +197,25 @@ def sample_to_token_budget(
         if token_col is not None
         else F.size(F.split(F.col(text_col), " ")).cast("long")
     )
-    d = df.withColumn("n_tokens", n_tokens).withColumn(
-        "__u", _u(F.col(id_col), seed, "token_budget", hash)
+    slim = df.select(
+        F.col(id_col),
+        F.coalesce(n_tokens, F.lit(0)).alias("n_tokens"),
+        _u(F.col(id_col), seed, "token_budget", hash).alias("__u"),
     )
-    out = running_prefix_sum(
-        d, ["__u", id_col], "n_tokens",
-        num_partitions=num_partitions, reliable=reliable,
+    kept = (
+        running_prefix_sum(
+            slim, ["__u", id_col], "n_tokens",
+            num_partitions=num_partitions, reliable=reliable,
+        )
+        .filter(F.col("__cum_end") <= budget)
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.col("__cum_end").alias("cum_tokens"),
+        )
     )
-    return (
-        out.filter(F.col("__cum_end") <= budget)
-        .withColumnRenamed("__cum_end", "cum_tokens")
-        .drop("__u")
-    )
+    # with token_col='n_tokens' the input column is superseded by the
+    # (cast, coalesced) output column of the same name — drop it so the
+    # join result carries exactly one
+    base = df.drop("n_tokens") if token_col == "n_tokens" else df
+    return base.join(kept, id_col)

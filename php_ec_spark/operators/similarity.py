@@ -417,24 +417,27 @@ def _collect_probes(
     )
     if not rows:
         return None
-    try:
-        by_cluster = {
-            _cluster_key(r.cluster): sorted(idx_of[int(q)] for q in r.qids)
-            for r in rows
-        }
-    except KeyError as e:
-        # the matrix collect and the probe-pairs collect are two separate
-        # jobs over `queries`; a frame that is not deterministic across
-        # jobs (sample()/limit() without ordering, a path being written
-        # concurrently) yields different row sets and would otherwise
-        # mis-probe or crash obscurely
+    # the matrix collect and the probe-pairs collect are two separate
+    # jobs over `queries`; a frame that is not deterministic across jobs
+    # (sample()/limit() without ordering, a path being written
+    # concurrently) yields different row sets and would otherwise
+    # mis-probe or crash obscurely. The check must be SYMMETRIC: an id
+    # only in the pairs job would KeyError below, but an id only in the
+    # matrix job would silently return no rows for that query.
+    probed_ids = {int(q) for r in rows for q in r.qids}
+    if probed_ids != set(idx_of):
+        diff = sorted(probed_ids ^ set(idx_of))[:5]
         raise ValueError(
-            "ivf probe: query id "
-            f"{e.args[0]} appeared in the centroid-probe job but not in "
-            "the matrix-collect job — the queries DataFrame must be "
-            "deterministic across jobs (avoid un-ordered sample()/limit(); "
-            "pin it with localCheckpoint() before searching)"
-        ) from e
+            f"ivf probe: query ids {diff} appear in only one of the two "
+            "collection jobs (vector collect vs centroid probe) — the "
+            "queries DataFrame must be deterministic across jobs (avoid "
+            "un-ordered sample()/limit(); pin it with localCheckpoint() "
+            "before searching)"
+        )
+    by_cluster = {
+        _cluster_key(r.cluster): sorted(idx_of[int(q)] for q in r.qids)
+        for r in rows
+    }
     return qids, Q, qn, by_cluster
 
 

@@ -773,6 +773,60 @@ class TestDropNear:
         finally:
             dedup_index_drop(spark, "didr")
 
+    def test_near_self_recrawl_drops_but_exact_recrawl_lands(
+        self, spark, tmp_path
+    ):
+        """Re-crawl corollaries under drop_near: a byte-identical
+        re-fetch of a stored doc_id lands again (exact self-exemption),
+        while an EDITED re-fetch still within threshold of its own
+        stored copy drops like any other verified near-dup of stored
+        content — the id+text mate rule does not exempt it (landing it
+        would store a row whose text the id-idempotent add never
+        indexes)."""
+        import json as _json
+
+        from php_ec_spark.operators.dedup_index import streaming_index_ingest
+
+        t7 = " ".join(f"p{i:02d}" for i in range(1, 21))
+        t8 = " ".join(f"q{i:02d}" for i in range(1, 21))
+        t8_edit = " ".join(t8.split()[:-1] + ["edited"])  # J=17/19 vs t8
+        base = spark.createDataFrame(
+            [(7, t7), (8, t8)], "doc_id long, text string"
+        )
+        dedup_index_build(base, "drcr", **PARAMS)
+        src = tmp_path / "src"
+        src.mkdir()
+        with open(src / "01.json", "w") as f:
+            f.write(_json.dumps({"doc_id": 7, "text": t7}) + "\n")
+            f.write(_json.dumps({"doc_id": 8, "text": t8_edit}) + "\n")
+        try:
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .json(str(src))
+            )
+            q = streaming_index_ingest(
+                spark, "drcr", stream,
+                landed_path=str(tmp_path / "landed"),
+                checkpoint=str(tmp_path / "ckpt"),
+                threshold=0.5,
+                drop_near=True,
+                available_now=True,
+            )
+            q.awaitTermination(120)
+            landed = {
+                r.doc_id
+                for r in spark.read.parquet(str(tmp_path / "landed")).collect()
+            }
+            assert landed == {7}
+            # the stored texts are untouched either way
+            stored = {
+                r.doc_id: r.text
+                for r in spark.table("drcr_docs").collect()
+            }
+            assert stored == {7: t7, 8: t8}
+        finally:
+            dedup_index_drop(spark, "drcr")
+
     def test_stored_match_drop_survives_replay_with_stronger_mate(
         self, spark, tmp_path
     ):

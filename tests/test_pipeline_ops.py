@@ -2992,7 +2992,11 @@ class TestSampleToTokenBudget:
         ordered = (
             docs.withColumn("__u", _u(F.col("doc_id"), 3, "token_budget"))
             .withColumn(
-                "n", F.size(F.split(F.col("text"), " ")).cast("long")
+                "n",
+                F.coalesce(
+                    F.size(F.split(F.col("text"), " ")).cast("long"),
+                    F.lit(0),
+                ),
             )
             .orderBy("__u", "doc_id")
             .select("doc_id", "n")
@@ -3039,6 +3043,55 @@ class TestSampleToTokenBudget:
         with _pytest.raises(ValueError, match="budget"):
             sample_to_token_budget(df, 0, token_col="toks")
 
+    def test_null_text_rides_along_any_partitioning(self, spark):
+        """A NULL-text doc counts as zero tokens and must survive even at
+        a partition HEAD: an un-coalesced window sum goes NULL over
+        leading NULLs and silently drops the row, making the kept set
+        partitioning-dependent (the empirically-reproduced review
+        finding)."""
+        from php_ec_spark.operators.sampling import sample_to_token_budget
+
+        rows = [(i, None if i == 1 else "a b c d e") for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sets = {
+            frozenset(
+                r.doc_id
+                for r in sample_to_token_budget(
+                    df, 1000, seed=0, num_partitions=n
+                ).collect()
+            )
+            for n in (1, 2, 6)
+        }
+        assert sets == {frozenset(range(6))}
+        null_row = next(
+            r
+            for r in sample_to_token_budget(df, 1000, num_partitions=6).collect()
+            if r.doc_id == 1
+        )
+        assert null_row.n_tokens == 0
+
+    def test_reserved_columns_guarded(self, spark):
+        """A precomputed n_tokens silently replaced by the whitespace
+        recount would measure the budget in the wrong unit — reserved
+        output names raise unless token_col opts in."""
+        import pytest as _pytest
+
+        from php_ec_spark.operators.sampling import sample_to_token_budget
+
+        df = spark.createDataFrame(
+            [(i, "w " * 200, 5) for i in range(4)],
+            "doc_id long, text string, n_tokens int",
+        )
+        with _pytest.raises(ValueError, match="n_tokens"):
+            sample_to_token_budget(df, 100)
+        # opting in uses the precomputed counts (5 each, not ~200)
+        out = sample_to_token_budget(df, 100, token_col="n_tokens")
+        assert out.count() == 4 and all(r.n_tokens == 5 for r in out.collect())
+        with _pytest.raises(ValueError, match="cum_tokens"):
+            sample_to_token_budget(
+                df.withColumnRenamed("n_tokens", "cum_tokens"), 100
+            )
+
     def test_md5_path_duckdb_recomputable(self, spark, sf_dir):
         """hash='md5' membership must be recomputable outside Spark — an
         auditor derives the same kept set from the parquet file alone."""
@@ -3061,7 +3114,7 @@ class TestSampleToTokenBudget:
             for (d,) in con.execute(f"""
                 WITH u AS (
                     SELECT doc_id,
-                           len(string_split(text, ' ')) AS n,
+                           coalesce(len(string_split(text, ' ')), 0) AS n,
                            ('0x' || substr(
                                md5(doc_id::VARCHAR || ':token_budget:9'),
                                1, 8))::BIGINT / 4294967296.0 AS u
