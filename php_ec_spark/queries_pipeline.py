@@ -601,12 +601,13 @@ _DEDUP_INDEX_CACHE: dict = {}
 
 
 def _dedup_index(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
     import hashlib
     import os
 
     name = _DEDUP_INDEX_CACHE.get(sf_dir)
     if name is None:
-        from .operators.dedup_index import dedup_index_build
+        from .operators.dedup_index import dedup_index_build, dedup_index_drop
 
         # pid-scoped like the IVF index: two driver processes over the
         # same sf_dir must not rebuild each other's catalog tables
@@ -616,6 +617,16 @@ def _dedup_index(spark: SparkSession, sf_dir: str) -> str:
             _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0), name
         )
         _DEDUP_INDEX_CACHE[sf_dir] = name
+
+        def _cleanup(n=name, s=spark):
+            # best-effort: leave no per-process warehouse tables behind;
+            # the JVM may already be gone at interpreter exit
+            try:
+                dedup_index_drop(s, n)
+            except Exception:
+                pass
+
+        atexit.register(_cleanup)
     return name
 
 
