@@ -260,3 +260,33 @@ def test_index_probe_candidates_are_increment_bound(spark):
         f"probe candidates grew {c3 / c1:.2f}x for a 3x corpus of distinct "
         "content (expected ~1x): probe cost is no longer increment-bound"
     )
+
+
+@pytest.mark.slow
+def test_remove_dup_spans_work_tracks_duplicated_content(spark):
+    """ExactSubstr excision's scale contract: in the distinct growth
+    regime (every cross-copy 13-token window differs) the duplicated
+    content replicates per copy at constant density, so the operator's
+    real work — affected documents and removed tokens, the only part
+    that runs token-level rows — must grow ~linearly with the corpus
+    (×3 for a 3× corpus), never super-linearly; and untouched documents
+    must come back byte-verbatim regardless of corpus size."""
+    from php_ec_spark.operators.dedup import remove_dup_spans
+
+    s1, s3 = _corpus(spark, 1), _corpus(spark, 3)
+
+    def measure(corpus):
+        out = remove_dup_spans(corpus, window=13)
+        row = out.agg(
+            F.sum(F.when(F.col("tokens_removed") > 0, 1).otherwise(0)).alias("a"),
+            F.sum("tokens_removed").alias("t"),
+        ).head()
+        return int(row.a or 0), int(row.t or 0)
+
+    a1, t1 = measure(s1)
+    a3, t3 = measure(s3)
+    assert a1 > 0, "sf0.01 plants duplicated spans; none excised"
+    # constant per-copy density: ~3x, never super-linear (cross-copy
+    # windows all differ in this regime, so no new dup structure)
+    assert 2.4 * a1 <= a3 <= 3.6 * a1, (a1, a3)
+    assert 2.4 * t1 <= t3 <= 3.6 * t1, (t1, t3)
