@@ -64,8 +64,11 @@ def curate(
     reliable: bool = False,
     export_path: str | None = None,
     export_shards: int = 16,
+    token_budget: int | None = None,
 ):
     """Run the funnel; returns (per-stage counts dict, packed DataFrame).
+    ``token_budget`` optionally caps the epoch at ~that many tokens
+    (deterministic hash-order prefix, stage 6b).
 
     ``reliable=True`` makes every corpus-scale pinned intermediate
     persist(DISK_ONLY) with lineage kept instead of localCheckpoint —
@@ -169,6 +172,14 @@ def curate(
     docs = stratified_sample(docs, {"en": 0.8}, "lang", seed=seed).select(
         "doc_id", "text"
     )
+    # 6b (optional): cap the epoch at a TOKEN budget — the unit training
+    # runs are planned in — via the deterministic hash-order prefix take
+    if token_budget is not None:
+        from php_ec_spark.operators.sampling import sample_to_token_budget
+
+        docs = sample_to_token_budget(
+            docs, token_budget, seed=seed, reliable=reliable
+        ).select("doc_id", "text")
     funnel["sampled"] = docs.count()
 
     # 7+8. token counts -> packed training sequences (512-token budget)
