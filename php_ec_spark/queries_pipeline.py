@@ -260,10 +260,18 @@ def pipe_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipe_dup_spans",
-    doc="Exact substring-duplication signal (Lee et al.-style): fraction "
-    "of each doc's 13-token windows (all positions, stride 1) appearing "
-    "verbatim in >=2 distinct docs — md5 window hashes, linear in corpus "
-    "tokens, no pairwise term.",
+    doc="The two ExactSubstr halves consolidated as kind rows (the "
+    "round-10 consolidation pattern — pipe_dup_spans is not a bench "
+    "headline, so the removal rows cost nothing where it matters). "
+    "kind='stats': exact substring-duplication SIGNAL (Lee et al.-style) "
+    "— fraction of each doc's 13-token windows (all positions, stride 1) "
+    "appearing verbatim in >=2 distinct docs; md5 window hashes, linear "
+    "in corpus tokens, no pairwise term. kind='removed': the EXCISION "
+    "counterpart (remove_dup_spans) — every token covered by a window "
+    "occurring >=2 times is removed except in the span's canonical "
+    "(doc,start)-minimal occurrence; rows carry n_tokens/tokens_removed "
+    "and text_md5 = md5 of the rebuilt text, so the driver hash pins the "
+    "full rebuilt corpus byte-for-byte without shipping the text.",
     oracle=r"""
         WITH tok AS (
             -- NULL text ≡ '' (dup_span_stats' coalesce): the doc must
@@ -281,19 +289,104 @@ def pipe_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM tok
         ), freq AS (
             SELECT wh, count(DISTINCT doc_id) AS nd FROM w GROUP BY wh
+        ),
+        -- removal half (remove_dup_spans' DuckDB twin, matured in
+        -- tests/test_pipeline_ops.py): positional windows on docs long
+        -- enough to see one, keeper = min (doc, start) per hash,
+        -- covered-position anti-join, ordered rebuild
+        d AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+            FROM documents
+        ), wr AS (
+            SELECT doc_id AS doc, i.i AS start,
+                   md5(array_to_string(toks[i.i:i.i+12], ' ')) AS wh
+            FROM d, LATERAL (
+                SELECT unnest(range(1, len(toks) - 13 + 2)) AS i
+            ) i
+            WHERE len(toks) >= 13
+        ), w2 AS (
+            SELECT doc, start,
+                   count(*) OVER (PARTITION BY wh) AS c,
+                   row_number() OVER (
+                       PARTITION BY wh ORDER BY doc, start
+                   ) AS rk
+            FROM wr
+        ), cov AS (
+            SELECT DISTINCT doc, start + k.k AS pos
+            FROM w2, LATERAL (
+                SELECT unnest(range(0, 13)) AS k
+            ) k
+            WHERE c >= 2 AND rk > 1
+        ), tr AS (
+            SELECT d.doc_id AS doc,
+                   generate_subscripts(toks, 1) AS pos,
+                   unnest(toks) AS tok
+            FROM d
+            WHERE doc_id IN (SELECT doc FROM cov)
+        ), kept AS (
+            SELECT t.doc, t.pos, t.tok
+            FROM tr t ANTI JOIN cov USING (doc, pos)
+        ), rebuilt AS (
+            SELECT doc,
+                   coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS ktext
+            FROM kept GROUP BY doc
+        ), removed AS (
+            SELECT doc, count(*) AS tokens_removed FROM cov GROUP BY doc
         )
-        SELECT doc_id,
+        SELECT 'stats' AS kind, doc_id,
                count(*) AS n_windows,
                CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_dup_windows,
                round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::DOUBLE
-                     / count(*), 6) AS dup_fraction
+                     / count(*), 6) AS dup_fraction,
+               CAST(NULL AS BIGINT) AS n_tokens,
+               CAST(NULL AS BIGINT) AS tokens_removed,
+               CAST(NULL AS VARCHAR) AS text_md5
         FROM w JOIN freq USING (wh)
         GROUP BY doc_id
+        UNION ALL
+        SELECT 'removed' AS kind, d.doc_id,
+               CAST(NULL AS BIGINT) AS n_windows,
+               CAST(NULL AS BIGINT) AS n_dup_windows,
+               CAST(NULL AS DOUBLE) AS dup_fraction,
+               CASE WHEN d.text IS NULL THEN 0
+                    ELSE len(d.toks) END AS n_tokens,
+               coalesce(rm.tokens_removed, 0) AS tokens_removed,
+               md5(CASE WHEN d.text IS NULL THEN NULL
+                        WHEN rm.tokens_removed IS NOT NULL
+                            THEN coalesce(rb.ktext, '')
+                        ELSE d.text END) AS text_md5
+        FROM d
+        LEFT JOIN removed rm ON rm.doc = d.doc_id
+        LEFT JOIN rebuilt rb ON rb.doc = d.doc_id
     """,
 )
 def pipe_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dup_span_stats(_docs(spark, sf_dir), window=13, min_docs=2)
+    from .operators.dedup import remove_dup_spans
+
+    docs = _docs(spark, sf_dir)
+    stats = dup_span_stats(docs, window=13, min_docs=2).select(
+        F.lit("stats").alias("kind"),
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        "dup_fraction",
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("tokens_removed"),
+        F.lit(None).cast("string").alias("text_md5"),
+    )
+    removed = remove_dup_spans(docs, window=13, min_count=2).select(
+        F.lit("removed").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_windows"),
+        F.lit(None).cast("long").alias("n_dup_windows"),
+        F.lit(None).cast("double").alias("dup_fraction"),
+        "n_tokens",
+        "tokens_removed",
+        F.md5("text").alias("text_md5"),
+    )
+    return stats.unionByName(removed)
 
 
 @register(
