@@ -61,17 +61,22 @@ def _measure_pure_eps(iters: int) -> float:
     return eps_pure
 
 
-def _settle() -> None:
+def _settle() -> float:
     """Cooldown gate before any measurement (round-9 verdict bench-hygiene
     ask): a test suite or soak finishing just before bench leaves ~10 min
     of residual host load that depresses the single-thread pure-eps number
     ~35% and inflates query wall-times 15-45% UNIFORMLY — min-of-5 cannot
     save a window where every iteration is loaded. Wait (bounded) for the
     1-minute loadavg to drop below a quarter of the cores before starting;
-    SPARK_GRAFT_BENCH_SETTLE=0 disables."""
+    SPARK_GRAFT_BENCH_SETTLE=0 disables. Returns the loadavg at exit so
+    the artifact records the measurement window's starting condition
+    (round-10 verdict: two consecutive noisy artifacts needed human
+    adjudication; a recorded loadavg makes a loaded window
+    machine-detectable in the JSON itself)."""
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "120"))
     if max_wait <= 0:
-        return  # explicitly disabled: no gate, no data-quality warning
+        # explicitly disabled: no gate, no data-quality warning
+        return os.getloadavg()[0]
     thresh = max((os.cpu_count() or 4) * 0.25, 2.0)
     t0 = time.time()
     while time.time() - t0 < max_wait:
@@ -80,17 +85,19 @@ def _settle() -> None:
             if time.time() - t0 > 1:
                 print(f"# settle: waited {time.time() - t0:.0f}s "
                       f"(load {load:.1f} < {thresh:.1f})", file=sys.stderr)
-            return
+            return load
         time.sleep(5)
+    load = os.getloadavg()[0]
     print(f"# settle: gave up after {max_wait:.0f}s (load "
-          f"{os.getloadavg()[0]:.1f} >= {thresh:.1f}) — numbers may read "
+          f"{load:.1f} >= {thresh:.1f}) — numbers may read "
           "uniformly high", file=sys.stderr)
+    return load
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
-    _settle()
+    load_start = round(_settle(), 2)
     eps_pure = _measure_pure_eps(iters)
 
     from php_ec_spark.catalog import all_queries
@@ -256,6 +263,11 @@ def main() -> None:
         "state_machine_eps": round(eps),
         "state_machine_eps_pure": round(eps_pure),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # external-load audit trail: a loaded window is machine-detectable
+        # (load_start is the 1-min loadavg after the settle gate — the
+        # bench's own 32-thread work dominates load_end, so load_start is
+        # the clean-window signal; the documented noise band is ±15%)
+        "loadavg": {"start": load_start, "end": round(os.getloadavg()[0], 2)},
     }
     if deltas:
         out["delta_vs_prev"] = deltas

@@ -65,10 +65,13 @@ def curate(
     export_path: str | None = None,
     export_shards: int = 16,
     token_budget: int | None = None,
+    budget_tokenizer: str = "ws",
 ):
     """Run the funnel; returns (per-stage counts dict, packed DataFrame).
     ``token_budget`` optionally caps the epoch at ~that many tokens
-    (deterministic hash-order prefix, stage 6b).
+    (deterministic hash-order prefix, stage 6b); ``budget_tokenizer``
+    picks the unit — ``'ws'`` whitespace words, ``'bpe'`` the BPE-ish
+    pre-split count (approximate real-tokenizer units).
 
     ``reliable=True`` makes every corpus-scale pinned intermediate
     persist(DISK_ONLY) with lineage kept instead of localCheckpoint —
@@ -178,7 +181,8 @@ def curate(
         from php_ec_spark.operators.sampling import sample_to_token_budget
 
         docs = sample_to_token_budget(
-            docs, token_budget, seed=seed, reliable=reliable
+            docs, token_budget, seed=seed, reliable=reliable,
+            tokenizer=budget_tokenizer,
         ).select("doc_id", "text")
     funnel["sampled"] = docs.count()
 

@@ -133,10 +133,20 @@ def pack_sequences(
     The result is invariant to ``num_partitions``: partitioning only
     changes where the local scans run, never the offsets (pinned by a
     partition-count sweep in tests/test_pipeline_ops.py).
+
+    NULL text counts as ZERO tokens — the same contract as
+    ``sample_to_token_budget``, and coalesced BEFORE the prefix sum (a
+    windowed sum over leading NULLs goes NULL and silently breaks the
+    partition-head rows' offsets — the exact class fixed in the sampler).
+    A zero-token document gets ``start_offset`` = the stream position it
+    occupies and ``seq_first = seq_last = start_offset DIV budget`` (the
+    sequence it lands at while contributing nothing).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    n_tokens = F.coalesce(
+        F.size(F.split(F.col(text_col), " ")).cast("long"), F.lit(0)
+    )
     d = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
     out = running_prefix_sum(
         d, [id_col], "n_tokens",
@@ -147,13 +157,15 @@ def pack_sequences(
         (F.col("__cum_end") - F.col("n_tokens")).alias("start_offset"),
     )
     # DIV (integer division) keeps sequence ids in exact int64 — a double
-    # round-trip would lose exactness past 2^53 token offsets.
+    # round-trip would lose exactness past 2^53 token offsets. Zero-token
+    # docs pin seq_last to seq_first (the n_tokens-1 form would point one
+    # sequence back at a boundary).
     return out.select(
         id_col,
         "n_tokens",
         "start_offset",
         F.expr(f"start_offset DIV {budget}").alias("seq_first"),
-        F.expr(f"(start_offset + n_tokens - 1) DIV {budget}").alias(
-            "seq_last"
-        ),
+        F.expr(
+            f"(start_offset + greatest(n_tokens, 1) - 1) DIV {budget}"
+        ).alias("seq_last"),
     )

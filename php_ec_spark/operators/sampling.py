@@ -131,6 +131,7 @@ def sample_to_token_budget(
     hash: str = "xxhash64",
     num_partitions: int | None = None,
     reliable: bool = False,
+    tokenizer: str = "ws",
 ) -> DataFrame:
     """Take an (approximately ``budget``-token) uniform sample of the
     corpus: documents are laid out in a deterministic pseudo-random
@@ -153,8 +154,15 @@ def sample_to_token_budget(
     external auditor can recompute membership.
 
     ``token_col`` uses a precomputed token count; otherwise ``text_col``
-    is counted by the corpus single-space convention (same as
-    :func:`~php_ec_spark.operators.packing.pack_sequences`). A NULL
+    is counted by ``tokenizer``: ``'ws'`` (default) is the corpus
+    single-space convention (same as
+    :func:`~php_ec_spark.operators.packing.pack_sequences`); ``'bpe'``
+    counts under the BPE-ish pre-split regex
+    (:data:`~php_ec_spark.operators.text.BPE_ISH_RE` — the
+    ``with_bpe_token_count`` kernel), so budgets can be written in
+    approximate real-tokenizer units instead of whitespace words.
+    ``tokenizer`` and ``token_col`` are mutually exclusive (a precomputed
+    count already fixes the unit). A NULL
     count (NULL text) counts as ZERO tokens — the document contributes
     nothing to the running total and rides along if the prefix reaches
     it (coalesced before the sum: a window sum over leading NULLs would
@@ -192,11 +200,26 @@ def sample_to_token_budget(
         )
     from .packing import running_prefix_sum
 
-    n_tokens = (
-        F.col(token_col).cast("long")
-        if token_col is not None
-        else F.size(F.split(F.col(text_col), " ")).cast("long")
-    )
+    if tokenizer not in ("ws", "bpe"):
+        raise ValueError(
+            f"sample_to_token_budget: tokenizer must be 'ws' or 'bpe', "
+            f"got {tokenizer!r}"
+        )
+    if token_col is not None and tokenizer != "ws":
+        raise ValueError(
+            "sample_to_token_budget: token_col and tokenizer are mutually "
+            "exclusive — a precomputed count already fixes the unit"
+        )
+    if token_col is not None:
+        n_tokens = F.col(token_col).cast("long")
+    elif tokenizer == "bpe":
+        from .text import BPE_ISH_RE
+
+        n_tokens = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0)
+        ).cast("long")
+    else:
+        n_tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
     slim = df.select(
         F.col(id_col),
         F.coalesce(n_tokens, F.lit(0)).alias("n_tokens"),

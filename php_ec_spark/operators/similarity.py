@@ -198,9 +198,17 @@ def _exact_rerank(
     k: int,
     vec_col: str,
     id_col: str,
+    distributed: bool = False,
 ) -> DataFrame:
-    """JVM re-score of a small (query_id, neighbor_id) candidate set with
-    the sequential-fold dot product (oracle arithmetic), ranked to top-k."""
+    """JVM re-score of a (query_id, neighbor_id) candidate set with the
+    sequential-fold dot product (oracle arithmetic), ranked to top-k.
+
+    ``distributed=False`` (the small-query-batch contract) broadcasts the
+    candidate set and the query vectors; ``distributed=True`` (the
+    increment-scale probe path) leaves both joins unhinted — candidates
+    are O(|queries|·(k+pad)) rows and the query table is the very thing
+    that did not fit a broadcast, so they shuffle (AQE still demotes to
+    broadcast when a side turns out small at runtime)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
@@ -210,9 +218,10 @@ def _exact_rerank(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     )
     cos = _cos(F.col("qv"), F.col("cv"))
+    maybe_bcast = (lambda df: df) if distributed else F.broadcast
     scored = (
-        c.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
+        c.join(maybe_bcast(cand), "neighbor_id")
+        .join(maybe_bcast(q), "query_id")
         # the GEMM mask only demotes self-matches to -inf; when a batch
         # group is smaller than k+pad they still reach the candidate set,
         # so the exclusion must be re-applied here
@@ -500,6 +509,166 @@ def _ivf_candidates(
 
     return corpus.select(id_col, cluster_col, vec_col).mapInPandas(
         gen_candidates, schema="query_id long, neighbor_id long"
+    )
+
+
+#: Default budget for shipping a query/increment matrix through the driver
+#: as a broadcast (raw bytes: 8·n·(dim+1)). Above this, ``ivf_search``'s
+#: ``mode='auto'`` switches to the distributed probe path instead of
+#: collecting the matrix — ~10 M × 768-d float64 daily-increment vectors
+#: are ~60 GB, far past any driver heap, and must never transit it.
+IVF_BROADCAST_BUDGET_BYTES = 256 << 20
+
+#: Sentinel for NULL cluster values in the cogroup key (cogroup aligns
+#: groups by key EQUALITY, and SQL null != null would strand the corpus'
+#: default-partition rows from the probes targeting them).
+_NULL_CLUSTER_KEY = "\x00null\x00"
+
+
+def _resolve_probe_mode(
+    queries: DataFrame, mode: str, budget: "int | None", vec_col: str
+) -> str:
+    """Pick broadcast vs distributed probing for a query increment.
+
+    ``auto`` estimates the raw broadcast payload (8·n·(dim+1) bytes — the
+    exact size :func:`_collect_matrix` ships) with one count/max-size
+    job over the increment and goes distributed above ``budget``
+    (default :data:`IVF_BROADCAST_BUDGET_BYTES`). Forcing
+    ``mode='broadcast'`` above the budget raises loudly instead of
+    silently flooding the driver — the connected-components guard
+    pattern: the failure names the fix."""
+    if mode == "distributed":
+        return "distributed"
+    if mode not in ("auto", "broadcast"):
+        raise ValueError(
+            f"ivf probe mode must be 'auto', 'broadcast' or 'distributed',"
+            f" got {mode!r}"
+        )
+    budget = IVF_BROADCAST_BUDGET_BYTES if budget is None else budget
+    est = queries.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size(F.col(vec_col))).alias("d")
+    ).first()
+    est_bytes = est.n * ((est.d or 0) + 1) * 8
+    if est_bytes <= budget:
+        return "broadcast"
+    if mode == "broadcast":
+        raise RuntimeError(
+            f"ivf probe: the query increment is ~{est_bytes:,} raw bytes "
+            f"({est.n:,} vectors × {est.d}-d), past the "
+            f"{budget:,}-byte broadcast budget — collecting it to the "
+            "driver would flood the driver heap. Use mode='auto' or "
+            "mode='distributed' (executor-side probe assignment, no "
+            "driver transit), or raise broadcast_budget_bytes if this "
+            "driver really has the headroom"
+        )
+    return "distributed"
+
+
+def _probe_vec_rows(
+    queries: DataFrame,
+    cents: DataFrame,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(query_id, cluster, qv) probe rows for the DISTRIBUTED path: the
+    same :func:`_probe_pairs` cluster selection as the broadcast path
+    (identical JVM expressions — probe sets cannot diverge between
+    modes), joined back to the query vectors executor-side. Nothing here
+    touches the driver; the increment shuffles once on query_id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    return _probe_pairs(queries, cents, nprobe, vec_col, id_col).join(
+        q, "query_id"
+    )
+
+
+def _distributed_candidates(
+    corpus: DataFrame,
+    probe_rows: DataFrame,
+    k: int,
+    cluster_col: str,
+    vec_col: str,
+    id_col: str,
+    shards: int = 1,
+) -> DataFrame:
+    """(query_id, neighbor_id) candidates with NO driver transit: the
+    probe rows shuffle by their probed cluster and cogroup against the
+    (partition-pruned) corpus on the cluster key; each cogroup runs the
+    same per-cluster GEMM + tie-inclusive top-(k+pad) kernel as
+    :func:`_ivf_candidates`. Shuffled volume is the increment (×nprobe,
+    ×shards) plus the probed nprobe/C slice of the corpus — executor to
+    executor, never through the driver.
+
+    ``shards > 1`` splits each corpus cluster into hash shards and
+    replicates the probing queries to every shard — the skew valve when a
+    single cluster's vectors outgrow one task's memory (each cogroup then
+    holds |cluster|/shards corpus vectors); per-shard top-(k+pad) keeps a
+    superset of the per-cluster top-(k+pad), so the exact re-rank result
+    is shard-count-invariant (pinned in tests)."""
+    import numpy as np
+    import pandas as pd
+
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    ckey = F.coalesce(
+        F.col(cluster_col).cast("string"), F.lit(_NULL_CLUSTER_KEY)
+    )
+    c = corpus.select(
+        ckey.alias("__ck"),
+        F.col(id_col).alias("__nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__cv"),
+    )
+    pkey = F.coalesce(F.col("cluster").cast("string"), F.lit(_NULL_CLUSTER_KEY))
+    p = probe_rows.select(pkey.alias("__ck"), "query_id", "qv")
+    keys = ["__ck"]
+    if shards > 1:
+        keys = ["__ck", "__sh"]
+        c = c.withColumn(
+            "__sh", F.pmod(F.xxhash64(F.col("__nid")), F.lit(shards)).cast("int")
+        )
+        # sequence of int literals is already array<int> — and a generator
+        # cannot nest inside a cast expression
+        p = p.withColumn(
+            "__sh", F.explode(F.sequence(F.lit(0), F.lit(shards - 1)))
+        )
+    pad = 16
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left = this cluster(-shard)'s corpus rows, right = the queries
+        # probing it; either side empty -> no candidates (a probed-but-
+        # empty cluster, or an unprobed cluster surviving the prune)
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        C = np.stack([np.asarray(v, dtype=np.float64) for v in left["__cv"]])
+        nid = left["__nid"].to_numpy(dtype=np.int64)
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in right["qv"]])
+        qid = right["query_id"].to_numpy(dtype=np.int64)
+        cn = np.sqrt((C * C).sum(axis=1))
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        denom = np.outer(cn, qn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = np.where(denom > 0, (C @ Q.T) / denom, -np.inf)
+        S[nid[:, None] == qid[None, :]] = -np.inf
+        take = min(k + pad, len(nid))
+        # tie-inclusive keep — see cosine_topk's kernel
+        kth = -np.partition(-S, take - 1, axis=0)[take - 1]
+        keep = (S >= kth[None, :]) & np.isfinite(S)
+        ridx, cidx = np.nonzero(keep)
+        return pd.DataFrame({"query_id": qid[cidx], "neighbor_id": nid[ridx]})
+
+    return (
+        c.groupBy(*keys)
+        .cogroup(p.groupBy(*keys))
+        .applyInPandas(score, schema="query_id long, neighbor_id long")
     )
 
 
@@ -911,6 +1080,9 @@ def ivf_search(
     cluster_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    mode: str = "auto",
+    broadcast_budget_bytes: "int | None" = None,
+    shards: int = 1,
 ) -> DataFrame:
     """Search a persistent :func:`ivf_build` index: probe the ``nprobe``
     nearest centroids per query, then scan ONLY the probed cluster
@@ -919,23 +1091,71 @@ def ivf_search(
     in tests). Scoring and the exact re-rank are identical to
     :func:`ivf_topk`, so the split is output-equivalent for the same
     corpus and parameters.
+
+    Two probe strategies, selected by ``mode``:
+
+    - ``broadcast`` — the query matrix is executor-packed, collected once
+      (:func:`_collect_probes`) and broadcast; the corpus is scanned with
+      a per-batch GEMM. Fastest for the search-a-few-queries contract,
+      but the matrix transits the driver: bounded by
+      ``broadcast_budget_bytes`` (default
+      :data:`IVF_BROADCAST_BUDGET_BYTES`) — forcing it past the budget
+      raises rather than flooding the driver heap.
+    - ``distributed`` — the daily-increment shape with NO driver-bounded
+      transfer: probe assignment runs as the same JVM centroid-broadcast
+      expressions, the increment shuffles by probed cluster and cogroups
+      against the pruned corpus partitions (:func:`_distributed_candidates`,
+      ``shards`` is the skew valve), and the exact re-rank joins unhinted.
+      Only the ≤C distinct probed cluster ids ever reach the driver (the
+      pruning predicate needs them).
+    - ``auto`` (default) — one count/max-dim job over the increment picks
+      broadcast below the budget, distributed above it.
+
+    Both modes share cluster selection, kernel arithmetic (GEMM +
+    tie-inclusive top-(k+pad)) and the JVM exact re-rank, so results are
+    mode-invariant (pinned in tests). Like the broadcast path, the
+    distributed path runs multiple Spark jobs over ``queries`` — a frame
+    that is not deterministic across jobs (unordered sample()/limit())
+    must be pinned with localCheckpoint() first.
     """
     cents = spark.read.parquet(f"{path}/centroids")
-    probes = _collect_probes(queries, cents, nprobe, vec_col, id_col)
-    if probes is None:
+    mode = _resolve_probe_mode(queries, mode, broadcast_budget_bytes, vec_col)
+    if mode == "broadcast":
+        probes = _collect_probes(queries, cents, nprobe, vec_col, id_col)
+        if probes is None:
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, cos double, rank int"
+            )
+        # the pruning predicate needs only the DISTINCT probed cluster
+        # ids — ≤C values regardless of how large the query increment is
+        probed = set(probes[3])
+        non_null = [c for c in probed if c is not None]
+        pred = F.col(cluster_col).isin(non_null) if non_null else F.lit(False)
+        if None in probed:
+            pred = pred | F.col(cluster_col).isNull()
+        corpus = spark.read.parquet(f"{path}/corpus").filter(pred)
+        cand = _ivf_candidates(corpus, probes, k, cluster_col, vec_col, id_col)
+        return _exact_rerank(corpus, queries, cand, k, vec_col, id_col)
+    # distributed: the only driver-crossing payload is the distinct
+    # probed cluster ids (≤C rows), needed for the pruning predicate
+    pairs = _probe_pairs(queries, cents, nprobe, vec_col, id_col)
+    probed = {r.cluster for r in pairs.select("cluster").distinct().collect()}
+    if not probed:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos double, rank int"
         )
-    # the pruning predicate needs only the DISTINCT probed cluster ids —
-    # ≤C values regardless of how large the query increment is
-    probed = set(probes[3])
     non_null = [c for c in probed if c is not None]
     pred = F.col(cluster_col).isin(non_null) if non_null else F.lit(False)
     if None in probed:
         pred = pred | F.col(cluster_col).isNull()
     corpus = spark.read.parquet(f"{path}/corpus").filter(pred)
-    cand = _ivf_candidates(corpus, probes, k, cluster_col, vec_col, id_col)
-    return _exact_rerank(corpus, queries, cand, k, vec_col, id_col)
+    probe_rows = _probe_vec_rows(queries, cents, nprobe, vec_col, id_col)
+    cand = _distributed_candidates(
+        corpus, probe_rows, k, cluster_col, vec_col, id_col, shards=shards
+    )
+    return _exact_rerank(
+        corpus, queries, cand, k, vec_col, id_col, distributed=True
+    )
 
 
 def ivf_compact(spark, src_path: str, dst_path: str, cluster_col: str = "label") -> dict:
@@ -986,6 +1206,9 @@ def embedding_dup_probe(
     cluster_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    mode: str = "auto",
+    broadcast_budget_bytes: "int | None" = None,
+    shards: int = 1,
 ) -> DataFrame:
     """Probe new embeddings against a persistent :func:`ivf_build` index
     for SEMANTIC duplicates: each query is annotated with its best stored
@@ -995,7 +1218,10 @@ def embedding_dup_probe(
     :func:`semdedup`.
 
     Cost is one :func:`ivf_search` (centroid probe + partition-pruned
-    scan of nprobe/C of the corpus) — never a corpus rescan. Same
+    scan of nprobe/C of the corpus) — never a corpus rescan; ``mode``/
+    ``broadcast_budget_bytes``/``shards`` pass straight through, so a
+    daily increment past the broadcast budget probes through the
+    distributed path with no driver-bounded transfer. Same
     approximation contract as SemDeDup/IVF: a duplicate quantized into a
     cluster the probe misses is not flagged; raise ``nprobe`` to trade
     scan for recall. Output keeps one row per query (left join), so
@@ -1013,6 +1239,8 @@ def embedding_dup_probe(
         ivf_search(
             spark, path, queries, k=1, nprobe=nprobe,
             cluster_col=cluster_col, vec_col=vec_col, id_col=id_col,
+            mode=mode, broadcast_budget_bytes=broadcast_budget_bytes,
+            shards=shards,
         )
         .filter(F.col("cos") >= threshold)
         .select(

@@ -560,6 +560,84 @@ def pipe_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX_CACHE: dict = {}
 
 
+def _pid_alive(pid: int) -> bool:
+    """True when ``pid`` names a live process (EPERM counts as alive —
+    the process exists, it's just someone else's)."""
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def sweep_stale_ivf_dirs() -> int:
+    """Remove ``/tmp/php_ec_ivf_<pid>_*`` index dirs whose owning pid is
+    dead — the atexit cleanup is best-effort and a crash-killed driver
+    leaks its per-process dirs. Runs once per process before the first
+    build; safe concurrently (a LIVE pid's dirs are never touched, and
+    rmtree of an already-gone dir is a no-op). Returns dirs removed."""
+    import glob
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    swept = 0
+    pat = re.compile(r"^php_ec_ivf_(\d+)_")
+    for d in glob.glob(f"{tempfile.gettempdir()}/php_ec_ivf_*"):
+        m = pat.match(os.path.basename(d))
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid != os.getpid() and not _pid_alive(pid):
+            shutil.rmtree(d, ignore_errors=True)
+            swept += 1
+    return swept
+
+
+def sweep_stale_didx_tables(spark: SparkSession) -> int:
+    """Drop ``pipe_didx_<pid>_*`` catalog tables whose owning pid is dead
+    (same crash-leak story as :func:`sweep_stale_ivf_dirs`, but in the
+    warehouse). Returns index base-names dropped."""
+    import os
+    import re
+
+    from .operators.dedup_index import dedup_index_drop
+
+    pat = re.compile(r"^(pipe_didx_(\d+)_[0-9a-f]+)_")
+    bases: dict = {}
+    for t in spark.catalog.listTables():
+        m = pat.match(t.name)
+        if m:
+            bases[m.group(1)] = int(m.group(2))
+    swept = 0
+    for base, pid in bases.items():
+        if pid != os.getpid() and not _pid_alive(pid):
+            dedup_index_drop(spark, base)
+            swept += 1
+    return swept
+
+
+_SWEPT_STALE = False
+
+
+def _sweep_stale_artifacts(spark: SparkSession) -> None:
+    global _SWEPT_STALE
+    if _SWEPT_STALE:
+        return
+    _SWEPT_STALE = True
+    try:
+        sweep_stale_ivf_dirs()
+        sweep_stale_didx_tables(spark)
+    except Exception:
+        # the sweep is hygiene, never a reason to fail a build
+        pass
+
+
 def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
     import tempfile
@@ -570,6 +648,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
 
         import os
 
+        _sweep_stale_artifacts(spark)
         # pid-scoped: two driver processes over the same sf_dir must not
         # overwrite each other's index mid-search
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
@@ -702,6 +781,7 @@ def _dedup_index(spark: SparkSession, sf_dir: str) -> str:
     if name is None:
         from .operators.dedup_index import dedup_index_build, dedup_index_drop
 
+        _sweep_stale_artifacts(spark)
         # pid-scoped like the IVF index: two driver processes over the
         # same sf_dir must not rebuild each other's catalog tables
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]

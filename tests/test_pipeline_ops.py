@@ -1862,6 +1862,35 @@ class TestPackSequences:
         with pytest.raises(ValueError):
             pack_sequences(docs, budget=0)
 
+    def test_null_text_counts_zero_tokens_not_null(self, spark):
+        """Round-10 ADVICE: NULL text must flow through the prefix sum as
+        ZERO tokens (the sampler's contract), never as a NULL that blanks
+        start_offset/seq_first/seq_last — and zero-token docs land at
+        their offset with seq_first == seq_last, even when a NULL-text
+        doc heads the id order (the partition-head window-sum trap)."""
+        from php_ec_spark.operators.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "a b c"), (3, None), (4, "d e")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.start_offset, r.seq_first, r.seq_last)
+            for r in pack_sequences(df, budget=4).collect()
+        }
+        assert got[1] == (0, 0, 0, 0)
+        assert got[2] == (3, 0, 0, 0)
+        assert got[3] == (0, 3, 0, 0)
+        assert got[4] == (2, 3, 0, 1)  # straddles the 4-token boundary
+        # invariant under partitioning (the NULL-head regression shape)
+        got7 = {
+            r.doc_id: (r.n_tokens, r.start_offset, r.seq_first, r.seq_last)
+            for r in pack_sequences(
+                df.repartition(7), budget=4, num_partitions=3
+            ).collect()
+        }
+        assert got7 == got
+
 
 class TestConnectedComponents:
     def test_chain_converges_logarithmically(self, spark):
@@ -2796,6 +2825,195 @@ class TestEmbeddingDupProbe:
         assert len(got) == 2
 
 
+class TestIvfDistributedProbe:
+    """The round-11 scale fix: the increment probe path must have a mode
+    with NO driver-bounded transfer — a daily increment of ~10M × 768-d
+    vectors (~60 GB raw) can never transit the driver as a broadcast."""
+
+    def _index(self, spark, tmp_path, with_null_label=False):
+        import numpy as np
+
+        from php_ec_spark.operators.similarity import ivf_build
+
+        rng = np.random.default_rng(11)
+        # well-separated clusters so probe sets are insensitive to
+        # GEMM-vs-fold last-ulp differences at the 6-dp rounding boundary
+        centers = rng.normal(size=(5, 12)) * 20
+        rows = []
+        for i in range(200):
+            c = i % 5
+            v = centers[c] + rng.normal(size=12) * 0.2
+            rows.append(
+                (i, [float(x) for x in v], None if with_null_label and c == 4 else c)
+            )
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        idx = str(tmp_path / "ivf_dist")
+        ivf_build(df, idx)
+        return df, idx
+
+    def test_distributed_matches_broadcast_incl_null_labels_and_shards(
+        self, spark, tmp_path
+    ):
+        from php_ec_spark.operators.similarity import ivf_search
+
+        df, idx = self._index(spark, tmp_path, with_null_label=True)
+        queries = df.filter(F.col("vec_id") < 12).select("vec_id", "embedding")
+        want = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos)
+            for r in ivf_search(
+                spark, idx, queries, k=4, nprobe=2, mode="broadcast"
+            ).collect()
+        }
+        assert want and {q for q, _ in want} == set(range(12))
+        for shards in (1, 3):
+            got = {
+                (r.query_id, r.rank): (r.neighbor_id, r.cos)
+                for r in ivf_search(
+                    spark, idx, queries, k=4, nprobe=2,
+                    mode="distributed", shards=shards,
+                ).collect()
+            }
+            assert got == want, f"shards={shards}"
+
+    def test_distributed_path_never_transits_the_driver(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Monkeypatch BOTH driver-crossing primitives to raise
+        (_collect_matrix — the round-10 packed transfer — and
+        DataFrame.toPandas): the distributed mode must complete without
+        either, and auto mode must SELECT it above a tiny budget."""
+        from pyspark.sql import DataFrame as _DF
+
+        from php_ec_spark.operators import similarity as sim
+
+        df, idx = self._index(spark, tmp_path)
+        queries = df.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+        want = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in sim.ivf_search(
+                spark, idx, queries, k=3, nprobe=2, mode="broadcast"
+            ).collect()
+        }
+
+        def _no_matrix(*a, **kw):
+            raise AssertionError(
+                "_collect_matrix called on the distributed probe path"
+            )
+
+        def _no_pandas(self, *a, **kw):
+            raise AssertionError("toPandas called on the distributed path")
+
+        monkeypatch.setattr(sim, "_collect_matrix", _no_matrix)
+        monkeypatch.setattr(_DF, "toPandas", _no_pandas)
+        got = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in sim.ivf_search(
+                spark, idx, queries, k=3, nprobe=2, mode="distributed"
+            ).collect()
+        }
+        assert got == want
+        # auto above a tiny budget routes distributed (would raise via the
+        # monkeypatch if it picked broadcast)
+        got_auto = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in sim.ivf_search(
+                spark, idx, queries, k=3, nprobe=2,
+                mode="auto", broadcast_budget_bytes=64,
+            ).collect()
+        }
+        assert got_auto == want
+        # ...and embedding_dup_probe rides the same path end to end
+        probed = sim.embedding_dup_probe(
+            spark, idx, queries, threshold=0.99, nprobe=2,
+            mode="distributed",
+        ).collect()
+        assert len(probed) == 8
+        assert all(r.dup_of is not None for r in probed)  # tight clusters
+
+    def test_forced_broadcast_past_budget_raises_loudly(self, spark, tmp_path):
+        import pytest
+
+        from php_ec_spark.operators.similarity import ivf_search
+
+        df, idx = self._index(spark, tmp_path)
+        queries = df.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+        with pytest.raises(RuntimeError, match="broadcast budget"):
+            ivf_search(
+                spark, idx, queries, k=3, nprobe=2,
+                mode="broadcast", broadcast_budget_bytes=64,
+            )
+        with pytest.raises(ValueError, match="mode must be"):
+            ivf_search(spark, idx, queries, mode="banana")
+
+    def test_auto_below_budget_stays_broadcast(self, spark, tmp_path, monkeypatch):
+        """Small query batches must keep the fast broadcast path: pin by
+        forbidding the cogroup kernel."""
+        from php_ec_spark.operators import similarity as sim
+
+        df, idx = self._index(spark, tmp_path)
+        queries = df.filter(F.col("vec_id") < 4).select("vec_id", "embedding")
+
+        def _no_cogroup(*a, **kw):
+            raise AssertionError(
+                "_distributed_candidates called for an under-budget batch"
+            )
+
+        monkeypatch.setattr(sim, "_distributed_candidates", _no_cogroup)
+        out = sim.ivf_search(spark, idx, queries, k=3, nprobe=2).collect()
+        assert len(out) == 12
+
+
+class TestStaleArtifactSweep:
+    """Crash-killed drivers leak pid-scoped warehouse tables and /tmp
+    index dirs (the atexit cleanup needs a live JVM); the startup sweep
+    reclaims DEAD pids' artifacts and never touches live ones."""
+
+    def _dead_pid(self):
+        import subprocess
+
+        p = subprocess.Popen(["true"])
+        p.wait()  # reaped — the pid no longer exists at all
+        return p.pid
+
+    def test_sweeps_dead_pid_artifacts_keeps_live(self, spark):
+        import os
+        import tempfile
+
+        from php_ec_spark.queries_pipeline import (
+            sweep_stale_didx_tables,
+            sweep_stale_ivf_dirs,
+        )
+
+        dead, live = self._dead_pid(), os.getpid()
+        tmp = tempfile.gettempdir()
+        dead_dir = f"{tmp}/php_ec_ivf_{dead}_deadbeef0001"
+        live_dir = f"{tmp}/php_ec_ivf_{live}_deadbeef0002"
+        os.makedirs(dead_dir, exist_ok=True)
+        os.makedirs(live_dir, exist_ok=True)
+        for pid, tag in ((dead, "aaaaaaaaaa"), (live, "bbbbbbbbbb")):
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS pipe_didx_{pid}_{tag}_digests"
+                " (x INT) USING parquet"
+            )
+        try:
+            assert sweep_stale_ivf_dirs() >= 1
+            assert not os.path.exists(dead_dir)
+            assert os.path.exists(live_dir)
+            assert sweep_stale_didx_tables(spark) >= 1
+            names = {t.name for t in spark.catalog.listTables()}
+            assert f"pipe_didx_{dead}_aaaaaaaaaa_digests" not in names
+            assert f"pipe_didx_{live}_bbbbbbbbbb_digests" in names
+        finally:
+            import shutil
+
+            shutil.rmtree(live_dir, ignore_errors=True)
+            spark.sql(
+                f"DROP TABLE IF EXISTS pipe_didx_{live}_bbbbbbbbbb_digests"
+            )
+
+
 class TestExactDedupStringIds:
     def test_keep_longest_ties_deterministic_for_string_ids(self, spark):
         """The tie-break must not arithmetically negate the id (a string
@@ -3091,6 +3309,58 @@ class TestSampleToTokenBudget:
             sample_to_token_budget(
                 df.withColumnRenamed("n_tokens", "cum_tokens"), 100
             )
+
+    def test_bpe_tokenizer_counts_match_with_bpe_token_count(self, spark, sf_dir):
+        """tokenizer='bpe' must measure the budget in the SAME units as
+        with_bpe_token_count (the pipe_bpe_token_count kernel) — the
+        kept set equals running the sampler over precomputed BPE counts."""
+        from php_ec_spark.operators.sampling import sample_to_token_budget
+        from php_ec_spark.operators.text import with_bpe_token_count
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        budget = 4000
+        via_tokenizer = {
+            (r.doc_id, r.n_tokens, r.cum_tokens)
+            for r in sample_to_token_budget(
+                docs, budget, seed=7, tokenizer="bpe"
+            ).collect()
+        }
+        pre = with_bpe_token_count(docs).withColumnRenamed(
+            "n_bpe_tokens", "n_tokens"
+        )
+        via_precount = {
+            (r.doc_id, r.n_tokens, r.cum_tokens)
+            for r in sample_to_token_budget(
+                pre.select("doc_id", "text", "n_tokens"),
+                budget, seed=7, token_col="n_tokens",
+            ).collect()
+        }
+        assert via_tokenizer == via_precount and via_tokenizer
+        # BPE units genuinely differ from whitespace units when text has
+        # punctuation (testdata documents are pure words, so synthesize)
+        punct = spark.createDataFrame(
+            [(1, "hello, world! it's a test."), (2, "plain words only")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.n_tokens
+            for r in sample_to_token_budget(
+                punct, 100, tokenizer="bpe"
+            ).collect()
+        }
+        # hello , world ! it ' s a test .  -> 10 BPE-ish vs 5 ws tokens
+        assert got == {1: 10, 2: 3}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="mutually exclusive"):
+            sample_to_token_budget(
+                pre.select("doc_id", "text", "n_tokens"),
+                budget, token_col="n_tokens", tokenizer="bpe",
+            )
+        with _pytest.raises(ValueError, match="tokenizer must be"):
+            sample_to_token_budget(docs, budget, tokenizer="words")
 
     def test_md5_path_duckdb_recomputable(self, spark, sf_dir):
         """hash='md5' membership must be recomputable outside Spark — an
