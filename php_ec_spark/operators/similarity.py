@@ -565,24 +565,33 @@ def _resolve_probe_mode(
 
 
 def _probe_vec_rows(
+    pairs: DataFrame,
     queries: DataFrame,
-    cents: DataFrame,
-    nprobe: int,
     vec_col: str,
     id_col: str,
 ) -> DataFrame:
     """(query_id, cluster, qv) probe rows for the DISTRIBUTED path: the
-    same :func:`_probe_pairs` cluster selection as the broadcast path
-    (identical JVM expressions — probe sets cannot diverge between
-    modes), joined back to the query vectors executor-side. Nothing here
-    touches the driver; the increment shuffles once on query_id."""
+    caller's :func:`_probe_pairs` frame — the SAME plan object that built
+    the pruning predicate, so probe rows and prune cannot be computed
+    from two divergent expressions — joined back to the query vectors
+    executor-side. Nothing here touches the driver; the increment
+    shuffles once on query_id."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
     )
-    return _probe_pairs(queries, cents, nprobe, vec_col, id_col).join(
-        q, "query_id"
-    )
+    return pairs.join(q, "query_id")
+
+
+def _prune_predicate(probed, cluster_col: str):
+    """Partition-pruning predicate from the ≤C distinct probed cluster
+    values (shared by both probe modes — NULL probes read the default
+    partition back as IS NULL)."""
+    non_null = [c for c in probed if c is not None]
+    pred = F.col(cluster_col).isin(non_null) if non_null else F.lit(False)
+    if None in probed:
+        pred = pred | F.col(cluster_col).isNull()
+    return pred
 
 
 def _distributed_candidates(
@@ -593,6 +602,7 @@ def _distributed_candidates(
     vec_col: str,
     id_col: str,
     shards: int = 1,
+    score_block_doubles: int = 1 << 25,
 ) -> DataFrame:
     """(query_id, neighbor_id) candidates with NO driver transit: the
     probe rows shuffle by their probed cluster and cogroup against the
@@ -607,7 +617,14 @@ def _distributed_candidates(
     single cluster's vectors outgrow one task's memory (each cogroup then
     holds |cluster|/shards corpus vectors); per-shard top-(k+pad) keeps a
     superset of the per-cluster top-(k+pad), so the exact re-rank result
-    is shard-count-invariant (pinned in tests)."""
+    is shard-count-invariant (pinned in tests).
+
+    Memory inside a cogroup: the corpus axis is bounded by ``shards``
+    (the caller's valve); the QUERY axis is chunked internally so the
+    score block never exceeds ~2^25 doubles (the per-query top-(k+pad)
+    is column-independent, so chunking cannot change the result) — a
+    popular cluster probed by 100k increment queries must not
+    materialize a |cluster|×100k matrix."""
     import numpy as np
     import pandas as pd
 
@@ -644,26 +661,59 @@ def _distributed_candidates(
 
     def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         # left = this cluster(-shard)'s corpus rows, right = the queries
-        # probing it; either side empty -> no candidates (a probed-but-
-        # empty cluster, or an unprobed cluster surviving the prune)
-        if len(left) == 0 or len(right) == 0:
-            return empty
+        # probing it
+        if len(right) == 0:
+            return empty  # unprobed cluster surviving the prune
+        if len(left) == 0:
+            if shards > 1:
+                # a small cluster can legitimately miss a hash shard
+                return empty
+            # a well-formed index has >=1 corpus row per centroid (the
+            # centroid IS a mean of corpus rows, and add only appends) —
+            # probes against an empty cluster mean the pruning predicate
+            # (computed in an earlier job) and this job's probe rows saw
+            # DIFFERENT query rows, i.e. the queries frame is not
+            # deterministic across jobs. Raise — the broadcast path's
+            # _collect_probes guard, ported to the distributed shape.
+            raise ValueError(
+                "ivf probe (distributed): probe rows target a cluster "
+                "with no corpus rows after pruning — the queries "
+                "DataFrame must be deterministic across jobs (avoid "
+                "un-ordered sample()/limit(); pin it with "
+                "localCheckpoint() before searching), or the index has "
+                "lost this cluster's files"
+            )
         C = np.stack([np.asarray(v, dtype=np.float64) for v in left["__cv"]])
         nid = left["__nid"].to_numpy(dtype=np.int64)
         Q = np.stack([np.asarray(v, dtype=np.float64) for v in right["qv"]])
         qid = right["query_id"].to_numpy(dtype=np.int64)
         cn = np.sqrt((C * C).sum(axis=1))
         qn = np.sqrt((Q * Q).sum(axis=1))
-        denom = np.outer(cn, qn)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            S = np.where(denom > 0, (C @ Q.T) / denom, -np.inf)
-        S[nid[:, None] == qid[None, :]] = -np.inf
         take = min(k + pad, len(nid))
-        # tie-inclusive keep — see cosine_topk's kernel
-        kth = -np.partition(-S, take - 1, axis=0)[take - 1]
-        keep = (S >= kth[None, :]) & np.isfinite(S)
-        ridx, cidx = np.nonzero(keep)
-        return pd.DataFrame({"query_id": qid[cidx], "neighbor_id": nid[ridx]})
+        # chunk the query axis so the score block stays <=
+        # score_block_doubles (256 MB of float64 by default) no matter
+        # how many increment queries probe this cluster; per-query
+        # top-(take) is column-independent so chunking is result-exact
+        chunk = max(16, score_block_doubles // max(len(nid), 1))
+        out_q, out_n = [], []
+        for s in range(0, len(Q), chunk):
+            qs, qns, qids = Q[s : s + chunk], qn[s : s + chunk], qid[s : s + chunk]
+            denom = np.outer(cn, qns)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom > 0, (C @ qs.T) / denom, -np.inf)
+            S[nid[:, None] == qids[None, :]] = -np.inf
+            # tie-inclusive keep — see cosine_topk's kernel
+            kth = -np.partition(-S, take - 1, axis=0)[take - 1]
+            keep = (S >= kth[None, :]) & np.isfinite(S)
+            ridx, cidx = np.nonzero(keep)
+            out_q.append(qids[cidx])
+            out_n.append(nid[ridx])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+            }
+        )
 
     return (
         c.groupBy(*keys)
@@ -1128,28 +1178,27 @@ def ivf_search(
             )
         # the pruning predicate needs only the DISTINCT probed cluster
         # ids — ≤C values regardless of how large the query increment is
-        probed = set(probes[3])
-        non_null = [c for c in probed if c is not None]
-        pred = F.col(cluster_col).isin(non_null) if non_null else F.lit(False)
-        if None in probed:
-            pred = pred | F.col(cluster_col).isNull()
+        pred = _prune_predicate(set(probes[3]), cluster_col)
         corpus = spark.read.parquet(f"{path}/corpus").filter(pred)
         cand = _ivf_candidates(corpus, probes, k, cluster_col, vec_col, id_col)
         return _exact_rerank(corpus, queries, cand, k, vec_col, id_col)
     # distributed: the only driver-crossing payload is the distinct
-    # probed cluster ids (≤C rows), needed for the pruning predicate
+    # probed cluster ids (≤C rows), needed for the pruning predicate.
+    # `pairs` is ONE plan object feeding both the prune collect and the
+    # probe rows, so the two cannot be built from divergent expressions
+    # (a nondeterministic queries frame can still redraw rows between
+    # the collect job and the probe job — that case fails loudly in the
+    # cogroup kernel's empty-cluster guard).
     pairs = _probe_pairs(queries, cents, nprobe, vec_col, id_col)
     probed = {r.cluster for r in pairs.select("cluster").distinct().collect()}
     if not probed:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos double, rank int"
         )
-    non_null = [c for c in probed if c is not None]
-    pred = F.col(cluster_col).isin(non_null) if non_null else F.lit(False)
-    if None in probed:
-        pred = pred | F.col(cluster_col).isNull()
-    corpus = spark.read.parquet(f"{path}/corpus").filter(pred)
-    probe_rows = _probe_vec_rows(queries, cents, nprobe, vec_col, id_col)
+    corpus = spark.read.parquet(f"{path}/corpus").filter(
+        _prune_predicate(probed, cluster_col)
+    )
+    probe_rows = _probe_vec_rows(pairs, queries, vec_col, id_col)
     cand = _distributed_candidates(
         corpus, probe_rows, k, cluster_col, vec_col, id_col, shards=shards
     )

@@ -1140,8 +1140,13 @@ def pipe_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators.packing.pack_sequences).",
     oracle="""
         WITH d AS (
+            -- NULL text counts ZERO tokens (pack_sequences' round-11
+            -- contract — same as the token sampler); coalesce so a
+            -- NULL-text doc carries 0 through the running sum instead of
+            -- blanking it
             SELECT doc_id,
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT)
+                       AS n_tokens
             FROM documents
         ), c AS (
             SELECT doc_id, n_tokens,
@@ -1153,7 +1158,8 @@ def pipe_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id, n_tokens, start_offset,
                start_offset // 512 AS seq_first,
-               (start_offset + n_tokens - 1) // 512 AS seq_last
+               -- zero-token docs pin seq_last to seq_first
+               (start_offset + greatest(n_tokens, 1) - 1) // 512 AS seq_last
         FROM c
     """,
 )

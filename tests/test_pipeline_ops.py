@@ -2947,6 +2947,65 @@ class TestIvfDistributedProbe:
         with pytest.raises(ValueError, match="mode must be"):
             ivf_search(spark, idx, queries, mode="banana")
 
+    def test_query_axis_chunking_is_result_exact(self, spark, tmp_path):
+        """The cogroup kernel chunks the query axis (a popular cluster
+        probed by 100k increment queries must never materialize a
+        |cluster|x|queries| block); per-query top-(k+pad) is
+        column-independent, so a tiny forced block must give the same
+        candidates as one big block."""
+        from php_ec_spark.operators.similarity import (
+            _distributed_candidates,
+            _probe_pairs,
+            _probe_vec_rows,
+            build_centroids,
+        )
+
+        df, idx = self._index(spark, tmp_path)
+        cents = build_centroids(df, "label", "embedding")
+        queries = df.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+        pairs = _probe_pairs(queries, cents, 2, "embedding", "vec_id")
+        probe_rows = _probe_vec_rows(pairs, queries, "embedding", "vec_id")
+        base = {
+            (r.query_id, r.neighbor_id)
+            for r in _distributed_candidates(
+                df, probe_rows, 3, "label", "embedding", "vec_id"
+            ).collect()
+        }
+        # score_block_doubles=1 floors chunk at 16 -> 40 queries split
+        # across >= 2 chunks in their home cluster
+        tiny = {
+            (r.query_id, r.neighbor_id)
+            for r in _distributed_candidates(
+                df, probe_rows, 3, "label", "embedding", "vec_id",
+                score_block_doubles=1,
+            ).collect()
+        }
+        assert tiny == base and base
+
+    def test_probing_an_empty_cluster_raises_the_determinism_guard(
+        self, spark, tmp_path
+    ):
+        """A probed cluster with zero corpus rows is impossible in a
+        well-formed index (centroids are means OF corpus rows) — it means
+        the prune job and the probe job saw different query rows, or the
+        cluster's files are gone. Must fail loudly, like the broadcast
+        path's _collect_probes guard — simulate by deleting a probed
+        cluster's partition directory post-build."""
+        import shutil
+
+        import pytest
+
+        from php_ec_spark.operators.similarity import ivf_search
+
+        df, idx = self._index(spark, tmp_path)
+        queries = df.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+        # vec_id 0 sits in cluster 0: nuke that partition's files
+        shutil.rmtree(f"{idx}/corpus/label=0")
+        with pytest.raises(Exception, match="deterministic across jobs"):
+            ivf_search(
+                spark, idx, queries, k=3, nprobe=1, mode="distributed"
+            ).collect()
+
     def test_auto_below_budget_stays_broadcast(self, spark, tmp_path, monkeypatch):
         """Small query batches must keep the fast broadcast path: pin by
         forbidding the cogroup kernel."""
