@@ -131,6 +131,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     inc_emb = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )  # re-embeds of stored docs: every one should flag
+    # mode='auto' (default): this toy increment broadcasts; a real daily
+    # increment past the 256 MiB budget probes through the distributed
+    # path with no driver transit (shards= if one cluster dominates)
     probed_emb = embedding_dup_probe(
         spark, idx, inc_emb, threshold=0.999, cluster_col=ccol
     )

@@ -263,7 +263,10 @@ def cosine_dup_pairs(
     it at dense-BLAS speed while the corpus side stays broadcastable. Past
     that, pass ``cluster_col`` (an IVF bucket / coarse-quantizer
     assignment) to compare only within-bucket pairs — Σ|bucket|² cost, the
-    approximate contract every 100 TB dedup pipeline actually runs.
+    approximate contract every 100 TB dedup pipeline actually runs. The
+    exact path enforces this: a corpus whose raw matrix exceeds
+    :data:`IVF_BROADCAST_BUDGET_BYTES` raises loudly (naming the
+    ``cluster_col`` remedy) instead of flooding the driver heap.
     """
     if cluster_col is not None:
         c = corpus.select(
@@ -285,6 +288,20 @@ def cosine_dup_pairs(
     import pandas as pd
 
     spark = corpus.sparkSession
+    est = corpus.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size(F.col(vec_col))).alias("d")
+    ).first()
+    est_bytes = est.n * ((est.d or 0) + 1) * 8
+    if est_bytes > IVF_BROADCAST_BUDGET_BYTES:
+        raise RuntimeError(
+            f"cosine_dup_pairs: exact all-pairs needs the corpus matrix "
+            f"broadcast (~{est_bytes:,} raw bytes for {est.n:,} vectors × "
+            f"{est.d}-d), past the {IVF_BROADCAST_BUDGET_BYTES:,}-byte "
+            "budget — pass cluster_col= (coarse-quantizer buckets, "
+            "Σ|bucket|² cost) or run semdedup/embedding_dup_probe; exact "
+            "all-pairs at this size is an O(n²) non-starter regardless "
+            "of transport"
+        )
     packed = _collect_matrix(corpus, id_col, vec_col)
     if packed is None:
         return spark.createDataFrame([], "id_a long, id_b long, cos double")
@@ -373,7 +390,14 @@ def _probe_pairs(
     cluster id, so probe sets are reproducible across engines/runs.
     Deliberately does NOT carry the query vector: the pair table is the
     small driver-crossing side (ids + cluster values only); vectors
-    travel separately as executor-packed bytes (:func:`_collect_probes`)."""
+    travel separately as executor-packed bytes (:func:`_collect_probes`)
+    or executor-joined rows (:func:`_probe_vec_rows`).
+
+    Scale shape: the |q|·C (query × centroid) score rows never shuffle —
+    the ``row_number <= nprobe`` filter plans as a PARTIAL
+    WindowGroupLimit below the exchange (verified in the physical plan),
+    so each scan task keeps nprobe rows per query map-side and only
+    |q|·nprobe skinny rows cross the wire."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
@@ -401,9 +425,11 @@ def _collect_probes(
 
     The previous shape collected the full probe table — query_id + the
     query VECTOR × nprobe — as per-row pandas objects; fine for a small
-    query batch, but the increment-dedup path (:func:`embedding_dup_probe`)
-    probes a whole daily increment, and millions of vectors transiting the
-    driver as pandas objects cost ~10× their raw bytes in heap. Instead:
+    query batch, but pandas-object transit costs ~10× the raw bytes in
+    driver heap. (Whole daily increments no longer come through here at
+    all: above :data:`IVF_BROADCAST_BUDGET_BYTES`, ``mode='auto'`` routes
+    them to the DISTRIBUTED path — :func:`_distributed_candidates` — with
+    no driver transit whatsoever.) Instead:
 
     - vectors cross once (not ×nprobe) as executor-packed raw bytes via
       :func:`_collect_matrix`;

@@ -793,7 +793,10 @@ def _dedup_index(spark: SparkSession, sf_dir: str) -> str:
 
         def _cleanup(n=name, s=spark):
             # best-effort: leave no per-process warehouse tables behind;
-            # the JVM may already be gone at interpreter exit
+            # the JVM may already be gone at interpreter exit — and a
+            # crash-killed driver skips atexit entirely, which is why
+            # the NEXT process's first build sweeps dead-pid leftovers
+            # (sweep_stale_didx_tables / sweep_stale_ivf_dirs above)
             try:
                 dedup_index_drop(s, n)
             except Exception:

@@ -2935,17 +2935,27 @@ class TestIvfDistributedProbe:
     def test_forced_broadcast_past_budget_raises_loudly(self, spark, tmp_path):
         import pytest
 
-        from php_ec_spark.operators.similarity import ivf_search
+        from php_ec_spark.operators import similarity as sim
 
         df, idx = self._index(spark, tmp_path)
         queries = df.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
         with pytest.raises(RuntimeError, match="broadcast budget"):
-            ivf_search(
+            sim.ivf_search(
                 spark, idx, queries, k=3, nprobe=2,
                 mode="broadcast", broadcast_budget_bytes=64,
             )
         with pytest.raises(ValueError, match="mode must be"):
-            ivf_search(spark, idx, queries, mode="banana")
+            sim.ivf_search(spark, idx, queries, mode="banana")
+        # the exact all-pairs path carries the same guard (its corpus
+        # matrix broadcast has no distributed fallback — the remedy is
+        # cluster_col's bucketed contract)
+        monkey_budget = sim.IVF_BROADCAST_BUDGET_BYTES
+        try:
+            sim.IVF_BROADCAST_BUDGET_BYTES = 64
+            with pytest.raises(RuntimeError, match="cluster_col"):
+                sim.cosine_dup_pairs(df.select("vec_id", "embedding"))
+        finally:
+            sim.IVF_BROADCAST_BUDGET_BYTES = monkey_budget
 
     def test_query_axis_chunking_is_result_exact(self, spark, tmp_path):
         """The cogroup kernel chunks the query axis (a popular cluster
@@ -3005,6 +3015,60 @@ class TestIvfDistributedProbe:
             ivf_search(
                 spark, idx, queries, k=3, nprobe=1, mode="distributed"
             ).collect()
+
+    def test_mode_equality_fuzz(self, spark, tmp_path):
+        """Seeded differential fuzz: random cluster counts / dims / NULL
+        labels / fresh-and-stored query mixes / zero vectors / shard
+        counts — broadcast and distributed must return identical top-k
+        (they share probe selection and the exact re-rank; the candidate
+        kernels differ, and the pad must absorb their float reordering)."""
+        import numpy as np
+
+        from php_ec_spark.operators.similarity import ivf_build, ivf_search
+
+        for seed in (1, 2, 3):
+            rng = np.random.default_rng(seed)
+            n_clusters = int(rng.integers(3, 7))
+            dim = int(rng.integers(4, 17))
+            n = int(rng.integers(120, 241))
+            centers = rng.normal(size=(n_clusters, dim)) * 15
+            rows = []
+            for i in range(n):
+                c = int(rng.integers(n_clusters))
+                v = centers[c] + rng.normal(size=dim) * 0.5
+                label = None if rng.random() < 0.15 else c
+                rows.append((i, [float(x) for x in v], label))
+            df = spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>, label int"
+            )
+            idx = str(tmp_path / f"fuzz{seed}")
+            ivf_build(df, idx)
+            # queries: stored re-draws + fresh vectors + one zero vector
+            fresh = [
+                (10_000 + j, [float(x) for x in
+                              centers[j % n_clusters] + rng.normal(size=dim)])
+                for j in range(5)
+            ]
+            q = spark.createDataFrame(
+                [(r[0], r[1]) for r in rows[:10]] + fresh
+                + [(99_999, [0.0] * dim)],
+                "vec_id long, embedding array<float>",
+            )
+            kw = dict(k=4, nprobe=2)
+            want = {
+                (r.query_id, r.rank): (r.neighbor_id, r.cos)
+                for r in ivf_search(
+                    spark, idx, q, mode="broadcast", **kw
+                ).collect()
+            }
+            got = {
+                (r.query_id, r.rank): (r.neighbor_id, r.cos)
+                for r in ivf_search(
+                    spark, idx, q, mode="distributed",
+                    shards=seed % 3 + 1, **kw
+                ).collect()
+            }
+            assert got == want and want, f"seed={seed}"
 
     def test_auto_below_budget_stays_broadcast(self, spark, tmp_path, monkeypatch):
         """Small query batches must keep the fast broadcast path: pin by
