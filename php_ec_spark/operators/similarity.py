@@ -1185,7 +1185,12 @@ def ivf_search(
       Only the ≤C distinct probed cluster ids ever reach the driver (the
       pruning predicate needs them).
     - ``auto`` (default) — one count/max-dim job over the increment picks
-      broadcast below the budget, distributed above it.
+      broadcast below the budget, distributed above it. The budget is a
+      driver-MEMORY guard, not a speed crossover: measured locally
+      (SCALE.md, tools/probe_mode_bench.py) distributed already wins ~4×
+      at a 40k-query increment, far below the byte budget — recurring
+      large-batch probe jobs should pass ``mode='distributed'``
+      explicitly.
 
     Both modes share cluster selection, kernel arithmetic (GEMM +
     tie-inclusive top-(k+pad)) and the JVM exact re-rank, so results are
