@@ -134,7 +134,10 @@ def cosine_topk(
     excluded. cos is rounded to 6 dp and ranking is by (rounded cos DESC,
     neighbor_id) so order is deterministic across engines.
 
-    Shape: the query matrix is broadcast, the corpus is scanned ONCE with
+    Shape: the query matrix is broadcast — this operator's contract is a
+    SMALL query side (an eval set, a probe batch); for increment-scale
+    query frames use :func:`ivf_search` with ``mode='distributed'``,
+    which never transits the driver. The corpus is scanned ONCE with
     candidates generated per Arrow batch by a dense numpy GEMM (each batch
     keeps its per-query top k+pad — the global top-k is a subset of the
     per-batch top-k, and the pad absorbs GEMM-vs-fold float reordering,
