@@ -244,6 +244,7 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cluster_col: str | None = None,
+    broadcast_budget_bytes: "int | None" = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with cos ≥
     threshold, id_a < id_b.
@@ -291,19 +292,22 @@ def cosine_dup_pairs(
     import pandas as pd
 
     spark = corpus.sparkSession
-    est = corpus.agg(
-        F.count(F.lit(1)).alias("n"), F.max(F.size(F.col(vec_col))).alias("d")
-    ).first()
-    est_bytes = est.n * ((est.d or 0) + 1) * 8
-    if est_bytes > IVF_BROADCAST_BUDGET_BYTES:
+    budget = (
+        IVF_BROADCAST_BUDGET_BYTES
+        if broadcast_budget_bytes is None
+        else broadcast_budget_bytes
+    )
+    n, d, est_bytes = _estimate_matrix_bytes(corpus, vec_col)
+    if est_bytes > budget:
         raise RuntimeError(
             f"cosine_dup_pairs: exact all-pairs needs the corpus matrix "
-            f"broadcast (~{est_bytes:,} raw bytes for {est.n:,} vectors × "
-            f"{est.d}-d), past the {IVF_BROADCAST_BUDGET_BYTES:,}-byte "
+            f"broadcast (~{est_bytes:,} raw bytes for {n:,} vectors × "
+            f"{d}-d), past the {budget:,}-byte "
             "budget — pass cluster_col= (coarse-quantizer buckets, "
-            "Σ|bucket|² cost) or run semdedup/embedding_dup_probe; exact "
-            "all-pairs at this size is an O(n²) non-starter regardless "
-            "of transport"
+            "Σ|bucket|² cost) or run semdedup/embedding_dup_probe, or "
+            "raise broadcast_budget_bytes if this driver really has the "
+            "headroom; exact all-pairs at this size is an O(n²) "
+            "non-starter regardless of transport"
         )
     packed = _collect_matrix(corpus, id_col, vec_col)
     if packed is None:
@@ -554,6 +558,16 @@ IVF_BROADCAST_BUDGET_BYTES = 256 << 20
 _NULL_CLUSTER_KEY = "\x00null\x00"
 
 
+def _estimate_matrix_bytes(df: DataFrame, vec_col: str):
+    """(n, dim, raw bytes) of collecting ``df``'s vectors as one matrix —
+    the 8·n·(dim+1) payload :func:`_collect_matrix` ships. One count/
+    max-size job; the single definition both budget guards share."""
+    est = df.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size(F.col(vec_col))).alias("d")
+    ).first()
+    return est.n, est.d, est.n * ((est.d or 0) + 1) * 8
+
+
 def _resolve_probe_mode(
     queries: DataFrame, mode: str, budget: "int | None", vec_col: str
 ) -> str:
@@ -574,16 +588,13 @@ def _resolve_probe_mode(
             f" got {mode!r}"
         )
     budget = IVF_BROADCAST_BUDGET_BYTES if budget is None else budget
-    est = queries.agg(
-        F.count(F.lit(1)).alias("n"), F.max(F.size(F.col(vec_col))).alias("d")
-    ).first()
-    est_bytes = est.n * ((est.d or 0) + 1) * 8
+    n, d, est_bytes = _estimate_matrix_bytes(queries, vec_col)
     if est_bytes <= budget:
         return "broadcast"
     if mode == "broadcast":
         raise RuntimeError(
             f"ivf probe: the query increment is ~{est_bytes:,} raw bytes "
-            f"({est.n:,} vectors × {est.d}-d), past the "
+            f"({n:,} vectors × {d}-d), past the "
             f"{budget:,}-byte broadcast budget — collecting it to the "
             "driver would flood the driver heap. Use mode='auto' or "
             "mode='distributed' (executor-side probe assignment, no "
@@ -695,22 +706,24 @@ def _distributed_candidates(
             return empty  # unprobed cluster surviving the prune
         if len(left) == 0:
             if shards > 1:
-                # a small cluster can legitimately miss a hash shard
+                # a small cluster can legitimately miss a hash shard —
+                # the lost-cluster check lives in ivf_search instead
+                # (probed-vs-present set diff before the cogroup)
                 return empty
             # a well-formed index has >=1 corpus row per centroid (the
             # centroid IS a mean of corpus rows, and add only appends) —
-            # probes against an empty cluster mean the pruning predicate
-            # (computed in an earlier job) and this job's probe rows saw
-            # DIFFERENT query rows, i.e. the queries frame is not
-            # deterministic across jobs. Raise — the broadcast path's
-            # _collect_probes guard, ported to the distributed shape.
+            # probes against an empty cluster mean the cluster's
+            # partition files are gone, or a numeric-looking STRING
+            # label round-tripped as a number through partition-type
+            # inference (label='007' reads back as 7 — see ivf_build
+            # notes). Raise — silently missing neighbors is the one
+            # outcome a dedup pipeline must never get.
             raise ValueError(
                 "ivf probe (distributed): probe rows target a cluster "
-                "with no corpus rows after pruning — the queries "
-                "DataFrame must be deterministic across jobs (avoid "
-                "un-ordered sample()/limit(); pin it with "
-                "localCheckpoint() before searching), or the index has "
-                "lost this cluster's files"
+                "with no corpus rows after pruning — the index has lost "
+                "this cluster's partition files, or numeric-looking "
+                "string labels round-tripped as numbers through "
+                "partition-type inference (see ivf_build notes)"
             )
         C = np.stack([np.asarray(v, dtype=np.float64) for v in left["__cv"]])
         nid = left["__nid"].to_numpy(dtype=np.int64)
@@ -1058,7 +1071,13 @@ def ivf_build(
     file-listing time, so each :func:`ivf_search` reads nprobe/C of the
     data instead of re-scanning and re-shuffling the corpus per query
     batch. A NULL cluster writes to the default partition and reads back
-    as NULL — those rows stay searchable.
+    as NULL — those rows stay searchable. Label-type caveat: Spark's
+    partition-type INFERENCE re-types directory values on read, so a
+    numeric-looking STRING label ('007') reads back as a number (7) and
+    no longer matches its centroid row — searches then miss that cluster
+    (broadcast mode silently, distributed mode loudly via the
+    lost-cluster guard). Use genuinely non-numeric string labels, or set
+    ``spark.sql.sources.partitionColumnTypeInference.enabled=false``.
 
     With ``n_clusters`` set, ``cluster_col`` is IGNORED and the quantizer
     is trained from the embeddings themselves: :func:`kmeans_centroids`
@@ -1190,7 +1209,7 @@ def ivf_search(
     - ``auto`` (default) — one count/max-dim job over the increment picks
       broadcast below the budget, distributed above it. The budget is a
       driver-MEMORY guard, not a speed crossover: measured locally
-      (SCALE.md, tools/probe_mode_bench.py) distributed already wins ~4×
+      (SCALE.md, tools/probe_mode_bench.py) distributed already wins ~5×
       at a 40k-query increment, far below the byte budget — recurring
       large-batch probe jobs should pass ``mode='distributed'``
       explicitly.
@@ -1218,12 +1237,15 @@ def ivf_search(
         return _exact_rerank(corpus, queries, cand, k, vec_col, id_col)
     # distributed: the only driver-crossing payload is the distinct
     # probed cluster ids (≤C rows), needed for the pruning predicate.
-    # `pairs` is ONE plan object feeding both the prune collect and the
-    # probe rows, so the two cannot be built from divergent expressions
-    # (a nondeterministic queries frame can still redraw rows between
-    # the collect job and the probe job — that case fails loudly in the
-    # cogroup kernel's empty-cluster guard).
-    pairs = _probe_pairs(queries, cents, nprobe, vec_col, id_col)
+    # `pairs` is pinned (|q|·nprobe skinny id rows, two consumers — the
+    # pin rule), so the prune collect and the probe rows read the SAME
+    # materialized rows: the |q|·C centroid scoring runs once, and a
+    # queries frame that is nondeterministic across jobs cannot hand the
+    # two consumers divergent probe sets. (The vector joins in
+    # _probe_vec_rows and the re-rank still re-read `queries` by id —
+    # redrawn VECTORS for a stable id are outside any guard; pin the
+    # frame if even ids are unstable.)
+    pairs = _probe_pairs(queries, cents, nprobe, vec_col, id_col).localCheckpoint()
     probed = {r.cluster for r in pairs.select("cluster").distinct().collect()}
     if not probed:
         return spark.createDataFrame(
@@ -1232,6 +1254,22 @@ def ivf_search(
     corpus = spark.read.parquet(f"{path}/corpus").filter(
         _prune_predicate(probed, cluster_col)
     )
+    if shards > 1:
+        # the cogroup kernel's lost-cluster guard only works at shards=1
+        # (a small cluster can legitimately miss a hash shard, so an
+        # empty shard group is not evidence there) — check the probed
+        # clusters actually exist in the pruned corpus here instead.
+        # Distinct on the partition column over the pruned slice; ≤C rows
+        present = {r[0] for r in corpus.select(cluster_col).distinct().collect()}
+        missing = probed - present
+        if missing:
+            raise ValueError(
+                f"ivf probe (distributed): probed cluster(s) "
+                f"{sorted(missing, key=str)[:5]} have no corpus rows — "
+                "the index has lost those clusters' partition files, or "
+                "numeric-looking string labels round-tripped as numbers "
+                "through partition-type inference (see ivf_build notes)"
+            )
     probe_rows = _probe_vec_rows(pairs, queries, vec_col, id_col)
     cand = _distributed_candidates(
         corpus, probe_rows, k, cluster_col, vec_col, id_col, shards=shards

@@ -2948,14 +2948,12 @@ class TestIvfDistributedProbe:
             sim.ivf_search(spark, idx, queries, mode="banana")
         # the exact all-pairs path carries the same guard (its corpus
         # matrix broadcast has no distributed fallback — the remedy is
-        # cluster_col's bucketed contract)
-        monkey_budget = sim.IVF_BROADCAST_BUDGET_BYTES
-        try:
-            sim.IVF_BROADCAST_BUDGET_BYTES = 64
-            with pytest.raises(RuntimeError, match="cluster_col"):
-                sim.cosine_dup_pairs(df.select("vec_id", "embedding"))
-        finally:
-            sim.IVF_BROADCAST_BUDGET_BYTES = monkey_budget
+        # cluster_col's bucketed contract), with the same per-call
+        # override for drivers that really have the headroom
+        with pytest.raises(RuntimeError, match="cluster_col"):
+            sim.cosine_dup_pairs(
+                df.select("vec_id", "embedding"), broadcast_budget_bytes=64
+            )
 
     def test_query_axis_chunking_is_result_exact(self, spark, tmp_path):
         """The cogroup kernel chunks the query axis (a popular cluster
@@ -2992,15 +2990,15 @@ class TestIvfDistributedProbe:
         }
         assert tiny == base and base
 
-    def test_probing_an_empty_cluster_raises_the_determinism_guard(
-        self, spark, tmp_path
-    ):
+    def test_probing_a_lost_cluster_raises_loudly(self, spark, tmp_path):
         """A probed cluster with zero corpus rows is impossible in a
         well-formed index (centroids are means OF corpus rows) — it means
-        the prune job and the probe job saw different query rows, or the
-        cluster's files are gone. Must fail loudly, like the broadcast
-        path's _collect_probes guard — simulate by deleting a probed
-        cluster's partition directory post-build."""
+        the cluster's partition files are gone (or string labels
+        round-tripped as numbers). Silently missing neighbors is the one
+        outcome a dedup pipeline must never get: both the shards=1
+        cogroup guard and the shards>1 probed-vs-present check must fail
+        loudly — simulate by deleting a probed cluster's partition
+        directory post-build."""
         import shutil
 
         import pytest
@@ -3011,9 +3009,14 @@ class TestIvfDistributedProbe:
         queries = df.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
         # vec_id 0 sits in cluster 0: nuke that partition's files
         shutil.rmtree(f"{idx}/corpus/label=0")
-        with pytest.raises(Exception, match="deterministic across jobs"):
+        with pytest.raises(Exception, match="lost"):
             ivf_search(
                 spark, idx, queries, k=3, nprobe=1, mode="distributed"
+            ).collect()
+        with pytest.raises(Exception, match="lost"):
+            ivf_search(
+                spark, idx, queries, k=3, nprobe=1,
+                mode="distributed", shards=3,
             ).collect()
 
     def test_mode_equality_fuzz(self, spark, tmp_path):
@@ -3069,6 +3072,41 @@ class TestIvfDistributedProbe:
                 ).collect()
             }
             assert got == want and want, f"seed={seed}"
+
+    def test_distributed_through_trained_quantizer_index(self, spark, tmp_path):
+        """The n_clusters= build path (kmeans-trained quantizer, cluster
+        column named 'cluster', int32 from assign_clusters) must work in
+        distributed mode too — the cogroup key must align the read-back
+        partition type with the probe pairs' centroid-table type."""
+        import numpy as np
+
+        from php_ec_spark.operators.similarity import ivf_build, ivf_search
+
+        rng = np.random.default_rng(23)
+        centers = rng.normal(size=(4, 10)) * 18
+        rows = [
+            (i, [float(x) for x in centers[i % 4] + rng.normal(size=10) * 0.3])
+            for i in range(160)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        idx = str(tmp_path / "ivf_trained")
+        ccol = ivf_build(df, idx, n_clusters=4)
+        queries = df.filter(F.col("vec_id") < 10)
+        want = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos)
+            for r in ivf_search(
+                spark, idx, queries, k=3, nprobe=2,
+                cluster_col=ccol, mode="broadcast",
+            ).collect()
+        }
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos)
+            for r in ivf_search(
+                spark, idx, queries, k=3, nprobe=2,
+                cluster_col=ccol, mode="distributed", shards=2,
+            ).collect()
+        }
+        assert got == want and len(want) == 30
 
     def test_auto_below_budget_stays_broadcast(self, spark, tmp_path, monkeypatch):
         """Small query batches must keep the fast broadcast path: pin by
