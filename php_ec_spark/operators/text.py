@@ -354,3 +354,95 @@ def normalize_url(
             F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
         ),
     )
+
+
+def split_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into ``max_tokens``-token chunks with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the pre-packing step every training pipeline runs on long-form
+    sources (books, code files) so no single document dominates a
+    sequence and context windows see coherent pieces.
+
+    Semantics, precisely: tokens are the corpus whitespace convention
+    (``split(trim(coalesce(text,'')), '\\s+')`` — same as
+    :func:`~php_ec_spark.operators.dedup.dup_span_stats` and packing).
+    Documents with at most ``max_tokens`` tokens come back as ONE chunk
+    with their text VERBATIM (bytes untouched, NULL stays NULL — so the
+    operator is safe upstream of byte-exact dedup digests for every
+    document it does not split). Longer documents emit chunks starting
+    every ``stride = max_tokens - overlap`` tokens: chunk k covers
+    1-based token positions ``[k*stride + 1, k*stride + max_tokens]``,
+    rebuilt single-space joined (affected documents lose their original
+    whitespace — the :func:`~php_ec_spark.operators.dedup.remove_dup_spans`
+    caveat applies); the last chunk is shorter but always carries at
+    least one token not in the previous chunk, and together the chunks
+    cover every token. Output: ``(id_col, chunk_id, text, n_tokens,
+    start_token)``, chunk_id 0-based, start_token 1-based, ``n_tokens``
+    the CHUNK's token count (0 for NULL text, matching the packing/
+    sampling NULL contract).
+
+    Scale shape: one scan-local generate per document — no shuffle, no
+    Python, exact integer arithmetic throughout (chunk counts via DIV,
+    never float ceil), so chunk membership is reproducible across
+    engines and partitionings; feed the result straight to
+    :func:`~php_ec_spark.operators.packing.pack_sequences` keyed on
+    ``(doc_id, chunk_id)``.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap} "
+            f"(max_tokens={max_tokens})"
+        )
+    stride = max_tokens - overlap
+    d = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.split(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+        ).alias("__toks"),
+    )
+    n = F.size(F.col("__toks"))
+    # exact-integer chunk count: 1 + ceil((n - max) / stride) for long
+    # docs, computed as (n - max + stride - 1) DIV stride (SQL DIV —
+    # a float ceil would lose exactness on huge token counts)
+    n_chunks = F.when(n <= max_tokens, F.lit(1).cast("long")).otherwise(
+        F.lit(1)
+        + F.expr(
+            f"(size(__toks) - {max_tokens} + {stride - 1}) DIV {stride}"
+        )
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda k: k,
+    )
+    e = d.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col("__toks"),
+        n.alias("__n"),
+        F.explode(chunks).alias("__k"),
+    )
+    start = (F.col("__k") * stride + 1).cast("long")
+    chunk_text = F.when(
+        F.col("__n") <= max_tokens, F.col(text_col)
+    ).otherwise(
+        F.array_join(F.slice(F.col("__toks"), start.cast("int"), max_tokens), " ")
+    )
+    chunk_n = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+        F.least(F.lit(max_tokens), F.col("__n") - start + 1)
+    )
+    return e.select(
+        F.col(id_col),
+        F.col("__k").cast("int").alias("chunk_id"),
+        chunk_text.alias(text_col),
+        chunk_n.cast("long").alias("n_tokens"),
+        start.alias("start_token"),
+    )

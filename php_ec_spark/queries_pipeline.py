@@ -541,16 +541,76 @@ def pipe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipe_bpe_token_count",
-    doc="BPE-ish regex token counting (subword pre-split estimator).",
+    doc="Two tokenization-unit shapes as kind rows (consolidation into a "
+    "non-headline slot, the round-10 pattern). kind='count': BPE-ish "
+    "regex token counting (subword pre-split estimator). kind='chunk': "
+    "split_documents (round 11) — long docs split into 40-token chunks "
+    "with 8 tokens of overlap, the pre-packing step for long-form "
+    "sources; rows carry chunk_id/start_token/n_tokens and text_md5 = "
+    "md5 of the chunk text (short docs VERBATIM, so their md5 equals "
+    "the raw text's), pinning chunk membership and bytes without "
+    "shipping text. Both scan-local, zero shuffle.",
     oracle=r"""
-        SELECT doc_id,
+        SELECT 'count' AS kind, doc_id,
                CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
-                   AS n_bpe_tokens
+                   AS n_bpe_tokens,
+               CAST(NULL AS INT) AS chunk_id,
+               CAST(NULL AS BIGINT) AS n_tokens,
+               CAST(NULL AS BIGINT) AS start_token,
+               CAST(NULL AS VARCHAR) AS text_md5
         FROM documents
+        UNION ALL
+        SELECT 'chunk' AS kind, doc_id,
+               CAST(NULL AS BIGINT) AS n_bpe_tokens,
+               CAST(chunk_id AS INT) AS chunk_id,
+               n_tokens, start_token, md5(text) AS text_md5
+        FROM (
+            WITH d AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, text, toks, len(toks) AS n,
+                       CASE WHEN len(toks) <= 40 THEN 1
+                            ELSE 1 + (len(toks) - 40 + 32 - 1) // 32
+                       END AS m
+                FROM d
+            )
+            SELECT doc_id, k.k AS chunk_id,
+                   CASE WHEN n <= 40 THEN text
+                        ELSE array_to_string(
+                            toks[1 + k.k*32 : k.k*32 + 40], ' ')
+                   END AS text,
+                   CAST(CASE WHEN text IS NULL THEN 0
+                        ELSE least(40, n - k.k*32) END AS BIGINT) AS n_tokens,
+                   CAST(1 + k.k*32 AS BIGINT) AS start_token
+            FROM c, LATERAL (SELECT unnest(range(0, m)) AS k) k
+        )
     """,
 )
 def pipe_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_bpe_token_count(_docs(spark, sf_dir)).select("doc_id", "n_bpe_tokens")
+    from .operators.text import split_documents
+
+    docs = _docs(spark, sf_dir)
+    counts = with_bpe_token_count(docs).select(
+        F.lit("count").alias("kind"),
+        "doc_id",
+        "n_bpe_tokens",
+        F.lit(None).cast("int").alias("chunk_id"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("start_token"),
+        F.lit(None).cast("string").alias("text_md5"),
+    )
+    chunks = split_documents(docs, max_tokens=40, overlap=8).select(
+        F.lit("chunk").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("long").alias("n_bpe_tokens"),
+        "chunk_id",
+        "n_tokens",
+        "start_token",
+        F.md5("text").alias("text_md5"),
+    )
+    return counts.unionByName(chunks)
 
 
 #: sf_dir → on-disk IVF index path, built once per process: the query
