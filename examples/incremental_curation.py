@@ -53,6 +53,12 @@ from php_ec_spark.session import get_spark
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
+    from pyspark.sql import SparkSession
+
+    # only stop a session this example created — under a test harness
+    # get_spark returns the harness's shared session, and stopping that
+    # would kill every query after this one
+    owned = SparkSession.getActiveSession() is None
     spark = get_spark(app_name="incremental-curation-example", cpus=4)
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
@@ -147,7 +153,8 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         f"{n_dup} semantic dups flagged, {novel.count()} appended"
     )
     assert n_dup == 50, "re-embedded vectors must all flag at cos~1"
-    spark.stop()
+    if owned:
+        spark.stop()
 
 
 if __name__ == "__main__":

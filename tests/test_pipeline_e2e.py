@@ -109,3 +109,41 @@ def test_curation_example_runs(spark, tmp_path):
     for r in rows:  # offsets are the exact prefix sums of the survivors
         assert r.start_offset == running
         running += r.n_tokens
+
+
+def _load_example(name: str):
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples",
+        name,
+    )
+    spec = importlib.util.spec_from_file_location(name[:-3], path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_incremental_curation_example_runs(spark, capsys):
+    """examples/incremental_curation.py end to end: the index survives
+    two daily increments, re-crawls flag as exact dups, and the example
+    cleans its catalog tables up after itself."""
+    mod = _load_example("incremental_curation.py")
+    mod.main(SF)
+    out = capsys.readouterr().out
+    assert "day 0: indexed" in out and "day 2" in out
+    # the example's finally-block dropped its fixed-name index tables
+    left = [t.name for t in spark.catalog.listTables()
+            if t.name.startswith("curation_ix")]
+    assert left == []
+
+
+def test_ingest_dedup_example_runs(spark, capsys):
+    """examples/ingest_dedup.py end to end: the exact-dedup landing and
+    the near-dup flagger both process the staged stream."""
+    mod = _load_example("ingest_dedup.py")
+    mod.main(SF)
+    out = capsys.readouterr().out
+    assert "landed" in out.lower() or "dedup" in out.lower()
