@@ -53,12 +53,10 @@ from php_ec_spark.session import get_spark
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
-    from pyspark.sql import SparkSession
-
-    # only stop a session this example created — under a test harness
-    # get_spark returns the harness's shared session, and stopping that
-    # would kill every query after this one
-    owned = SparkSession.getActiveSession() is None
+    # NB main() never stops the session: under a test harness get_spark
+    # returns the harness's shared session (and getActiveSession is
+    # thread-local, so "did I create it?" cannot be answered reliably) —
+    # the standalone __main__ block below owns the stop instead
     spark = get_spark(app_name="incremental-curation-example", cpus=4)
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
@@ -130,32 +128,40 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
 
     # ---- and the INCREMENTAL form of it: probe new vectors against a
     #      persistent IVF index, append only the semantically novel ones
+    import shutil
     import tempfile
 
     idx = tempfile.mkdtemp(prefix="ivf_curation_")
-    ccol = ivf_build(emb, idx, n_clusters=8)
-    inc_emb = emb.filter(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
-    )  # re-embeds of stored docs: every one should flag
-    # mode='auto' (default): this toy increment broadcasts; a real daily
-    # increment past the 256 MiB budget probes through the distributed
-    # path with no driver transit (shards= if one cluster dominates)
-    probed_emb = embedding_dup_probe(
-        spark, idx, inc_emb, threshold=0.999, cluster_col=ccol
-    )
-    novel = probed_emb.filter(F.col("dup_of").isNull()).select(
-        "vec_id", "embedding"
-    )
-    n_dup = inc_emb.count() - novel.count()
-    ivf_add(spark, idx, novel, cluster_col=ccol)
-    print(
-        f"embedding increment: {inc_emb.count()} vectors -> "
-        f"{n_dup} semantic dups flagged, {novel.count()} appended"
-    )
-    assert n_dup == 50, "re-embedded vectors must all flag at cos~1"
-    if owned:
-        spark.stop()
+    try:
+        ccol = ivf_build(emb, idx, n_clusters=8)
+        inc_emb = emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )  # re-embeds of stored docs: every one should flag
+        # mode='auto' (default): this toy increment broadcasts; a real
+        # daily increment past the 256 MiB budget probes through the
+        # distributed path with no driver transit (shards= if one
+        # cluster dominates)
+        probed_emb = embedding_dup_probe(
+            spark, idx, inc_emb, threshold=0.999, cluster_col=ccol
+        )
+        novel = probed_emb.filter(F.col("dup_of").isNull()).select(
+            "vec_id", "embedding"
+        )
+        n_dup = inc_emb.count() - novel.count()
+        ivf_add(spark, idx, novel, cluster_col=ccol)
+        print(
+            f"embedding increment: {inc_emb.count()} vectors -> "
+            f"{n_dup} semantic dups flagged, {novel.count()} appended"
+        )
+        assert n_dup == 50, "re-embedded vectors must all flag at cos~1"
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
 
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
+    from pyspark.sql import SparkSession
+
+    live = SparkSession.getActiveSession()
+    if live is not None:
+        live.stop()

@@ -46,26 +46,34 @@ from php_ec_spark.session import get_spark
 def stage_stream(spark, sf_dir: str, src_dir: str, n_batches: int = 4) -> int:
     """Replay the documents table as n_batches NDJSON files with synthetic
     event times (one batch per minute), mtime-ordered so
-    maxFilesPerTrigger=1 yields deterministic micro-batches."""
+    maxFilesPerTrigger=1 yields deterministic micro-batches. The final
+    batch additionally RE-CRAWLS the first 20 documents under fresh ids
+    (same bytes, new doc_id — the crawler-revisit shape), so the exact
+    gate has real byte-duplicates to drop."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     ).collect()
     per = max(1, (len(docs) + n_batches - 1) // n_batches)
     t0 = 1_700_000_000
+    recrawl = [(r.doc_id + 1_000_000, r.text) for r in docs[:20]]
+    staged = 0
     for b in range(n_batches):
-        chunk = docs[b * per : (b + 1) * per]
+        chunk = [(r.doc_id, r.text) for r in docs[b * per : (b + 1) * per]]
+        if b == n_batches - 1:
+            chunk = chunk + recrawl
         if not chunk:
             break
         path = os.path.join(src_dir, f"{b:03d}.json")
         with open(path, "w") as f:
-            for r in chunk:
+            for doc_id, text in chunk:
                 f.write(json.dumps({
-                    "doc_id": r.doc_id,
-                    "text": r.text,
+                    "doc_id": doc_id,
+                    "text": text,
                     "ts": f"2024-01-01T00:{b:02d}:00Z",
                 }) + "\n")
+        staged += len(chunk)
         os.utime(path, (t0 + 10 * b, t0 + 10 * b))
-    return len(docs)
+    return staged
 
 
 def main(sf_dir: str = "/root/testdata/sf0.001") -> None:

@@ -116,6 +116,7 @@ def pack_sequences(
     text_col: str = "text",
     num_partitions: int | None = None,
     reliable: bool = False,
+    token_col: "str | None" = None,
 ) -> DataFrame:
     """Assign each document its offset + sequence span in the packed stream.
 
@@ -123,7 +124,11 @@ def pack_sequences(
     duplicate ids the within-tie order, and therefore the offset
     assignment among the tied docs, is engine-dependent); ``n_tokens`` is
     the single-space word count (the corpus tokenization convention, see
-    operators.text).
+    operators.text), or — with ``token_col`` — a PRECOMPUTED count, the
+    same opt-in the token sampler has: pass the producing operator's own
+    counts (e.g. ``split_documents``' ``n_tokens``, counted under ITS
+    ``\\s+`` convention) so the packer's units agree with the producer's
+    instead of re-counting under a different convention.
     Returns (id_col, n_tokens, start_offset, seq_first, seq_last) where
     ``start_offset`` is the exclusive prefix sum of token counts and
     ``seq_first``/``seq_last`` the first/last ``budget``-sized sequence
@@ -144,9 +149,12 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    n_tokens = F.coalesce(
-        F.size(F.split(F.col(text_col), " ")).cast("long"), F.lit(0)
-    )
+    if token_col is not None:
+        n_tokens = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
+    else:
+        n_tokens = F.coalesce(
+            F.size(F.split(F.col(text_col), " ")).cast("long"), F.lit(0)
+        )
     d = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
     out = running_prefix_sum(
         d, [id_col], "n_tokens",

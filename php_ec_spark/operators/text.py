@@ -369,9 +369,12 @@ def split_documents(
     sources (books, code files) so no single document dominates a
     sequence and context windows see coherent pieces.
 
-    Semantics, precisely: tokens are the corpus whitespace convention
-    (``split(trim(coalesce(text,'')), '\\s+')`` — same as
-    :func:`~php_ec_spark.operators.dedup.dup_span_stats` and packing).
+    Semantics, precisely: tokens are the ``\\s+`` whitespace convention
+    (``split(trim(coalesce(text,'')), '\\s+')`` — the
+    :func:`~php_ec_spark.operators.dedup.dup_span_stats` / shingle
+    family; NOTE this differs from ``pack_sequences``' default
+    single-space count on text with irregular whitespace — see the
+    composition recipe below).
     Documents with at most ``max_tokens`` tokens come back as ONE chunk
     with their text VERBATIM (bytes untouched, NULL stays NULL — so the
     operator is safe upstream of byte-exact dedup digests for every
@@ -390,9 +393,19 @@ def split_documents(
     Scale shape: one scan-local generate per document — no shuffle, no
     Python, exact integer arithmetic throughout (chunk counts via DIV,
     never float ceil), so chunk membership is reproducible across
-    engines and partitionings; feed the result straight to
-    :func:`~php_ec_spark.operators.packing.pack_sequences` keyed on
-    ``(doc_id, chunk_id)``.
+    engines and partitionings.
+
+    Composition with the packer (``pack_sequences`` takes ONE unique id
+    column, so derive a chunk key, and pass THIS operator's counts so
+    the units agree — verbatim short docs with irregular whitespace
+    would otherwise re-count differently under the packer's
+    single-space default)::
+
+        chunks = split_documents(docs, max_tokens=512)
+        packed = pack_sequences(
+            chunks.withColumn("cid", F.col("doc_id") * 10_000 + F.col("chunk_id")),
+            id_col="cid", token_col="n_tokens",
+        )
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
@@ -419,10 +432,7 @@ def split_documents(
             f"(size(__toks) - {max_tokens} + {stride - 1}) DIV {stride}"
         )
     )
-    chunks = F.transform(
-        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
-        lambda k: k,
-    )
+    chunks = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
     e = d.select(
         F.col(id_col),
         F.col(text_col),

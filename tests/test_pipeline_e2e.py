@@ -142,8 +142,27 @@ def test_incremental_curation_example_runs(spark, capsys):
 
 def test_ingest_dedup_example_runs(spark, capsys):
     """examples/ingest_dedup.py end to end: the exact-dedup landing and
-    the near-dup flagger both process the staged stream."""
+    the near-dup flagger both process the staged stream — parse the
+    printed funnel and assert its invariants, not just that it spoke."""
+    import re
+
     mod = _load_example("ingest_dedup.py")
     mod.main(SF)
     out = capsys.readouterr().out
-    assert "landed" in out.lower() or "dedup" in out.lower()
+
+    def num(label):
+        m = re.search(rf"{label}\s*:\s*(\d+)", out)
+        assert m, f"{label!r} line missing from example output:\n{out}"
+        return int(m.group(1))
+
+    n_in = num("docs replayed")
+    n_landed = num(r"landed \(exact gate\)")
+    n_flagged = num("near-dup flags")
+    # the staged stream replays byte-duplicates on purpose: the exact
+    # gate must drop SOME but never all, and flags never exceed arrivals
+    assert 0 < n_landed < n_in
+    assert 0 <= n_flagged <= n_in
+    # every later side of an exact-verified near-dup pair was flagged at
+    # ingest (the example prints the confirmation count)
+    m = re.search(r"later sides: (\d+), of which flagged at ingest: (\d+)", out)
+    assert m and m.group(1) == m.group(2), out

@@ -3670,20 +3670,30 @@ class TestSplitDocuments:
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
     def test_feeds_pack_sequences(self, spark):
-        """The advertised composition: chunk ids key the packer."""
+        """The docstring's composition recipe: derived chunk key +
+        token_col= so the packer uses THIS operator's counts — verbatim
+        short docs with irregular whitespace must not re-count
+        differently under the packer's single-space default (the
+        round-11 review catch: '  '-joined text counts empty tokens
+        there)."""
         from php_ec_spark.operators.packing import pack_sequences
         from php_ec_spark.operators.text import split_documents
 
         docs = spark.createDataFrame(
-            [(i, " ".join(f"w{j}" for j in range(50))) for i in range(4)],
+            [(i, " ".join(f"w{j}" for j in range(50))) for i in range(4)]
+            + [(99, "short  doc   with\tirregular   whitespace")],
             "doc_id long, text string",
         )
         chunks = split_documents(docs, max_tokens=16).withColumn(
-            "cid", F.col("doc_id") * 1000 + F.col("chunk_id")
+            "cid", F.col("doc_id") * 10_000 + F.col("chunk_id")
         )
         packed = pack_sequences(
-            chunks.select(F.col("cid").alias("doc_id"), "text"), budget=16
+            chunks, budget=16, id_col="cid", token_col="n_tokens"
         )
-        rows = packed.collect()
+        rows = {r.cid: r for r in packed.collect()}
         assert len(rows) == chunks.count()
-        assert all(r.n_tokens <= 16 for r in rows)
+        assert all(r.n_tokens <= 16 for r in rows.values())
+        # the irregular-whitespace doc packs at ITS 5-token count and
+        # cannot straddle a sequence boundary it doesn't reach
+        assert rows[990_000].n_tokens == 5
+        assert rows[990_000].seq_first == rows[990_000].seq_last
