@@ -149,6 +149,15 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if token_col is None and "n_tokens" in df.columns:
+        # the sampler's guard, mirrored: a precomputed n_tokens silently
+        # replaced by the whitespace recount would measure offsets in
+        # the wrong unit
+        raise ValueError(
+            "pack_sequences: input already has an n_tokens column; pass "
+            "token_col='n_tokens' to pack by it, or drop/rename it to "
+            "opt into the whitespace recount"
+        )
     if token_col is not None:
         n_tokens = F.coalesce(F.col(token_col).cast("long"), F.lit(0))
     else:

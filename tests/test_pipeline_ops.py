@@ -3697,3 +3697,7 @@ class TestSplitDocuments:
         # cannot straddle a sequence boundary it doesn't reach
         assert rows[990_000].n_tokens == 5
         assert rows[990_000].seq_first == rows[990_000].seq_last
+        # the sampler's wrong-unit guard, mirrored: a frame already
+        # carrying n_tokens must not be silently recounted
+        with pytest.raises(ValueError, match="token_col='n_tokens'"):
+            pack_sequences(chunks, budget=16, id_col="cid")
