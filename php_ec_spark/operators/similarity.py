@@ -47,6 +47,29 @@ def _cluster_key(cl):
     return cl
 
 
+#: id types the numpy kernels can pack losslessly as int64.
+_INT_ID_TYPES = ("bigint", "int", "smallint", "tinyint")
+
+
+def _require_int_ids(df: DataFrame, id_col: str, op: str) -> None:
+    """Fail LOUDLY when an embedding frame carries non-integer ids: every
+    GEMM kernel in this module packs ids as int64 (``to_numpy(dtype=
+    np.int64)``), and a string ``vec_id`` would otherwise die deep inside
+    numpy with an opaque cast error. The dedup family handles string ids
+    natively (struct tie-breaks); the embedding family's remedy is a
+    dense integer surrogate — the standard vector-index discipline."""
+    dt = df.schema[id_col].dataType.simpleString()
+    if dt not in _INT_ID_TYPES:
+        raise ValueError(
+            f"{op}: id column {id_col!r} must be an integer type, got "
+            f"{dt} — the embedding kernels pack ids as int64. Map "
+            "non-integer ids through a dense integer surrogate first "
+            "(e.g. hash-free: window row_number over a stable ordering, "
+            "kept as a two-column mapping table to translate results "
+            "back); string ids never enter the GEMM path"
+        )
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -127,6 +150,7 @@ def cosine_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    broadcast_budget_bytes: "int | None" = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
@@ -137,7 +161,13 @@ def cosine_topk(
     Shape: the query matrix is broadcast — this operator's contract is a
     SMALL query side (an eval set, a probe batch); for increment-scale
     query frames use :func:`ivf_search` with ``mode='distributed'``,
-    which never transits the driver. The corpus is scanned ONCE with
+    which never transits the driver. The contract is ENFORCED, not just
+    documented: a query frame whose raw matrix exceeds
+    ``broadcast_budget_bytes`` (default
+    :data:`IVF_BROADCAST_BUDGET_BYTES`) raises loudly naming the remedy
+    instead of flooding the driver heap — the same uniform guard as
+    :func:`cosine_dup_pairs` and :func:`ivf_search`'s forced-broadcast
+    path. The corpus is scanned ONCE with
     candidates generated per Arrow batch by a dense numpy GEMM (each batch
     keeps its per-query top k+pad — the global top-k is a subset of the
     per-batch top-k, and the pad absorbs GEMM-vs-fold float reordering,
@@ -150,7 +180,26 @@ def cosine_topk(
     import pandas as pd
 
     spark = corpus.sparkSession
-    q_pdf = queries.select(id_col, vec_col).toPandas()  # small side by contract
+    _require_int_ids(queries, id_col, "cosine_topk")
+    _require_int_ids(corpus, id_col, "cosine_topk")
+    budget = (
+        IVF_BROADCAST_BUDGET_BYTES
+        if broadcast_budget_bytes is None
+        else broadcast_budget_bytes
+    )
+    n, d, est_bytes = _estimate_matrix_bytes(queries, vec_col)
+    if est_bytes > budget:
+        raise RuntimeError(
+            f"cosine_topk: the query frame is ~{est_bytes:,} raw bytes "
+            f"({n:,} vectors × {d}-d), past the {budget:,}-byte broadcast "
+            "budget — collecting it would flood the driver heap. This "
+            "operator's contract is a SMALL query side; for "
+            "increment-scale query frames use ivf_search("
+            "mode='distributed') (executor-side probing, no driver "
+            "transit), or raise broadcast_budget_bytes if this driver "
+            "really has the headroom"
+        )
+    q_pdf = queries.select(id_col, vec_col).toPandas()  # small side, now enforced
     if len(q_pdf) == 0:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cos double, rank int"
@@ -292,6 +341,7 @@ def cosine_dup_pairs(
     import pandas as pd
 
     spark = corpus.sparkSession
+    _require_int_ids(corpus, id_col, "cosine_dup_pairs")
     budget = (
         IVF_BROADCAST_BUDGET_BYTES
         if broadcast_budget_bytes is None
@@ -785,6 +835,8 @@ def ivf_topk(
     reads only the probed cluster partitions.
     """
     spark = corpus.sparkSession
+    _require_int_ids(queries, id_col, "ivf_topk")
+    _require_int_ids(corpus, id_col, "ivf_topk")
     cents = build_centroids(corpus, cluster_col, vec_col)
     probes = _collect_probes(queries, cents, nprobe, vec_col, id_col)
     if probes is None:
@@ -1212,7 +1264,11 @@ def ivf_search(
       (SCALE.md, tools/probe_mode_bench.py) distributed already wins ~5×
       at a 40k-query increment, far below the byte budget — recurring
       large-batch probe jobs should pass ``mode='distributed'``
-      explicitly.
+      explicitly. The estimate is one extra Spark job over ``queries``
+      per call, so PER-MICRO-BATCH callers (``foreachBatch`` probing a
+      few hundred rows per trigger) should pass ``mode='broadcast'``
+      explicitly and skip the estimation job — a micro-batch is below
+      the budget by construction.
 
     Both modes share cluster selection, kernel arithmetic (GEMM +
     tie-inclusive top-(k+pad)) and the JVM exact re-rank, so results are
@@ -1222,6 +1278,7 @@ def ivf_search(
     must be pinned with localCheckpoint() first.
     """
     cents = spark.read.parquet(f"{path}/centroids")
+    _require_int_ids(queries, id_col, "ivf_search")
     mode = _resolve_probe_mode(queries, mode, broadcast_budget_bytes, vec_col)
     if mode == "broadcast":
         probes = _collect_probes(queries, cents, nprobe, vec_col, id_col)
@@ -1231,8 +1288,32 @@ def ivf_search(
             )
         # the pruning predicate needs only the DISTINCT probed cluster
         # ids — ≤C values regardless of how large the query increment is
-        pred = _prune_predicate(set(probes[3]), cluster_col)
+        probed = set(probes[3])
+        pred = _prune_predicate(probed, cluster_col)
         corpus = spark.read.parquet(f"{path}/corpus").filter(pred)
+        _require_int_ids(corpus, id_col, "ivf_search (stored corpus)")
+        # the same lost-cluster / partition-type-roundtrip corruption
+        # guard the distributed path carries: a probed cluster with no
+        # corpus rows means the index lost that cluster's partition
+        # files (or a numeric-looking STRING label round-tripped as a
+        # number through partition-type inference) — silently missing
+        # neighbors is the one outcome a dedup pipeline must never get.
+        # Cost: one distinct over the PARTITION column of the pruned
+        # slice — ≤C rows, answered from directory metadata, no data
+        # columns read.
+        present = {
+            _cluster_key(r[0])
+            for r in corpus.select(cluster_col).distinct().collect()
+        }
+        missing = probed - present
+        if missing:
+            raise ValueError(
+                f"ivf probe (broadcast): probed cluster(s) "
+                f"{sorted(missing, key=str)[:5]} have no corpus rows — "
+                "the index has lost those clusters' partition files, or "
+                "numeric-looking string labels round-tripped as numbers "
+                "through partition-type inference (see ivf_build notes)"
+            )
         cand = _ivf_candidates(corpus, probes, k, cluster_col, vec_col, id_col)
         return _exact_rerank(corpus, queries, cand, k, vec_col, id_col)
     # distributed: the only driver-crossing payload is the distinct
@@ -1254,6 +1335,7 @@ def ivf_search(
     corpus = spark.read.parquet(f"{path}/corpus").filter(
         _prune_predicate(probed, cluster_col)
     )
+    _require_int_ids(corpus, id_col, "ivf_search (stored corpus)")
     if shards > 1:
         # the cogroup kernel's lost-cluster guard only works at shards=1
         # (a small cluster can legitimately miss a hash shard, so an
@@ -1342,7 +1424,11 @@ def embedding_dup_probe(
     scan of nprobe/C of the corpus) — never a corpus rescan; ``mode``/
     ``broadcast_budget_bytes``/``shards`` pass straight through, so a
     daily increment past the broadcast budget probes through the
-    distributed path with no driver-bounded transfer. Same
+    distributed path with no driver-bounded transfer. PER-MICRO-BATCH
+    callers (``foreachBatch`` probing each trigger's rows) should pass
+    ``mode='broadcast'`` explicitly: ``auto``'s size estimate is one
+    extra Spark job per call, pure overhead when every batch is small by
+    construction. Same
     approximation contract as SemDeDup/IVF: a duplicate quantized into a
     cluster the probe misses is not flagged; raise ``nprobe`` to trade
     scan for recall. Output keeps one row per query (left join), so

@@ -387,8 +387,10 @@ def split_documents(
     least one token not in the previous chunk, and together the chunks
     cover every token. Output: ``(id_col, chunk_id, text, n_tokens,
     start_token)``, chunk_id 0-based, start_token 1-based, ``n_tokens``
-    the CHUNK's token count (0 for NULL text, matching the packing/
-    sampling NULL contract).
+    the CHUNK's token count (0 for NULL and for WHITESPACE-ONLY text —
+    ``split('', '\\s+')`` yields ``['']`` and would otherwise smuggle
+    phantom tokens into ``token_col`` packing — matching the packing/
+    sampling NULL contract; the chunk text stays byte-verbatim).
 
     Scale shape: one scan-local generate per document — no shuffle, no
     Python, exact integer arithmetic throughout (chunk counts via DIV,
@@ -446,9 +448,16 @@ def split_documents(
     ).otherwise(
         F.array_join(F.slice(F.col("__toks"), start.cast("int"), max_tokens), " ")
     )
-    chunk_n = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
-        F.least(F.lit(max_tokens), F.col("__n") - start + 1)
-    )
+    # NULL and whitespace-only text both count ZERO tokens
+    # (split('','\s+') yields [''] — without the guard an empty doc
+    # would flow phantom tokens into token_col packing; the regex, not
+    # trim(), because SQL trim strips only SPACES and a tab-only doc
+    # would slip through as 2 tokens); chunk text stays byte-verbatim
+    chunk_n = F.when(
+        F.col(text_col).isNull()
+        | F.col(text_col).rlike(r"^\s*$"),
+        F.lit(0),
+    ).otherwise(F.least(F.lit(max_tokens), F.col("__n") - start + 1))
     return e.select(
         F.col(id_col),
         F.col("__k").cast("int").alias("chunk_id"),

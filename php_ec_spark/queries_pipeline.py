@@ -581,7 +581,8 @@ def pipe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE array_to_string(
                             toks[1 + k.k*32 : k.k*32 + 40], ' ')
                    END AS text,
-                   CAST(CASE WHEN text IS NULL THEN 0
+                   CAST(CASE WHEN text IS NULL
+                                  OR regexp_matches(text, '^\s*$') THEN 0
                         ELSE least(40, n - k.k*32) END AS BIGINT) AS n_tokens,
                    CAST(1 + k.k*32 AS BIGINT) AS start_token
             FROM c, LATERAL (SELECT unnest(range(0, m)) AS k) k

@@ -3018,6 +3018,79 @@ class TestIvfDistributedProbe:
                 spark, idx, queries, k=3, nprobe=1,
                 mode="distributed", shards=3,
             ).collect()
+        # round-12 (ADVICE): the broadcast branch must carry the SAME
+        # guard — silently missing neighbors must never depend on which
+        # probe mode happened to run
+        with pytest.raises(Exception, match="lost"):
+            ivf_search(
+                spark, idx, queries, k=3, nprobe=1, mode="broadcast"
+            ).collect()
+
+    def test_string_ids_raise_the_actionable_error(self, spark, tmp_path):
+        """The embedding kernels pack ids as int64; a string vec_id must
+        fail at the operator boundary with the house-style remedy-naming
+        ValueError, never an opaque numpy cast error deep in a worker."""
+        import pytest
+
+        from php_ec_spark.operators.similarity import (
+            cosine_dup_pairs,
+            cosine_topk,
+            ivf_search,
+            ivf_topk,
+        )
+
+        df, idx = self._index(spark, tmp_path)
+        sdf = df.select(
+            F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        sq = sdf.filter(F.col("vec_id") < "doc-2").select("vec_id", "embedding")
+        for fn in (
+            lambda: cosine_topk(sdf, sq, k=3),
+            lambda: cosine_topk(df, sq, k=3),  # either side poisons it
+            lambda: cosine_dup_pairs(sdf.select("vec_id", "embedding")),
+            lambda: ivf_topk(sdf, sq, k=3),
+            lambda: ivf_search(spark, idx, sq, k=3),
+        ):
+            with pytest.raises(ValueError, match="integer type"):
+                fn()
+        # ...and a stored corpus whose ids are strings fails the same way
+        # on BOTH probe branches, even when the queries are clean
+        sidx = str(tmp_path / "ivf_str_corpus")
+        from php_ec_spark.operators.similarity import ivf_build
+
+        ivf_build(sdf, sidx)
+        q_ok = df.filter(F.col("vec_id") < 2).select("vec_id", "embedding")
+        for mode in ("broadcast", "distributed"):
+            with pytest.raises(ValueError, match="integer type"):
+                ivf_search(spark, sidx, q_ok, k=3, mode=mode)
+        # the cluster-bucketed (JVM) pair path stays string-safe — same
+        # contract as the dedup family
+        assert (
+            cosine_dup_pairs(
+                sdf, threshold=0.99, cluster_col="label"
+            ).count()
+            > 0
+        )
+
+    def test_cosine_topk_past_budget_raises_loudly(self, spark, tmp_path):
+        """Round-12: cosine_topk was the one remaining unguarded driver
+        transit — its query toPandas must now enforce the same broadcast
+        budget as its siblings, naming ivf_search(mode='distributed')."""
+        import pytest
+
+        from php_ec_spark.operators.similarity import cosine_topk
+
+        df, _ = self._index(spark, tmp_path)
+        queries = df.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+        with pytest.raises(RuntimeError, match="distributed"):
+            cosine_topk(df, queries, k=3, broadcast_budget_bytes=64)
+        # under budget the override is inert
+        got = cosine_topk(
+            df, queries, k=3, broadcast_budget_bytes=1 << 20
+        ).count()
+        assert got == 8 * 3
 
     def test_mode_equality_fuzz(self, spark, tmp_path):
         """Seeded differential fuzz: random cluster counts / dims / NULL
@@ -3578,6 +3651,7 @@ class TestSplitDocuments:
                 (2, long_text),                  # 25 toks -> 3 chunks
                 (3, None),
                 (4, ""),
+                (5, " \t "),  # whitespace-only: verbatim bytes, 0 tokens
             ],
             "doc_id long, text string",
         )
@@ -3601,7 +3675,11 @@ class TestSplitDocuments:
                 seen.update(range(st, st + len(txt.split())))
         assert seen == set(range(1, 26))
         assert out[(3, 0)] == (None, 0, 1)
-        assert out[(4, 0)] == ("", 1, 1)
+        # round-12 (ADVICE): empty/whitespace-only text counts ZERO
+        # tokens (split('','\s+') yields [''] — a phantom token that
+        # would otherwise leak into token_col packing), text verbatim
+        assert out[(4, 0)] == ("", 0, 1)
+        assert out[(5, 0)] == (" \t ", 0, 1)
 
     def test_validation(self, spark):
         from php_ec_spark.operators.text import split_documents
@@ -3647,7 +3725,8 @@ class TestSplitDocuments:
                             ELSE array_to_string(
                                 toks[1 + k.k*{st} : k.k*{st} + {mx}], ' ')
                        END AS text,
-                       CASE WHEN text IS NULL THEN 0
+                       CASE WHEN text IS NULL
+                                OR regexp_matches(text, '^\\s*$') THEN 0
                             ELSE least({mx}, n - k.k*{st}) END AS n_tokens,
                        1 + k.k*{st} AS start_token
                 FROM c, LATERAL (SELECT unnest(range(0, m)) AS k) k

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -57,7 +58,6 @@ def synth(spark, n: int, dim: int, n_clusters: int, seed: int, id_base: int):
 
 
 def main() -> None:
-    from php_ec_spark.operators.similarity import ivf_build, ivf_search
     from php_ec_spark.session import get_spark
 
     n_corpus = int(os.environ.get("PROBE_BENCH_CORPUS", "200000"))
@@ -69,7 +69,19 @@ def main() -> None:
     ]
     spark = get_spark(app_name="probe-mode-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # the prefix does NOT match sweep_stale_ivf_dirs' php_ec_ivf_<pid>
+    # pattern, so without the try/finally below every run would leak a
+    # ~100 MB 200k-vector index dir in /tmp permanently (round-12 ADVICE)
     idx = tempfile.mkdtemp(prefix="probe_mode_bench_")
+    try:
+        _run(spark, idx, n_corpus, dim, n_clusters, sizes)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+def _run(spark, idx, n_corpus, dim, n_clusters, sizes) -> None:
+    from php_ec_spark.operators.similarity import ivf_build, ivf_search
+
     corpus = synth(spark, n_corpus, dim, n_clusters, seed=1, id_base=0)
     t0 = time.perf_counter()
     ivf_build(corpus, idx)
