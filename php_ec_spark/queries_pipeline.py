@@ -225,12 +225,133 @@ def pipe_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipe_text_stats",
-    doc="Token/char counts + lexical stats + quality score per document, "
-    "pure codegen arithmetic (quality = diversity × length band, in "
-    "[0,1]; consolidated from the former pipe_quality_score slot — both "
-    "shapes still execute here).",
-    oracle="""
-        SELECT doc_id,
+    doc="Per-document text signals consolidated as kind rows (the "
+    "round-10 pattern; non-headline slot). kind='stats': token/char "
+    "counts + lexical stats + quality score, pure codegen arithmetic. "
+    "kind='pii': scrub_pii over text with deterministic synthetic PII "
+    "appended (testdata text is clean word soup, so the scrub must be "
+    "PROVEN to fire) — n_removed = placeholder count, text_md5 pins the "
+    "scrubbed bytes. kind='lines': remove_dup_lines (RefinedWeb-style "
+    "line-level boilerplate removal) over a token-per-line rendering of "
+    "each doc — n_total/n_removed = line counts, text_md5 pins the "
+    "rebuilt text byte-for-byte. kind='url': normalize_url over messy "
+    "synthesized URLs (case/port/www/userinfo/tracking-params/dup-slash/"
+    "fragment/protocol-relative variants) — text_md5 pins the canonical "
+    "form. All three were previously pytest-only byte-parity twins; "
+    "these rows put them under the driver hash.",
+    oracle=r"""
+        WITH lraw AS (
+            SELECT doc_id, unnest(ls) AS line,
+                   generate_subscripts(ls, 1) AS pos
+            FROM (SELECT doc_id,
+                         string_split(
+                             regexp_replace(text, '\s+', chr(10), 'g'),
+                             chr(10)) AS ls
+                  FROM documents)
+        ), l AS (
+            SELECT doc_id, line, pos,
+                   md5(lower(trim(regexp_replace(line, '\s+', ' ', 'g'))))
+                       AS lkey,
+                   lower(trim(regexp_replace(line, '\s+', ' ', 'g'))) AS norm
+            FROM lraw
+        ), lcommon AS (
+            SELECT lkey FROM l WHERE norm <> ''
+            GROUP BY lkey HAVING count(*) >= 2
+        ), lkept AS (
+            SELECT * FROM l WHERE lkey NOT IN (SELECT lkey FROM lcommon)
+        ), lre AS (
+            SELECT l.doc_id, count(*) AS lines_total,
+                   (SELECT count(*) FROM lkept k
+                    WHERE k.doc_id = l.doc_id) AS kept_n,
+                   (SELECT string_agg(k.line, chr(10) ORDER BY k.pos)
+                    FROM lkept k WHERE k.doc_id = l.doc_id) AS kept_text
+            FROM l GROUP BY l.doc_id
+        ), pin AS (
+            SELECT doc_id,
+                   text || ' contact u' || CAST(doc_id AS VARCHAR)
+                        || '@ex.com ip 10.0.0.'
+                        || CAST(doc_id % 200 AS VARCHAR) AS ptext
+            FROM documents
+        ), pscrub AS (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(ptext,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                       '<IP>', 'g'),
+                       '\+?[0-9][0-9()\-. ]{7,}[0-9]\b',
+                       '<PHONE>', 'g') AS s
+            FROM pin
+        ), uraw AS (
+            SELECT doc_id,
+                   CASE doc_id % 6
+                        WHEN 0 THEN 'HTTP://WWW.Example.COM:80//a//'
+                             || CAST(doc_id AS VARCHAR)
+                             || '/?utm_source=x&b=2&a=1#frag'
+                        WHEN 1 THEN 'https://User:Pw@Host'
+                             || CAST(doc_id % 10 AS VARCHAR)
+                             || '.ORG:443/Path/' || CAST(doc_id AS VARCHAR)
+                             || '?z=1&y=&fbclid=abc'
+                        WHEN 2 THEN '//cdn.example.net/img/'
+                             || CAST(doc_id AS VARCHAR)
+                             || '.png?gclid=1&id=' || CAST(doc_id AS VARCHAR)
+                        WHEN 3 THEN 'example.org/' || CAST(doc_id AS VARCHAR)
+                             || '///deep/path//'
+                        WHEN 4 THEN 'FTP://Mirror.Example.IO:21/pub/'
+                             || CAST(doc_id AS VARCHAR)
+                        ELSE NULL
+                   END AS url
+            FROM documents
+        ), u0 AS (
+            SELECT doc_id, regexp_replace(trim(url), '#.*$', '', 'g') AS x
+            FROM uraw
+        ), u1 AS (
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(x, '^//') THEN 'http:' || x
+                        ELSE x END AS x
+            FROM u0
+        ), u2 AS (
+            SELECT doc_id,
+                   lower(regexp_extract(x, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                       AS sch0,
+                   regexp_replace(regexp_replace(
+                       x, '^[A-Za-z][A-Za-z0-9+.-]*://', '', 'g'),
+                       '^[^/?@]*@', '', 'g') AS rest
+            FROM u1
+        ), u3 AS (
+            SELECT doc_id,
+                   CASE WHEN sch0 = '' THEN 'http' ELSE sch0 END AS sch,
+                   lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+                   regexp_replace(rest, '^[^/?]*', '', 'g') AS pathq
+            FROM u2
+        ), u4 AS (
+            SELECT doc_id, sch,
+                   CASE WHEN sch = 'http'
+                            THEN regexp_replace(hostport, ':80$', '')
+                        WHEN sch = 'https'
+                            THEN regexp_replace(hostport, ':443$', '')
+                        ELSE hostport END AS host0,
+                   regexp_replace(regexp_replace(
+                       regexp_extract(pathq, '^([^?]*)', 1), '//+', '/', 'g'),
+                       '/+$', '') AS path,
+                   regexp_extract(pathq, '\?(.*)$', 1) AS query
+            FROM u3
+        ), u5 AS (
+            SELECT doc_id, sch,
+                   regexp_replace(host0, '^www\.', '') AS host, path,
+                   coalesce(array_to_string(list_sort(list_filter(
+                       string_split(query, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x,
+                           '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref_src)=')
+                   )), '&'), '') AS q
+            FROM u4
+        ), unorm AS (
+            SELECT doc_id,
+                   sch || '://' || host || path ||
+                   CASE WHEN q = '' THEN '' ELSE '?' || q END AS url_norm
+            FROM u5
+        )
+        SELECT 'stats' AS kind, doc_id,
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
@@ -243,19 +364,164 @@ def pipe_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (length(text) - length(replace(text, ' ', '')) + 1))
                    * (CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
                            BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.5 END), 6
-               ) AS quality_score
+               ) AS quality_score,
+               CAST(NULL AS BIGINT) AS n_total,
+               CAST(NULL AS BIGINT) AS n_removed,
+               CAST(NULL AS VARCHAR) AS text_md5
         FROM documents
+        UNION ALL
+        SELECT 'pii' AS kind, doc_id,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+               coalesce(CAST(
+                   (length(s) - length(replace(s, '<EMAIL>', ''))) / 7
+                   + (length(s) - length(replace(s, '<IP>', ''))) / 4
+                   + (length(s) - length(replace(s, '<PHONE>', ''))) / 7
+                   AS BIGINT), 0) AS n_removed,
+               md5(s) AS text_md5
+        FROM pscrub
+        UNION ALL
+        SELECT 'lines' AS kind, d.doc_id,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE),
+               coalesce(r.lines_total, 0) AS n_total,
+               coalesce(r.lines_total, 0) - coalesce(r.kept_n, 0)
+                   AS n_removed,
+               md5(CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(r.kept_text, '') END) AS text_md5
+        FROM documents d LEFT JOIN lre r ON r.doc_id = d.doc_id
+        UNION ALL
+        SELECT 'url' AS kind, doc_id,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT) AS n_removed,
+               md5(url_norm) AS text_md5
+        FROM unorm
     """,
 )
 def pipe_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_quality_score(_docs(spark, sf_dir)).select(
+    from .operators.dedup import remove_dup_lines
+    from .operators.text import normalize_url, scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    nulll = F.lit(None).cast("long")
+    nulld = F.lit(None).cast("double")
+
+    def _pad(df: DataFrame, kind: str, n_total, n_removed, text_md5):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            "doc_id",
+            nulll.alias("n_chars"),
+            nulll.alias("n_tokens"),
+            nulll.alias("n_unique_tokens"),
+            nulld.alias("avg_token_len"),
+            nulld.alias("quality_score"),
+            n_total.alias("n_total"),
+            n_removed.alias("n_removed"),
+            text_md5.alias("text_md5"),
+        )
+
+    stats = with_quality_score(docs).select(
+        F.lit("stats").alias("kind"),
         "doc_id",
         "n_chars",
         "n_tokens",
         "n_unique_tokens",
         F.round("avg_token_len", 6).alias("avg_token_len"),
         "quality_score",
+        nulll.alias("n_total"),
+        nulll.alias("n_removed"),
+        F.lit(None).cast("string").alias("text_md5"),
     )
+    # synthetic-PII suffix: testdata text is clean word soup, so without
+    # it the scrub would be pinned only as a no-op
+    uid = F.col("doc_id").cast("string")
+    pii = _pad(
+        scrub_pii(
+            docs.select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact u"),
+                    uid,
+                    F.lit("@ex.com ip 10.0.0."),
+                    (F.col("doc_id") % 200).cast("string"),
+                ).alias("text"),
+            )
+        ),
+        "pii",
+        nulll,
+        F.col("pii_matches"),
+        F.md5("text"),
+    )
+    # token-per-line rendering: every corpus-repeated token becomes a
+    # boilerplate "line", exercising count/anti-join/ordered-rebuild for
+    # real (testdata docs are single-line, which would pin a no-op)
+    lines = _pad(
+        remove_dup_lines(
+            docs.select(
+                "doc_id",
+                F.regexp_replace("text", r"\s+", "\n").alias("text"),
+            ),
+            min_count=2,
+        ),
+        "lines",
+        F.col("lines_total"),
+        F.col("lines_removed"),
+        F.md5("text"),
+    )
+    mod = F.col("doc_id") % 6
+    url = _pad(
+        normalize_url(
+            docs.select(
+                "doc_id",
+                F.when(
+                    mod == 0,
+                    F.concat(
+                        F.lit("HTTP://WWW.Example.COM:80//a//"),
+                        uid,
+                        F.lit("/?utm_source=x&b=2&a=1#frag"),
+                    ),
+                )
+                .when(
+                    mod == 1,
+                    F.concat(
+                        F.lit("https://User:Pw@Host"),
+                        (F.col("doc_id") % 10).cast("string"),
+                        F.lit(".ORG:443/Path/"),
+                        uid,
+                        F.lit("?z=1&y=&fbclid=abc"),
+                    ),
+                )
+                .when(
+                    mod == 2,
+                    F.concat(
+                        F.lit("//cdn.example.net/img/"),
+                        uid,
+                        F.lit(".png?gclid=1&id="),
+                        uid,
+                    ),
+                )
+                .when(
+                    mod == 3,
+                    F.concat(F.lit("example.org/"), uid, F.lit("///deep/path//")),
+                )
+                .when(
+                    mod == 4,
+                    F.concat(F.lit("FTP://Mirror.Example.IO:21/pub/"), uid),
+                )
+                .alias("url"),
+            )
+        ),
+        "url",
+        nulll,
+        nulll,
+        F.md5("url_norm"),
+    )
+    return stats.unionByName(pii).unionByName(lines).unionByName(url)
 
 
 @register(
@@ -739,7 +1005,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
     "as cosine_dup_pairs() without cluster_col, parity-tested in pytest "
     "against numpy brute force.",
     oracle="""
-        WITH e AS (
+        WITH RECURSIVE e AS (
             SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
         ), dim AS (
             SELECT max(len(v)) AS d FROM e
@@ -784,8 +1050,70 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
             ) AS rank
             FROM s
         )
+        -- semdup half: assignment to the SAME stored centroids (argmax
+        -- cosine, ties -> lowest cluster, zero vectors -> 0.0 everywhere
+        -- so they land in the first centroid), within-ASSIGNED-cluster
+        -- pairs >= 0.4, duplicate groups via recursive min-label
+        -- reachability, keeper = least-prototypical (lowest cent_cos,
+        -- ties -> smallest id)
+        , asg0 AS (
+            SELECT e.vec_id, c.cluster,
+                   CASE WHEN list_dot_product(e.v, e.v) > 0
+                             AND list_dot_product(c.centroid, c.centroid) > 0
+                        THEN round(
+                            list_dot_product(e.v, c.centroid)
+                            / (sqrt(list_dot_product(e.v, e.v))
+                               * sqrt(list_dot_product(c.centroid, c.centroid))),
+                            6)
+                        ELSE 0.0 END AS cc
+            FROM e, cent c
+        ), asg AS (
+            SELECT vec_id, cluster, cc, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cc DESC, cluster
+            ) AS ark
+            FROM asg0
+        ), assigned AS (
+            SELECT vec_id, cluster, cc AS cent_cos FROM asg WHERE ark = 1
+        ), sp AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib
+            FROM assigned aa
+            JOIN e a ON a.vec_id = aa.vec_id
+            JOIN assigned bb ON bb.cluster = aa.cluster
+            JOIN e b ON b.vec_id = bb.vec_id AND aa.vec_id < bb.vec_id
+            WHERE list_dot_product(a.v, a.v) > 0
+              AND list_dot_product(b.v, b.v) > 0
+              AND round(
+                      list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v))), 6
+                  ) >= 0.4
+        ), sedges AS (
+            SELECT ia AS src, ib AS dst FROM sp
+            UNION ALL
+            SELECT ib, ia FROM sp
+        ), sreach AS (
+            SELECT src AS doc, src AS lbl FROM sedges
+            UNION
+            SELECT se.dst AS doc, r.lbl
+            FROM sreach r JOIN sedges se ON se.src = r.doc
+        ), sgrp AS (
+            SELECT doc, min(lbl) AS glabel FROM sreach GROUP BY doc
+        ), skeep AS (
+            SELECT g.doc, g.glabel, row_number() OVER (
+                PARTITION BY g.glabel
+                ORDER BY a.cent_cos ASC, g.doc ASC
+            ) AS krk
+            FROM sgrp g JOIN assigned a ON a.vec_id = g.doc
+        )
         SELECT 'topk' AS kind, query_id AS id_a, neighbor_id AS id_b,
-               cos, CAST(rank AS INT) AS rank
+               cos, CAST(rank AS INT) AS rank, CAST(NULL AS INT) AS keep
+        FROM r WHERE rank <= 5
+        UNION ALL
+        -- the distributed probe mode is row-identical to broadcast by
+        -- contract (shared probe selection + kernel arithmetic + exact
+        -- re-rank, pinned in tests) — the oracle is the same rows
+        SELECT 'topk_dist' AS kind, query_id AS id_a, neighbor_id AS id_b,
+               cos, CAST(rank AS INT) AS rank, CAST(NULL AS INT) AS keep
         FROM r WHERE rank <= 5
         UNION ALL
         SELECT 'dup' AS kind, a.vec_id AS id_a, b.vec_id AS id_b,
@@ -794,37 +1122,87 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
                    / (sqrt(list_dot_product(a.v, a.v))
                       * sqrt(list_dot_product(b.v, b.v))), 6
                ) AS cos,
-               CAST(NULL AS INT) AS rank
+               CAST(NULL AS INT) AS rank, CAST(NULL AS INT) AS keep
         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(
                   list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))), 6
               ) >= 0.4
+        UNION ALL
+        SELECT 'semdup' AS kind, a.vec_id AS id_a,
+               coalesce(g.glabel, a.vec_id) AS id_b,
+               a.cent_cos AS cos,
+               CAST(a.cluster AS INT) AS rank,
+               CAST(CASE WHEN k.krk IS NULL OR k.krk = 1
+                         THEN 1 ELSE 0 END AS INT) AS keep
+        FROM assigned a
+        LEFT JOIN sgrp g ON g.doc = a.vec_id
+        LEFT JOIN skeep k ON k.doc = a.vec_id
     """,
 )
 def pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import ivf_search
+    from .operators.similarity import ivf_search, semdedup
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    topk = ivf_search(
-        spark, _ivf_index(spark, sf_dir), queries, k=5, nprobe=2
-    ).select(
-        F.lit("topk").alias("kind"),
-        F.col("query_id").alias("id_a"),
-        F.col("neighbor_id").alias("id_b"),
-        "cos",
-        F.col("rank").cast("int").alias("rank"),
-    )
+    idx = _ivf_index(spark, sf_dir)
+    nullint = F.lit(None).cast("int")
+
+    def _topk(kind: str, **kw) -> DataFrame:
+        return ivf_search(spark, idx, queries, k=5, nprobe=2, **kw).select(
+            F.lit(kind).alias("kind"),
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+            nullint.alias("keep"),
+        )
+
+    topk = _topk("topk", mode="broadcast")
+    # the round-11 scale centerpiece under the HARD gate: the same top-k
+    # through the distributed (cogroup) probe path with the skew valve
+    # engaged — an sf0.01 increment auto-routes broadcast, so without
+    # this row a distributed-kernel regression would only surface in
+    # pytest. The oracle is the broadcast rows' SQL verbatim (the modes
+    # are row-identical by contract, pinned in tests).
+    topk_dist = _topk("topk_dist", mode="distributed", shards=2)
     dup = cosine_dup_pairs(emb, threshold=0.4, cluster_col="label").select(
         F.lit("dup").alias("kind"),
         "id_a",
         "id_b",
         "cos",
-        F.lit(None).cast("int").alias("rank"),
+        nullint.alias("rank"),
+        nullint.alias("keep"),
     )
-    return topk.unionByName(dup)
+    # SemDeDup over the INDEX's own quantizer (shared geometry — the
+    # docstring's centroids= contract): assign → within-cluster pairs →
+    # duplicate groups → keep the least-prototypical member. rank carries
+    # the assigned cluster, id_b the group label, cos the centroid
+    # cosine, keep the survivor flag — together they pin every stage.
+    cent_rows = sorted(
+        spark.read.parquet(f"{idx}/centroids").collect(),
+        key=lambda r: (r.cluster is None, r.cluster),
+    )
+    # assign_clusters returns the ORDINAL of the winning centroid row —
+    # translate back to the stored cluster ids so the output (and the
+    # oracle) speak label values, not matrix positions
+    ordinal_to_label = F.array(*[F.lit(int(r.cluster)) for r in cent_rows])
+    sem = semdedup(
+        emb.select("vec_id", "embedding"),
+        threshold=0.4,
+        centroids=[list(r.centroid) for r in cent_rows],
+    ).select(
+        F.lit("semdup").alias("kind"),
+        F.col("vec_id").alias("id_a"),
+        F.col("semdup_group").alias("id_b"),
+        F.col("cent_cos").alias("cos"),
+        F.element_at(ordinal_to_label, F.col("cluster") + 1)
+        .cast("int")
+        .alias("rank"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+    return topk.unionByName(topk_dist).unionByName(dup).unionByName(sem)
 
 
 #: sf_dir → built persistent dedup-index name, once per process — the real
