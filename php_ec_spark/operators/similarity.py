@@ -1140,6 +1140,10 @@ def ivf_build(
     name actually written; pass it to :func:`ivf_search` as
     ``cluster_col``.
     """
+    # fail at BUILD, not first search: ivf_search is this index's only
+    # consumer and its kernels pack ids as int64 — storing string ids
+    # would just defer the error to serving time
+    _require_int_ids(corpus, id_col, "ivf_build")
     if n_clusters is not None:
         cents_m = kmeans_centroids(
             corpus, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col
@@ -1175,6 +1179,7 @@ def ivf_add(
     always findable through the cluster that ranks it highest. The
     centroid table is NOT re-centered by an append.
     """
+    _require_int_ids(increment, id_col, "ivf_add")
     if cluster_col in increment.columns:
         out = increment
     else:
@@ -1387,6 +1392,14 @@ def ivf_compact(spark, src_path: str, dst_path: str, cluster_col: str = "label")
     n_clusters = cents.count()
     cents.write.mode("error").parquet(f"{dst_path}/centroids")
     (
+        # range-partitioning on the cluster VALUE itself is correct here:
+        # equal values can never split across range boundaries, so each
+        # cluster directory is written by one task. Do NOT "optimize" this
+        # to repartition(n, hash(...)) or range-partition on a DERIVED
+        # expression — dedup_index_compact learned that hash/derived
+        # partitioners do not coincide with directory identity and
+        # silently split bucket files (its recipe range-partitions on
+        # pmod(hash(cols), n) BECAUSE its bucket id is that expression).
         corpus.repartitionByRange(max(int(n_clusters), 1), cluster_col)
         .write.mode("error")
         .partitionBy(cluster_col)

@@ -3055,12 +3055,23 @@ class TestIvfDistributedProbe:
         ):
             with pytest.raises(ValueError, match="integer type"):
                 fn()
-        # ...and a stored corpus whose ids are strings fails the same way
-        # on BOTH probe branches, even when the queries are clean
-        sidx = str(tmp_path / "ivf_str_corpus")
-        from php_ec_spark.operators.similarity import ivf_build
+        # a string-id corpus must fail at BUILD time (ivf_search is the
+        # index's only consumer — storing the ids would just defer the
+        # error to serving)...
+        from php_ec_spark.operators.similarity import build_centroids, ivf_add, ivf_build
 
-        ivf_build(sdf, sidx)
+        with pytest.raises(ValueError, match="integer type"):
+            ivf_build(sdf, str(tmp_path / "never_written"))
+        with pytest.raises(ValueError, match="integer type"):
+            ivf_add(spark, idx, sdf)
+        # ...and a HAND-BUILT (or legacy) stored layout with string ids
+        # still fails the same way on BOTH probe branches, even when the
+        # queries are clean
+        sidx = str(tmp_path / "ivf_str_corpus")
+        sdf.write.partitionBy("label").parquet(f"{sidx}/corpus")
+        build_centroids(df, "label", "embedding").write.parquet(
+            f"{sidx}/centroids"
+        )
         q_ok = df.filter(F.col("vec_id") < 2).select("vec_id", "embedding")
         for mode in ("broadcast", "distributed"):
             with pytest.raises(ValueError, match="integer type"):
