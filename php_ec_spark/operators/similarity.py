@@ -167,7 +167,11 @@ def cosine_topk(
     :data:`IVF_BROADCAST_BUDGET_BYTES`) raises loudly naming the remedy
     instead of flooding the driver heap — the same uniform guard as
     :func:`cosine_dup_pairs` and :func:`ivf_search`'s forced-broadcast
-    path. The corpus is scanned ONCE with
+    path. The guard is one extra Spark job over ``queries``;
+    ``broadcast_budget_bytes=0`` is the explicit trust-me opt-out that
+    skips both the job and the check, for per-batch callers whose query
+    frame is tiny by construction but expensive to re-derive.
+    The corpus is scanned ONCE with
     candidates generated per Arrow batch by a dense numpy GEMM (each batch
     keeps its per-query top k+pad — the global top-k is a subset of the
     per-batch top-k, and the pad absorbs GEMM-vs-fold float reordering,
@@ -187,8 +191,13 @@ def cosine_topk(
         if broadcast_budget_bytes is None
         else broadcast_budget_bytes
     )
-    n, d, est_bytes = _estimate_matrix_bytes(queries, vec_col)
-    if est_bytes > budget:
+    # budget == 0 is the explicit trust-me opt-out (skips the one-job
+    # size estimate for callers who re-derive a provably tiny query
+    # frame per batch from an expensive upstream plan)
+    n, d, est_bytes = (
+        (0, 0, 0) if budget == 0 else _estimate_matrix_bytes(queries, vec_col)
+    )
+    if budget != 0 and est_bytes > budget:
         raise RuntimeError(
             f"cosine_topk: the query frame is ~{est_bytes:,} raw bytes "
             f"({n:,} vectors × {d}-d), past the {budget:,}-byte broadcast "
@@ -347,8 +356,13 @@ def cosine_dup_pairs(
         if broadcast_budget_bytes is None
         else broadcast_budget_bytes
     )
-    n, d, est_bytes = _estimate_matrix_bytes(corpus, vec_col)
-    if est_bytes > budget:
+    # budget == 0 disables the guard (explicit trust-me, same contract
+    # as cosine_topk — there is no auto/distributed mode here to confuse
+    # it with)
+    n, d, est_bytes = (
+        (0, 0, 0) if budget == 0 else _estimate_matrix_bytes(corpus, vec_col)
+    )
+    if budget != 0 and est_bytes > budget:
         raise RuntimeError(
             f"cosine_dup_pairs: exact all-pairs needs the corpus matrix "
             f"broadcast (~{est_bytes:,} raw bytes for {n:,} vectors × "
@@ -629,7 +643,10 @@ def _resolve_probe_mode(
     (default :data:`IVF_BROADCAST_BUDGET_BYTES`). Forcing
     ``mode='broadcast'`` above the budget raises loudly instead of
     silently flooding the driver — the connected-components guard
-    pattern: the failure names the fix."""
+    pattern: the failure names the fix. The one escape hatch:
+    ``mode='broadcast'`` WITH ``budget=0`` skips the estimation job
+    entirely (per-trigger trust-me); under ``auto`` a zero budget keeps
+    meaning "nothing fits" and routes distributed."""
     if mode == "distributed":
         return "distributed"
     if mode not in ("auto", "broadcast"):
@@ -638,6 +655,14 @@ def _resolve_probe_mode(
             f" got {mode!r}"
         )
     budget = IVF_BROADCAST_BUDGET_BYTES if budget is None else budget
+    if mode == "broadcast" and budget == 0:
+        # explicit trust-me opt-out for per-trigger callers: skip the
+        # estimation job entirely. ONLY honored with an explicit
+        # mode='broadcast' — under 'auto' a zero budget keeps meaning
+        # "nothing fits a broadcast" and routes distributed, so the two
+        # spellings can never be confused into an accidental unbounded
+        # driver collect.
+        return "broadcast"
     n, d, est_bytes = _estimate_matrix_bytes(queries, vec_col)
     if est_bytes <= budget:
         return "broadcast"
@@ -1029,8 +1054,11 @@ def semdedup(
     ``keep`` is the dedup; keeping the columns is the audit trail.
 
     Scale shape: quantizer training is sample-bounded
-    (:func:`kmeans_centroids`), assignment + centroid-cosine come from
-    one scan-local GEMM (:func:`assign_clusters`), pair-finding is
+    (:func:`kmeans_centroids`), assignment is one scan-local GEMM
+    (:func:`assign_clusters`) and the centroid cosine a scan-local
+    broadcast-centroid join re-scored with the sequential-fold JVM dot
+    product (so the emitted — and keeper-ranking — value is
+    oracle-arithmetic-exact, not a reordered GEMM sum), pair-finding is
     Σ|cluster|² within-bucket work (:func:`cosine_dup_pairs` — never
     corpus-wide all-pairs), grouping is O(log diameter) label
     propagation over dup-involved nodes only, and the keep decision
@@ -1043,6 +1071,8 @@ def semdedup(
     existing :func:`ivf_build` index) so embedding search and semantic
     dedup can share one geometry.
     """
+    import numpy as np
+
     from .dedup import connected_components, pin_intermediate
 
     if centroids is None:
@@ -1050,13 +1080,40 @@ def semdedup(
             corpus, n_clusters=n_clusters, sample_size=sample_size,
             vec_col=vec_col, id_col=id_col,
         )
+    # cent_cos is RECOMPUTED JVM-side (broadcast centroid join +
+    # sequential-fold _cos, 6 dp): the GEMM's cos_col is a reordered
+    # float sum rounded half-to-even by numpy — a value within an ulp of
+    # a .5e-6 boundary could round differently from an engine using the
+    # plain left-to-right fold, and cent_cos both ranks the keeper and
+    # is emitted. The module's discipline is that every EMITTED float is
+    # oracle-arithmetic-exact; only the assignment argmax (whose ties
+    # would need two centroids within ~1e-7 of the same cosine) stays
+    # GEMM-side. One scan-local broadcast join, no extra shuffle.
+    cmat = np.asarray(centroids, dtype=np.float64)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cmat)],
+        "cluster int, __cent array<double>",
+    )
     # ≥3 consumers (both sides of the within-cluster self-join + the
     # output join) and the lineage is a corpus-wide Arrow kernel: pin.
     assigned = pin_intermediate(
         assign_clusters(
             corpus.select(id_col, vec_col), centroids,
-            vec_col=vec_col, out_col="cluster", cos_col="cent_cos",
-        ),
+            vec_col=vec_col, out_col="cluster",
+        )
+        .join(F.broadcast(cent_df), "cluster")
+        .withColumn(
+            "cent_cos",
+            F.round(
+                _cos(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    F.col("__cent"),
+                ),
+                6,
+            ),
+        )
+        .drop("__cent"),
         reliable=reliable,
         eager=True,
     )
@@ -1238,6 +1295,7 @@ def ivf_search(
     mode: str = "auto",
     broadcast_budget_bytes: "int | None" = None,
     shards: int = 1,
+    verify_clusters: bool = True,
 ) -> DataFrame:
     """Search a persistent :func:`ivf_build` index: probe the ``nprobe``
     nearest centroids per query, then scan ONLY the probed cluster
@@ -1270,10 +1328,28 @@ def ivf_search(
       at a 40k-query increment, far below the byte budget — recurring
       large-batch probe jobs should pass ``mode='distributed'``
       explicitly. The estimate is one extra Spark job over ``queries``
-      per call, so PER-MICRO-BATCH callers (``foreachBatch`` probing a
-      few hundred rows per trigger) should pass ``mode='broadcast'``
-      explicitly and skip the estimation job — a micro-batch is below
-      the budget by construction.
+      per call — and ``mode='broadcast'`` alone still pays it (that is
+      what enforces the forced-broadcast budget raise). PER-MICRO-BATCH
+      callers (``foreachBatch`` probing a few hundred rows per trigger,
+      below the budget by construction) skip it with the explicit
+      trust-me spelling ``mode='broadcast', broadcast_budget_bytes=0``;
+      under ``auto`` a zero budget keeps meaning "nothing fits" and
+      routes distributed, so the opt-out cannot be reached by accident.
+      The same callers can drop the per-call lost-cluster presence job
+      with ``verify_clusters=False`` (below).
+
+    ``verify_clusters`` (default on) cross-checks that every probed
+    cluster still has corpus rows before scoring — the lost-partition /
+    label-type-roundtrip corruption guard, because silently missing
+    neighbors is the one outcome a dedup pipeline must never get. The
+    check is a distinct over the PARTITION column of the pruned slice:
+    ≤C result rows, no data columns decoded (parquet answers a
+    zero-column scan from row-group metadata), but it IS one extra Spark
+    job touching every probed partition's file footers — per-trigger
+    hot loops that own their index lifecycle can pass
+    ``verify_clusters=False`` and run the check out-of-band instead.
+    The shards=1 distributed kernel keeps its in-kernel guard either
+    way (it is free there).
 
     Both modes share cluster selection, kernel arithmetic (GEMM +
     tie-inclusive top-(k+pad)) and the JVM exact re-rank, so results are
@@ -1297,28 +1373,32 @@ def ivf_search(
         pred = _prune_predicate(probed, cluster_col)
         corpus = spark.read.parquet(f"{path}/corpus").filter(pred)
         _require_int_ids(corpus, id_col, "ivf_search (stored corpus)")
-        # the same lost-cluster / partition-type-roundtrip corruption
-        # guard the distributed path carries: a probed cluster with no
-        # corpus rows means the index lost that cluster's partition
-        # files (or a numeric-looking STRING label round-tripped as a
-        # number through partition-type inference) — silently missing
-        # neighbors is the one outcome a dedup pipeline must never get.
-        # Cost: one distinct over the PARTITION column of the pruned
-        # slice — ≤C rows, answered from directory metadata, no data
-        # columns read.
-        present = {
-            _cluster_key(r[0])
-            for r in corpus.select(cluster_col).distinct().collect()
-        }
-        missing = probed - present
-        if missing:
-            raise ValueError(
-                f"ivf probe (broadcast): probed cluster(s) "
-                f"{sorted(missing, key=str)[:5]} have no corpus rows — "
-                "the index has lost those clusters' partition files, or "
-                "numeric-looking string labels round-tripped as numbers "
-                "through partition-type inference (see ivf_build notes)"
-            )
+        if verify_clusters:
+            # the same lost-cluster / partition-type-roundtrip corruption
+            # guard the distributed path carries: a probed cluster with
+            # no corpus rows means the index lost that cluster's
+            # partition files (or a numeric-looking STRING label
+            # round-tripped as a number through partition-type
+            # inference). Cost: one distinct over the PARTITION column of
+            # the pruned slice — ≤C result rows and zero data columns
+            # decoded (parquet serves a no-column scan from row-group
+            # counts), but still one Spark job over the probed
+            # partitions' file footers; hot loops opt out via
+            # verify_clusters=False.
+            present = {
+                _cluster_key(r[0])
+                for r in corpus.select(cluster_col).distinct().collect()
+            }
+            missing = probed - present
+            if missing:
+                raise ValueError(
+                    f"ivf probe (broadcast): probed cluster(s) "
+                    f"{sorted(missing, key=str)[:5]} have no corpus rows "
+                    "— the index has lost those clusters' partition "
+                    "files, or numeric-looking string labels "
+                    "round-tripped as numbers through partition-type "
+                    "inference (see ivf_build notes)"
+                )
         cand = _ivf_candidates(corpus, probes, k, cluster_col, vec_col, id_col)
         return _exact_rerank(corpus, queries, cand, k, vec_col, id_col)
     # distributed: the only driver-crossing payload is the distinct
@@ -1341,7 +1421,7 @@ def ivf_search(
         _prune_predicate(probed, cluster_col)
     )
     _require_int_ids(corpus, id_col, "ivf_search (stored corpus)")
-    if shards > 1:
+    if shards > 1 and verify_clusters:
         # the cogroup kernel's lost-cluster guard only works at shards=1
         # (a small cluster can legitimately miss a hash shard, so an
         # empty shard group is not evidence there) — check the probed
@@ -1425,6 +1505,7 @@ def embedding_dup_probe(
     mode: str = "auto",
     broadcast_budget_bytes: "int | None" = None,
     shards: int = 1,
+    verify_clusters: bool = True,
 ) -> DataFrame:
     """Probe new embeddings against a persistent :func:`ivf_build` index
     for SEMANTIC duplicates: each query is annotated with its best stored
@@ -1438,10 +1519,11 @@ def embedding_dup_probe(
     ``broadcast_budget_bytes``/``shards`` pass straight through, so a
     daily increment past the broadcast budget probes through the
     distributed path with no driver-bounded transfer. PER-MICRO-BATCH
-    callers (``foreachBatch`` probing each trigger's rows) should pass
-    ``mode='broadcast'`` explicitly: ``auto``'s size estimate is one
-    extra Spark job per call, pure overhead when every batch is small by
-    construction. Same
+    callers (``foreachBatch`` probing each trigger's rows, small by
+    construction) skip the per-call size-estimate job with the explicit
+    trust-me spelling ``mode='broadcast', broadcast_budget_bytes=0``,
+    and the per-call lost-cluster presence job with
+    ``verify_clusters=False`` — see :func:`ivf_search`. Same
     approximation contract as SemDeDup/IVF: a duplicate quantized into a
     cluster the probe misses is not flagged; raise ``nprobe`` to trade
     scan for recall. Output keeps one row per query (left join), so
@@ -1460,7 +1542,7 @@ def embedding_dup_probe(
             spark, path, queries, k=1, nprobe=nprobe,
             cluster_col=cluster_col, vec_col=vec_col, id_col=id_col,
             mode=mode, broadcast_budget_bytes=broadcast_budget_bytes,
-            shards=shards,
+            shards=shards, verify_clusters=verify_clusters,
         )
         .filter(F.col("cos") >= threshold)
         .select(

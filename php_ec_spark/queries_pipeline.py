@@ -1186,8 +1186,16 @@ def pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # assign_clusters returns the ORDINAL of the winning centroid row —
     # translate back to the stored cluster ids so the output (and the
-    # oracle) speak label values, not matrix positions
-    ordinal_to_label = F.array(*[F.lit(int(r.cluster)) for r in cent_rows])
+    # oracle) speak label values, not matrix positions (a NULL-cluster
+    # centroid — legal per ivf_build — maps to a NULL literal, not a
+    # crashing int(None))
+    ordinal_to_label = F.array(
+        *[
+            F.lit(int(r.cluster)) if r.cluster is not None
+            else F.lit(None).cast("int")
+            for r in cent_rows
+        ]
+    )
     sem = semdedup(
         emb.select("vec_id", "embedding"),
         threshold=0.4,

@@ -3025,6 +3025,79 @@ class TestIvfDistributedProbe:
             ivf_search(
                 spark, idx, queries, k=3, nprobe=1, mode="broadcast"
             ).collect()
+        # verify_clusters=False is the documented hot-loop trade: the
+        # per-call presence job is skipped and the search completes with
+        # the lost cluster's queries silently neighbor-less (vec_ids 0
+        # and 5 live in the deleted cluster 0)
+        rows = ivf_search(
+            spark, idx, queries, k=3, nprobe=1,
+            mode="broadcast", verify_clusters=False,
+        ).collect()
+        assert rows and {r.query_id for r in rows} == set(range(8)) - {0, 5}
+
+    def test_trust_me_opt_outs_skip_the_per_call_jobs(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Round-12 review: the docstrings promise per-trigger callers a
+        way to SKIP the size-estimation job — mode='broadcast' +
+        broadcast_budget_bytes=0 must not run _estimate_matrix_bytes at
+        all (and must return the same rows), while mode='auto' + 0 keeps
+        meaning 'nothing fits a broadcast' and routes distributed."""
+        from php_ec_spark.operators import similarity as sim
+
+        df, idx = self._index(spark, tmp_path)
+        queries = df.filter(F.col("vec_id") < 4).select("vec_id", "embedding")
+        want = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in sim.ivf_search(
+                spark, idx, queries, k=3, mode="broadcast"
+            ).collect()
+        }
+
+        def boom(*a, **kw):
+            raise AssertionError(
+                "estimation job ran despite the trust-me opt-out"
+            )
+
+        monkeypatch.setattr(sim, "_estimate_matrix_bytes", boom)
+        got = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in sim.ivf_search(
+                spark, idx, queries, k=3,
+                mode="broadcast", broadcast_budget_bytes=0,
+            ).collect()
+        }
+        assert got == want
+        # cosine_topk and cosine_dup_pairs ride the same 0-sentinel:
+        # the guard (and its job) is skipped, never inverted into
+        # reject-everything
+        assert (
+            sim.cosine_topk(
+                df, queries, k=3, broadcast_budget_bytes=0
+            ).count()
+            == 4 * 3
+        )
+        assert (
+            sim.cosine_dup_pairs(
+                df.select("vec_id", "embedding"),
+                threshold=0.999, broadcast_budget_bytes=0,
+            ).count()
+            > 0
+        )
+        monkeypatch.undo()
+        # auto + 0: every increment is over budget -> distributed (the
+        # broadcast-only primitive must never run)
+        monkeypatch.setattr(
+            sim, "_collect_probes",
+            lambda *a, **k: (_ for _ in ()).throw(
+                AssertionError("auto+0 picked the broadcast path")
+            ),
+        )
+        n = sim.ivf_search(
+            spark, idx, queries, k=3,
+            mode="auto", broadcast_budget_bytes=0,
+        ).count()
+        assert n == 4 * 3
 
     def test_string_ids_raise_the_actionable_error(self, spark, tmp_path):
         """The embedding kernels pack ids as int64; a string vec_id must
