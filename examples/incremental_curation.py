@@ -140,7 +140,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         # mode='auto' (default): this toy increment broadcasts; a real
         # daily increment past the 256 MiB budget probes through the
         # distributed path with no driver transit (shards= if one
-        # cluster dominates)
+        # cluster dominates). A per-trigger foreachBatch caller would
+        # instead skip the per-call guard jobs explicitly:
+        # mode='broadcast', broadcast_budget_bytes=0 (size known by
+        # construction) + verify_clusters=False (index health checked
+        # out-of-band, not per micro-batch).
         probed_emb = embedding_dup_probe(
             spark, idx, inc_emb, threshold=0.999, cluster_col=ccol
         )
