@@ -288,6 +288,16 @@ def _exact_rerank(
         # so the exclusion must be re-applied here
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
+        # a (query, neighbor) pair can reach here more than once — dup
+        # candidate rows, or a corpus row physically duplicated by an
+        # ivf_add crash-replay (see streaming_embedding_ingest's journal
+        # note) — and row_number would hand the copies DISTINCT ranks,
+        # returning the same neighbor twice inside top-k. Collapse pairs
+        # first; the copies are identical rows (unique-id corpus contract:
+        # same id ⇒ same vector ⇒ same rounded cos), so which survives is
+        # immaterial. Cost: one extra exchange keyed (query, neighbor) —
+        # over the CANDIDATE set, O(|q|·(k+pad)) rows, never the corpus.
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -709,6 +719,46 @@ def _prune_predicate(probed, cluster_col: str):
     return pred
 
 
+def _check_clusters_present(
+    expected, present, context: str
+) -> None:
+    """The ONE lost-cluster presence guard (three call sites: the
+    broadcast branch, the sharded/excluded distributed branch, and the
+    ingest startup health check) — a cluster that should have corpus
+    rows but has none means lost partition files or a label that
+    round-tripped through partition-type inference. Both sides are
+    normalized through :func:`_cluster_key` so int/float/NULL renderings
+    of the same label can never false-positive."""
+    missing = {_cluster_key(c) for c in expected} - {
+        _cluster_key(c) for c in present
+    }
+    if missing:
+        raise ValueError(
+            f"ivf probe ({context}): cluster(s) "
+            f"{sorted(missing, key=str)[:5]} have no corpus rows — the "
+            "index has lost those clusters' partition files, or "
+            "numeric-looking string labels round-tripped as numbers "
+            "through partition-type inference (see ivf_build notes)"
+        )
+
+
+def _apply_exclusion(
+    corpus: DataFrame, exclude_ids: "DataFrame | None", id_col: str
+) -> DataFrame:
+    """Anti-join the (small-by-contract) excluded id set out of the
+    pruned corpus slice BEFORE any scoring — broadcast hash anti, so the
+    corpus never shuffles for it. A top-k post-filter would be wrong
+    here: a wall of excluded near-ties (a replayed batch's own landed
+    mates at cos≈1) could fill the per-batch top-(k+pad) and starve the
+    genuine stored match below it."""
+    if exclude_ids is None:
+        return corpus
+    excl = exclude_ids.select(F.col(id_col).alias("__excl")).distinct()
+    return corpus.join(
+        F.broadcast(excl), corpus[id_col] == F.col("__excl"), "left_anti"
+    )
+
+
 def _distributed_candidates(
     corpus: DataFrame,
     probe_rows: DataFrame,
@@ -718,6 +768,7 @@ def _distributed_candidates(
     id_col: str,
     shards: int = 1,
     score_block_doubles: int = 1 << 25,
+    allow_empty_clusters: bool = False,
 ) -> DataFrame:
     """(query_id, neighbor_id) candidates with NO driver transit: the
     probe rows shuffle by their probed cluster and cogroup against the
@@ -780,10 +831,12 @@ def _distributed_candidates(
         if len(right) == 0:
             return empty  # unprobed cluster surviving the prune
         if len(left) == 0:
-            if shards > 1:
-                # a small cluster can legitimately miss a hash shard —
-                # the lost-cluster check lives in ivf_search instead
-                # (probed-vs-present set diff before the cogroup)
+            if shards > 1 or allow_empty_clusters:
+                # a small cluster can legitimately miss a hash shard; and
+                # under an exclude_ids search (ingest mate exclusion) a
+                # cluster whose every row is excluded is a LEGITIMATE
+                # empty, not corruption — the presence guard runs
+                # pre-exclusion in ivf_search instead
                 return empty
             # a well-formed index has >=1 corpus row per centroid (the
             # centroid IS a mean of corpus rows, and add only appends) —
@@ -1296,6 +1349,7 @@ def ivf_search(
     broadcast_budget_bytes: "int | None" = None,
     shards: int = 1,
     verify_clusters: bool = True,
+    exclude_ids: "DataFrame | None" = None,
 ) -> DataFrame:
     """Search a persistent :func:`ivf_build` index: probe the ``nprobe``
     nearest centroids per query, then scan ONLY the probed cluster
@@ -1351,6 +1405,18 @@ def ivf_search(
     The shards=1 distributed kernel keeps its in-kernel guard either
     way (it is free there).
 
+    ``exclude_ids`` (a DataFrame carrying ``id_col``) removes the named
+    STORED rows from the search before any scoring — not a post-filter
+    of the top-k (which could starve genuine matches behind a wall of
+    excluded near-ties), a pre-GEMM anti-join on the pruned corpus
+    slice (broadcast: the exclude side is small by contract). Built for
+    :func:`streaming_embedding_ingest`'s replay invariant: excluding a
+    batch's own ids makes the probe a pure function of
+    (index ∖ batch ids, batch), identical before and after the batch's
+    survivors are appended. The lost-cluster presence guard evaluates
+    PRE-exclusion — a cluster emptied by exclusion is legitimate, a
+    cluster with no rows at all is still corruption.
+
     Both modes share cluster selection, kernel arithmetic (GEMM +
     tie-inclusive top-(k+pad)) and the JVM exact re-rank, so results are
     mode-invariant (pinned in tests). Like the broadcast path, the
@@ -1385,20 +1451,12 @@ def ivf_search(
             # counts), but still one Spark job over the probed
             # partitions' file footers; hot loops opt out via
             # verify_clusters=False.
-            present = {
-                _cluster_key(r[0])
-                for r in corpus.select(cluster_col).distinct().collect()
-            }
-            missing = probed - present
-            if missing:
-                raise ValueError(
-                    f"ivf probe (broadcast): probed cluster(s) "
-                    f"{sorted(missing, key=str)[:5]} have no corpus rows "
-                    "— the index has lost those clusters' partition "
-                    "files, or numeric-looking string labels "
-                    "round-tripped as numbers through partition-type "
-                    "inference (see ivf_build notes)"
-                )
+            _check_clusters_present(
+                probed,
+                (r[0] for r in corpus.select(cluster_col).distinct().collect()),
+                "broadcast",
+            )
+        corpus = _apply_exclusion(corpus, exclude_ids, id_col)
         cand = _ivf_candidates(corpus, probes, k, cluster_col, vec_col, id_col)
         return _exact_rerank(corpus, queries, cand, k, vec_col, id_col)
     # distributed: the only driver-crossing payload is the distinct
@@ -1421,32 +1479,37 @@ def ivf_search(
         _prune_predicate(probed, cluster_col)
     )
     _require_int_ids(corpus, id_col, "ivf_search (stored corpus)")
-    if shards > 1 and verify_clusters:
-        # the cogroup kernel's lost-cluster guard only works at shards=1
-        # (a small cluster can legitimately miss a hash shard, so an
-        # empty shard group is not evidence there) — check the probed
-        # clusters actually exist in the pruned corpus here instead.
-        # Distinct on the partition column over the pruned slice; ≤C rows
-        present = {r[0] for r in corpus.select(cluster_col).distinct().collect()}
-        missing = probed - present
-        if missing:
-            raise ValueError(
-                f"ivf probe (distributed): probed cluster(s) "
-                f"{sorted(missing, key=str)[:5]} have no corpus rows — "
-                "the index has lost those clusters' partition files, or "
-                "numeric-looking string labels round-tripped as numbers "
-                "through partition-type inference (see ivf_build notes)"
-            )
+    if (shards > 1 or exclude_ids is not None) and verify_clusters:
+        # the cogroup kernel's in-kernel lost-cluster guard only works
+        # at shards=1 WITHOUT exclusion (a small cluster can
+        # legitimately miss a hash shard, and an exclusion can
+        # legitimately empty a cluster — neither is evidence of
+        # corruption there) — so in both of those configurations the
+        # probed clusters are checked against the PRE-exclusion pruned
+        # corpus here instead. Distinct on the partition column; ≤C rows
+        _check_clusters_present(
+            probed,
+            (r[0] for r in corpus.select(cluster_col).distinct().collect()),
+            "distributed",
+        )
+    corpus = _apply_exclusion(corpus, exclude_ids, id_col)
     probe_rows = _probe_vec_rows(pairs, queries, vec_col, id_col)
     cand = _distributed_candidates(
-        corpus, probe_rows, k, cluster_col, vec_col, id_col, shards=shards
+        corpus, probe_rows, k, cluster_col, vec_col, id_col, shards=shards,
+        allow_empty_clusters=exclude_ids is not None,
     )
     return _exact_rerank(
         corpus, queries, cand, k, vec_col, id_col, distributed=True
     )
 
 
-def ivf_compact(spark, src_path: str, dst_path: str, cluster_col: str = "label") -> dict:
+def ivf_compact(
+    spark,
+    src_path: str,
+    dst_path: str,
+    cluster_col: str = "label",
+    id_col: "str | None" = None,
+) -> dict:
     """Write a compacted COPY of an :func:`ivf_build` index: same
     centroids, same rows, but the corpus rewritten as ~one file per
     cluster directory — the maintenance pass for an index grown by many
@@ -1465,10 +1528,23 @@ def ivf_compact(spark, src_path: str, dst_path: str, cluster_col: str = "label")
     split across tasks — the :func:`ivf_search` partition-pruning layout
     is unchanged, just defragmented). Returns
     ``{"files_before": n, "files_after": m, "rows": r}`` for the corpus.
+
+    ``id_col`` additionally collapses physically duplicated rows (same
+    id within the same cluster — the residue an
+    :func:`streaming_embedding_ingest` crash-replay can leave when it
+    re-appends a batch whose journal write was lost; searches already
+    tolerate them via the re-rank pair dedup, compaction is where they
+    get swept). Ids are unique within a well-formed corpus, so the
+    collapse keeps identical rows' first copy; it deliberately does NOT
+    dedup the same id across DIFFERENT clusters — that is two distinct
+    index entries (e.g. a label-built row and a re-added quantized row)
+    and dropping one would change search results.
     """
     cents = spark.read.parquet(f"{src_path}/centroids")
     corpus = spark.read.parquet(f"{src_path}/corpus")
     before = len(corpus.inputFiles())
+    if id_col is not None:
+        corpus = corpus.dropDuplicates([id_col, cluster_col])
     n_clusters = cents.count()
     cents.write.mode("error").parquet(f"{dst_path}/centroids")
     (
@@ -1485,6 +1561,17 @@ def ivf_compact(spark, src_path: str, dst_path: str, cluster_col: str = "label")
         .partitionBy(cluster_col)
         .parquet(f"{dst_path}/corpus")
     )
+    # the exactly-once journal travels with the index: a compact-and-flip
+    # that dropped ingest_log would make the resumed stream replay its
+    # in-flight batch as if never applied — re-appending rows the sweep
+    # just removed — and lose the batch audit trail
+    if _parquet_path_exists(spark, f"{src_path}/ingest_log"):
+        (
+            spark.read.parquet(f"{src_path}/ingest_log")
+            .write.mode("error")
+            .partitionBy("batch")
+            .parquet(f"{dst_path}/ingest_log")
+        )
     out = spark.read.parquet(f"{dst_path}/corpus")
     return {
         "files_before": before,
@@ -1506,6 +1593,7 @@ def embedding_dup_probe(
     broadcast_budget_bytes: "int | None" = None,
     shards: int = 1,
     verify_clusters: bool = True,
+    exclude_ids: "DataFrame | None" = None,
 ) -> DataFrame:
     """Probe new embeddings against a persistent :func:`ivf_build` index
     for SEMANTIC duplicates: each query is annotated with its best stored
@@ -1543,6 +1631,7 @@ def embedding_dup_probe(
             cluster_col=cluster_col, vec_col=vec_col, id_col=id_col,
             mode=mode, broadcast_budget_bytes=broadcast_budget_bytes,
             shards=shards, verify_clusters=verify_clusters,
+            exclude_ids=exclude_ids,
         )
         .filter(F.col("cos") >= threshold)
         .select(
@@ -1552,3 +1641,224 @@ def embedding_dup_probe(
         )
     )
     return queries.join(hits, id_col, "left")
+
+
+def _parquet_path_exists(spark, path: str) -> bool:
+    """True when ``path`` is a readable parquet dataset. The portable
+    existence probe for the ingest journal: schema inference raises
+    PATH_NOT_FOUND on an absent directory, and AnalysisException only —
+    an unreachable store or corrupt footer must propagate, not read as
+    'journal absent' (which would re-apply a possibly-applied batch)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(path)
+        return True
+    except AnalysisException:
+        return False
+
+
+def streaming_embedding_ingest(
+    spark,
+    path: str,
+    stream: DataFrame,
+    *,
+    landed_path: str,
+    checkpoint: str,
+    threshold: float = 0.95,
+    nprobe: int = 2,
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "auto",
+    broadcast_budget_bytes: "int | None" = None,
+    available_now: bool = False,
+):
+    """Continuous embedding ingestion THROUGH a persistent
+    :func:`ivf_build` index — the embedding-space counterpart of
+    ``dedup_index.streaming_index_ingest``, completing the incremental
+    triad's streaming story: each micro-batch is probed for semantic
+    duplicates of the stored corpus (:func:`embedding_dup_probe`),
+    intra-batch near-duplicates collapse to one survivor, survivors land
+    under ``landed_path/batch=<id>/`` and are appended to the index
+    (:func:`ivf_add`) — so batch N+1 already dedups against batch N's
+    survivors, with no horizon bound (state IS the index, on disk).
+
+    **Replay invariant** (the property every decision below serves): the
+    survivor set must be a pure function of (index state WITHOUT this
+    batch, batch content), so Spark's at-least-once replay reproduces it
+    bit-for-bit. Achieved by excluding the batch's own ids from the
+    probe (``exclude_ids`` — on a first run they are not stored and the
+    exclusion is a no-op; on a crash-replay the landed mates ARE stored
+    and would otherwise outscore the stored matches that originally
+    decided the drops). Corollary: ids are a corpus-wide namespace — a
+    batch REUSING a stored doc's id hides that stored row from this
+    batch's probe. Re-embedding pipelines that reuse ids should rebuild
+    or compact, not ingest-through (the same id-discipline caveat as the
+    text ingest's re-crawl rule).
+
+    **Exactly-once landing** is journaled, not trusted: after the landed
+    write and the index append, a ``{path}/ingest_log/batch=<id>``
+    journal row commits the batch; a replayed batch whose journal exists
+    is skipped outright. Crash windows: before the landed write — plain
+    rerun; between landed write and append — the rerun reproduces the
+    same survivors (the invariant above) and overwrites the landed dir
+    byte-for-byte; between append and journal — the rerun re-appends,
+    leaving physically duplicated corpus rows. That residue is the one
+    deliberate trade: searches already tolerate duplicate rows (the
+    re-rank collapses (query, neighbor) pairs) and
+    ``ivf_compact(id_col=...)`` sweeps them at maintenance time — the
+    alternative (journal before append) converts a crash into silent
+    PERMANENT loss of the batch from the index, strictly worse.
+
+    **Intra-batch dedup** mirrors the batch :func:`semdedup` shape at
+    micro-batch cost: assign survivors to the STORED quantizer
+    (deterministic argmax), within-cluster pairs ≥ ``threshold``
+    (Σ|cluster∩batch|², never batch²), connected components, min-id
+    keeper. Landed rows keep the stream's own columns; the assignment is
+    recomputed by :func:`ivf_add` (same quantizer, same argmax — batch
+    sized, and keeping the operator free of ordinal→label plumbing).
+
+    Per-trigger cost: one probe (partition-pruned, nprobe/C of the
+    corpus) + batch-bounded pair work + one append. The probe runs
+    ``verify_clusters=False`` — index health is checked ONCE at stream
+    start (the documented out-of-band pattern), not re-paid per trigger.
+    ``mode``/``broadcast_budget_bytes`` pass through; the safe default
+    (``auto``) costs one estimation job per trigger — steady small-batch
+    deployments can pass ``mode='broadcast',
+    broadcast_budget_bytes=0``. Single-writer contract like the text
+    ingest: do not add/compact/rebuild concurrently.
+
+    Returns the started StreamingQuery.
+    """
+    from .dedup import connected_components
+
+    if cluster_col in stream.columns:
+        raise ValueError(
+            f"streaming_embedding_ingest: the stream already carries "
+            f"{cluster_col!r}; this ingest assigns clusters from the "
+            "stored quantizer — drop/rename the column, or append "
+            "pre-assigned increments with ivf_add directly"
+        )
+    # the schema is known before start: every contract violation that
+    # CAN fail at call time must, not as a StreamingQueryException three
+    # triggers in
+    if vec_col not in stream.columns:
+        raise ValueError(
+            f"streaming_embedding_ingest: the stream has no {vec_col!r} "
+            f"column (columns: {stream.columns})"
+        )
+    _require_int_ids(stream, id_col, "streaming_embedding_ingest")
+    cents = spark.read.parquet(f"{path}/centroids")
+    declared = {r.cluster for r in cents.select("cluster").collect()}
+    if not declared:
+        raise ValueError(
+            f"streaming_embedding_ingest: no centroids under {path}"
+        )
+    # out-of-band index-health check, once at stream start (the per-batch
+    # probes run verify_clusters=False): every declared centroid must
+    # still have corpus rows
+    _check_clusters_present(
+        declared,
+        (
+            r[0]
+            for r in spark.read.parquet(f"{path}/corpus")
+            .select(cluster_col)
+            .distinct()
+            .collect()
+        ),
+        "ingest startup",
+    )
+    cent_rows = sorted(
+        cents.collect(), key=lambda r: (r.cluster is None, r.cluster)
+    )
+    cmat = [list(r.centroid) for r in cent_rows]
+
+    def ingest_batch(batch_df, batch_id):
+        # foreachBatch hands frames bound to a CLONED session — run the
+        # whole cycle through it (the dedup_index lesson: path reads are
+        # re-listed per read, but session-bound ops must agree)
+        s = batch_df.sparkSession
+        log = f"{path}/ingest_log/batch={batch_id}"
+        if _parquet_path_exists(s, log):
+            return  # journaled: landed + appended; a replay is a no-op
+        # ids are the replay/dedup identity — a batch carrying the same
+        # id twice (an at-least-once upstream) would land multiple rows
+        # under one id, probe with an arbitrary one of the vectors, and
+        # poison the unique-id contract the search re-rank depends on.
+        # No deterministic collapse exists without ordering vectors, so
+        # fail loudly; one batch-bounded agg job.
+        dup = batch_df.agg(
+            (F.count(F.lit(1)) - F.countDistinct(F.col(id_col))).alias("d")
+        ).first()
+        if dup.d:
+            raise ValueError(
+                f"streaming_embedding_ingest: micro-batch {batch_id} "
+                f"carries {dup.d} duplicate {id_col!r} value(s) — ids "
+                "are the corpus-wide identity; dedup the upstream (or "
+                "key it) before the ingest door"
+            )
+        # exclude the batch's own ids so the probe decision is identical
+        # on first run and replay (see the replay invariant above)
+        probed = embedding_dup_probe(
+            s, path, batch_df, threshold=threshold, nprobe=nprobe,
+            cluster_col=cluster_col, vec_col=vec_col, id_col=id_col,
+            mode=mode, broadcast_budget_bytes=broadcast_budget_bytes,
+            verify_clusters=False,
+            exclude_ids=batch_df.select(id_col),
+        )
+        kept = probed.filter(F.col("dup_of").isNull()).select(
+            *batch_df.columns
+        )
+        # intra-batch near-dups: stored-quantizer bucketing keeps the
+        # pair work at Σ|cluster∩batch|²; min-id per component survives.
+        # PIN: `assigned`'s lineage contains the whole probe (estimate
+        # job, probe collects, pruned-corpus GEMM, re-rank joins) and has
+        # three consumers below (both sides of the within-cluster
+        # self-join + the survivor projection) — unpinned, the probe
+        # would re-execute per consumer (the pin rule; batch-sized rows)
+        assigned = assign_clusters(
+            kept, cmat, vec_col=vec_col, out_col="__c"
+        ).localCheckpoint(eager=True)
+        pairs = (
+            cosine_dup_pairs(
+                assigned, threshold=threshold,
+                vec_col=vec_col, id_col=id_col, cluster_col="__c",
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+        survivors = assigned.select(*batch_df.columns)
+        if pairs.head(1):  # common case: no intra-batch dups, skip CC
+            comp = connected_components(
+                pairs.select(
+                    F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+                )
+            )
+            losers = comp.filter(F.col("doc") != F.col("label")).select(
+                F.col("doc").alias("__drop")
+            )
+            survivors = survivors.join(
+                losers, survivors[id_col] == F.col("__drop"), "left_anti"
+            )
+        # landed write + index append both consume: pin once so the two
+        # consumers cannot see divergent row sets
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("overwrite").parquet(
+            f"{landed_path}/batch={batch_id}"
+        )
+        ivf_add(
+            s, path, survivors,
+            cluster_col=cluster_col, vec_col=vec_col, id_col=id_col,
+        )
+        # journal LAST: its presence certifies the batch fully applied
+        s.createDataFrame(
+            [(int(batch_id), survivors.count())], "batch_id long, n_landed long"
+        ).write.mode("overwrite").parquet(log)
+
+    writer = stream.writeStream.foreachBatch(ingest_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -3864,3 +3864,272 @@ class TestSplitDocuments:
         # carrying n_tokens must not be silently recounted
         with pytest.raises(ValueError, match="token_col='n_tokens'"):
             pack_sequences(chunks, budget=16, id_col="cid")
+
+
+class TestStreamingEmbeddingIngest:
+    """The embedding member of the incremental triad gets its streaming
+    ingest loop (round 12): probe each micro-batch against the growing
+    IVF index, collapse intra-batch near-dups, land survivors, append —
+    exactly-once via the journal + the batch-id exclusion invariant."""
+
+    CENTERS = {
+        0: [30.0, 0.0, 0.0, 1.0],
+        1: [0.0, 30.0, 0.0, 1.0],
+        2: [0.0, 0.0, 30.0, 1.0],
+    }
+
+    def _vec(self, cluster, jitter):
+        base = list(self.CENTERS[cluster])
+        base[3] += jitter  # small unique component: same cluster, cos<1
+        return [float(x) for x in base]
+
+    def _build(self, spark, tmp_path):
+        from php_ec_spark.operators.similarity import ivf_build
+
+        rows = [
+            (c * 20 + i, self._vec(c, 0.01 * i), c)
+            for c in range(3)
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        idx = str(tmp_path / "emb_idx")
+        ivf_build(df, idx)
+        return df, idx
+
+    def _write_batches(self, tmp_path):
+        import json as _json
+        import os
+
+        src = tmp_path / "esrc"
+        src.mkdir()
+        mtime = [1_700_000_000]
+
+        def batch(fname, rows):
+            p = src / fname
+            with open(p, "w") as f:
+                for vid, vec in rows:
+                    f.write(
+                        _json.dumps({"vec_id": vid, "embedding": vec}) + "\n"
+                    )
+            os.utime(p, (mtime[0], mtime[0]))
+            mtime[0] += 10
+
+        # batch 0: 100 = exact re-embed of stored 0 (drops vs index),
+        #          101 = novel (own direction inside cluster 1)
+        batch("01.json", [
+            (100, self._vec(0, 0.0)),          # == stored vec_id 0
+            (101, self._vec(1, 5.0)),          # novel: cos to stored < thr
+        ])
+        # batch 1: 102 = re-embed of 101 (drops vs batch-0 survivor now
+        #          in the index), 103 novel, 104 = copy of 103
+        #          (intra-batch pair -> min id 103 survives)
+        batch("02.json", [
+            (102, self._vec(1, 5.0)),
+            (103, self._vec(2, 7.0)),
+            (104, self._vec(2, 7.0)),
+        ])
+        return src
+
+    def _run_stream(self, spark, idx, src, landed, ckpt):
+        from php_ec_spark.operators.similarity import (
+            streaming_embedding_ingest,
+        )
+
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = streaming_embedding_ingest(
+            spark, idx, stream,
+            landed_path=str(landed), checkpoint=str(ckpt),
+            threshold=0.99, nprobe=2, available_now=True,
+        )
+        q.awaitTermination(120)
+
+    def test_ingest_dedups_lands_and_indexes_exactly_once(
+        self, spark, tmp_path
+    ):
+        from php_ec_spark.operators.similarity import ivf_search
+
+        base, idx = self._build(spark, tmp_path)
+        src = self._write_batches(tmp_path)
+        landed = tmp_path / "elanded"
+        self._run_stream(spark, idx, src, landed, tmp_path / "eckpt")
+
+        got = spark.read.parquet(str(landed))
+        assert {r.vec_id for r in got.collect()} == {101, 103}
+        assert "batch" in got.columns  # audit trail partition column
+        # the survivors are searchable: a fresh probe of 101's vector
+        # finds 101 itself at cos 1.0
+        probe = spark.createDataFrame(
+            [(9000, self._vec(1, 5.0))], "vec_id long, embedding array<float>"
+        )
+        top = ivf_search(spark, idx, probe, k=1, nprobe=2).collect()
+        assert top and top[0].neighbor_id == 101 and top[0].cos == 1.0
+        # corpus rows = base + the 2 survivors, no duplicates
+        n = spark.read.parquet(f"{idx}/corpus").count()
+        assert n == 15 + 2
+        # journal rows certify both batches
+        log = spark.read.parquet(f"{idx}/ingest_log")
+        assert {(r.batch_id, r.n_landed) for r in log.collect()} == {
+            (0, 1), (1, 1),
+        }
+
+    def test_full_replay_on_fresh_checkpoint_is_a_noop(self, spark, tmp_path):
+        base, idx = self._build(spark, tmp_path)
+        src = self._write_batches(tmp_path)
+        landed = tmp_path / "elanded"
+        self._run_stream(spark, idx, src, landed, tmp_path / "eckpt1")
+        before = sorted(
+            (r.vec_id, r.batch)
+            for r in spark.read.parquet(str(landed)).collect()
+        )
+        n_before = spark.read.parquet(f"{idx}/corpus").count()
+        # a FRESH checkpoint replays every batch; the journal skips each
+        self._run_stream(spark, idx, src, landed, tmp_path / "eckpt2")
+        after = sorted(
+            (r.vec_id, r.batch)
+            for r in spark.read.parquet(str(landed)).collect()
+        )
+        assert after == before
+        assert spark.read.parquet(f"{idx}/corpus").count() == n_before
+
+    def test_lost_journal_replay_reproduces_survivors_and_compacts(
+        self, spark, tmp_path
+    ):
+        """Crash window between index append and journal write: the
+        replay must reproduce the SAME survivor set (the batch-id
+        exclusion invariant — its landed mates are now stored and would
+        otherwise outscore the stored matches that decided the drops),
+        landed content stays byte-identical, and the one residue —
+        physically re-appended corpus rows — is tolerated by search and
+        swept by ivf_compact(id_col=)."""
+        import shutil
+
+        from php_ec_spark.operators.similarity import ivf_compact, ivf_search
+
+        base, idx = self._build(spark, tmp_path)
+        src = self._write_batches(tmp_path)
+        landed = tmp_path / "elanded"
+        self._run_stream(spark, idx, src, landed, tmp_path / "eckpt1")
+        before = sorted(
+            (r.vec_id, r.batch)
+            for r in spark.read.parquet(str(landed)).collect()
+        )
+        # simulate the crash: batch 1's journal never landed
+        shutil.rmtree(f"{idx}/ingest_log/batch=1")
+        self._run_stream(spark, idx, src, landed, tmp_path / "eckpt2")
+        after = sorted(
+            (r.vec_id, r.batch)
+            for r in spark.read.parquet(str(landed)).collect()
+        )
+        assert after == before  # survivor set reproduced bit-for-bit
+        corpus = spark.read.parquet(f"{idx}/corpus")
+        assert corpus.count() == 15 + 2 + 1  # 103 re-appended once
+        assert corpus.filter("vec_id = 103").count() == 2
+        # search tolerates the duplicate row: top-k returns 103 ONCE
+        probe = spark.createDataFrame(
+            [(9001, self._vec(2, 7.0))], "vec_id long, embedding array<float>"
+        )
+        top = ivf_search(spark, idx, probe, k=3, nprobe=2).collect()
+        assert [r.neighbor_id for r in top if r.neighbor_id == 103] == [103]
+        # maintenance sweeps the residue
+        dst = str(tmp_path / "emb_idx_c")
+        rep = ivf_compact(spark, idx, dst, id_col="vec_id")
+        assert rep["rows"] == 15 + 2
+        top2 = ivf_search(spark, dst, probe, k=3, nprobe=2).collect()
+        assert [(r.neighbor_id, r.cos) for r in top2] == [
+            (r.neighbor_id, r.cos) for r in top
+        ]
+
+    def test_exclude_ids_is_pre_gemm_and_mode_invariant(self, spark, tmp_path):
+        """exclude_ids must remove stored rows BEFORE scoring on both
+        probe modes — discriminated for real: the excluded wall is
+        LARGER than the kernel's top-(k+pad)=17 keep, so a top-k
+        post-filter implementation would return nothing while the
+        pre-GEMM anti-join surfaces the genuine match behind it."""
+        from php_ec_spark.operators.similarity import ivf_build, ivf_search
+
+        wall = [(100 + i, [30.0, 0.0, 1.0], 0) for i in range(25)]
+        genuine = [(500, [30.0, 3.0, 1.0], 0)]  # same cluster, cos ~0.995
+        other = [(600 + i, [0.0, 30.0, float(i)], 1) for i in range(2)]
+        df = spark.createDataFrame(
+            wall + genuine + other,
+            "vec_id long, embedding array<float>, label int",
+        )
+        idx = str(tmp_path / "wall_idx")
+        ivf_build(df, idx)
+        probe = spark.createDataFrame(
+            [(9002, [30.0, 0.0, 1.0])], "vec_id long, embedding array<float>"
+        )
+        excl = spark.createDataFrame(
+            [(100 + i,) for i in range(25)], "vec_id long"
+        )
+        for mode in ("broadcast", "distributed"):
+            top = ivf_search(
+                spark, idx, probe, k=1, nprobe=1, mode=mode,
+                exclude_ids=excl,
+            ).collect()
+            assert [r.neighbor_id for r in top] == [500], mode
+        # ...and a probed cluster with no rows AT ALL still raises even
+        # under exclusion (the presence guard evaluates pre-exclusion —
+        # review finding: shards=1 + exclude_ids silently disabled it)
+        import shutil
+
+        import pytest
+
+        shutil.rmtree(f"{idx}/corpus/label=0")
+        for mode in ("broadcast", "distributed"):
+            with pytest.raises(Exception, match="lost"):
+                ivf_search(
+                    spark, idx, probe, k=1, nprobe=1, mode=mode,
+                    exclude_ids=excl,
+                ).collect()
+
+    def test_stream_with_preassigned_cluster_col_raises(self, spark, tmp_path):
+        from php_ec_spark.operators.similarity import (
+            streaming_embedding_ingest,
+        )
+
+        base, idx = self._build(spark, tmp_path)
+        (tmp_path / "empty_src").mkdir()
+        stream = (
+            spark.readStream.schema(
+                "vec_id long, embedding array<float>, label int"
+            )
+            .json(str(tmp_path / "empty_src"))
+        )
+        # fail FAST at call time (the schema is known before start), not
+        # per micro-batch inside foreachBatch
+        with pytest.raises(ValueError, match="assigns clusters"):
+            streaming_embedding_ingest(
+                spark, idx, stream,
+                landed_path=str(tmp_path / "l"),
+                checkpoint=str(tmp_path / "c"),
+                available_now=True,
+            )
+
+    def test_rerank_collapses_duplicate_corpus_rows(self, spark):
+        """The duplicate-row tolerance pinned at the operator level: a
+        corpus unioned with itself returns the SAME top-k as the clean
+        corpus — row_number must never hand copies distinct ranks."""
+        from php_ec_spark.operators.similarity import cosine_topk
+
+        rows = [
+            (i, [float(i + 1), 1.0, 0.0]) for i in range(6)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = df.filter(F.col("vec_id") == 0).select("vec_id", "embedding")
+        clean = [
+            (r.neighbor_id, r.cos, r.rank)
+            for r in cosine_topk(df, q, k=3).collect()
+        ]
+        doubled = [
+            (r.neighbor_id, r.cos, r.rank)
+            for r in cosine_topk(df.union(df), q, k=3).collect()
+        ]
+        assert doubled == clean and len(clean) == 3
+        assert len({n for n, _, _ in doubled}) == 3  # no neighbor twice
