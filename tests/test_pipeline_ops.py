@@ -4133,3 +4133,102 @@ class TestStreamingEmbeddingIngest:
         ]
         assert doubled == clean and len(clean) == 3
         assert len({n for n, _, _ in doubled}) == 3  # no neighbor twice
+
+    @pytest.mark.parametrize("seed", [5, 17])
+    def test_replay_invariant_fuzz(self, spark, tmp_path, seed):
+        """Randomized geometry for the replay invariant: random clustered
+        vectors across 3 batches with planted base-dups, cross-batch
+        dups, and intra-batch pairs; after losing ANY single batch's
+        journal, a full fresh-checkpoint rerun must reproduce the landed
+        corpus bit-for-bit and leave search answers (on fixed probes)
+        unchanged — only the documented residue (re-appended rows for
+        the journal-less batch) may appear in the raw corpus."""
+        import json as _json
+        import os
+
+        import numpy as np
+
+        from php_ec_spark.operators.similarity import ivf_build, ivf_search
+
+        rng = np.random.default_rng(seed)
+        dim, n_clusters = 8, 4
+        centers = rng.normal(size=(n_clusters, dim)) * 25
+        def v(c, scale=0.3):
+            return [float(x) for x in centers[c] + rng.normal(size=dim) * scale]
+
+        base_rows = [
+            (i, v(i % n_clusters), i % n_clusters) for i in range(40)
+        ]
+        idx = str(tmp_path / f"fz{seed}")
+        ivf_build(
+            spark.createDataFrame(
+                base_rows, "vec_id long, embedding array<float>, label int"
+            ),
+            idx,
+        )
+        # 3 batches: fresh vectors + exact copies of base rows (drop) +
+        # exact copies of EARLIER batch rows (cross-batch drop) + one
+        # intra-batch identical pair per batch (min id survives)
+        batches, prior = [], []
+        nid = [1000]
+        def nxt():
+            nid[0] += 1
+            return nid[0]
+        for b in range(3):
+            rows = []
+            for _ in range(4):                       # novel
+                rows.append((nxt(), v(int(rng.integers(n_clusters)), 3.0)))
+            rows.append((nxt(), list(base_rows[int(rng.integers(40))][1])))
+            if prior:                                # dup of earlier batch
+                rows.append((nxt(), list(prior[int(rng.integers(len(prior)))])))
+            twin = v(int(rng.integers(n_clusters)), 3.0)
+            a, c = nxt(), nxt()
+            rows += [(a, twin), (c, list(twin))]     # intra-batch pair
+            prior.extend(vec for _, vec in rows)
+            batches.append(rows)
+
+        src = tmp_path / f"fsrc{seed}"
+        src.mkdir()
+        for b, rows in enumerate(batches):
+            p = src / f"{b:02d}.json"
+            with open(p, "w") as f:
+                for vid, vec in rows:
+                    f.write(_json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+            os.utime(p, (1_700_000_000 + b * 10,) * 2)
+
+        landed = tmp_path / f"fl{seed}"
+        self._run_stream(spark, idx, src, landed, tmp_path / f"fc{seed}_0")
+        snap = sorted(
+            (r.vec_id, r.batch)
+            for r in spark.read.parquet(str(landed)).collect()
+        )
+        probes = spark.createDataFrame(
+            [(9000 + i, v(i % n_clusters, 1.0)) for i in range(6)],
+            "vec_id long, embedding array<float>",
+        ).localCheckpoint()
+        answers = sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cos)
+            for r in ivf_search(spark, idx, probes, k=3, nprobe=2).collect()
+        )
+        # lose one random batch's journal, rerun everything fresh
+        import shutil
+
+        lost = int(rng.integers(3))
+        shutil.rmtree(f"{idx}/ingest_log/batch={lost}")
+        n_corpus = spark.read.parquet(f"{idx}/corpus").count()
+        n_lost_survivors = len(
+            {vid for vid, _ in snap if any(vid == r[0] for r in batches[lost])}
+        )
+        self._run_stream(spark, idx, src, landed, tmp_path / f"fc{seed}_1")
+        assert sorted(
+            (r.vec_id, r.batch)
+            for r in spark.read.parquet(str(landed)).collect()
+        ) == snap, f"landed diverged after losing journal {lost}"
+        assert (
+            spark.read.parquet(f"{idx}/corpus").count()
+            == n_corpus + n_lost_survivors
+        )
+        assert sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.cos)
+            for r in ivf_search(spark, idx, probes, k=3, nprobe=2).collect()
+        ) == answers, "search answers changed after the residue"
