@@ -161,6 +161,64 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     finally:
         shutil.rmtree(idx, ignore_errors=True)
 
+    # ---- and the STREAMING form of it: exactly-once semantic dedup at
+    #      the ingest door (journaled; batch N+1 dedups against batch N)
+    import json
+
+    from php_ec_spark.operators.similarity import streaming_embedding_ingest
+
+    idx2 = tempfile.mkdtemp(prefix="ivf_ingest_idx_")
+    stage = tempfile.mkdtemp(prefix="ivf_ingest_src_")
+    landed_dir = tempfile.mkdtemp(prefix="ivf_ingest_landed_")
+    ckpt = tempfile.mkdtemp(prefix="ivf_ingest_ckpt_")
+    try:
+        ccol2 = ivf_build(emb, idx2, n_clusters=8)
+        stored = emb.filter(F.col("vec_id") < 25).collect()
+        dim = len(stored[0].embedding)
+        # batch 0: re-embeds of stored vectors (every one a semantic dup)
+        with open(os.path.join(stage, "00.json"), "w") as f:
+            for r in stored:
+                f.write(json.dumps({
+                    "vec_id": 200000 + r.vec_id,
+                    "embedding": [float(x) for x in r.embedding],
+                }) + "\n")
+        # batch 1: genuinely novel directions (near-basis vectors)
+        with open(os.path.join(stage, "01.json"), "w") as f:
+            for i in range(25):
+                v = [0.0] * dim
+                v[i % dim] = 100.0
+                f.write(json.dumps(
+                    {"vec_id": 300000 + i, "embedding": v}
+                ) + "\n")
+        os.utime(os.path.join(stage, "00.json"), (1_700_000_000,) * 2)
+        os.utime(os.path.join(stage, "01.json"), (1_700_000_010,) * 2)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(stage)
+        )
+        q = streaming_embedding_ingest(
+            spark, idx2, stream,
+            landed_path=landed_dir, checkpoint=ckpt,
+            threshold=0.99, nprobe=2, cluster_col=ccol2,
+            available_now=True,
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(landed_dir)
+        n_land = got.count()
+        n_jour = spark.read.parquet(f"{idx2}/ingest_log").count()
+        print(
+            f"streaming ingest: 50 staged -> {n_land} landed, "
+            f"{50 - n_land} dropped as semantic dups "
+            f"({n_jour} batches journaled)"
+        )
+        assert n_land == 25 and n_jour == 2
+    finally:
+        shutil.rmtree(idx2, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(landed_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
 
 if __name__ == "__main__":
     main(*sys.argv[1:])

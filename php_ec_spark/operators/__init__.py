@@ -16,8 +16,11 @@ training-data pipeline needs, each designed Spark-first:
   corpus history for exact and verified near duplicates with no
   stored-side shuffle and no corpus rescan, then appends idempotently.
 - :mod:`.similarity` — brute-force cosine top-k (broadcast queries, one
-  corpus pass), IVF-style partitioned ANN (persistent build/search/add),
-  and SemDeDup-style semantic dedup over the same cluster geometry.
+  corpus pass), IVF-style partitioned ANN (persistent
+  build/search/add/compact), SemDeDup-style semantic dedup over the same
+  cluster geometry, and ``streaming_embedding_ingest`` — journaled
+  exactly-once semantic dedup at the ingest door, probing each
+  micro-batch against the growing index.
 - :mod:`.sampling` — hash-stable stratified sampling and weighted corpus
   mixing (retry/partitioning-invariant keep decisions).
 - :mod:`.packing` — concat-and-chunk sequence packing via a distributed

@@ -1290,6 +1290,29 @@ def ivf_add(
     centroid table is NOT re-centered by an append.
     """
     _require_int_ids(increment, id_col, "ivf_add")
+    # appending under the WRONG cluster column writes a second partition
+    # scheme into the corpus directory — every later read of the index
+    # then dies with CONFLICTING_DIRECTORY_STRUCTURES (found the hard
+    # way: an n_clusters-built index partitions by 'cluster', and an
+    # ivf_add left at the 'label' default corrupted it). The check must
+    # read the actual partition DIRECTORY names, not the schema — a
+    # label-built frame keeps 'label' as a data column even when the
+    # directories partition by 'cluster'. Spark %-escapes '=' inside
+    # partition VALUES, so splitting path segments on '=' is safe.
+    part_cols = {
+        seg.split("=", 1)[0]
+        for f in spark.read.parquet(f"{path}/corpus").inputFiles()
+        for seg in f.split("/")
+        if "=" in seg
+    }
+    if part_cols and cluster_col not in part_cols:
+        raise ValueError(
+            f"ivf_add: the index at {path} does not partition by "
+            f"{cluster_col!r} (partition column(s): {sorted(part_cols)}) "
+            "— pass the cluster column ivf_build returned (label-built "
+            "indexes use the label column; n_clusters-built indexes use "
+            "'cluster')"
+        )
     if cluster_col in increment.columns:
         out = increment
     else:

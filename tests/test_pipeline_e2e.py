@@ -134,6 +134,17 @@ def test_incremental_curation_example_runs(spark, capsys):
     mod.main(SF)
     out = capsys.readouterr().out
     assert "day 0: indexed" in out and "day 2" in out
+    # the streaming stage's funnel: re-embed batch fully dropped, novel
+    # batch fully landed, both batches journaled
+    import re
+
+    m = re.search(
+        r"streaming ingest: 50 staged -> (\d+) landed, (\d+) dropped "
+        r"as semantic dups \((\d+) batches journaled\)",
+        out,
+    )
+    assert m, f"streaming ingest line missing:\n{out}"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (25, 25, 2)
     # the example's finally-block dropped its fixed-name index tables
     left = [t.name for t in spark.catalog.listTables()
             if t.name.startswith("curation_ix")]

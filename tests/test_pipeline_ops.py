@@ -4232,3 +4232,37 @@ class TestStreamingEmbeddingIngest:
             (r.query_id, r.rank, r.neighbor_id, r.cos)
             for r in ivf_search(spark, idx, probes, k=3, nprobe=2).collect()
         ) == answers, "search answers changed after the residue"
+
+    def test_ivf_add_wrong_cluster_col_fails_before_corrupting(
+        self, spark, tmp_path
+    ):
+        """An append under the wrong cluster column would write a second
+        partition scheme into the corpus dir — every later read then
+        dies with CONFLICTING_DIRECTORY_STRUCTURES. The guard must fail
+        BEFORE the write, and the index must stay readable."""
+        from php_ec_spark.operators.similarity import (
+            ivf_add,
+            ivf_build,
+            ivf_search,
+        )
+
+        base, _ = self._build(spark, tmp_path)
+        idx = str(tmp_path / "ncl_idx")
+        ccol = ivf_build(base, idx, n_clusters=3)
+        assert ccol == "cluster"
+        inc = spark.createDataFrame(
+            [(700, self._vec(0, 9.0))], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="does not partition by"):
+            ivf_add(spark, idx, inc)  # default cluster_col='label'
+        # no corruption: the index still reads and searches
+        assert spark.read.parquet(f"{idx}/corpus").count() == 15
+        probe = spark.createDataFrame(
+            [(9003, self._vec(1, 0.0))], "vec_id long, embedding array<float>"
+        )
+        assert ivf_search(
+            spark, idx, probe, k=1, nprobe=1, cluster_col=ccol
+        ).count() == 1
+        # ...and the RIGHT column appends cleanly
+        ivf_add(spark, idx, inc, cluster_col=ccol)
+        assert spark.read.parquet(f"{idx}/corpus").count() == 16
