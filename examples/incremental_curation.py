@@ -182,11 +182,14 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
                     "vec_id": 200000 + r.vec_id,
                     "embedding": [float(x) for x in r.embedding],
                 }) + "\n")
-        # batch 1: genuinely novel directions (near-basis vectors)
+        # batch 1: genuinely novel directions (near-basis vectors; the
+        # second coordinate keeps rows i and i+dim DISTINCT directions
+        # on any dim >= 2, so the count asserts hold dataset-agnostically)
         with open(os.path.join(stage, "01.json"), "w") as f:
             for i in range(25):
                 v = [0.0] * dim
                 v[i % dim] = 100.0
+                v[(i + 1) % dim] += 60.0 * (i // dim)
                 f.write(json.dumps(
                     {"vec_id": 300000 + i, "embedding": v}
                 ) + "\n")
@@ -203,7 +206,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
             threshold=0.99, nprobe=2, cluster_col=ccol2,
             available_now=True,
         )
-        q.awaitTermination(120)
+        # the boolean return matters: a timeout would otherwise fall
+        # through to the count asserts with an opaque partial state
+        assert q.awaitTermination(120), "streaming ingest timed out"
         got = spark.read.parquet(landed_dir)
         n_land = got.count()
         n_jour = spark.read.parquet(f"{idx2}/ingest_log").count()

@@ -1266,6 +1266,35 @@ def ivf_build(
     return cluster_col
 
 
+def _check_corpus_layout(spark, path: str, cluster_col: str) -> None:
+    """Raise when the stored corpus does not partition by ``cluster_col``
+    — appending under the wrong column writes a second partition scheme
+    into the directory and every later read dies with
+    CONFLICTING_DIRECTORY_STRUCTURES. Reads the actual partition
+    DIRECTORY names (schema presence is not enough: a label-built frame
+    keeps 'label' as a data column when the directories partition by
+    'cluster'), scanning only the path BELOW ``.../corpus/`` so
+    ``key=value`` segments in the index's own base path cannot pollute
+    the check (Spark %-escapes '/' and '=' inside partition values, so
+    both splits are safe). Cost: one recursive file listing — O(corpus
+    files), driver-side; per-trigger callers run it ONCE at stream
+    start, not per batch."""
+    part_cols = {
+        seg.split("=", 1)[0]
+        for f in spark.read.parquet(f"{path}/corpus").inputFiles()
+        for seg in f.rsplit("/corpus/", 1)[-1].split("/")
+        if "=" in seg
+    }
+    if part_cols and cluster_col not in part_cols:
+        raise ValueError(
+            f"ivf corpus layout: the index at {path} does not partition "
+            f"by {cluster_col!r} (partition column(s): "
+            f"{sorted(part_cols)}) — pass the cluster column ivf_build "
+            "returned (label-built indexes use the label column; "
+            "n_clusters-built indexes use 'cluster')"
+        )
+
+
 def ivf_add(
     spark,
     path: str,
@@ -1273,6 +1302,7 @@ def ivf_add(
     cluster_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    verify_layout: bool = True,
 ) -> None:
     """Append a corpus INCREMENT to an existing :func:`ivf_build` index —
     the daily-crawl shape: the quantizer stays fixed (standard IVF
@@ -1290,29 +1320,13 @@ def ivf_add(
     centroid table is NOT re-centered by an append.
     """
     _require_int_ids(increment, id_col, "ivf_add")
-    # appending under the WRONG cluster column writes a second partition
-    # scheme into the corpus directory — every later read of the index
-    # then dies with CONFLICTING_DIRECTORY_STRUCTURES (found the hard
-    # way: an n_clusters-built index partitions by 'cluster', and an
-    # ivf_add left at the 'label' default corrupted it). The check must
-    # read the actual partition DIRECTORY names, not the schema — a
-    # label-built frame keeps 'label' as a data column even when the
-    # directories partition by 'cluster'. Spark %-escapes '=' inside
-    # partition VALUES, so splitting path segments on '=' is safe.
-    part_cols = {
-        seg.split("=", 1)[0]
-        for f in spark.read.parquet(f"{path}/corpus").inputFiles()
-        for seg in f.split("/")
-        if "=" in seg
-    }
-    if part_cols and cluster_col not in part_cols:
-        raise ValueError(
-            f"ivf_add: the index at {path} does not partition by "
-            f"{cluster_col!r} (partition column(s): {sorted(part_cols)}) "
-            "— pass the cluster column ivf_build returned (label-built "
-            "indexes use the label column; n_clusters-built indexes use "
-            "'cluster')"
-        )
+    if verify_layout:
+        # found the hard way: an n_clusters-built index partitions by
+        # 'cluster', and an ivf_add left at the 'label' default
+        # corrupted it. verify_layout=False is for per-trigger callers
+        # that ran _check_corpus_layout once at stream start — the
+        # listing is O(corpus files) and must not be paid per batch.
+        _check_corpus_layout(spark, path, cluster_col)
     if cluster_col in increment.columns:
         out = increment
     else:
@@ -1792,6 +1806,9 @@ def streaming_embedding_ingest(
         ),
         "ingest startup",
     )
+    # layout check ONCE here too (O(corpus files) listing): the
+    # per-batch appends run ivf_add(verify_layout=False)
+    _check_corpus_layout(spark, path, cluster_col)
     cent_rows = sorted(
         cents.collect(), key=lambda r: (r.cluster is None, r.cluster)
     )
@@ -1873,6 +1890,9 @@ def streaming_embedding_ingest(
         ivf_add(
             s, path, survivors,
             cluster_col=cluster_col, vec_col=vec_col, id_col=id_col,
+            # layout verified once at stream start — the O(corpus files)
+            # listing must not be paid per trigger
+            verify_layout=False,
         )
         # journal LAST: its presence certifies the batch fully applied
         s.createDataFrame(

@@ -3947,7 +3947,8 @@ class TestStreamingEmbeddingIngest:
             landed_path=str(landed), checkpoint=str(ckpt),
             threshold=0.99, nprobe=2, available_now=True,
         )
-        q.awaitTermination(120)
+        # a timeout must fail HERE, not as an opaque downstream assert
+        assert q.awaitTermination(120), "ingest stream timed out"
 
     def test_ingest_dedups_lands_and_indexes_exactly_once(
         self, spark, tmp_path
