@@ -1709,6 +1709,7 @@ def streaming_embedding_ingest(
     id_col: str = "vec_id",
     mode: str = "auto",
     broadcast_budget_bytes: "int | None" = None,
+    drop_dups: bool = True,
     available_now: bool = False,
 ):
     """Continuous embedding ingestion THROUGH a persistent
@@ -1755,6 +1756,17 @@ def streaming_embedding_ingest(
     keeper. Landed rows keep the stream's own columns; the assignment is
     recomputed by :func:`ivf_add` (same quantizer, same argmax — batch
     sized, and keeping the operator free of ordinal→label plumbing).
+
+    ``drop_dups=False`` is the FLAG-don't-drop shape the text door's
+    ``streaming_minhash_dedup`` established: every batch row lands,
+    annotated — ``dup_of``/``dup_cos`` from the stored probe, and
+    intra-batch losers carry their component keeper's id in ``dup_of``
+    (``dup_cos`` NULL there: the component relation is transitive
+    connectivity, not a single scored pair). The INDEX still receives
+    only the deduped survivors either way, so batch N+1's signal never
+    degrades; downstream owns the drop decision. Same journal, same
+    replay invariant (annotations are a pure function of the same
+    inputs).
 
     Per-trigger cost: one probe (partition-pruned, nprobe/C of the
     corpus) + batch-bounded pair work + one append. The probe runs
@@ -1840,13 +1852,16 @@ def streaming_embedding_ingest(
             )
         # exclude the batch's own ids so the probe decision is identical
         # on first run and replay (see the replay invariant above)
+        # PIN: the probe lineage (estimate job, probe collects,
+        # pruned-corpus GEMM, re-rank joins) feeds both the survivor
+        # funnel and — under drop_dups=False — the landed annotation
         probed = embedding_dup_probe(
             s, path, batch_df, threshold=threshold, nprobe=nprobe,
             cluster_col=cluster_col, vec_col=vec_col, id_col=id_col,
             mode=mode, broadcast_budget_bytes=broadcast_budget_bytes,
             verify_clusters=False,
             exclude_ids=batch_df.select(id_col),
-        )
+        ).localCheckpoint(eager=True)
         kept = probed.filter(F.col("dup_of").isNull()).select(
             *batch_df.columns
         )
@@ -1869,22 +1884,43 @@ def streaming_embedding_ingest(
             .localCheckpoint(eager=True)
         )
         survivors = assigned.select(*batch_df.columns)
+        losers = None
         if pairs.head(1):  # common case: no intra-batch dups, skip CC
             comp = connected_components(
                 pairs.select(
                     F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
                 )
             )
-            losers = comp.filter(F.col("doc") != F.col("label")).select(
-                F.col("doc").alias("__drop")
-            )
+            losers = comp.filter(F.col("doc") != F.col("label"))
             survivors = survivors.join(
-                losers, survivors[id_col] == F.col("__drop"), "left_anti"
+                losers.select(F.col("doc").alias("__drop")),
+                survivors[id_col] == F.col("__drop"),
+                "left_anti",
             )
         # landed write + index append both consume: pin once so the two
         # consumers cannot see divergent row sets
         survivors = survivors.localCheckpoint(eager=True)
-        survivors.write.mode("overwrite").parquet(
+        if drop_dups:
+            landed = survivors
+        else:
+            # flag shape: every row lands annotated; intra-batch losers
+            # carry their component keeper in dup_of (dup_cos NULL — the
+            # component relation is connectivity, not one scored pair)
+            landed = probed
+            if losers is not None:
+                lmap = losers.select(
+                    F.col("doc").alias("__ld"), F.col("label").alias("__lk")
+                )
+                landed = (
+                    landed.join(
+                        F.broadcast(lmap),
+                        landed[id_col] == F.col("__ld"),
+                        "left",
+                    )
+                    .withColumn("dup_of", F.coalesce("dup_of", "__lk"))
+                    .drop("__ld", "__lk")
+                )
+        landed.write.mode("overwrite").parquet(
             f"{landed_path}/batch={batch_id}"
         )
         ivf_add(
@@ -1894,9 +1930,12 @@ def streaming_embedding_ingest(
             # listing must not be paid per trigger
             verify_layout=False,
         )
-        # journal LAST: its presence certifies the batch fully applied
+        # journal LAST: its presence certifies the batch fully applied;
+        # n_landed = rows written (all rows under the flag shape),
+        # n_added = rows appended to the index (always the survivors)
         s.createDataFrame(
-            [(int(batch_id), survivors.count())], "batch_id long, n_landed long"
+            [(int(batch_id), landed.count(), survivors.count())],
+            "batch_id long, n_landed long, n_added long",
         ).write.mode("overwrite").parquet(log)
 
     writer = stream.writeStream.foreachBatch(ingest_batch).option(

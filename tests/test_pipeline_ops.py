@@ -3932,7 +3932,7 @@ class TestStreamingEmbeddingIngest:
         ])
         return src
 
-    def _run_stream(self, spark, idx, src, landed, ckpt):
+    def _run_stream(self, spark, idx, src, landed, ckpt, **kw):
         from php_ec_spark.operators.similarity import (
             streaming_embedding_ingest,
         )
@@ -3945,10 +3945,56 @@ class TestStreamingEmbeddingIngest:
         q = streaming_embedding_ingest(
             spark, idx, stream,
             landed_path=str(landed), checkpoint=str(ckpt),
-            threshold=0.99, nprobe=2, available_now=True,
+            threshold=0.99, nprobe=2, available_now=True, **kw,
         )
         # a timeout must fail HERE, not as an opaque downstream assert
         assert q.awaitTermination(120), "ingest stream timed out"
+
+    def test_flag_dont_drop_lands_all_annotated(self, spark, tmp_path):
+        """drop_dups=False — the text door's streaming_minhash_dedup
+        shape: every row lands with dup_of/dup_cos (intra-batch losers
+        carry their component keeper, dup_cos NULL there), while the
+        INDEX still receives only the deduped survivors; the journal's
+        n_landed/n_added split records both; a lost-journal replay
+        reproduces the annotated landed set bit-for-bit."""
+        import shutil
+
+        base, idx = self._build(spark, tmp_path)
+        src = self._write_batches(tmp_path)
+        landed = tmp_path / "flanded"
+        self._run_stream(
+            spark, idx, src, landed, tmp_path / "fck1", drop_dups=False
+        )
+        rows = {
+            r.vec_id: (r.dup_of, r.dup_cos)
+            for r in spark.read.parquet(str(landed)).collect()
+        }
+        assert set(rows) == {100, 101, 102, 103, 104}
+        assert rows[100] == (0, 1.0)       # re-embed of stored vec 0
+        assert rows[101] == (None, None)   # novel
+        assert rows[102] == (101, 1.0)     # dup of batch-0 survivor
+        assert rows[103] == (None, None)   # novel
+        assert rows[104][0] == 103 and rows[104][1] is None  # intra flag
+        # the index received only the survivors — same as drop mode
+        assert spark.read.parquet(f"{idx}/corpus").count() == 15 + 2
+        log = {
+            r.batch_id: (r.n_landed, r.n_added)
+            for r in spark.read.parquet(f"{idx}/ingest_log").collect()
+        }
+        assert log == {0: (2, 1), 1: (3, 1)}
+        # lost-journal replay reproduces the annotated landed set
+        snap = sorted(
+            (r.vec_id, r.batch, r.dup_of, r.dup_cos)
+            for r in spark.read.parquet(str(landed)).collect()
+        )
+        shutil.rmtree(f"{idx}/ingest_log/batch=1")
+        self._run_stream(
+            spark, idx, src, landed, tmp_path / "fck2", drop_dups=False
+        )
+        assert sorted(
+            (r.vec_id, r.batch, r.dup_of, r.dup_cos)
+            for r in spark.read.parquet(str(landed)).collect()
+        ) == snap
 
     def test_ingest_dedups_lands_and_indexes_exactly_once(
         self, spark, tmp_path
