@@ -72,8 +72,15 @@ def _settle() -> float:
     the artifact records the measurement window's starting condition
     (round-10 verdict: two consecutive noisy artifacts needed human
     adjudication; a recorded loadavg makes a loaded window
-    machine-detectable in the JSON itself)."""
-    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "120"))
+    machine-detectable in the JSON itself).
+
+    The cap default was raised 120 -> 300 s after round 12: the 120 s cap
+    expired mid-load and the artifact recorded a 2.64x-inflated total
+    (loadavg.start 5.15). Note loadavg only sees THIS host's runnable
+    queue — neighbor contention that inflates Spark wall-times with
+    loadavg ~0 is the calibration probe's job (see php_ec_spark/calib.py
+    and the ``calib``/``window`` fields in the output)."""
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "300"))
     if max_wait <= 0:
         # explicitly disabled: no gate, no data-quality warning
         return os.getloadavg()[0]
@@ -171,31 +178,11 @@ def main() -> None:
 
         release_checkpoint_caches(spark)
 
-    # N measured iterations per query, report the min — steady-state cost
-    # (noisy-neighbor CPU on this box swings single runs by 2-4×: the same
-    # jaccard job measured 9.7s cold-window vs 2.2s steady across minutes;
-    # the min is the reproducible number a tuned deployment would see.
-    # 5 iterations because 3 repeatedly let one bad host window inflate a
-    # query 50-80% in the recorded artifact)
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name, q in sorted(headline.items()):
-        best, n = None, 0
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            df = q.spark(spark, sf_dir)
-            n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            clear_rdd_cache()
-        timings[name] = round(best, 3)
-        total += best
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
-
-    # stateful-path throughput: the BASELINE comparison point (reference
+    # stateful-path setup: the BASELINE comparison point (reference
     # claims "10M+ events/day" ≈ 116 events/s sustained; tests_adhoc/
     # speed_test.php measures a 3-rule in-process loop). Same shape here:
     # three state-machine rules over the full events table.
+    from php_ec_spark.calib import CALIB_REF_SEC, LOADED_RATIO, calib_probe
     from php_ec_spark.engine import correlate_state_machine
     from php_ec_spark.model import load_events
     from php_ec_spark.rules import match_single_continuously, sequence_rule
@@ -209,20 +196,77 @@ def main() -> None:
                       timeout="PT12H"),
         match_single_continuously("gap", ["*"], key="user_id", timeout="PT6H"),
     ]
-    # untimed warmup of THIS plan shape first: the repartition→sort→
+    # untimed warmup of the state-machine plan shape: the repartition→sort→
     # mapInPandas pipeline has its own whole-stage-codegen + Arrow-writer
     # compilation (~1.2 s one-time) that the generic warmup above does not
-    # touch; with min-of-3 a cold first run drags the reported eps ~25%
+    # touch; with min-of-N a cold first run drags the reported eps ~25%
     # below steady state (the round-4 "regression" was exactly this —
     # measured: cold 1.9 s vs warm 0.45 s for the identical job).
+    # Same for the calibration probe's first compile.
     correlate_state_machine(events, sm_rules).count()
-    eps = 0.0
-    for _ in range(iters):  # same min-of-N policy as the headline queries
+    calib_probe(spark)
+
+    # N measured iterations per query, INTERLEAVED (round-12 verdict #1):
+    # round r times the calibration probe, then every headline query, then
+    # the state-machine path, before round r+1 starts — so one query's N
+    # samples are spread minutes apart across the whole bench window and a
+    # transient load burst contaminates at most one sample of each instead
+    # of all N of whichever query it landed on (the sequential per-query
+    # loop let exactly that happen). Report the min: steady-state cost —
+    # noisy-neighbor CPU on this box swings single runs by 2-4× (the same
+    # jaccard job measured 9.7s cold-window vs 2.2s steady across minutes);
+    # the min is the reproducible number a tuned deployment would see.
+    # 5 rounds because 3 repeatedly let one bad host window inflate a
+    # query 50-80% in the recorded artifact.
+    #
+    # The calibration probe (php_ec_spark/calib.py — a never-changing
+    # synthetic 32-core job with a committed quiet reference time) makes a
+    # loaded window machine-readable: this box's documented failure mode is
+    # uniform +10-45% Spark inflation with loadavg ~0 (neighbor contention
+    # loadavg cannot see), so the probe's min-of-rounds over CALIB_REF_SEC
+    # is recorded as calib.ratio and the artifact stamps itself
+    # window=loaded past LOADED_RATIO — no human adjudication needed.
+    order = sorted(headline)
+    samples: dict[str, list[float]] = {name: [] for name in order}
+    rows_of: dict[str, int] = {}
+    calib_rounds: list[float] = []
+    sm_secs: list[float] = []
+    for r in range(iters):
+        # min of a back-to-back pair: the first probe absorbs GC/JIT debt
+        # left by the previous round's queries (observed: a lone probe
+        # right after heavy query work reads ~10-20% high even on a quiet
+        # box), the second measures the window.
+        calib_rounds.append(round(min(calib_probe(spark),
+                                      calib_probe(spark)), 3))
+        for name in order:
+            q = headline[name]
+            t0 = time.perf_counter()
+            df = q.spark(spark, sf_dir)
+            rows_of[name] = df.count()
+            samples[name].append(time.perf_counter() - t0)
+            clear_rdd_cache()
         t0 = time.perf_counter()
         correlate_state_machine(events, sm_rules).count()
-        eps = max(eps, n_events / (time.perf_counter() - t0))
+        sm_secs.append(time.perf_counter() - t0)
+        print(f"# round {r + 1}/{iters}: calib {calib_rounds[-1]:.3f}s, "
+              f"queries {sum(s[-1] for s in samples.values()):.1f}s",
+              file=sys.stderr)
+
+    timings = {name: round(min(samples[name]), 3) for name in order}
+    total = sum(min(samples[name]) for name in order)
+    for name in order:
+        print(f"# {name}: {timings[name]:.3f}s ({rows_of[name]} rows)",
+              file=sys.stderr)
+    eps = n_events / min(sm_secs)
     print(f"# state-machine path: {eps:,.0f} events/s ({n_events} events)",
           file=sys.stderr)
+
+    calib_sec = min(calib_rounds)
+    calib_ratio = round(calib_sec / CALIB_REF_SEC, 3)
+    window = "loaded" if calib_ratio >= LOADED_RATIO else "quiet"
+    print(f"# calib: {calib_sec:.3f}s vs ref {CALIB_REF_SEC:.3f}s -> "
+          f"ratio {calib_ratio} ({window} window; per-round "
+          f"{calib_rounds})", file=sys.stderr)
 
     # per-query delta vs the most recent BENCH_r{N}.json in the repo root,
     # so ±15% box-noise drifts are visible in the artifact itself instead
@@ -268,6 +312,19 @@ def main() -> None:
         # bench's own 32-thread work dominates load_end, so load_start is
         # the clean-window signal; the documented noise band is ±15%)
         "loadavg": {"start": load_start, "end": round(os.getloadavg()[0], 2)},
+        # self-adjudication (round-12 verdict #1): the fixed probe's
+        # min-of-rounds over its committed quiet reference. ratio ~1.0 =
+        # trustworthy window; >= LOADED_RATIO stamps window=loaded and the
+        # per-query numbers should be read as upper bounds. rounds shows
+        # WHICH rounds were contaminated (the min-of-N escape hatch only
+        # fails when every round was loaded — exactly when ratio is high).
+        "calib": {
+            "sec": round(calib_sec, 3),
+            "ref_sec": CALIB_REF_SEC,
+            "ratio": calib_ratio,
+            "rounds": calib_rounds,
+        },
+        "window": window,
     }
     if deltas:
         out["delta_vs_prev"] = deltas

@@ -85,12 +85,32 @@ def test_state_machine_throughput_floor():
     )
 
 
+def _window_scaled_floor(spark, floor: float) -> tuple[float, float]:
+    """Scale a multi-core throughput floor by the same-window calibration
+    ratio (round-12 verdict #2: the 50k live-path floor failed at 38.5k
+    inside a full-suite run and passed isolated — it was measuring the
+    suite's own contention, not the handler; a perf floor that fails
+    under its own suite's load is a flake by construction). The fixed
+    probe (php_ec_spark/calib.py) measures THIS window's multi-core
+    capacity against a committed quiet reference; a loaded window lowers
+    the effective floor proportionally instead of failing, while a real
+    code regression — which reproduces on quiet boxes too — still trips
+    it there at full strength. Never raises the floor on fast boxes
+    (ratio clamped to >= 1). Returns (effective_floor, ratio)."""
+    from php_ec_spark.calib import window_ratio
+
+    ratio = max(window_ratio(spark, iters=2), 1.0)
+    return floor / ratio, ratio
+
+
 @pytest.mark.slow
 def test_live_path_throughput_floor(tmp_path):
     """Floor for the applyInPandasWithState catch-up path: a 400k-event
     catch-up at 8 state partitions must sustain ≥50k events/s end-to-end
     (query start → awaitTermination, including the trailing empty
-    watermark batch). Measured ~83-92k warm on this box after the two
+    watermark batch) — the floor contention-scaled by the same-window
+    calibration probe, see :func:`_window_scaled_floor`. Measured
+    ~83-92k warm on this box after the two
     round-6 fixes: (a) the handler rewrite (numpy lexsort + shared
     empty-emission frame + one-shot tolist; per-key fixed cost
     1.9 ms → 0.6 ms), and (b) the ActionDispatcher eager localCheckpoint
@@ -149,11 +169,35 @@ def test_live_path_throughput_floor(tmp_path):
     one_run("warmup")  # untimed: session/plan compile, worker pool spin-up
     dt = min(one_run("m0"), one_run("m1"))
     eps = n / dt
-    assert eps >= 50_000, (
+    # calibrate AFTER the measured runs: the ratio then reflects the very
+    # window that produced dt (a burst that ended before the runs would
+    # otherwise discount a clean measurement)
+    floor, ratio = _window_scaled_floor(spark, 50_000)
+    assert eps >= floor, (
         f"live catch-up at {eps:,.0f} events/s ({dt:.1f}s for {n:,} at 8 "
-        "state partitions) — below the 50k floor; check the stateful "
-        "handler's per-key path (engine/streaming.py hot-path notes)"
+        f"state partitions) — below the 50k floor even after scaling for "
+        f"window load (calib ratio {ratio:.2f} -> effective floor "
+        f"{floor:,.0f}); check the stateful handler's per-key path "
+        "(engine/streaming.py hot-path notes)"
     )
+
+
+def test_calibration_probe_contract():
+    """The fixed window-calibration probe (php_ec_spark/calib.py) must run
+    on any session config (it is used at shuffle.partitions 8 and 32) and
+    produce a usable ratio: positive, and within a generous plausibility
+    band — a ratio under 0.3 means the committed CALIB_REF_SEC no longer
+    describes this Spark/box (re-measure it in the same commit that
+    changed either), over 50 means the probe job itself broke."""
+    from php_ec_spark.calib import CALIB_REF_SEC, LOADED_RATIO, window_ratio
+    from php_ec_spark.session import get_spark
+
+    spark = get_spark(app_name="php-ec-spark-tests")
+    ratio = window_ratio(spark, iters=2)
+    assert 0.3 < ratio < 50.0, (
+        f"calibration ratio {ratio:.2f} implausible (ref {CALIB_REF_SEC}s)"
+    )
+    assert LOADED_RATIO > 1.0
 
 
 @pytest.mark.slow
@@ -216,9 +260,12 @@ def test_live_path_skew_floor(tmp_path):
     one_run("warmup")
     dt = min(one_run("m0"), one_run("m1"))
     eps = n / dt
-    assert eps >= 30_000, (
+    floor, ratio = _window_scaled_floor(spark, 30_000)
+    assert eps >= floor, (
         f"skewed live catch-up at {eps:,.0f} events/s ({dt:.1f}s for "
         f"{n:,}, 50% on one key, 8 state partitions) — below the 30k "
-        "floor; the hot-key partition is serializing pathologically "
+        f"floor even after scaling for window load (calib ratio "
+        f"{ratio:.2f} -> effective floor {floor:,.0f}); the hot-key "
+        "partition is serializing pathologically "
         "(engine/streaming.py hot-path notes)"
     )
