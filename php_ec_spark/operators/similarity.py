@@ -70,6 +70,33 @@ def _require_int_ids(df: DataFrame, id_col: str, op: str) -> None:
         )
 
 
+def _pad_for(k: int) -> int:
+    """Per-batch candidate pad for the GEMM kernels' top-(k+pad) keep.
+
+    The pad absorbs GEMM-vs-fold float reordering near the k-th boundary
+    (~1e-15, far under the 6 dp rounding) and cross-batch union slop.
+    Scaled with k (round-12 advice): a fixed pad=16 made guarantees that
+    silently weakened for k > 16. Note physically duplicated corpus rows
+    (ivf_add crash-replay residue) no longer consume pad slots at all —
+    each kernel drops duplicate ids inside the batch before scoring, and
+    duplicates in DIFFERENT batches/shards never compete for the same
+    slots (per-batch top sets are unioned, then the re-rank collapses
+    (query, neighbor) pairs)."""
+    return max(16, k)
+
+
+def _dedup_ids(pdf, id_col: str):
+    """Drop physically duplicated ids inside one kernel batch (unique-id
+    corpus contract: same id ⇒ same vector, so which copy survives is
+    immaterial). Without this, crash-replay residue rows each consumed a
+    top-(k+pad) candidate slot — with >pad copies above the true k-th, a
+    genuine neighbor could be evicted before the exact re-rank ever saw
+    it (round-12 advice). No-op (zero copy) on the common unique path."""
+    if pdf[id_col].is_unique:
+        return pdf
+    return pdf.drop_duplicates(subset=[id_col])
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -217,11 +244,12 @@ def cosine_topk(
     Q = np.stack([np.asarray(v, dtype=np.float64) for v in q_pdf[vec_col]])
     qn = np.sqrt((Q * Q).sum(axis=1))
     bq = spark.sparkContext.broadcast((qids, Q, qn))
-    pad = 16
+    pad = _pad_for(k)
 
     def gen_candidates(batches):
         q_ids, Qm, q_norms = bq.value
         for pdf in batches:
+            pdf = _dedup_ids(pdf, id_col)
             if len(pdf) == 0:
                 continue
             C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -575,11 +603,12 @@ def _ivf_candidates(
     spark = corpus.sparkSession
     qids, Q, qn, by_cluster = probes
     bq = spark.sparkContext.broadcast((qids, Q, qn, by_cluster))
-    pad = 16
+    pad = _pad_for(k)
 
     def gen_candidates(batches):
         q_ids, Qm, q_norms, probing = bq.value
         for pdf in batches:
+            pdf = _dedup_ids(pdf, id_col)
             if len(pdf) == 0:
                 continue
             out_q, out_n = [], []
@@ -817,7 +846,7 @@ def _distributed_candidates(
         p = p.withColumn(
             "__sh", F.explode(F.sequence(F.lit(0), F.lit(shards - 1)))
         )
-    pad = 16
+    pad = _pad_for(k)
     empty = pd.DataFrame(
         {
             "query_id": pd.Series([], dtype="int64"),
@@ -853,6 +882,7 @@ def _distributed_candidates(
                 "string labels round-tripped as numbers through "
                 "partition-type inference (see ivf_build notes)"
             )
+        left = _dedup_ids(left, "__nid")
         C = np.stack([np.asarray(v, dtype=np.float64) for v in left["__cv"]])
         nid = left["__nid"].to_numpy(dtype=np.int64)
         Q = np.stack([np.asarray(v, dtype=np.float64) for v in right["qv"]])
@@ -1279,12 +1309,32 @@ def _check_corpus_layout(spark, path: str, cluster_col: str) -> None:
     both splits are safe). Cost: one recursive file listing — O(corpus
     files), driver-side; per-trigger callers run it ONCE at stream
     start, not per batch."""
+    files = spark.read.parquet(f"{path}/corpus").inputFiles()
     part_cols = {
         seg.split("=", 1)[0]
-        for f in spark.read.parquet(f"{path}/corpus").inputFiles()
+        for f in files
         for seg in f.rsplit("/corpus/", 1)[-1].split("/")
         if "=" in seg
     }
+    if files and not part_cols:
+        # vacuous-pass hole (round-12 advice): a flat (unpartitioned)
+        # corpus has no key=value directories at all, so the
+        # wrong-column check below never fires — and a partitionBy
+        # append into a flat layout writes the very second directory
+        # scheme this guard exists to prevent. The index contract is
+        # ALWAYS partitioned-by-cluster (ivf_build writes partitionBy;
+        # ivf_add appends partitionBy) — a flat corpus is not a legacy
+        # escape, it is corruption-in-waiting.
+        raise ValueError(
+            f"ivf corpus layout: the corpus at {path} has no key=value "
+            "partition directories — an ivf index corpus is always "
+            "written partitionBy(cluster column) (ivf_build/ivf_add); a "
+            "partitioned append into this flat layout would write a "
+            "second directory scheme and corrupt every later read "
+            "(CONFLICTING_DIRECTORY_STRUCTURES). Rebuild the index with "
+            "ivf_build, or rewrite the corpus partitioned by the "
+            "cluster column"
+        )
     if part_cols and cluster_col not in part_cols:
         raise ValueError(
             f"ivf corpus layout: the index at {path} does not partition "
@@ -1570,8 +1620,8 @@ def ivf_compact(
     id within the same cluster — the residue an
     :func:`streaming_embedding_ingest` crash-replay can leave when it
     re-appends a batch whose journal write was lost; searches already
-    tolerate them via the re-rank pair dedup, compaction is where they
-    get swept). Ids are unique within a well-formed corpus, so the
+    tolerate them — in-kernel id dedup before the candidate keep plus
+    the re-rank pair dedup — compaction is where they get swept). Ids are unique within a well-formed corpus, so the
     collapse keeps identical rows' first copy; it deliberately does NOT
     dedup the same id across DIFFERENT clusters — that is two distinct
     index entries (e.g. a label-built row and a re-added quantized row)
@@ -1743,8 +1793,10 @@ def streaming_embedding_ingest(
     same survivors (the invariant above) and overwrites the landed dir
     byte-for-byte; between append and journal — the rerun re-appends,
     leaving physically duplicated corpus rows. That residue is the one
-    deliberate trade: searches already tolerate duplicate rows (the
-    re-rank collapses (query, neighbor) pairs) and
+    deliberate trade: searches already tolerate duplicate rows — each
+    GEMM kernel drops duplicate ids inside its batch BEFORE the
+    top-(k+pad) keep (so copies never consume candidate slots, for any
+    k), and the re-rank collapses (query, neighbor) pairs — and
     ``ivf_compact(id_col=...)`` sweeps them at maintenance time — the
     alternative (journal before append) converts a crash into silent
     PERMANENT loss of the batch from the index, strictly worse.
@@ -1839,16 +1891,30 @@ def streaming_embedding_ingest(
         # under one id, probe with an arbitrary one of the vectors, and
         # poison the unique-id contract the search re-rank depends on.
         # No deterministic collapse exists without ordering vectors, so
-        # fail loudly; one batch-bounded agg job.
-        dup = batch_df.agg(
-            (F.count(F.lit(1)) - F.countDistinct(F.col(id_col))).alias("d")
+        # fail loudly; one batch-bounded agg job. NULL ids counted
+        # separately (round-12 advice): countDistinct ignores NULLs, so a
+        # lone NULL id used to be misdiagnosed as "1 duplicate" — failing
+        # was right, the message sent the operator hunting upstream
+        # repeats that don't exist.
+        stats = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.col(id_col)).alias("nd"),
+            F.count(F.when(F.col(id_col).isNull(), 1)).alias("nn"),
         ).first()
-        if dup.d:
+        if stats.nn:
             raise ValueError(
                 f"streaming_embedding_ingest: micro-batch {batch_id} "
-                f"carries {dup.d} duplicate {id_col!r} value(s) — ids "
-                "are the corpus-wide identity; dedup the upstream (or "
-                "key it) before the ingest door"
+                f"carries {stats.nn} row(s) with a NULL {id_col!r} — ids "
+                "are the corpus-wide identity and must be present on "
+                "every row; fix the upstream extraction before the "
+                "ingest door"
+            )
+        if stats.n - stats.nd:
+            raise ValueError(
+                f"streaming_embedding_ingest: micro-batch {batch_id} "
+                f"carries {stats.n - stats.nd} duplicate {id_col!r} "
+                "value(s) — ids are the corpus-wide identity; dedup the "
+                "upstream (or key it) before the ingest door"
             )
         # exclude the batch's own ids so the probe decision is identical
         # on first run and replay (see the replay invariant above)

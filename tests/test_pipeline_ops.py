@@ -4313,3 +4313,120 @@ class TestStreamingEmbeddingIngest:
         # ...and the RIGHT column appends cleanly
         ivf_add(spark, idx, inc, cluster_col=ccol)
         assert spark.read.parquet(f"{idx}/corpus").count() == 16
+
+    def test_duplicate_wall_cannot_evict_genuine_neighbor(
+        self, spark, tmp_path
+    ):
+        """Round-12 advice: with a fixed pad, >pad physical copies of one
+        corpus row scoring above the true k-th could fill the per-batch
+        top-(k+pad) keep and evict a genuine neighbor BEFORE the re-rank
+        ever saw it. Discriminating shape: 20 copies of id 7 at cos 1.0
+        (over the k+pad=18 slots for k=2) in ONE kernel batch, with the
+        genuine id 8 just below — in-kernel id dedup must keep 8; the
+        pre-fix kernel returned only 7. Pinned on cosine_topk (coalesce(1)
+        forces the copies into one Arrow batch) and both ivf_search
+        modes over a physically duplicated stored corpus."""
+        from php_ec_spark.operators.similarity import (
+            cosine_topk,
+            ivf_build,
+            ivf_search,
+        )
+
+        wall = [(7, [30.0, 0.0, 1.0], 0)] * 20
+        genuine = [(8, [30.0, 3.0, 1.0], 0)]
+        other = [(600 + i, [0.0, 30.0, float(i)], 1) for i in range(2)]
+        df = spark.createDataFrame(
+            wall + genuine + other,
+            "vec_id long, embedding array<float>, label int",
+        ).coalesce(1)
+        probe = spark.createDataFrame(
+            [(9005, [30.0, 0.0, 1.0])], "vec_id long, embedding array<float>"
+        )
+        top = cosine_topk(df, probe, k=2).collect()
+        assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rank)] == [
+            7, 8,
+        ]
+        idx = str(tmp_path / "wall_dup_idx")
+        ivf_build(df, idx)
+        for mode in ("broadcast", "distributed"):
+            got = ivf_search(
+                spark, idx, probe, k=2, nprobe=1, mode=mode,
+            ).collect()
+            assert [
+                r.neighbor_id for r in sorted(got, key=lambda r: r.rank)
+            ] == [7, 8], mode
+        # the shards valve keeps all copies of an id in ONE shard (hash
+        # of the id), so the dedup still guards the sharded kernel
+        got = ivf_search(
+            spark, idx, probe, k=2, nprobe=1, mode="distributed", shards=3,
+        ).collect()
+        assert [
+            r.neighbor_id for r in sorted(got, key=lambda r: r.rank)
+        ] == [7, 8]
+
+    def test_null_id_batch_raises_dedicated_error(self, spark, tmp_path):
+        """Round-12 advice: countDistinct ignores NULLs, so a lone NULL
+        vec_id was misdiagnosed as '1 duplicate' — the failure was right,
+        the diagnosis sent the operator hunting upstream repeats that
+        don't exist. A NULL id must now raise its own error naming the
+        NULL row count, and the duplicate message stays for repeats."""
+        import json as _json
+
+        from php_ec_spark.operators.similarity import (
+            streaming_embedding_ingest,
+        )
+
+        base, idx = self._build(spark, tmp_path)
+
+        def run_rows(tag, rows):
+            src = tmp_path / f"{tag}_src"
+            src.mkdir()
+            with open(src / "b.json", "w") as f:
+                for vid, vec in rows:
+                    f.write(
+                        _json.dumps({"vec_id": vid, "embedding": vec}) + "\n"
+                    )
+            stream = (
+                spark.readStream.schema("vec_id long, embedding array<float>")
+                .json(str(src))
+            )
+            q = streaming_embedding_ingest(
+                spark, idx, stream,
+                landed_path=str(tmp_path / f"{tag}_l"),
+                checkpoint=str(tmp_path / f"{tag}_c"),
+                threshold=0.99, available_now=True,
+            )
+            q.awaitTermination(120)
+
+        with pytest.raises(Exception, match="NULL 'vec_id'") as ei:
+            run_rows("null", [(None, self._vec(0, 3.0)),
+                              (200, self._vec(1, 9.0))])
+        assert "duplicate" not in str(ei.value)
+        with pytest.raises(Exception, match="1 duplicate 'vec_id'"):
+            run_rows("dup", [(201, self._vec(0, 4.0)),
+                             (201, self._vec(1, 8.0))])
+
+    def test_ivf_add_refuses_flat_corpus(self, spark, tmp_path):
+        """Round-12 advice: a stored corpus with NO key=value partition
+        directories passed the layout guard vacuously, and the
+        partitioned append then wrote the second directory scheme the
+        guard exists to prevent. A flat corpus must fail loudly before
+        the write."""
+        from php_ec_spark.operators.similarity import ivf_add
+
+        idx = str(tmp_path / "flat_idx")
+        rows = [(i, self._vec(i % 3, 0.1 * i), i % 3) for i in range(9)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        # hand-built flat layout: no partitionBy — the escape hatch the
+        # guard used to leave open
+        df.write.parquet(f"{idx}/corpus")
+        inc = spark.createDataFrame(
+            [(700, self._vec(0, 9.0), 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        with pytest.raises(ValueError, match="no key=value partition"):
+            ivf_add(spark, idx, inc, cluster_col="label")
+        # nothing was written: the flat corpus still reads with one scheme
+        assert spark.read.parquet(f"{idx}/corpus").count() == 9
