@@ -655,6 +655,25 @@ def _ivf_candidates(
 #: are ~60 GB, far past any driver heap, and must never transit it.
 IVF_BROADCAST_BUDGET_BYTES = 256 << 20
 
+#: Target raw bytes (8·rows·(dim+1)) of ONE cluster-shard's corpus block
+#: inside the distributed probe's cogroup kernel when ``shards='auto'``
+#: resolves the skew valve. 128 MiB ≈ 1M 128-d float64 vectors per task —
+#: comfortably inside a 2-4 GiB executor-core share with the query-axis
+#: chunking (``score_block_doubles``) bounding the other dimension.
+IVF_SHARD_TARGET_BLOCK_BYTES = 128 << 20
+
+
+def _auto_shards(max_rows: int, dim: int, target_bytes: int) -> int:
+    """Shard count bounding the hot cluster's per-task corpus block:
+    ``ceil(max_cluster_raw_bytes / target_bytes)`` with the same
+    8·rows·(dim+1) raw-bytes model the broadcast budget uses. Pure
+    arithmetic so the round-trip (measured sizes → valve) is unit-pinned
+    independent of Spark."""
+    if max_rows <= 0:
+        return 1
+    row_bytes = 8 * (dim + 1)
+    return max(1, -(-(max_rows * row_bytes) // max(target_bytes, 1)))
+
 #: Sentinel for NULL cluster values in the cogroup key (cogroup aligns
 #: groups by key EQUALITY, and SQL null != null would strand the corpus'
 #: default-partition rows from the probes targeting them).
@@ -1434,9 +1453,10 @@ def ivf_search(
     id_col: str = "vec_id",
     mode: str = "auto",
     broadcast_budget_bytes: "int | None" = None,
-    shards: int = 1,
+    shards: "int | str" = 1,
     verify_clusters: bool = True,
     exclude_ids: "DataFrame | None" = None,
+    shard_target_block_bytes: "int | None" = None,
 ) -> DataFrame:
     """Search a persistent :func:`ivf_build` index: probe the ``nprobe``
     nearest centroids per query, then scan ONLY the probed cluster
@@ -1478,6 +1498,27 @@ def ivf_search(
       routes distributed, so the opt-out cannot be reached by accident.
       The same callers can drop the per-call lost-cluster presence job
       with ``verify_clusters=False`` (below).
+
+    ``shards`` (distributed mode only) is the skew valve: it splits each
+    corpus cluster into hash shards so a popular cluster's vectors fit
+    one task. ``shards='auto'`` (round-12 verdict: at 100× the hot
+    cluster's size is data-dependent and nobody hand-tunes per batch)
+    measures the PRUNED slice's per-cluster row counts with one
+    partition-column-only aggregate (zero data columns decoded — parquet
+    answers it from row-group metadata) and picks
+    ``ceil(max_cluster_raw_bytes / shard_target_block_bytes)``
+    (:func:`_auto_shards`; default target
+    :data:`IVF_SHARD_TARGET_BLOCK_BYTES`). Live counts, deliberately NOT
+    a count stored in the centroid table: stored counts go stale under
+    :func:`ivf_add`/ingest appends and would UNDERESTIMATE the hot
+    cluster exactly when the valve matters, and keeping them fresh would
+    mean rewriting the quantizer table per append — a crash window on
+    the index's source of truth. The counts job doubles as the
+    lost-cluster presence check, so ``'auto'`` adds no job when
+    ``verify_clusters`` would have run one; per-trigger hot loops that
+    skip verification should keep passing an explicit int. Results are
+    shard-count-invariant (pinned), so 'auto' only changes the physical
+    block shape.
 
     ``verify_clusters`` (default on) cross-checks that every probed
     cluster still has corpus rows before scoring — the lost-partition /
@@ -1566,6 +1607,28 @@ def ivf_search(
         _prune_predicate(probed, cluster_col)
     )
     _require_int_ids(corpus, id_col, "ivf_search (stored corpus)")
+    present = None  # probed-cluster ids actually on disk, when measured
+    if shards == "auto":
+        # live per-cluster counts over the pruned slice (≤C result rows,
+        # partition column only) — see the docstring for why these are
+        # measured here rather than stored in the centroid table
+        sizes = {
+            _cluster_key(r[0]): r[1]
+            for r in corpus.groupBy(cluster_col).count().collect()
+        }
+        present = sizes.keys()
+        dim = len(cents.select("centroid").head().centroid)
+        shards = _auto_shards(
+            max(sizes.values(), default=0),
+            dim,
+            IVF_SHARD_TARGET_BLOCK_BYTES
+            if shard_target_block_bytes is None
+            else shard_target_block_bytes,
+        )
+    elif not isinstance(shards, int):
+        raise ValueError(
+            f"ivf_search: shards must be an int or 'auto', got {shards!r}"
+        )
     if (shards > 1 or exclude_ids is not None) and verify_clusters:
         # the cogroup kernel's in-kernel lost-cluster guard only works
         # at shards=1 WITHOUT exclusion (a small cluster can
@@ -1574,9 +1637,12 @@ def ivf_search(
         # corruption there) — so in both of those configurations the
         # probed clusters are checked against the PRE-exclusion pruned
         # corpus here instead. Distinct on the partition column; ≤C rows
+        # (shards='auto' already measured exactly this — reuse it)
         _check_clusters_present(
             probed,
-            (r[0] for r in corpus.select(cluster_col).distinct().collect()),
+            present
+            if present is not None
+            else (r[0] for r in corpus.select(cluster_col).distinct().collect()),
             "distributed",
         )
     corpus = _apply_exclusion(corpus, exclude_ids, id_col)
@@ -1678,9 +1744,10 @@ def embedding_dup_probe(
     id_col: str = "vec_id",
     mode: str = "auto",
     broadcast_budget_bytes: "int | None" = None,
-    shards: int = 1,
+    shards: "int | str" = 1,
     verify_clusters: bool = True,
     exclude_ids: "DataFrame | None" = None,
+    shard_target_block_bytes: "int | None" = None,
 ) -> DataFrame:
     """Probe new embeddings against a persistent :func:`ivf_build` index
     for SEMANTIC duplicates: each query is annotated with its best stored
@@ -1719,6 +1786,7 @@ def embedding_dup_probe(
             mode=mode, broadcast_budget_bytes=broadcast_budget_bytes,
             shards=shards, verify_clusters=verify_clusters,
             exclude_ids=exclude_ids,
+            shard_target_block_bytes=shard_target_block_bytes,
         )
         .filter(F.col("cos") >= threshold)
         .select(

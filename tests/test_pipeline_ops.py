@@ -2932,6 +2932,95 @@ class TestIvfDistributedProbe:
         assert len(probed) == 8
         assert all(r.dup_of is not None for r in probed)  # tight clusters
 
+    def test_auto_shards_formula(self):
+        """The valve arithmetic, unit-pinned: shards =
+        ceil(max_cluster_raw_bytes / target), raw bytes = 8·rows·(dim+1)
+        (the same model the broadcast budget uses), floor 1."""
+        from php_ec_spark.operators.similarity import _auto_shards
+
+        assert _auto_shards(0, 128, 1 << 20) == 1
+        assert _auto_shards(100, 128, 1 << 30) == 1
+        # 1M rows × 768-d: 8·1e6·769 ≈ 6.15 GB / 128 MiB target → 46
+        assert _auto_shards(1_000_000, 768, 128 << 20) == 46
+        # exact boundary does not over-shard: 1000 rows × 15-d = 128_000
+        # bytes, target 128_000 → exactly 1
+        assert _auto_shards(1000, 15, 128_000) == 1
+        assert _auto_shards(1001, 15, 128_000) == 2
+
+    @pytest.mark.parametrize("seed", [3, 29])
+    def test_auto_shards_matches_manual_on_skewed_geometry(
+        self, spark, tmp_path, seed
+    ):
+        """Round-12 verdict #3: `shards=` was a manual valve nobody will
+        hand-tune per batch at 100×. Skewed-geometry fuzz: one hot
+        cluster ~8× the others; with a target small enough that the
+        formula demands >1 shard, shards='auto' must (a) actually
+        resolve above 1 (the fuzz exercises the valve — checked via the
+        same live counts the operator measures) and (b) return exactly
+        the shards=1 and manual-shards answers, under both a plain
+        search and an exclude_ids search."""
+        import numpy as np
+
+        from php_ec_spark.operators.similarity import (
+            _auto_shards,
+            ivf_build,
+            ivf_search,
+        )
+
+        rng = np.random.default_rng(seed)
+        dim = 8
+        centers = rng.normal(size=(4, dim)) * 25
+        sizes = [8 + int(rng.integers(8)) for _ in range(3)]
+        hot = 8 * max(sizes) + int(rng.integers(20))  # the skewed cluster
+        rows, vid = [], 0
+        for c, n in enumerate(sizes + [hot]):
+            for _ in range(n):
+                v = centers[c] + rng.normal(size=dim) * 0.4
+                rows.append((vid, [float(x) for x in v], c))
+                vid += 1
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        idx = str(tmp_path / f"skew{seed}")
+        ivf_build(df, idx)
+        # target sized so the HOT cluster needs several shards: its raw
+        # bytes / 4, i.e. the formula must pick >= 4
+        target = (hot * 8 * (dim + 1)) // 4
+        expect_shards = _auto_shards(hot, dim, target)
+        assert expect_shards >= 4
+        queries = df.filter(F.col("vec_id") % 9 == 0).select(
+            "vec_id", "embedding"
+        )
+        excl = df.filter(F.col("vec_id") % 18 == 0).select("vec_id")
+        for kw in ({}, {"exclude_ids": excl}):
+            want = sorted(
+                (r.query_id, r.rank, r.neighbor_id, r.cos)
+                for r in ivf_search(
+                    spark, idx, queries, k=3, nprobe=2,
+                    mode="distributed", shards=1, **kw,
+                ).collect()
+            )
+            for shards in ("auto", expect_shards):
+                got = sorted(
+                    (r.query_id, r.rank, r.neighbor_id, r.cos)
+                    for r in ivf_search(
+                        spark, idx, queries, k=3, nprobe=2,
+                        mode="distributed", shards=shards,
+                        shard_target_block_bytes=target, **kw,
+                    ).collect()
+                )
+                assert got == want, f"shards={shards} kw={sorted(kw)}"
+
+    def test_auto_shards_rejects_other_strings(self, spark, tmp_path):
+        from php_ec_spark.operators.similarity import ivf_search
+
+        df, idx = self._index(spark, tmp_path)
+        queries = df.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
+        with pytest.raises(ValueError, match="int or 'auto'"):
+            ivf_search(
+                spark, idx, queries, k=2, mode="distributed", shards="many"
+            ).collect()
+
     def test_forced_broadcast_past_budget_raises_loudly(self, spark, tmp_path):
         import pytest
 
