@@ -379,6 +379,76 @@ class TestStreamingIngest:
         finally:
             dedup_index_drop(spark, "strix")
 
+    def test_jobs_per_trigger_is_pinned(self, spark, tmp_path):
+        """Round-12 verdict #4, text-door half (the embedding door's pin
+        lives in test_pipeline_ops): the per-micro-batch Spark-job count
+        must be FLAT across batches — the streaming analog of the batch
+        plan census, catching a per-batch estimate/verify job creeping
+        into the hot loop. Marginal-batch measurement against the
+        DAGScheduler job counter, identically-shaped all-novel batches,
+        fresh index per run; AQE off so one action = one job (with AQE
+        on, stage-materialization jobs shift with data sizes and mask
+        the action count)."""
+        import json as _json
+        import os
+
+        from php_ec_spark.operators.dedup_index import streaming_index_ingest
+
+        def n_jobs():
+            return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+        def run(tag, n_batches):
+            name = f"jpt_{tag}"
+            dedup_index_build(
+                spark.createDataFrame([], "doc_id long, text string"),
+                name, **PARAMS,
+            )
+            src = tmp_path / f"jsrc_{tag}"
+            src.mkdir()
+            for b in range(n_batches):
+                p = src / f"{b:02d}.json"
+                with open(p, "w") as f:
+                    for i in range(2):
+                        f.write(_json.dumps({
+                            "doc_id": 100 + b * 10 + i,
+                            "text": f"novel doc b{b} i{i} "
+                                    + " ".join(f"w{b}{i}{j}" for j in range(8)),
+                        }) + "\n")
+                os.utime(p, (1_700_000_000 + b * 10,) * 2)
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+            j0 = n_jobs()
+            try:
+                q = streaming_index_ingest(
+                    spark, name, stream,
+                    landed_path=str(tmp_path / f"jl_{tag}"),
+                    checkpoint=str(tmp_path / f"jc_{tag}"),
+                    available_now=True,
+                )
+                assert q.awaitTermination(120)
+                return n_jobs() - j0
+            finally:
+                dedup_index_drop(spark, name)
+
+        aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            j1, j2, j3 = run("a", 1), run("b", 2), run("c", 3)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        m2, m3 = j2 - j1, j3 - j2
+        assert m2 == m3, (
+            f"jobs per trigger drifted between batches: {m2} vs {m3} "
+            f"(totals {j1}/{j2}/{j3}) — a per-batch cost crept in"
+        )
+        # budget re-pinned deliberately on any justified change, never
+        # silently (measured on pyspark 4.1.2; see git blame for the
+        # measurement provenance)
+        assert m3 <= 13, f"{m3} jobs per trigger, budget 13 (measured 12)"
+
     def test_drop_near_requires_near_index(self, spark, tmp_path):
         from php_ec_spark.operators.dedup_index import streaming_index_ingest
 

@@ -4495,6 +4495,92 @@ class TestStreamingEmbeddingIngest:
             run_rows("dup", [(201, self._vec(0, 4.0)),
                              (201, self._vec(1, 8.0))])
 
+    def test_jobs_per_trigger_is_pinned(self, spark, tmp_path):
+        """Round-12 verdict #4: the per-trigger cost opt-outs (budget-0
+        broadcast, verify_clusters=False inside the door, verify_layout
+        once at stream start) existed but nothing asserted the fixed
+        Spark-job count per micro-batch — the streaming analog of the
+        batch plan census. Marginal-batch measurement: run the ingest
+        over 1, 2 and 3 identically-shaped all-novel batches (fresh
+        index each run, same startup) and read the DAGScheduler's job
+        counter; the marginal jobs of batch 2 and batch 3 must be EQUAL
+        (a per-batch estimate/verify regression adds jobs to every
+        batch) and within a pinned budget. Uses the trust-me spelling
+        per-trigger callers are documented to use.
+
+        AQE is disabled for the measurement: with it on, one action
+        spawns 1 + materialized-stage jobs and the stage count shifts
+        with data sizes (measured: 32-35 jobs/trigger, drifting as the
+        corpus grows) — the quantity this pin protects is the ACTION
+        count (a new estimate/verify job per batch), which is
+        AQE-invariant, so the deterministic counting mode is the right
+        meter."""
+        import json as _json
+        import os
+
+        def n_jobs():
+            return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+        def run(tag, n_batches):
+            from php_ec_spark.operators.similarity import ivf_build
+
+            rows = [
+                (c * 20 + i, self._vec(c, 0.01 * i), c)
+                for c in range(3)
+                for i in range(5)
+            ]
+            idx = str(tmp_path / f"jidx_{tag}")
+            ivf_build(
+                spark.createDataFrame(
+                    rows, "vec_id long, embedding array<float>, label int"
+                ),
+                idx,
+            )
+            src = tmp_path / f"jsrc_{tag}"
+            src.mkdir()
+            for b in range(n_batches):
+                p = src / f"{b:02d}.json"
+                with open(p, "w") as f:
+                    # 2 novel rows per batch, own direction each (big
+                    # jitter, tight threshold): no dups, no CC branch —
+                    # every batch takes the identical code path
+                    for i in range(2):
+                        f.write(_json.dumps({
+                            "vec_id": 1000 + b * 10 + i,
+                            "embedding": self._vec(
+                                (b + i) % 3, 50.0 + b * 3 + i
+                            ),
+                        }) + "\n")
+                os.utime(p, (1_700_000_000 + b * 10,) * 2)
+            j0 = n_jobs()
+            self._run_stream(
+                spark, idx, src, tmp_path / f"jl_{tag}",
+                tmp_path / f"jc_{tag}",
+                mode="broadcast", broadcast_budget_bytes=0,
+            )
+            return n_jobs() - j0
+
+        aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            j1, j2, j3 = run("a", 1), run("b", 2), run("c", 3)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        m2, m3 = j2 - j1, j3 - j2
+        assert m2 == m3, (
+            f"jobs per trigger drifted between batches: {m2} vs {m3} "
+            f"(totals {j1}/{j2}/{j3}) — a per-batch cost crept in"
+        )
+        # pinned budget (measured 23 actions per trigger, AQE off,
+        # pyspark 4.1.2): journal existence probe, dup/NULL-id agg, the
+        # probe pin's lineage (schema inferences, probe pack+collect,
+        # broadcast-build jobs of the re-rank joins), assign pin, pairs
+        # pin + head, survivor pin, landed write + count, ivf_add
+        # centroid collect + append write, journal write + counts. A
+        # bump past 24 means a new per-batch job — justify it and re-pin
+        # deliberately, never silently.
+        assert m3 <= 24, f"{m3} jobs per trigger, budget 24 (measured 23)"
+
     def test_ivf_add_refuses_flat_corpus(self, spark, tmp_path):
         """Round-12 advice: a stored corpus with NO key=value partition
         directories passed the layout guard vacuously, and the
