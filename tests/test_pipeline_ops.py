@@ -793,6 +793,33 @@ class TestSimilarity:
         recall = len(brute & approx) / len(brute)
         assert recall >= 0.9, recall
 
+    def test_ann_recall_floor_on_pinned_geometry(self, spark):
+        """Round-12 verdict #5: ivf_search quality was pinned only on
+        deterministic gate geometry — a kernel change that degrades
+        RECALL (not determinism) sailed through. Floor via the
+        tools/ann_recall.py harness on pinned-seed trained-quantizer
+        geometry (16 Gaussian clusters, noise 0.2× the RMS center norm —
+        measured 0.994-0.998 recall@10 at nprobe=4 across seeds 7/23/41,
+        1.000 at nprobe=8; SCALE.md carries the wider sweep): recall@10
+        >= 0.95 at nprobe=4, >= 0.99 at nprobe=8, and recall must be
+        monotone in nprobe (more probed clusters can only add
+        candidates)."""
+        import os
+        import sys
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(__file__), "..", "tools")
+        )
+        from ann_recall import recall_sweep
+
+        rec = recall_sweep(
+            spark, seed=7, n=2000, dim=32, n_centers=16, n_queries=48,
+            k=10, noise=0.2,
+        )
+        assert rec[4] >= 0.95, rec
+        assert rec[8] >= 0.99, rec
+        assert rec[1] <= rec[2] <= rec[4] <= rec[8], rec
+
     def test_ivf_build_search_split_matches_single_pass(self, spark, tmp_path):
         """The persistent index (ivf_build once → ivf_search many) must be
         OUTPUT-EQUIVALENT to the single-pass ivf_topk for the same corpus
