@@ -15,7 +15,7 @@ loaded window flags itself.
 Contract: NEVER change :func:`calib_probe`'s job. Its shape is chosen to
 be (a) deterministic and data-independent (``spark.range``), (b) wide
 enough to occupy all 32 local cores (32 input partitions, string-hash +
-modular arithmetic over 24M rows), (c) insensitive to session
+modular arithmetic over 48M rows), (c) insensitive to session
 shuffle-partition config — the aggregate is GLOBAL (keyless), so the
 partials are map-side and the one exchange is SinglePartition regardless
 of ``spark.sql.shuffle.partitions`` (a keyed groupBy variant measured

@@ -85,16 +85,24 @@ def _pad_for(k: int) -> int:
     return max(16, k)
 
 
-def _dedup_ids(pdf, id_col: str):
-    """Drop physically duplicated ids inside one kernel batch (unique-id
-    corpus contract: same id ⇒ same vector, so which copy survives is
-    immaterial). Without this, crash-replay residue rows each consumed a
-    top-(k+pad) candidate slot — with >pad copies above the true k-th, a
-    genuine neighbor could be evicted before the exact re-rank ever saw
-    it (round-12 advice). No-op (zero copy) on the common unique path."""
-    if pdf[id_col].is_unique:
+def _dedup_ids(pdf, cols: list):
+    """Drop physically duplicated rows inside one kernel batch, keyed on
+    ``cols`` (unique-key corpus contract: same key ⇒ same vector, so
+    which copy survives is immaterial). Without this, crash-replay
+    residue rows each consumed a top-(k+pad) candidate slot — with >pad
+    copies above the true k-th, a genuine neighbor could be evicted
+    before the exact re-rank ever saw it (round-12 advice). The key MUST
+    include the cluster column wherever the batch can span clusters
+    (:func:`_ivf_candidates`): the same id filed under two clusters is
+    two legitimate index entries (:func:`ivf_compact`'s documented
+    case), and an id-only dedup there silently dropped one of them
+    whenever a coalesced scan packed both partition files into one
+    Arrow batch (round-13 review catch — results were
+    partitioning-dependent). No-op (zero copy) on the unique fast
+    path."""
+    if len(cols) == 1 and pdf[cols[0]].is_unique:
         return pdf
-    return pdf.drop_duplicates(subset=[id_col])
+    return pdf.drop_duplicates(subset=cols)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -249,7 +257,7 @@ def cosine_topk(
     def gen_candidates(batches):
         q_ids, Qm, q_norms = bq.value
         for pdf in batches:
-            pdf = _dedup_ids(pdf, id_col)
+            pdf = _dedup_ids(pdf, [id_col])
             if len(pdf) == 0:
                 continue
             C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
@@ -608,7 +616,10 @@ def _ivf_candidates(
     def gen_candidates(batches):
         q_ids, Qm, q_norms, probing = bq.value
         for pdf in batches:
-            pdf = _dedup_ids(pdf, id_col)
+            # keyed on (cluster, id): a batch here can span clusters
+            # (coalesced scan of many small partition files), and the
+            # same id in two clusters is two legitimate entries
+            pdf = _dedup_ids(pdf, [cluster_col, id_col])
             if len(pdf) == 0:
                 continue
             out_q, out_n = [], []
@@ -663,16 +674,42 @@ IVF_BROADCAST_BUDGET_BYTES = 256 << 20
 IVF_SHARD_TARGET_BLOCK_BYTES = 128 << 20
 
 
+#: Per-process memo of an index's embedding dimension (path → dim): the
+#: dimension is immutable for a built index, so `shards='auto'` pays its
+#: 1-row centroid head job once per process per index, not per call —
+#: per-trigger callers see zero marginal jobs from it. ivf_build
+#: invalidates its path (an overwrite rebuild can change dim).
+_IVF_DIM_MEMO: "dict[str, int]" = {}
+
+
+def _index_dim(path: str, cents: DataFrame) -> int:
+    dim = _IVF_DIM_MEMO.get(path)
+    if dim is None:
+        dim = len(cents.select("centroid").head().centroid)
+        _IVF_DIM_MEMO[path] = dim
+    return dim
+
+
 def _auto_shards(max_rows: int, dim: int, target_bytes: int) -> int:
     """Shard count bounding the hot cluster's per-task corpus block:
     ``ceil(max_cluster_raw_bytes / target_bytes)`` with the same
     8·rows·(dim+1) raw-bytes model the broadcast budget uses. Pure
     arithmetic so the round-trip (measured sizes → valve) is unit-pinned
-    independent of Spark."""
+    independent of Spark. ``target_bytes <= 0`` raises: this family's
+    ``broadcast_budget_bytes=0`` means "skip the guard", and a caller
+    pattern-matching that spelling here would otherwise get shards =
+    max_cluster_raw_bytes — billions of replicated probe rows instead of
+    a loud error."""
+    if target_bytes <= 0:
+        raise ValueError(
+            f"shard_target_block_bytes must be positive, got "
+            f"{target_bytes} — there is no opt-out spelling here; to "
+            "disable the skew valve pass shards=1 explicitly"
+        )
     if max_rows <= 0:
         return 1
     row_bytes = 8 * (dim + 1)
-    return max(1, -(-(max_rows * row_bytes) // max(target_bytes, 1)))
+    return max(1, -(-(max_rows * row_bytes) // target_bytes))
 
 #: Sentinel for NULL cluster values in the cogroup key (cogroup aligns
 #: groups by key EQUALITY, and SQL null != null would strand the corpus'
@@ -901,7 +938,8 @@ def _distributed_candidates(
                 "string labels round-tripped as numbers through "
                 "partition-type inference (see ivf_build notes)"
             )
-        left = _dedup_ids(left, "__nid")
+        # a cogroup is one (cluster, shard) — id-only key is safe here
+        left = _dedup_ids(left, ["__nid"])
         C = np.stack([np.asarray(v, dtype=np.float64) for v in left["__cv"]])
         nid = left["__nid"].to_numpy(dtype=np.int64)
         Q = np.stack([np.asarray(v, dtype=np.float64) for v in right["qv"]])
@@ -1312,6 +1350,8 @@ def ivf_build(
     cents = build_centroids(corpus, cluster_col, vec_col)
     cents.write.mode(mode).parquet(f"{path}/centroids")
     corpus.write.mode(mode).partitionBy(cluster_col).parquet(f"{path}/corpus")
+    # an overwrite rebuild can change the embedding dimension
+    _IVF_DIM_MEMO.pop(path, None)
     return cluster_col
 
 
@@ -1514,11 +1554,13 @@ def ivf_search(
     cluster exactly when the valve matters, and keeping them fresh would
     mean rewriting the quantizer table per append — a crash window on
     the index's source of truth. The counts job doubles as the
-    lost-cluster presence check, so ``'auto'`` adds no job when
-    ``verify_clusters`` would have run one; per-trigger hot loops that
-    skip verification should keep passing an explicit int. Results are
-    shard-count-invariant (pinned), so 'auto' only changes the physical
-    block shape.
+    lost-cluster presence check, so ``'auto'`` adds no recurring job
+    when ``verify_clusters`` would have run one (plus a 1-row centroid
+    head for the dimension, memoized per process per index path —
+    zero marginal jobs for per-trigger callers after the first call);
+    hot loops that skip verification should keep passing an explicit
+    int. Results are shard-count-invariant (pinned), so 'auto' only
+    changes the physical block shape.
 
     ``verify_clusters`` (default on) cross-checks that every probed
     cluster still has corpus rows before scoring — the lost-partition /
@@ -1554,6 +1596,14 @@ def ivf_search(
     """
     cents = spark.read.parquet(f"{path}/centroids")
     _require_int_ids(queries, id_col, "ivf_search")
+    # validate shards BEFORE the mode split: broadcast ignores the valve,
+    # and a typo'd value accepted under a small query frame would only
+    # surface months later when the same call first routes distributed
+    # (round-13 review catch)
+    if shards != "auto" and not isinstance(shards, int):
+        raise ValueError(
+            f"ivf_search: shards must be an int or 'auto', got {shards!r}"
+        )
     mode = _resolve_probe_mode(queries, mode, broadcast_budget_bytes, vec_col)
     if mode == "broadcast":
         probes = _collect_probes(queries, cents, nprobe, vec_col, id_col)
@@ -1617,17 +1667,12 @@ def ivf_search(
             for r in corpus.groupBy(cluster_col).count().collect()
         }
         present = sizes.keys()
-        dim = len(cents.select("centroid").head().centroid)
         shards = _auto_shards(
             max(sizes.values(), default=0),
-            dim,
+            _index_dim(path, cents),
             IVF_SHARD_TARGET_BLOCK_BYTES
             if shard_target_block_bytes is None
             else shard_target_block_bytes,
-        )
-    elif not isinstance(shards, int):
-        raise ValueError(
-            f"ivf_search: shards must be an int or 'auto', got {shards!r}"
         )
     if (shards > 1 or exclude_ids is not None) and verify_clusters:
         # the cogroup kernel's in-kernel lost-cluster guard only works

@@ -3039,14 +3039,83 @@ class TestIvfDistributedProbe:
                 assert got == want, f"shards={shards} kw={sorted(kw)}"
 
     def test_auto_shards_rejects_other_strings(self, spark, tmp_path):
-        from php_ec_spark.operators.similarity import ivf_search
+        """Invalid shards values must fail on EVERY mode — validation
+        runs before the mode split (round-13 review: a typo accepted
+        under a small broadcast-routed frame would only surface months
+        later when the same call first routes distributed)."""
+        from php_ec_spark.operators.similarity import _auto_shards, ivf_search
 
         df, idx = self._index(spark, tmp_path)
         queries = df.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
-        with pytest.raises(ValueError, match="int or 'auto'"):
+        for mode in ("distributed", "broadcast", "auto"):
+            with pytest.raises(ValueError, match="int or 'auto'"):
+                ivf_search(
+                    spark, idx, queries, k=2, mode=mode, shards="many"
+                )
+        # and a zero/negative block target raises instead of resolving
+        # shards = max_cluster_raw_bytes (billions of replicated probes):
+        # budget=0 means "skip the guard" elsewhere in this family, but
+        # there is no opt-out spelling for the valve
+        with pytest.raises(ValueError, match="must be positive"):
+            _auto_shards(1000, 16, 0)
+        with pytest.raises(ValueError, match="must be positive"):
             ivf_search(
-                spark, idx, queries, k=2, mode="distributed", shards="many"
-            ).collect()
+                spark, idx, queries, k=2, mode="distributed",
+                shards="auto", shard_target_block_bytes=0,
+            )
+
+    def test_same_id_in_two_clusters_survives_coalesced_scan(
+        self, spark, tmp_path
+    ):
+        """Round-13 review catch on the round-12-advice fix: the
+        in-kernel duplicate-id dedup must key on (cluster, id), not id
+        alone — the same id filed under two clusters is two LEGITIMATE
+        index entries (ivf_compact's documented case), and when a
+        coalesced scan packs both partition files into one Arrow batch
+        an id-only dedup silently dropped one, making broadcast-mode
+        results partitioning-dependent (the exact cos-1.0 match
+        vanished). Small files coalesce into one scan partition by
+        default; minPartitionNum=1 plus a deliberately LARGER cluster-0
+        file (file packing orders by size descending, so the wrong copy
+        is the one an id-only keep='first' dedup keeps) makes the
+        pre-fix failure deterministic — verified: the id-only kernel
+        returns q100 -> 12 here, losing the cos-1.0 match."""
+        from php_ec_spark.operators.similarity import ivf_build, ivf_search
+
+        rows = [
+            (5, [0.0, 30.0, 5.0], 0),   # same id, same vector, BOTH
+            (5, [0.0, 30.0, 5.0], 1),   # clusters — two index entries
+            (11, [0.0, 30.0, 1.0], 1),
+            (12, [0.0, 30.0, 2.0], 1),
+        ] + [(20 + i, [30.0, 0.0, float(i)], 0) for i in range(10)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).coalesce(1)
+        idx = str(tmp_path / "twoclust")
+        ivf_build(df, idx)
+        # q100 matches id 5 exactly and probes ONLY cluster 1 (nprobe=1);
+        # q101 keeps cluster 0 in the pruned slice so the coalesced scan
+        # carries both clusters' files
+        probes = spark.createDataFrame(
+            [(100, [0.0, 30.0, 5.0]), (101, [30.0, 0.0, 1.5])],
+            "vec_id long, embedding array<float>",
+        )
+        old = spark.conf.get("spark.sql.files.minPartitionNum", None)
+        try:
+            spark.conf.set("spark.sql.files.minPartitionNum", "1")
+            for mode in ("broadcast", "distributed"):
+                got = {
+                    r.query_id: r.neighbor_id
+                    for r in ivf_search(
+                        spark, idx, probes, k=1, nprobe=1, mode=mode,
+                    ).collect()
+                }
+                assert got[100] == 5, (mode, got)
+        finally:
+            if old is None:
+                spark.conf.unset("spark.sql.files.minPartitionNum")
+            else:
+                spark.conf.set("spark.sql.files.minPartitionNum", old)
 
     def test_forced_broadcast_past_budget_raises_loudly(self, spark, tmp_path):
         import pytest

@@ -79,6 +79,11 @@ def recall_sweep(
         ivf_search,
     )
 
+    if n_queries <= 0:
+        raise ValueError(
+            f"recall_sweep: n_queries must be positive, got {n_queries} "
+            "(recall over zero queries is undefined)"
+        )
     rows = synth_rows(seed, n, dim, n_centers, noise)
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>"
@@ -96,7 +101,8 @@ def recall_sweep(
         idx = f"{tmp}/idx"
         ccol = ivf_build(
             df, idx,
-            n_clusters=index_clusters or n_centers,
+            n_clusters=index_clusters if index_clusters is not None
+            else n_centers,
         )
         for nprobe in nprobes:
             got = {}
