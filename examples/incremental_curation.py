@@ -139,8 +139,9 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
         )  # re-embeds of stored docs: every one should flag
         # mode='auto' (default): this toy increment broadcasts; a real
         # daily increment past the 256 MiB budget probes through the
-        # distributed path with no driver transit (shards= if one
-        # cluster dominates). A per-trigger foreachBatch caller would
+        # distributed path with no driver transit (shards='auto'
+        # self-sizes the skew valve from live per-cluster counts when
+        # one cluster dominates). A per-trigger foreachBatch caller would
         # instead skip the per-call guard jobs explicitly:
         # mode='broadcast', broadcast_budget_bytes=0 (size known by
         # construction) + verify_clusters=False (index health checked

@@ -1165,8 +1165,15 @@ def pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engaged — an sf0.01 increment auto-routes broadcast, so without
     # this row a distributed-kernel regression would only surface in
     # pytest. The oracle is the broadcast rows' SQL verbatim (the modes
-    # are row-identical by contract, pinned in tests).
-    topk_dist = _topk("topk_dist", mode="distributed", shards=2)
+    # are row-identical by contract, pinned in tests). Since round 13
+    # the valve is the self-sizing shards='auto' (round-12 verdict #3):
+    # the 8 KiB block target makes the live-counts formula resolve ~4
+    # shards on the ~60-row hot label here, so BOTH the auto resolution
+    # and the sharded kernel sit under the driver hash.
+    topk_dist = _topk(
+        "topk_dist", mode="distributed", shards="auto",
+        shard_target_block_bytes=8 << 10,
+    )
     dup = cosine_dup_pairs(emb, threshold=0.4, cluster_col="label").select(
         F.lit("dup").alias("kind"),
         "id_a",

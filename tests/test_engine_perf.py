@@ -182,6 +182,18 @@ def test_live_path_throughput_floor(tmp_path):
     )
 
 
+def test_window_ratio_math(monkeypatch):
+    """window_ratio = min of N probe runs over the committed reference —
+    pinned with a monkeypatched probe so the contract (warmup discarded,
+    min-of-N, ratio vs CALIB_REF_SEC) can't drift silently."""
+    from php_ec_spark import calib
+
+    times = iter([9.9, 0.98, 1.47])  # warmup, then two measured runs
+    monkeypatch.setattr(calib, "calib_probe", lambda spark: next(times))
+    ratio = calib.window_ratio(None, iters=2)
+    assert ratio == pytest.approx(0.98 / calib.CALIB_REF_SEC)
+
+
 def test_calibration_probe_contract():
     """The fixed window-calibration probe (php_ec_spark/calib.py) must run
     on any session config (it is used at shuffle.partitions 8 and 32) and
