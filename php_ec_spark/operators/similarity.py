@@ -99,8 +99,12 @@ def _dedup_ids(pdf, cols: list):
     whenever a coalesced scan packed both partition files into one
     Arrow batch (round-13 review catch — results were
     partitioning-dependent). No-op (zero copy) on the unique fast
-    path."""
-    if len(cols) == 1 and pdf[cols[0]].is_unique:
+    path: ``cols`` puts the id LAST, and a unique id column implies a
+    unique composite key, so the single-column is_unique probe covers
+    the multi-column case too (second review catch — the first cut
+    paid a two-column hash pass + full batch copy on every batch of
+    the broadcast hot path)."""
+    if pdf[cols[-1]].is_unique:
         return pdf
     return pdf.drop_duplicates(subset=cols)
 
@@ -674,20 +678,17 @@ IVF_BROADCAST_BUDGET_BYTES = 256 << 20
 IVF_SHARD_TARGET_BLOCK_BYTES = 128 << 20
 
 
-#: Per-process memo of an index's embedding dimension (path → dim): the
-#: dimension is immutable for a built index, so `shards='auto'` pays its
-#: 1-row centroid head job once per process per index, not per call —
-#: per-trigger callers see zero marginal jobs from it. ivf_build
-#: invalidates its path (an overwrite rebuild can change dim).
-_IVF_DIM_MEMO: "dict[str, int]" = {}
-
-
-def _index_dim(path: str, cents: DataFrame) -> int:
-    dim = _IVF_DIM_MEMO.get(path)
-    if dim is None:
-        dim = len(cents.select("centroid").head().centroid)
-        _IVF_DIM_MEMO[path] = dim
-    return dim
+def _index_dim(cents: DataFrame) -> int:
+    """The index's embedding dimension, from a 1-row head of the C-row
+    centroid table — a tiny per-call job, paid deliberately: a
+    per-process memo keyed on the path was tried and reverted (review
+    catch) because a long-lived serving process would size the
+    shards='auto' valve with a STALE dimension after an out-of-process
+    overwrite rebuild changed it — under-sharding by dim_new/dim_old is
+    exactly the executor-OOM the valve exists to prevent. Per-trigger
+    hot loops avoid the job entirely by passing an explicit shards
+    int."""
+    return len(cents.select("centroid").head().centroid)
 
 
 def _auto_shards(max_rows: int, dim: int, target_bytes: int) -> int:
@@ -1350,8 +1351,6 @@ def ivf_build(
     cents = build_centroids(corpus, cluster_col, vec_col)
     cents.write.mode(mode).parquet(f"{path}/centroids")
     corpus.write.mode(mode).partitionBy(cluster_col).parquet(f"{path}/corpus")
-    # an overwrite rebuild can change the embedding dimension
-    _IVF_DIM_MEMO.pop(path, None)
     return cluster_col
 
 
@@ -1554,13 +1553,12 @@ def ivf_search(
     cluster exactly when the valve matters, and keeping them fresh would
     mean rewriting the quantizer table per append — a crash window on
     the index's source of truth. The counts job doubles as the
-    lost-cluster presence check, so ``'auto'`` adds no recurring job
-    when ``verify_clusters`` would have run one (plus a 1-row centroid
-    head for the dimension, memoized per process per index path —
-    zero marginal jobs for per-trigger callers after the first call);
-    hot loops that skip verification should keep passing an explicit
-    int. Results are shard-count-invariant (pinned), so 'auto' only
-    changes the physical block shape.
+    lost-cluster presence check, so ``'auto'`` costs the counts job it
+    shares with verification plus one 1-row head over the C-row
+    centroid table for the dimension (re-read per call, deliberately
+    unmemoized — see :func:`_index_dim`); per-trigger hot loops should
+    keep passing an explicit int. Results are shard-count-invariant
+    (pinned), so 'auto' only changes the physical block shape.
 
     ``verify_clusters`` (default on) cross-checks that every probed
     cluster still has corpus rows before scoring — the lost-partition /
@@ -1596,13 +1594,22 @@ def ivf_search(
     """
     cents = spark.read.parquet(f"{path}/centroids")
     _require_int_ids(queries, id_col, "ivf_search")
-    # validate shards BEFORE the mode split: broadcast ignores the valve,
-    # and a typo'd value accepted under a small query frame would only
-    # surface months later when the same call first routes distributed
-    # (round-13 review catch)
-    if shards != "auto" and not isinstance(shards, int):
+    # validate shards AND the block target BEFORE the mode split:
+    # broadcast ignores the valve, and a typo'd value accepted under a
+    # small query frame would only surface months later when the same
+    # call first routes distributed (round-13 review catch, twice: the
+    # first hoist checked type only, so shards=0 — the 0-as-opt-out
+    # typo budget=0 invites — still hid under broadcast routes)
+    if shards != "auto" and not (isinstance(shards, int) and shards >= 1):
         raise ValueError(
-            f"ivf_search: shards must be an int or 'auto', got {shards!r}"
+            f"ivf_search: shards must be an int >= 1 or 'auto', got "
+            f"{shards!r} — to disable the skew valve pass shards=1"
+        )
+    if shard_target_block_bytes is not None and shard_target_block_bytes <= 0:
+        raise ValueError(
+            f"ivf_search: shard_target_block_bytes must be positive, got "
+            f"{shard_target_block_bytes} — there is no opt-out spelling; "
+            "to disable the skew valve pass shards=1 explicitly"
         )
     mode = _resolve_probe_mode(queries, mode, broadcast_budget_bytes, vec_col)
     if mode == "broadcast":
@@ -1669,7 +1676,7 @@ def ivf_search(
         present = sizes.keys()
         shards = _auto_shards(
             max(sizes.values(), default=0),
-            _index_dim(path, cents),
+            _index_dim(cents),
             IVF_SHARD_TARGET_BLOCK_BYTES
             if shard_target_block_bytes is None
             else shard_target_block_bytes,

@@ -3048,21 +3048,27 @@ class TestIvfDistributedProbe:
         df, idx = self._index(spark, tmp_path)
         queries = df.filter(F.col("vec_id") < 3).select("vec_id", "embedding")
         for mode in ("distributed", "broadcast", "auto"):
-            with pytest.raises(ValueError, match="int or 'auto'"):
+            with pytest.raises(ValueError, match="int >= 1 or 'auto'"):
                 ivf_search(
                     spark, idx, queries, k=2, mode=mode, shards="many"
                 )
-        # and a zero/negative block target raises instead of resolving
-        # shards = max_cluster_raw_bytes (billions of replicated probes):
-        # budget=0 means "skip the guard" elsewhere in this family, but
-        # there is no opt-out spelling for the valve
+            # shards=0 is the 0-as-opt-out typo the budget=0 spelling
+            # invites — it must fail on EVERY mode, not first surface
+            # when the call routes distributed months later
+            with pytest.raises(ValueError, match="int >= 1 or 'auto'"):
+                ivf_search(
+                    spark, idx, queries, k=2, mode=mode, shards=0
+                )
+            # and a zero/negative block target raises instead of
+            # resolving shards = max_cluster_raw_bytes (billions of
+            # replicated probes); also mode-independent
+            with pytest.raises(ValueError, match="must be positive"):
+                ivf_search(
+                    spark, idx, queries, k=2, mode=mode,
+                    shards="auto", shard_target_block_bytes=0,
+                )
         with pytest.raises(ValueError, match="must be positive"):
             _auto_shards(1000, 16, 0)
-        with pytest.raises(ValueError, match="must be positive"):
-            ivf_search(
-                spark, idx, queries, k=2, mode="distributed",
-                shards="auto", shard_target_block_bytes=0,
-            )
 
     def test_same_id_in_two_clusters_survives_coalesced_scan(
         self, spark, tmp_path

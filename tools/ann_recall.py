@@ -84,6 +84,11 @@ def recall_sweep(
             f"recall_sweep: n_queries must be positive, got {n_queries} "
             "(recall over zero queries is undefined)"
         )
+    if index_clusters is not None and index_clusters <= 0:
+        raise ValueError(
+            f"recall_sweep: index_clusters must be positive, got "
+            f"{index_clusters} (omit it to train n_centers clusters)"
+        )
     rows = synth_rows(seed, n, dim, n_centers, noise)
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>"
