@@ -3070,6 +3070,33 @@ class TestIvfDistributedProbe:
         with pytest.raises(ValueError, match="must be positive"):
             _auto_shards(1000, 16, 0)
 
+    def test_auto_shards_counts_job_reads_zero_data_columns(
+        self, spark, tmp_path
+    ):
+        """The shards='auto' sizing job (per-cluster counts over the
+        pruned slice) must stay a PARTITION-COLUMN-ONLY scan — parquet
+        answers it from row-group metadata with zero data columns
+        decoded (ReadSchema struct<>), and the probed-cluster filter
+        lands as a partition filter. This is the plan property that
+        makes 'auto' affordable at 100 TB; a regression (e.g. someone
+        folding a vector-column aggregate into the counts query) would
+        silently turn the valve sizing into a data scan of the probed
+        slice."""
+        from php_ec_spark.operators.similarity import ivf_build
+
+        df, _ = self._index(spark, tmp_path)
+        idx = str(tmp_path / "plan_idx")
+        ivf_build(df, idx)
+        corpus = spark.read.parquet(f"{idx}/corpus").filter(
+            F.col("label").isin([0, 1])
+        )
+        plan = (
+            corpus.groupBy("label").count()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ReadSchema: struct<>" in plan, plan[:800]
+        assert "PartitionFilters: [" in plan
+
     def test_same_id_in_two_clusters_survives_coalesced_scan(
         self, spark, tmp_path
     ):
