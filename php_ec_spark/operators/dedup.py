@@ -27,7 +27,7 @@ run in the JVM.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Modulus for MinHash permutations (Mersenne prime 2^31−1): keeps a*h+b in
@@ -989,9 +989,10 @@ def dedup_clusters(
 
     The pair graph comes from :func:`minhash_lsh_pairs` (bucketed, exact-
     verified). Components are found by :func:`connected_components` —
-    min-label propagation with pointer jumping, so rounds are
-    O(log diameter) (2-3 in practice; chain-shaped components that would
-    blow a diameter-bounded budget converge in ~20). The propagation frame holds
+    alternating large-star/small-star contraction (SoCC'14), so rounds
+    are ~log₂(diameter) regardless of where the component minimum sits
+    (2-3 in practice; chain-shaped components that would blow a
+    diameter-bounded budget converge in ~12). The edge frame holds
     ONLY nodes that appear in some pair — at corpus scale the dup-involved
     subset is a sliver of the data, so each round costs O(|edges|), not
     O(|docs|); the untouched majority joins back as self-labeled
@@ -1023,61 +1024,69 @@ def dedup_clusters(
 def connected_components(
     pairs: DataFrame,
     max_iters: int = 20,
-    jump_after: int = 3,
     reliable: bool = False,
 ) -> DataFrame:
-    """Connected components over an undirected pair graph — min-label
-    propagation with ADAPTIVE pointer jumping: O(log diameter) rounds.
+    """Connected components over an undirected pair graph — alternating
+    LARGE-STAR / SMALL-STAR edge contraction (Kiveris, Lattanzi, Mirrokni,
+    Rastogi & Vassilvitskii, "Connected Components in MapReduce and
+    Beyond", SoCC'14): provably convergent in O(log² n) rounds, observed
+    ~log₂(diameter)+2 (a 4096-node path closes in 12 rounds, the fuzz
+    graphs in 6 — tests/test_cc_fuzz.py).
 
-    The first ``jump_after`` rounds are plain neighbor-min joins (every
-    node takes the smallest label among itself and its neighbors) — real
-    near-dup components are mostly tiny and converge here at one join+agg
-    per round. If the graph hasn't converged by then, the remaining
-    rounds add a pointer jump — every node re-reads the label OF its
-    label, halving chain depth per round — so the chain-shaped
-    components near-dup graphs produce at scale (A~B~C~… drifting
-    boilerplate) finish in logarithmic rounds instead of diameter
-    rounds. Plain propagation previously fell off the ``max_iters``
-    backstop SILENTLY on such chains; now ``max_iters=20`` covers
-    diameters past 10^5 and running off the budget raises instead of
-    returning a wrong labeling.
+    Each round rewrites the EDGE set (canonical ``u > v`` rows):
 
-    Per round: one join+agg over the (bidirectional) edge frame, plus —
-    jumping rounds only — one self-join over the label frame, all
-    bounded by O(|edges|); nodes not in any pair never enter the loop.
-    Lineage is truncated per round (localCheckpoint); sweep with
+    - **large-star**: every node attaches its strictly-larger neighbors
+      to the minimum of its neighborhood (including itself);
+    - **small-star**: every node attaches itself and its smaller
+      neighbors to the smallest of them.
+
+    Both operations preserve connectivity and only ever lower the partner
+    a node points at; the fixed point is a star forest whose centers are
+    the component minima — the output labeling read directly off the
+    final edge rows. Convergence is detected exactly (same edge count +
+    empty set difference between rounds, both frames being distinct).
+
+    This replaced a min-label-propagation + pointer-jump loop whose
+    claimed O(log d) bound was FALSE in general: when the component
+    minimum enters a chain mid-way, the far side's labels collapse into
+    a flat star pointing at a stale local minimum, pointer chases gain
+    nothing (label(label) is the same stale id), and convergence
+    degenerates to Θ(graph distance) — the randomized fuzz
+    (tests/test_cc_fuzz.py) surfaced it as a spurious non-convergence
+    raise at max_iters=20 on a diameter-90 graph. Star contraction has
+    no such degeneracy: the round count is topology-independent up to
+    the proven bound.
+
+    Per round: two grouped aggregations + two joins over the edge frame,
+    all O(|edges|); nodes not in any pair never enter the loop. Rounds
+    are pinned and lineage-truncated (localCheckpoint); sweep with
     ``session.release_checkpoint_caches`` between queries in long-lived
     sessions.
 
     ``reliable=True`` — durability in an ITERATIVE loop needs lineage
-    truncation too, not just durable blocks: each jump round self-joins
-    the label frame, so kept lineage DOUBLES the logical plan per round
-    and Catalyst's rule application goes exponential long before
-    ``max_iters`` (a 64-node chain OOMs the driver). Therefore with a
-    checkpoint directory configured (``sc.setCheckpointDir`` — standard
-    on any cluster run) every pin is a RELIABLE ``checkpoint(eager=True)``:
-    replicated fault-tolerant files, lineage truncated, plans stay
-    round-sized — the GraphX/ALS pattern. Without a checkpoint dir it
-    falls back to persist(DISK_ONLY) with lineage kept, which is fine for
-    the shallow graphs real near-dup corpora produce (2-5 rounds) but
-    exponential past ~6 jump rounds — set a checkpoint dir for deep
+    truncation too, not just durable blocks: each round's plan references
+    the previous round's edge frame ~a dozen times (two star passes +
+    the convergence check), so kept lineage grows the logical plan
+    multiplicatively per round and Catalyst's rule application blows up
+    long before ``max_iters``. Therefore with a checkpoint directory
+    configured (``sc.setCheckpointDir`` — standard on any cluster run)
+    every pin is a RELIABLE ``checkpoint(eager=True)``: replicated
+    fault-tolerant files, lineage truncated, plans stay round-sized —
+    the GraphX/ALS pattern. Without a checkpoint dir it falls back to
+    persist(DISK_ONLY) with lineage kept, which is fine for the shallow
+    graphs real near-dup corpora produce (2-3 rounds) but grows the
+    plan ~12× per round past that — set a checkpoint dir for deep
     chains.
 
-    Superseded rounds release eagerly either way: once a round's label
-    table is materialized, the previous round's pin — and, in jumping
-    rounds, the pre-jump pin — is unpersisted, so peak pinned storage is
-    ~2 edge-scale tables (edges + the live labels), not ``max_iters`` of
-    them accumulating until the session sweep. The unpersist goes through
-    the CacheManager (the persist path — where 20 DISK_ONLY tables would
-    actually hurt); localCheckpoint block sweeping stays with
-    ``release_checkpoint_caches``.
+    Superseded rounds release eagerly either way: once a round's edge
+    table is materialized and compared, the previous round's pin — and
+    the intra-round large-star pin — is unpersisted, so peak pinned
+    storage is ~2 edge-scale tables (plus the node list), not
+    ``max_iters`` of them accumulating until the session sweep.
 
     Input: (doc_a, doc_b) pairs. Output: (doc, label) for every node that
     appears in some pair, label = min node id of its component.
     """
-    # reliable + checkpoint dir configured → reliable checkpoint():
-    # truncated lineage (bounded plans through the self-join rounds) on
-    # replicated storage. See the docstring's durability discussion.
     use_ckpt = (
         reliable and pairs.sparkSession.sparkContext.getCheckpointDir() is not None
     )
@@ -1087,108 +1096,116 @@ def connected_components(
             return df.checkpoint(eager=True)
         return pin_intermediate(df, reliable=reliable, eager=True)
 
-    edges = round_pin(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-    )
-    # both edge directions exist, so src alone covers every paired node
-    labels = round_pin(
-        edges.select(F.col("src").alias("doc"))
+    # every paired node, self-loop-only nodes included — they re-enter as
+    # self-labeled rows after the loop (the edge frame drops self-loops)
+    nodes = round_pin(
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc")))
         .distinct()
-        .withColumn("label", F.col("doc"))
     )
+    edges = round_pin(
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
+    )
+    n_edges = edges.count()
     converged = False
-    prev_pin = labels  # release handle for the superseded round's pin
     for round_no in range(max_iters):
-        if reliable and not use_ckpt and round_no >= jump_after + 2:
-            # persist(DISK_ONLY) keeps lineage: the label frame enters
-            # each round's plan twice (neighbor join + carried old label)
-            # and jump rounds self-join it, so the analyzed tree grows
-            # ~4^round — Catalyst OOMs the driver around round 6
-            # (measured). Fail actionably before that instead.
+        if reliable and not use_ckpt and round_no >= 5:
+            # persist(DISK_ONLY) keeps lineage: each round's plan embeds
+            # the previous round's ~3 times (one window reference per
+            # star pass + the fixpoint check), so the analyzed tree
+            # grows ~3^round and Catalyst chokes in analysis well
+            # before max_iters. Fail actionably before that instead.
+            # Five rounds admit paths to ~16 nodes and every
+            # star/clique/near-clique component real near-dup corpora
+            # produce (2-3 rounds); deeper chains get the actionable
+            # message below.
             raise RuntimeError(
                 "connected_components(reliable=True) without a checkpoint "
                 f"directory reached round {round_no}: kept lineage grows "
-                "the logical plan ~4x per round and the driver would OOM "
-                "before max_iters. Set a fault-tolerant checkpoint dir "
-                "(sc.setCheckpointDir) so rounds truncate via reliable "
-                "checkpoint(), or use reliable=False (localCheckpoint) "
-                "for single-job runs."
+                "the logical plan multiplicatively per round and the "
+                "driver would choke before max_iters. Set a "
+                "fault-tolerant checkpoint dir (sc.setCheckpointDir) so "
+                "rounds truncate via reliable checkpoint(), or use "
+                "reliable=False (localCheckpoint) for single-job runs."
             )
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc)
-            .groupBy(F.col("dst").alias("doc2"))
-            .agg(F.min("label").alias("nbr_label"))
+        # -- large-star: symmetrize; per node x, m = min(Γ(x) ∪ {x});
+        # attach every strictly-larger neighbor to m. One window over
+        # the symmetrized frame (a single input reference — plan growth
+        # stays linear per pass) instead of a groupBy + join back.
+        # Emitted rows are canonical by construction (nbr > x ≥ m).
+        sym = edges.select("u", "v").unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        # carry the old label through the round so convergence is a cheap
-        # filter+take(1) on the already-checkpointed frame, not another join
-        new_labels = (
-            labels.join(neighbor_min, labels.doc == F.col("doc2"), "left")
+        large = round_pin(
+            sym.withColumn(
+                "m",
+                F.least(F.min("v").over(Window.partitionBy("u")), F.col("u")),
+            )
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # -- small-star: rows are already directed larger→smaller; per
+        # node u, m = min of its smaller neighbors; attach u and every
+        # smaller neighbor to m. Same single-reference shape: a window
+        # for m, then BOTH emissions ((u,m) per group — deduped below —
+        # and (v,m) per row) explode out of one pass.
+        new_edges = round_pin(
+            large.withColumn(
+                "m", F.min("v").over(Window.partitionBy("u"))
+            )
             .select(
-                "doc",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("new_label"),
-                F.col("label").alias("old_label"),
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("a"), F.col("m").alias("b")
+                        ),
+                        F.struct(
+                            F.greatest("v", "m").alias("a"),
+                            F.least("v", "m").alias("b"),
+                        ),
+                    )
+                ).alias("e")
             )
+            .select(F.col("e.a").alias("u"), F.col("e.b").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        new_labels = round_pin(new_labels)
-        if round_no >= jump_after:
-            # pointer jump: labels are node ids, so new_labels doubles as
-            # the label table — chase one level of indirection (label :=
-            # label of label). Labels only ever decrease, so the jump
-            # target is always <= the current label and the fixed point
-            # is unchanged.
-            pre_jump = new_labels
-            new_labels = (
-                new_labels.join(
-                    new_labels.select(
-                        F.col("doc").alias("jdoc"),
-                        F.col("new_label").alias("jlabel"),
-                    ),
-                    F.col("new_label") == F.col("jdoc"),
-                    "left",
-                )
-                .select(
-                    "doc",
-                    F.coalesce("jlabel", "new_label").alias("new_label"),
-                    "old_label",
-                )
-            )
-            new_labels = round_pin(new_labels)
-            # the jumped pin is materialized (eager) — the pre-jump pin
-            # is superseded within the round (unpersist is a no-op for
-            # the checkpoint/localCheckpoint variants; it releases the
-            # DISK_ONLY table on the persist path)
-            pre_jump.unpersist(False)
-        changed = new_labels.filter(
-            F.col("new_label") != F.col("old_label")
-        ).take(1)
-        # this round's labels are materialized AND consumed (take above):
-        # the previous round's pin has no remaining reader — release it
-        # now instead of letting up to max_iters edge-scale tables pile
-        # up until the session-level sweep
-        prev_pin.unpersist(False)
-        prev_pin = new_labels
-        labels = new_labels.select("doc", F.col("new_label").alias("label"))
+        large.unpersist(False)
+        # exact fixpoint test: both frames are distinct canonical edge
+        # sets, so equal counts + empty difference ⇔ set equality
+        n_new = new_edges.count()
+        changed = n_new != n_edges or bool(
+            new_edges.exceptAll(edges).take(1)
+        )
+        edges.unpersist(False)
+        edges, n_edges = new_edges, n_new
         if not changed:
             converged = True
             break
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iters} "
-            f"rounds ({jump_after} plain + the rest pointer-jumped) — "
-            "that means a component of diameter beyond "
-            f"~2^{max(0, max_iters - jump_after)}; raise max_iters"
+            "two-phase star rounds — beyond the observed ~log2(diameter)+2 "
+            "for any graph this side of the SoCC'14 O(log² n) worst case; "
+            "raise max_iters"
         )
-    # the converged label table is materialized; edges has no further
-    # reader (a lost labels block recomputes through kept lineage all the
-    # way from the pairs plan). The final labels pin itself is released
-    # by the caller / session sweep once consumed.
-    edges.unpersist(False)
-    return labels
+    # fixed point = star forest: every non-center node appears exactly
+    # once as the larger endpoint, pointing at its component minimum;
+    # centers (and self-loop-only nodes) label themselves
+    return (
+        nodes.join(
+            edges.select(F.col("u").alias("doc"), F.col("v").alias("label")),
+            "doc",
+            "left",
+        )
+        .select("doc", F.coalesce("label", F.col("doc")).alias("label"))
+    )
 
 
 #: SimHash width. 60 bits = 15 hex chars of md5: the token hash

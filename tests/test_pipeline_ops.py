@@ -311,9 +311,9 @@ class TestDedup:
         from php_ec_spark.session import release_checkpoint_caches
 
         release_checkpoint_caches(spark)
-        # an 8-node path: converges one round past jump_after, so both
-        # release sites (previous round + pre-jump) execute at least once
-        # while staying under the persist path's plan-growth guard
+        # an 8-node path: needs 4 star rounds (within the persist path's
+        # plan-growth guard), so both release sites (previous round + the
+        # intra-round large-star pin) execute several times
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(7)], "doc_a long, doc_b long"
         )
@@ -327,16 +327,17 @@ class TestDedup:
     def test_connected_components_reliable_deep_chain_needs_ckpt_dir(
         self, spark
     ):
-        """The persist fallback's plan grows ~4x/round (lineage kept):
-        past jump_after + 2 rounds it must fail ACTIONABLY (naming
-        sc.setCheckpointDir) instead of OOMing the driver mid-analysis."""
+        """The persist fallback's plan grows multiplicatively per round
+        (lineage kept): past 5 rounds it must fail ACTIONABLY (naming
+        sc.setCheckpointDir) instead of OOMing the driver mid-analysis.
+        A 64-node path needs 7 star rounds, comfortably past the guard."""
         import pytest
 
         from php_ec_spark.operators.dedup import connected_components
         from php_ec_spark.session import release_checkpoint_caches
 
         pairs = spark.createDataFrame(
-            [(i, i + 1) for i in range(15)], "doc_a long, doc_b long"
+            [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
         )
         with pytest.raises(RuntimeError, match="setCheckpointDir"):
             connected_components(pairs, max_iters=20, reliable=True)
@@ -345,13 +346,13 @@ class TestDedup:
     def test_connected_components_deep_chain_reliable_checkpoints(
         self, spark, tmp_path
     ):
-        """Durability for a DEEP component: with kept lineage each pointer
-        jump self-join DOUBLES the logical plan, so persist(DISK_ONLY)
-        alone OOMs Catalyst long before max_iters (reproduced on a 64-node
-        chain). With a checkpoint dir configured — the standard cluster
-        setup — reliable=True must switch to reliable checkpoint()
-        (replicated files, truncated lineage): bounded plans, correct
-        labels, and no pinned-table accumulation."""
+        """Durability for a DEEP component: with kept lineage each star
+        round embeds the previous round's plan ~a dozen times, so
+        persist(DISK_ONLY) alone chokes Catalyst long before max_iters.
+        With a checkpoint dir configured — the standard cluster setup —
+        reliable=True must switch to reliable checkpoint() (replicated
+        files, truncated lineage): bounded plans, correct labels, and no
+        pinned-table accumulation."""
         from php_ec_spark.operators.dedup import connected_components
         from php_ec_spark.session import release_checkpoint_caches
 
@@ -1921,17 +1922,16 @@ class TestPackSequences:
 
 class TestConnectedComponents:
     def test_chain_converges_logarithmically(self, spark):
-        """A 100-node path graph has diameter 99: plain min-label
-        propagation needs ~99 rounds, pointer jumping must close it
-        within 9 (ceil(log2(99)) + margin)."""
+        """A 100-node path graph has diameter 99: one-hop label
+        propagation would need ~99 rounds, star contraction must close
+        it within 9 (ceil(log2(99)) + margin; measured 7 + the
+        fixpoint-detection round)."""
         from php_ec_spark.operators.dedup import connected_components
 
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(99)], "doc_a long, doc_b long"
         )
-        labels = connected_components(
-            pairs, max_iters=9, jump_after=0
-        ).collect()
+        labels = connected_components(pairs, max_iters=9).collect()
         assert len(labels) == 100
         assert all(r.label == 0 for r in labels)
 
@@ -1949,7 +1949,7 @@ class TestConnectedComponents:
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                        20: 10, 21: 10, 22: 10}
         with pytest.raises(RuntimeError, match="did not converge"):
-            # a 40-chain cannot converge in 2 rounds even with jumping
+            # a 40-chain needs ~6 star rounds — 2 cannot close it
             long_chain = spark.createDataFrame(
                 [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
             )
