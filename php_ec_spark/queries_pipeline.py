@@ -156,8 +156,9 @@ def pipe_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipe_dedup_clusters",
     headline=True,
     doc="Near-dup clusters: connected components over the >=0.8 Jaccard "
-    "pair graph via iterative min-label propagation (the non-SQL-shaped "
-    "algorithm); oracle derives identical labels with a recursive CTE.",
+    "pair graph via two-phase large-star/small-star contraction (the "
+    "non-SQL-shaped algorithm, SoCC'14); oracle derives identical "
+    "labels with a recursive CTE.",
     oracle=(_SHINGLES + """
         , pairs AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
