@@ -1030,8 +1030,9 @@ def connected_components(
     LARGE-STAR / SMALL-STAR edge contraction (Kiveris, Lattanzi, Mirrokni,
     Rastogi & Vassilvitskii, "Connected Components in MapReduce and
     Beyond", SoCC'14): provably convergent in O(log² n) rounds, observed
-    ~log₂(diameter)+2 (a 4096-node path closes in 12 rounds, the fuzz
-    graphs in 6 — tests/test_cc_fuzz.py).
+    ~log₂(diameter)+2 CHANGING rounds plus one fixpoint-detection round
+    (a 4096-node path: 12 changing + 1 detection, so ``max_iters`` must
+    be ≥ 13 for it; the fuzz graphs: 6 + 1 — tests/test_cc_fuzz.py).
 
     Each round rewrites the EDGE set (canonical ``u > v`` rows):
 
@@ -1057,11 +1058,14 @@ def connected_components(
     no such degeneracy: the round count is topology-independent up to
     the proven bound.
 
-    Per round: two grouped aggregations + two joins over the edge frame,
-    all O(|edges|); nodes not in any pair never enter the loop. Rounds
-    are pinned and lineage-truncated (localCheckpoint); sweep with
-    ``session.release_checkpoint_caches`` between queries in long-lived
-    sessions.
+    Per round: one neighborhood-min per star pass (a partial-aggregated
+    groupBy + broadcastable join-back on the lineage-truncating paths;
+    a single-reference window on the kept-lineage persist fallback —
+    see the in-loop comment for the skew trade) plus the exact fixpoint
+    check, all O(|edges|); nodes not in any pair never enter the loop.
+    Rounds are pinned and lineage-truncated (localCheckpoint); sweep
+    with ``session.release_checkpoint_caches`` between queries in
+    long-lived sessions.
 
     ``reliable=True`` — durability in an ITERATIVE loop needs lineage
     truncation too, not just durable blocks: each round's plan references
@@ -1079,9 +1083,10 @@ def connected_components(
     chains.
 
     Superseded rounds release eagerly either way: once a round's edge
-    table is materialized and compared, the previous round's pin — and
-    the intra-round large-star pin — is unpersisted, so peak pinned
-    storage is ~2 edge-scale tables (plus the node list), not
+    table is materialized, the intra-round large-star pin is released,
+    and once compared, the previous round's pin too — so peak pinned
+    storage is THREE edge-scale tables briefly coexisting mid-round
+    (previous edges + large + new_edges, plus the node list), not
     ``max_iters`` of them accumulating until the session sweep.
 
     Input: (doc_a, doc_b) pairs. Output: (doc, label) for every node that
@@ -1133,32 +1138,54 @@ def connected_components(
                 "rounds truncate via reliable checkpoint(), or use "
                 "reliable=False (localCheckpoint) for single-job runs."
             )
+        # Two formulations of the per-node neighborhood minimum, chosen
+        # by whether lineage truncates between rounds:
+        #
+        # - SKEW-SAFE (default localCheckpoint path + reliable-checkpoint
+        #   path, where each round's pin truncates the plan so per-round
+        #   reference multiplicity is moot): groupBy().agg(min) has
+        #   map-side partial aggregation, and joining the node-scale min
+        #   table back is broadcast/AQE-skew-splittable — so a giant star
+        #   (every component contracts toward one center whose degree is
+        #   the component size) never funnels its whole edge list through
+        #   a single task.
+        # - SINGLE-REFERENCE (kept-lineage persist fallback only):
+        #   Window.partitionBy(node) references its input once, keeping
+        #   the retained logical plan at ~3× per round instead of ~12×
+        #   (the groupBy+join form embeds the frame 3-4× per pass and
+        #   OOM'd the driver in analysis at round 4, reproduced on a
+        #   16-node path). A window has no partial aggregation, so the
+        #   star center's partition is a hot task — acceptable ONLY here
+        #   because this path is guarded to ≤5 shallow rounds anyway.
+        skew_safe = use_ckpt or not reliable
+
+        def nbr_min(df: DataFrame, include_self: bool) -> DataFrame:
+            """df(u, v, …) + column m = min(v [∪ {u}]) per u."""
+            m = F.least(F.col("__mn"), F.col("u")) if include_self else F.col("__mn")
+            if skew_safe:
+                mins = df.groupBy("u").agg(F.min("v").alias("__mn"))
+                return df.join(mins, "u").withColumn("m", m).drop("__mn")
+            w = F.min("v").over(Window.partitionBy("u"))
+            return df.withColumn("__mn", w).withColumn("m", m).drop("__mn")
+
         # -- large-star: symmetrize; per node x, m = min(Γ(x) ∪ {x});
-        # attach every strictly-larger neighbor to m. One window over
-        # the symmetrized frame (a single input reference — plan growth
-        # stays linear per pass) instead of a groupBy + join back.
-        # Emitted rows are canonical by construction (nbr > x ≥ m).
+        # attach every strictly-larger neighbor to m. Emitted rows are
+        # canonical by construction (nbr > x ≥ m).
         sym = edges.select("u", "v").unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         large = round_pin(
-            sym.withColumn(
-                "m",
-                F.least(F.min("v").over(Window.partitionBy("u")), F.col("u")),
-            )
+            nbr_min(sym, include_self=True)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
         )
         # -- small-star: rows are already directed larger→smaller; per
         # node u, m = min of its smaller neighbors; attach u and every
-        # smaller neighbor to m. Same single-reference shape: a window
-        # for m, then BOTH emissions ((u,m) per group — deduped below —
-        # and (v,m) per row) explode out of one pass.
+        # smaller neighbor to m. BOTH emissions ((u,m) per group —
+        # deduped below — and (v,m) per row) explode out of one pass.
         new_edges = round_pin(
-            large.withColumn(
-                "m", F.min("v").over(Window.partitionBy("u"))
-            )
+            nbr_min(large, include_self=False)
             .select(
                 F.explode(
                     F.array(

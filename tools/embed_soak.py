@@ -75,8 +75,12 @@ def synthesize_embeddings(spark, sf_dir: str, scale: int, out_dir: str) -> str:
 
     dst = os.path.join(out_dir, f"x{scale}")
     dest_parquet = os.path.join(dst, "embeddings.parquet")
-    if os.path.exists(dest_parquet):
+    # a bare directory is NOT a valid cache — a run killed mid-write
+    # leaves partial parquet with no _SUCCESS marker, and silently
+    # reusing it would put truncated-corpus numbers into SCALE.md
+    if os.path.exists(os.path.join(dest_parquet, "_SUCCESS")):
         return dst
+    shutil.rmtree(dest_parquet, ignore_errors=True)
     if scale > 100:
         raise ValueError(f"scale {scale} > 100 would collide synthesized ids")
     os.makedirs(dst, exist_ok=True)
@@ -199,14 +203,19 @@ def main() -> None:
 
     lo, hi = scales[0], scales[-1]
     mid = scales[-2] if len(scales) > 2 else lo
+    fit = len(scales) > 1  # one scale = a point re-measure, no exponent
     lines = [
         "| operator | "
         + " | ".join(f"{s}x sec (rows)" for s in scales)
-        + " | alpha | alpha_hi |",
-        "|---|" + "---|" * (len(scales) + 2),
+        + (" | alpha | alpha_hi |" if fit else " |"),
+        "|---|" + "---|" * (len(scales) + (2 if fit else 0)),
     ]
     summary = {}
     for name, r in results.items():
+        cells = " | ".join(f"{r[s]['sec']:.2f} ({r[s]['rows']})" for s in scales)
+        if not fit:
+            lines.append(f"| {name} | {cells} |")
+            continue
         alpha = math.log(r[hi]["sec"] / r[lo]["sec"]) / math.log(
             n_vecs[hi] / n_vecs[lo]
         )
@@ -214,7 +223,6 @@ def main() -> None:
             n_vecs[hi] / n_vecs[mid]
         )
         summary[name] = {"alpha": round(alpha, 3), "alpha_hi": round(alpha_hi, 3)}
-        cells = " | ".join(f"{r[s]['sec']:.2f} ({r[s]['rows']})" for s in scales)
         lines.append(f"| {name} | {cells} | {alpha:.2f} | {alpha_hi:.2f} |")
     lines.append("")
     lines.append(
