@@ -182,7 +182,12 @@ def main() -> None:
     # claims "10M+ events/day" ≈ 116 events/s sustained; tests_adhoc/
     # speed_test.php measures a 3-rule in-process loop). Same shape here:
     # three state-machine rules over the full events table.
-    from php_ec_spark.calib import CALIB_REF_SEC, LOADED_RATIO, calib_probe
+    from php_ec_spark.calib import (
+        CALIB_REF_SEC,
+        LOADED_RATIO,
+        calib_probe,
+        window_stamp,
+    )
     from php_ec_spark.engine import correlate_state_machine
     from php_ec_spark.model import load_events
     from php_ec_spark.rules import match_single_continuously, sequence_rule
@@ -231,26 +236,46 @@ def main() -> None:
     rows_of: dict[str, int] = {}
     calib_rounds: list[float] = []
     sm_secs: list[float] = []
-    for r in range(iters):
-        # min of a back-to-back pair: the first probe absorbs GC/JIT debt
-        # left by the previous round's queries (observed: a lone probe
-        # right after heavy query work reads ~10-20% high even on a quiet
-        # box), the second measures the window.
-        calib_rounds.append(round(min(calib_probe(spark),
-                                      calib_probe(spark)), 3))
-        for name in order:
-            q = headline[name]
+
+    def measure_rounds(n_rounds: int, attempt: int) -> None:
+        for r in range(n_rounds):
+            # min of a back-to-back pair: the first probe absorbs GC/JIT
+            # debt left by the previous round's queries (observed: a lone
+            # probe right after heavy query work reads ~10-20% high even
+            # on a quiet box), the second measures the window.
+            calib_rounds.append(round(min(calib_probe(spark),
+                                          calib_probe(spark)), 3))
+            for name in order:
+                q = headline[name]
+                t0 = time.perf_counter()
+                df = q.spark(spark, sf_dir)
+                rows_of[name] = df.count()
+                samples[name].append(time.perf_counter() - t0)
+                clear_rdd_cache()
             t0 = time.perf_counter()
-            df = q.spark(spark, sf_dir)
-            rows_of[name] = df.count()
-            samples[name].append(time.perf_counter() - t0)
-            clear_rdd_cache()
-        t0 = time.perf_counter()
-        correlate_state_machine(events, sm_rules).count()
-        sm_secs.append(time.perf_counter() - t0)
-        print(f"# round {r + 1}/{iters}: calib {calib_rounds[-1]:.3f}s, "
-              f"queries {sum(s[-1] for s in samples.values()):.1f}s",
-              file=sys.stderr)
+            correlate_state_machine(events, sm_rules).count()
+            sm_secs.append(time.perf_counter() - t0)
+            print(f"# round {r + 1}/{n_rounds} (attempt {attempt}): "
+                  f"calib {calib_rounds[-1]:.3f}s, "
+                  f"queries {sum(s[-1] for s in samples.values()):.1f}s",
+                  file=sys.stderr)
+
+    measure_rounds(iters, attempt=1)
+    # retry-on-loaded (round-13 verdict #2b): if even the min-of-rounds
+    # probe reads loaded, every sample of every query was taken in a bad
+    # window and min-of-N cannot rescue the artifact — re-settle and run
+    # the whole interleaved set ONCE more (bounded: one retry), merging
+    # samples so the mins come from whichever window was quieter. The
+    # artifact records the retry and all calib rounds either way; if the
+    # box never quiets down, the final stamp still reads loaded.
+    retried = False
+    if min(calib_rounds) / CALIB_REF_SEC >= LOADED_RATIO:
+        retried = True
+        print(f"# window loaded (ratio "
+              f"{min(calib_rounds) / CALIB_REF_SEC:.2f}) — settling and "
+              "retrying the interleaved set once", file=sys.stderr)
+        _settle()
+        measure_rounds(iters, attempt=2)
 
     timings = {name: round(min(samples[name]), 3) for name in order}
     total = sum(min(samples[name]) for name in order)
@@ -263,15 +288,19 @@ def main() -> None:
 
     calib_sec = min(calib_rounds)
     calib_ratio = round(calib_sec / CALIB_REF_SEC, 3)
-    window = "loaded" if calib_ratio >= LOADED_RATIO else "quiet"
+    window = window_stamp(calib_ratio)
     print(f"# calib: {calib_sec:.3f}s vs ref {CALIB_REF_SEC:.3f}s -> "
           f"ratio {calib_ratio} ({window} window; per-round "
           f"{calib_rounds})", file=sys.stderr)
 
     # per-query delta vs the most recent BENCH_r{N}.json in the repo root,
     # so ±15% box-noise drifts are visible in the artifact itself instead
-    # of needing a cross-round diff
+    # of needing a cross-round diff. When BOTH artifacts carry a calib
+    # ratio, deltas compare load-NORMALIZED values (t / ratio) so a
+    # loaded-vs-quiet window pair doesn't read as a 1.5x regression
+    # (round-13 verdict #2a); delta_basis records which basis was used.
     deltas: dict[str, float] = {}
+    delta_basis = "raw"
     prev_path = None
     here = os.path.dirname(os.path.abspath(__file__))
     benches = sorted(
@@ -284,9 +313,20 @@ def main() -> None:
             with open(prev_path) as fh:
                 prev = json.load(fh).get("parsed", {}) or {}
             prev_q = prev.get("queries", {})
+            prev_ratio = (prev.get("calib") or {}).get("ratio") or 0
+            cur_scale, prev_scale = 1.0, 1.0
+            if prev_ratio and calib_ratio:
+                delta_basis = "normalized"
+                cur_scale, prev_scale = calib_ratio, prev_ratio
             for name, t in timings.items():
                 if name in prev_q and prev_q[name]:
-                    deltas[name] = round(t / prev_q[name] - 1.0, 3)
+                    deltas[name] = round(
+                        (t / cur_scale) / (prev_q[name] / prev_scale) - 1.0,
+                        3,
+                    )
+            # eps deltas stay raw: the probe measures 32-core contention,
+            # which maps cleanly onto query wall-times but not onto a
+            # throughput number with a single-thread Python component
             if prev.get("state_machine_eps"):
                 deltas["state_machine_eps"] = round(
                     eps / prev["state_machine_eps"] - 1.0, 3
@@ -302,8 +342,17 @@ def main() -> None:
     out = {
         "metric": "headline_total_runtime",
         "value": round(total, 3),
+        # load-normalized total (value / calib.ratio): the cross-round
+        # trend number — raw totals from differently-loaded windows are
+        # not comparable (round-13 verdict #2a). Read trend lines off
+        # this field; read absolute cost off `value` + `window`.
+        "value_normalized": round(total / calib_ratio, 3) if calib_ratio
+        else None,
         "unit": "sec",
         "queries": timings,
+        "queries_normalized": {
+            name: round(t / calib_ratio, 3) for name, t in timings.items()
+        } if calib_ratio else None,
         "state_machine_eps": round(eps),
         "state_machine_eps_pure": round(eps_pure),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -313,8 +362,9 @@ def main() -> None:
         # the clean-window signal; the documented noise band is ±15%)
         "loadavg": {"start": load_start, "end": round(os.getloadavg()[0], 2)},
         # self-adjudication (round-12 verdict #1): the fixed probe's
-        # min-of-rounds over its committed quiet reference. ratio ~1.0 =
-        # trustworthy window; >= LOADED_RATIO stamps window=loaded and the
+        # min-of-rounds over its committed quiet reference. ratio < 1.15 =
+        # quiet (trustworthy record run); 1.15-1.3 = warm (mild upper
+        # bounds); >= LOADED_RATIO stamps window=loaded and the
         # per-query numbers should be read as upper bounds. rounds shows
         # WHICH rounds were contaminated (the min-of-N escape hatch only
         # fails when every round was loaded — exactly when ratio is high).
@@ -325,9 +375,11 @@ def main() -> None:
             "rounds": calib_rounds,
         },
         "window": window,
+        "retried": retried,
     }
     if deltas:
         out["delta_vs_prev"] = deltas
+        out["delta_basis"] = delta_basis
         out["delta_baseline"] = os.path.basename(prev_path)
     print(json.dumps(out))
 

@@ -50,6 +50,26 @@ CALIB_REF_SEC = 0.49
 #: ~1.3x canary threshold; quiet-window spread is ~1.0-1.15x).
 LOADED_RATIO = 1.3
 
+#: Ratio above which a window is stamped ``warm`` (round-13 verdict #3:
+#: the 1.15-1.3 gray zone used to pass as ``quiet`` while visibly
+#: inflating multi-core wall-times ~20%; the documented quiet spread is
+#: 1.0-1.15, so anything above it is no longer a trustworthy record run
+#: even though min-of-N may still rescue individual queries).
+WARM_RATIO = 1.15
+
+
+def window_stamp(ratio: float) -> str:
+    """Three-tier window classification for a measured load ratio:
+    ``quiet`` (< :data:`WARM_RATIO` — trustworthy record run), ``warm``
+    (gray zone — numbers read as mild upper bounds, don't record floors
+    or regressions off them), ``loaded`` (>= :data:`LOADED_RATIO` —
+    uniformly inflated; the bench retries the window once)."""
+    if ratio >= LOADED_RATIO:
+        return "loaded"
+    if ratio >= WARM_RATIO:
+        return "warm"
+    return "quiet"
+
 
 def calib_probe(spark: SparkSession) -> float:
     """Run the fixed probe once and return its wall-clock seconds.

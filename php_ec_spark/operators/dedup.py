@@ -1025,14 +1025,16 @@ def connected_components(
     pairs: DataFrame,
     max_iters: int = 20,
     reliable: bool = False,
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — alternating
     LARGE-STAR / SMALL-STAR edge contraction (Kiveris, Lattanzi, Mirrokni,
     Rastogi & Vassilvitskii, "Connected Components in MapReduce and
     Beyond", SoCC'14): provably convergent in O(log² n) rounds, observed
-    ~log₂(diameter)+2 CHANGING rounds plus one fixpoint-detection round
-    (a 4096-node path: 12 changing + 1 detection, so ``max_iters`` must
-    be ≥ 13 for it; the fuzz graphs: 6 + 1 — tests/test_cc_fuzz.py).
+    ~log₂(diameter)+2 rounds total — convergence is detected ON the round
+    that produces the fixpoint, no extra detection round (a 4096-node
+    path: 12 rounds, so ``max_iters`` must be ≥ 12 for it; the fuzz
+    graphs close in 6 — tests/test_cc_fuzz.py).
 
     Each round rewrites the EDGE set (canonical ``u > v`` rows):
 
@@ -1044,8 +1046,16 @@ def connected_components(
     Both operations preserve connectivity and only ever lower the partner
     a node points at; the fixed point is a star forest whose centers are
     the component minima — the output labeling read directly off the
-    final edge rows. Convergence is detected exactly (same edge count +
-    empty set difference between rounds, both frames being distinct).
+    final edge rows. Convergence is detected exactly and WITHOUT
+    referencing the previous round: the round map's fixpoints are
+    precisely the canonical star forests (each non-center node appears as
+    the larger endpoint of exactly ONE edge and never as a center —
+    sufficiency: both passes re-emit such a set verbatim; necessity: a
+    node with two parents or a chain node playing both roles is rewritten
+    by the very next round), so one narrow endpoint-role aggregation over
+    ``new_edges`` replaces the former per-round ``count()`` +
+    ``exceptAll`` against the previous round AND fires on the round that
+    PRODUCES the fixpoint instead of one round later.
 
     This replaced a min-label-propagation + pointer-jump loop whose
     claimed O(log d) bound was FALSE in general: when the component
@@ -1082,12 +1092,21 @@ def connected_components(
     plan ~12× per round past that — set a checkpoint dir for deep
     chains.
 
-    Superseded rounds release eagerly either way: once a round's edge
-    table is materialized, the intra-round large-star pin is released,
-    and once compared, the previous round's pin too — so peak pinned
+    Superseded rounds are released as they go, with one caveat: the
+    eager ``unpersist`` calls only actually free the persist(DISK_ONLY)
+    fallback path — on the default localCheckpoint path and the reliable
+    ``checkpoint()`` path the RDD-level blocks / checkpoint files are not
+    in the CacheManager, so ``DataFrame.unpersist`` is a no-op there and
+    per-round blocks accumulate until ``session.release_checkpoint_caches``
+    (or context cleanup) sweeps them. On the persist path, peak pinned
     storage is THREE edge-scale tables briefly coexisting mid-round
     (previous edges + large + new_edges, plus the node list), not
     ``max_iters`` of them accumulating until the session sweep.
+
+    ``stats`` (optional dict) is populated in place with round telemetry:
+    ``rounds`` (rounds executed), ``max_iters``, ``converged`` — so
+    operators sizing ``max_iters`` on real corpora can read how much
+    headroom a run had instead of discovering the bound by crashing.
 
     Input: (doc_a, doc_b) pairs. Output: (doc, label) for every node that
     appears in some pair, label = min node id of its component.
@@ -1116,14 +1135,15 @@ def connected_components(
         )
         .distinct()
     )
-    n_edges = edges.count()
     converged = False
+    rounds_used = 0
     for round_no in range(max_iters):
         if reliable and not use_ckpt and round_no >= 5:
             # persist(DISK_ONLY) keeps lineage: each round's plan embeds
-            # the previous round's ~3 times (one window reference per
-            # star pass + the fixpoint check), so the analyzed tree
-            # grows ~3^round and Catalyst chokes in analysis well
+            # the previous round's multiple times (the symmetrize union
+            # references it twice, plus one window reference per star
+            # pass), so the analyzed tree grows multiplicatively per
+            # round and Catalyst chokes in analysis well
             # before max_iters. Fail actionably before that instead.
             # Five rounds admit paths to ~16 nodes and every
             # star/clique/near-clique component real near-dup corpora
@@ -1170,7 +1190,10 @@ def connected_components(
 
         # -- large-star: symmetrize; per node x, m = min(Γ(x) ∪ {x});
         # attach every strictly-larger neighbor to m. Emitted rows are
-        # canonical by construction (nbr > x ≥ m).
+        # canonical by construction (nbr > x ≥ m). NOT deduped here: the
+        # small-star min is duplicate-insensitive and new_edges' final
+        # distinct subsumes it, so the intra-round exchange+aggregate a
+        # distinct would cost buys nothing.
         sym = edges.select("u", "v").unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -1178,7 +1201,6 @@ def connected_components(
             nbr_min(sym, include_self=True)
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
         # -- small-star: rows are already directed larger→smaller; per
         # node u, m = min of its smaller neighbors; attach u and every
@@ -1204,17 +1226,42 @@ def connected_components(
             .distinct()
         )
         large.unpersist(False)
-        # exact fixpoint test: both frames are distinct canonical edge
-        # sets, so equal counts + empty difference ⇔ set equality
-        n_new = new_edges.count()
-        changed = n_new != n_edges or bool(
-            new_edges.exceptAll(edges).take(1)
-        )
         edges.unpersist(False)
-        edges, n_edges = new_edges, n_new
-        if not changed:
+        edges = new_edges
+        rounds_used = round_no + 1
+        # exact fixpoint test — star-forest check on new_edges ALONE
+        # (see docstring proof): a violation is a node with >1 parent or
+        # one playing both leaf and center. One narrow shuffle on node
+        # ids with map-side partial aggregation (a giant star's center
+        # contributes |star| center-role rows, combined before the
+        # exchange), no reference to the previous round's frame.
+        roles = edges.select(
+            F.col("u").alias("node"),
+            F.lit(1).alias("leaf"),
+            F.lit(0).alias("center"),
+        ).unionByName(
+            edges.select(
+                F.col("v").alias("node"),
+                F.lit(0).alias("leaf"),
+                F.lit(1).alias("center"),
+            )
+        )
+        violation = (
+            roles.groupBy("node")
+            .agg(F.sum("leaf").alias("leaf"), F.max("center").alias("center"))
+            .filter(
+                (F.col("leaf") > 1)
+                | ((F.col("leaf") > 0) & (F.col("center") > 0))
+            )
+            .take(1)
+        )
+        if not violation:
             converged = True
             break
+    if stats is not None:
+        stats.update(
+            rounds=rounds_used, max_iters=max_iters, converged=converged
+        )
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iters} "

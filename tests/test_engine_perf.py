@@ -194,6 +194,25 @@ def test_window_ratio_math(monkeypatch):
     assert ratio == pytest.approx(0.98 / calib.CALIB_REF_SEC)
 
 
+def test_window_stamp_tiers():
+    """Three-tier stamp (round-13 verdict #3): the 1.15-1.3 gray zone
+    used to read as quiet while inflating multi-core wall-times ~20% —
+    a ratio-1.2 window must no longer pass as a trustworthy record run."""
+    from php_ec_spark.calib import (
+        LOADED_RATIO,
+        WARM_RATIO,
+        window_stamp,
+    )
+
+    assert 1.0 < WARM_RATIO < LOADED_RATIO
+    assert window_stamp(0.95) == "quiet"
+    assert window_stamp(1.14) == "quiet"
+    assert window_stamp(1.2) == "warm"
+    assert window_stamp(WARM_RATIO) == "warm"
+    assert window_stamp(LOADED_RATIO) == "loaded"
+    assert window_stamp(2.6) == "loaded"
+
+
 def test_calibration_probe_contract():
     """The fixed window-calibration probe (php_ec_spark/calib.py) must run
     on any session config (it is used at shuffle.partitions 8 and 32) and
