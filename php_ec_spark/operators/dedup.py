@@ -1120,21 +1120,36 @@ def connected_components(
             return df.checkpoint(eager=True)
         return pin_intermediate(df, reliable=reliable, eager=True)
 
+    # Pin the RAW pair frame once before deriving anything: the caller's
+    # lineage is typically expensive (cluster_documents hands over the
+    # LSH candidate + verification join), and nodes/edges each force a
+    # full materialization of their input — unpinned, the upstream
+    # pipeline executed TWICE before round 0 even started. One pin job +
+    # two cheap derived jobs beats two upstream executions whenever the
+    # upstream costs more than one task wave; released right after both
+    # derivations (a real free only on the persist path — see docstring).
+    # (Lazier variants — node list unpinned, round-0 edges as a filter
+    # over the pinned pairs — measured SLOWER at sf0.1: every lazy
+    # reference re-runs its reduce side as extra AQE stages, and the
+    # pinned forms keep the loop's per-round reference fan-out reading
+    # materialized blocks instead.)
+    pairs_p = round_pin(pairs.select("doc_a", "doc_b"))
     # every paired node, self-loop-only nodes included — they re-enter as
     # self-labeled rows after the loop (the edge frame drops self-loops)
     nodes = round_pin(
-        pairs.select(F.col("doc_a").alias("doc"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc")))
+        pairs_p.select(F.col("doc_a").alias("doc"))
+        .unionByName(pairs_p.select(F.col("doc_b").alias("doc")))
         .distinct()
     )
     edges = round_pin(
-        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        pairs_p.filter(F.col("doc_a") != F.col("doc_b"))
         .select(
             F.greatest("doc_a", "doc_b").alias("u"),
             F.least("doc_a", "doc_b").alias("v"),
         )
         .distinct()
     )
+    pairs_p.unpersist(False)
     converged = False
     rounds_used = 0
     for round_no in range(max_iters):
