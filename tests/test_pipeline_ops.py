@@ -760,6 +760,86 @@ class TestDedup:
         assert {r.doc_id for r in got} == {2}
         assert {r.first_doc for r in got} == {1}  # state from run 1
 
+    def test_dedup_doors_jobs_per_trigger_pinned(self, spark, tmp_path):
+        """Round-13 verdict #7: the embedding-ingest and index-ingest
+        doors have pinned jobs-per-trigger budgets; these two text doors
+        did not. Same marginal-batch meter (AQE off so the counter reads
+        ACTIONS, not materialized AQE stages): run each door over 1, 2
+        and 3 identically-shaped all-novel single-file micro-batches
+        (fresh checkpoint per run, same startup) and read the
+        DAGScheduler job counter; batch 2's and batch 3's marginal jobs
+        must be equal and within the pinned budget. Both doors are
+        single-action per trigger (measured 1, pyspark 4.1.2): one
+        incremental-execution action covering digest + state store (no
+        estimation/verification jobs ride along). A bump past 2 means a
+        per-batch job crept into the hot ingest path — justify and
+        re-pin deliberately, never silently."""
+        import json as _json
+        import os
+
+        from php_ec_spark.operators.dedup import (
+            streaming_exact_dedup,
+            streaming_minhash_dedup,
+        )
+
+        def n_jobs():
+            return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+        def run(door, tag, n_batches):
+            src = tmp_path / f"jt_src_{tag}"
+            src.mkdir()
+            for b in range(n_batches):
+                p = src / f"{b:02d}.json"
+                with open(p, "w") as f:
+                    for i in range(2):  # all novel: identical code path
+                        f.write(_json.dumps({
+                            "doc_id": b * 10 + i,
+                            "text": f"novel {b} {i} " + " ".join(
+                                f"w{b}x{i}y{k}" for k in range(8)
+                            ),
+                            "ts": f"2024-01-01T0{b}:00:0{i}Z",
+                        }) + "\n")
+                os.utime(p, (1_700_000_000 + b * 10,) * 2)
+            stream = (
+                spark.readStream
+                .schema("doc_id long, text string, ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .json(str(src))
+            )
+            out = door(stream, ts_col="ts", horizon="1 hour")
+            j0 = n_jobs()
+            q = (
+                out.writeStream.format("memory")
+                .queryName(f"jt_{tag}")
+                .option("checkpointLocation", str(tmp_path / f"jt_ck_{tag}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(timeout=120)
+            return n_jobs() - j0
+
+        aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            for name, door in (
+                ("exact", streaming_exact_dedup),
+                ("minhash", streaming_minhash_dedup),
+            ):
+                j1 = run(door, f"{name}_a", 1)
+                j2 = run(door, f"{name}_b", 2)
+                j3 = run(door, f"{name}_c", 3)
+                m2, m3 = j2 - j1, j3 - j2
+                assert m2 == m3, (
+                    f"{name} door: jobs per trigger drifted between "
+                    f"batches: {m2} vs {m3} (totals {j1}/{j2}/{j3})"
+                )
+                assert m3 <= 2, (
+                    f"{name} door: {m3} jobs per trigger, budget 2 "
+                    "(measured 1)"
+                )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
 
 class TestSimilarity:
     def test_topk_small_corpus_excludes_self(self, spark):
