@@ -983,9 +983,16 @@ def dedup_clusters(
     id_col: str = "doc_id",
     max_iters: int = 20,
     reliable: bool = False,
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the similar-pair
     graph, labeled by the minimum doc id in each component.
+
+    ``stats`` (optional dict) is passed through to
+    :func:`connected_components` and comes back with
+    {rounds, max_iters, converged} — read it to size ``max_iters``
+    headroom on real corpora instead of discovering the bound by
+    crashing.
 
     The pair graph comes from :func:`minhash_lsh_pairs` (bucketed, exact-
     verified). Components are found by :func:`connected_components` —
@@ -1006,7 +1013,9 @@ def dedup_clusters(
         df, threshold=threshold, n=n, text_col=text_col, id_col=id_col,
         reliable=reliable,
     ).select("doc_a", "doc_b")
-    labels = connected_components(pairs, max_iters=max_iters, reliable=reliable)
+    labels = connected_components(
+        pairs, max_iters=max_iters, reliable=reliable, stats=stats
+    )
     # singletons (the vast majority at scale) never entered the loop:
     # join the converged component labels back over the full corpus
     return (

@@ -79,11 +79,27 @@ def test_connected_components_match_union_find(spark, seed):
     edges = _random_graph(seed)
     want = _union_find_labels(edges)
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    stats: dict = {}
     try:
-        got = {r.doc: r.label for r in connected_components(pairs).collect()}
+        got = {
+            r.doc: r.label
+            for r in connected_components(pairs, stats=stats).collect()
+        }
     finally:
         release_checkpoint_caches(spark)
     assert got == want, (
         f"seed={seed}: {sum(1 for d in want if got.get(d) != want[d])} "
         f"of {len(want)} nodes mislabeled"
+    )
+    # round-count pin (round 14): star contraction closes these graphs
+    # logarithmically (measured 6 rounds; bound ceil(log2(|V|)) + 2 ≈ 11
+    # for ~300 nodes). A regression back toward Θ(diameter) behavior —
+    # the bug this file exists for, diameter ~90 here — must trip this
+    # telemetry assertion even if it still converges under max_iters.
+    import math
+
+    bound = math.ceil(math.log2(len(want))) + 2
+    assert stats["converged"] and stats["rounds"] <= bound, (
+        f"seed={seed}: {stats['rounds']} rounds for {len(want)} nodes "
+        f"(bound {bound}) — star contraction degenerated"
     )

@@ -2035,6 +2035,48 @@ class TestConnectedComponents:
             )
             connected_components(long_chain, max_iters=2)
 
+    def test_round_telemetry(self, spark):
+        """Round-13 verdict #7: stats= reports rounds used vs max_iters
+        so operators sizing max_iters on real corpora read their headroom
+        instead of crashing into the bound. Also pins the round-14
+        detection contract: convergence fires ON the round that produces
+        the fixpoint (a star graph closes in 1, no extra detection
+        round), and the non-converged loop still fills stats before
+        raising."""
+        from php_ec_spark.operators.dedup import (
+            connected_components,
+            dedup_clusters,
+        )
+
+        # already a star forest: one round proves the fixpoint
+        star = spark.createDataFrame(
+            [(0, i) for i in range(1, 5)], "doc_a long, doc_b long"
+        )
+        stats = {}
+        labels = connected_components(star, stats=stats)
+        assert {r.label for r in labels.collect()} == {0}
+        assert stats == {"rounds": 1, "max_iters": 20, "converged": True}
+
+        # non-convergence still populates telemetry before the raise
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+        )
+        stats = {}
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iters=2, stats=stats)
+        assert stats == {"rounds": 2, "max_iters": 2, "converged": False}
+
+        # dedup_clusters passes the dict through to the CC loop
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+             (3, "something else entirely here")],
+            "doc_id long, text string",
+        )
+        stats = {}
+        out = dedup_clusters(docs, threshold=0.5, stats=stats)
+        assert out.count() == 3
+        assert stats["converged"] and stats["rounds"] >= 1
+
 
 class TestDupSpanStats:
     """Exact substring-duplication signal (operators.dedup.dup_span_stats):
