@@ -268,8 +268,11 @@ def main() -> None:
     # samples so the mins come from whichever window was quieter. The
     # artifact records the retry and all calib rounds either way; if the
     # box never quiets down, the final stamp still reads loaded.
+    # same 3-decimal rounding as the final stamp, so a boundary window
+    # (raw ratio 1.2996 -> rounds to 1.3) cannot stamp loaded without
+    # having retried
     retried = False
-    if min(calib_rounds) / CALIB_REF_SEC >= LOADED_RATIO:
+    if round(min(calib_rounds) / CALIB_REF_SEC, 3) >= LOADED_RATIO:
         retried = True
         print(f"# window loaded (ratio "
               f"{min(calib_rounds) / CALIB_REF_SEC:.2f}) — settling and "
@@ -299,8 +302,12 @@ def main() -> None:
     # ratio, deltas compare load-NORMALIZED values (t / ratio) so a
     # loaded-vs-quiet window pair doesn't read as a 1.5x regression
     # (round-13 verdict #2a); delta_basis records which basis was used.
+    # delta_basis is PER GROUP: the eps deltas are always raw (the probe
+    # measures 32-core contention, which maps cleanly onto query
+    # wall-times but not onto a throughput number with a single-thread
+    # Python component), so a single string would mislabel them
     deltas: dict[str, float] = {}
-    delta_basis = "raw"
+    delta_basis = {"queries": "raw", "eps": "raw"}
     prev_path = None
     here = os.path.dirname(os.path.abspath(__file__))
     benches = sorted(
@@ -316,7 +323,7 @@ def main() -> None:
             prev_ratio = (prev.get("calib") or {}).get("ratio") or 0
             cur_scale, prev_scale = 1.0, 1.0
             if prev_ratio and calib_ratio:
-                delta_basis = "normalized"
+                delta_basis["queries"] = "normalized"
                 cur_scale, prev_scale = calib_ratio, prev_ratio
             for name, t in timings.items():
                 if name in prev_q and prev_q[name]:
@@ -324,9 +331,6 @@ def main() -> None:
                         (t / cur_scale) / (prev_q[name] / prev_scale) - 1.0,
                         3,
                     )
-            # eps deltas stay raw: the probe measures 32-core contention,
-            # which maps cleanly onto query wall-times but not onto a
-            # throughput number with a single-thread Python component
             if prev.get("state_machine_eps"):
                 deltas["state_machine_eps"] = round(
                     eps / prev["state_machine_eps"] - 1.0, 3

@@ -1035,6 +1035,7 @@ def connected_components(
     max_iters: int = 20,
     reliable: bool = False,
     stats: "dict | None" = None,
+    pin_input: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — alternating
     LARGE-STAR / SMALL-STAR edge contraction (Kiveris, Lattanzi, Mirrokni,
@@ -1116,6 +1117,14 @@ def connected_components(
     ``rounds`` (rounds executed), ``max_iters``, ``converged`` — so
     operators sizing ``max_iters`` on real corpora can read how much
     headroom a run had instead of discovering the bound by crashing.
+    Populated on every exit, including both raise paths.
+
+    ``pin_input=False`` skips the input pre-pin below: pass it when the
+    pair frame is ALREADY pinned/checkpointed (the streaming ingest
+    doors localCheckpoint their per-batch pairs before calling in) — the
+    default pre-pin would then materialize a duplicate block copy per
+    micro-batch that ``unpersist`` cannot free on the localCheckpoint
+    path, accumulating until the context dies.
 
     Input: (doc_a, doc_b) pairs. Output: (doc, label) for every node that
     appears in some pair, label = min node id of its component.
@@ -1142,7 +1151,9 @@ def connected_components(
     # reference re-runs its reduce side as extra AQE stages, and the
     # pinned forms keep the loop's per-round reference fan-out reading
     # materialized blocks instead.)
-    pairs_p = round_pin(pairs.select("doc_a", "doc_b"))
+    pairs_p = pairs.select("doc_a", "doc_b")
+    if pin_input:
+        pairs_p = round_pin(pairs_p)
     # every paired node, self-loop-only nodes included — they re-enter as
     # self-labeled rows after the loop (the edge frame drops self-loops)
     nodes = round_pin(
@@ -1158,7 +1169,8 @@ def connected_components(
         )
         .distinct()
     )
-    pairs_p.unpersist(False)
+    if pin_input:
+        pairs_p.unpersist(False)
     converged = False
     rounds_used = 0
     for round_no in range(max_iters):
@@ -1168,11 +1180,17 @@ def connected_components(
             # references it twice, plus one window reference per star
             # pass), so the analyzed tree grows multiplicatively per
             # round and Catalyst chokes in analysis well
-            # before max_iters. Fail actionably before that instead.
+            # before max_iters. Fail actionably before that instead —
+            # filling stats first (the telemetry contract: populated on
+            # every exit, raise paths included).
             # Five rounds admit paths to ~16 nodes and every
             # star/clique/near-clique component real near-dup corpora
             # produce (2-3 rounds); deeper chains get the actionable
             # message below.
+            if stats is not None:
+                stats.update(
+                    rounds=rounds_used, max_iters=max_iters, converged=False
+                )
             raise RuntimeError(
                 "connected_components(reliable=True) without a checkpoint "
                 f"directory reached round {round_no}: kept lineage grows "

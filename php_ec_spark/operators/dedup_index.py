@@ -762,7 +762,10 @@ def streaming_index_ingest(
             # common case — no intra-batch near-dups: skip the component
             # rounds entirely
             if pairs.head(1):
-                comp = connected_components(pairs)
+                # pairs is already localCheckpoint'd above — the default
+                # input pre-pin would stack an unreleasable duplicate
+                # block copy per micro-batch
+                comp = connected_components(pairs, pin_input=False)
                 losers = comp.filter(F.col("doc") != F.col("label")).select(
                     F.col("doc").alias("__drop")
                 )

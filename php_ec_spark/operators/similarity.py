@@ -2072,10 +2072,15 @@ def streaming_embedding_ingest(
         survivors = assigned.select(*batch_df.columns)
         losers = None
         if pairs.head(1):  # common case: no intra-batch dups, skip CC
+            # pairs is already localCheckpoint'd above — the default
+            # input pre-pin would stack an unreleasable duplicate block
+            # copy per micro-batch (the rename is a zero-cost projection
+            # over the pinned blocks)
             comp = connected_components(
                 pairs.select(
                     F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-                )
+                ),
+                pin_input=False,
             )
             losers = comp.filter(F.col("doc") != F.col("label"))
             survivors = survivors.join(

@@ -2066,6 +2066,32 @@ class TestConnectedComponents:
             connected_components(chain, max_iters=2, stats=stats)
         assert stats == {"rounds": 2, "max_iters": 2, "converged": False}
 
+        # ...and so does the reliable-without-checkpoint-dir guard raise
+        # (a caller reading stats in its error handler — the documented
+        # purpose — must not hit a KeyError on this exit either)
+        from php_ec_spark.session import release_checkpoint_caches
+
+        stats = {}
+        try:
+            with pytest.raises(RuntimeError, match="setCheckpointDir"):
+                connected_components(chain, reliable=True, stats=stats)
+        finally:
+            release_checkpoint_caches(spark)
+        assert stats == {"rounds": 5, "max_iters": 20, "converged": False}
+
+        # pin_input=False (the pre-pinned streaming-door spelling)
+        # labels identically to the default
+        stats = {}
+        pinned = star.localCheckpoint(eager=True)
+        got = {
+            r.doc: r.label
+            for r in connected_components(
+                pinned, stats=stats, pin_input=False
+            ).collect()
+        }
+        assert got == {i: 0 for i in range(5)}
+        assert stats["converged"] and stats["rounds"] == 1
+
         # dedup_clusters passes the dict through to the CC loop
         docs = spark.createDataFrame(
             [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
