@@ -1,0 +1,82 @@
+"""Cross-round bench trend table from the committed BENCH_r*.json artifacts.
+
+Round-13 verdict #2 established that raw totals from differently-loaded
+windows are not comparable; since round 14 every artifact carries
+``calib.ratio`` and ``value_normalized``. This tool reads every
+``BENCH_r*.json`` in the repo root and prints one row per round with the
+raw total, the calib ratio and window stamp where present, and the
+NORMALIZED total (value / ratio; pre-calib artifacts print '-'), plus a
+per-query normalized table for the queries shared across rounds — so a
+regression hunt reads one table instead of normalizing by hand.
+
+Usage: python tools/bench_trend.py [--queries]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def load_rounds(root: str) -> "list[tuple[int, dict]]":
+    rounds = []
+    for f in sorted(os.listdir(root)):
+        if not (f.startswith("BENCH_r") and f.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(root, f)) as fh:
+                parsed = json.load(fh).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        if parsed.get("value") is not None:
+            rounds.append((int(f[7:-5]), parsed))
+    return rounds
+
+
+def main() -> None:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = load_rounds(root)
+    if not rounds:
+        print("no BENCH_r*.json artifacts found", file=sys.stderr)
+        raise SystemExit(1)
+
+    print(f"{'round':>5}  {'raw s':>8}  {'ratio':>6}  {'window':>7}  "
+          f"{'norm s':>8}  {'eps':>8}  {'pure eps':>8}")
+    for n, p in rounds:
+        ratio = (p.get("calib") or {}).get("ratio")
+        window = p.get("window", "-")
+        norm = p.get("value_normalized")
+        if norm is None and ratio:
+            norm = round(p["value"] / ratio, 3)
+        print(f"{n:>5}  {p['value']:>8.3f}  "
+              f"{ratio if ratio is not None else '-':>6}  {window:>7}  "
+              f"{norm if norm is not None else '-':>8}  "
+              f"{p.get('state_machine_eps', '-'):>8}  "
+              f"{p.get('state_machine_eps_pure', '-'):>8}")
+
+    if "--queries" in sys.argv:
+        # per-query normalized table over the rounds that carry a ratio
+        # (raw values where no ratio exists, marked with *)
+        names = sorted({q for _, p in rounds for q in p.get("queries", {})})
+        print()
+        header = "query".ljust(28) + "".join(f"r{n:>02}".rjust(9)
+                                             for n, _ in rounds)
+        print(header)
+        for q in names:
+            row = q.ljust(28)
+            for _, p in rounds:
+                t = p.get("queries", {}).get(q)
+                ratio = (p.get("calib") or {}).get("ratio")
+                if t is None:
+                    row += "-".rjust(9)
+                elif ratio:
+                    row += f"{t / ratio:.2f}".rjust(9)
+                else:
+                    row += f"{t:.2f}*".rjust(9)
+            print(row)
+        print("\n(* = raw, pre-calib artifact carries no ratio)")
+
+
+if __name__ == "__main__":
+    main()
