@@ -20,17 +20,26 @@ import sys
 
 
 def load_rounds(root: str) -> "list[tuple[int, dict]]":
+    import re
+
     rounds = []
-    for f in sorted(os.listdir(root)):
-        if not (f.startswith("BENCH_r") and f.endswith(".json")):
+    for f in os.listdir(root):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if not m:
             continue
+        n = int(m.group(1))  # numeric sort: r9 before r13 even unpadded
         try:
             with open(os.path.join(root, f)) as fh:
                 parsed = json.load(fh).get("parsed") or {}
         except (OSError, ValueError):
+            parsed = {}
+        if parsed.get("value") is None:
+            # keep the row visible instead of silently shrinking the
+            # "every round" table (r01 has no parsed value, for example)
+            print(f"# {f}: no parsed value — skipped", file=sys.stderr)
             continue
-        if parsed.get("value") is not None:
-            rounds.append((int(f[7:-5]), parsed))
+        rounds.append((n, parsed))
+    rounds.sort()
     return rounds
 
 
