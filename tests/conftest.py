@@ -1,8 +1,18 @@
 import os
+import time
 
 import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+
+# Pin the PROCESS timezone, not just the Spark session's (get_spark pins
+# that to UTC): several tests round-trip naive datetimes through
+# createDataFrame/collect, whose conversions use the local timezone —
+# on a non-UTC developer machine hour-sensitive assertions (cron fires,
+# window boundaries) would fail spuriously while CI stays green.
+os.environ["TZ"] = "UTC"
+if hasattr(time, "tzset"):
+    time.tzset()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
