@@ -249,8 +249,17 @@ def main() -> None:
                 q = headline[name]
                 t0 = time.perf_counter()
                 df = q.spark(spark, sf_dir)
-                rows_of[name] = df.count()
+                n_rows = df.count()
                 samples[name].append(time.perf_counter() - t0)
+                # result determinism is part of the bench contract: a
+                # row count that drifts between rounds/attempts would
+                # otherwise be silently hidden (the artifact records one
+                # count next to a min taken across all samples)
+                assert rows_of.setdefault(name, n_rows) == n_rows, (
+                    f"{name}: row count drifted across rounds "
+                    f"({rows_of[name]} -> {n_rows}) — nondeterministic "
+                    "query result; bench mins are incomparable"
+                )
                 clear_rdd_cache()
             t0 = time.perf_counter()
             correlate_state_machine(events, sm_rules).count()

@@ -815,7 +815,15 @@ class TestDedup:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(timeout=120)
+            try:
+                # a stalled trigger past the timeout must fail HERE as a
+                # timeout, not downstream as a confusing marginal-jobs
+                # mismatch read off a still-running query
+                assert q.awaitTermination(timeout=120), (
+                    f"{tag}: ingest did not finish within 120s"
+                )
+            finally:
+                q.stop()
             return n_jobs() - j0
 
         aqe = spark.conf.get("spark.sql.adaptive.enabled")

@@ -33,11 +33,9 @@ def load_rounds(root: str) -> "list[tuple[int, dict]]":
                 parsed = json.load(fh).get("parsed") or {}
         except (OSError, ValueError):
             parsed = {}
-        if parsed.get("value") is None:
-            # keep the row visible instead of silently shrinking the
-            # "every round" table (r01 has no parsed value, for example)
-            print(f"# {f}: no parsed value — skipped", file=sys.stderr)
-            continue
+        # rounds with no parsed value (r01, for example) stay in the list
+        # and print as placeholder '-' rows, so the table really is one
+        # row per round instead of silently shrinking
         rounds.append((n, parsed))
     rounds.sort()
     return rounds
@@ -53,6 +51,10 @@ def main() -> None:
     print(f"{'round':>5}  {'raw s':>8}  {'ratio':>6}  {'window':>7}  "
           f"{'norm s':>8}  {'eps':>8}  {'pure eps':>8}")
     for n, p in rounds:
+        if p.get("value") is None:
+            print(f"{n:>5}  {'-':>8}  {'-':>6}  {'-':>7}  {'-':>8}  "
+                  f"{'-':>8}  {'-':>8}")
+            continue
         ratio = (p.get("calib") or {}).get("ratio")
         window = p.get("window", "-")
         norm = p.get("value_normalized")
