@@ -83,7 +83,21 @@ def test_connected_components_match_union_find(spark, seed):
     try:
         got = {
             r.doc: r.label
-            for r in connected_components(pairs, stats=stats).collect()
+            for r in connected_components(
+                # fastpath off: the round-count pin below is about the
+                # distributed star loop, which these small graphs would
+                # otherwise never reach (round-15 driver fast path)
+                pairs, stats=stats, driver_fastpath_max_edges=0
+            ).collect()
+        }
+        # the default-path (driver union-find) labeling must agree with
+        # both the reference and the star loop on the same topology
+        fast_stats: dict = {}
+        got_fast = {
+            r.doc: r.label
+            for r in connected_components(
+                pairs, stats=fast_stats
+            ).collect()
         }
     finally:
         release_checkpoint_caches(spark)
@@ -91,6 +105,9 @@ def test_connected_components_match_union_find(spark, seed):
         f"seed={seed}: {sum(1 for d in want if got.get(d) != want[d])} "
         f"of {len(want)} nodes mislabeled"
     )
+    assert got_fast == want, f"seed={seed}: driver fastpath mislabeled"
+    assert fast_stats["rounds"] == 0
+    assert fast_stats["fastpath_edges"] == len(edges)
     # round-count pin (round 14): star contraction closes these graphs
     # logarithmically (measured 6 rounds; bound ceil(log2(|V|)) + 2 ≈ 11
     # for ~300 nodes). A regression back toward Θ(diameter) behavior —

@@ -317,7 +317,10 @@ class TestDedup:
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(7)], "doc_a long, doc_b long"
         )
-        labels = connected_components(pairs, max_iters=20, reliable=True)
+        labels = connected_components(
+            pairs, max_iters=20, reliable=True,
+            driver_fastpath_max_edges=0,  # the loop IS the subject here
+        )
         got = {r.doc for r in labels.filter(F.col("label") == 0).collect()}
         assert got == set(range(8))
         live = len(spark.sparkContext._jsc.getPersistentRDDs())
@@ -340,7 +343,10 @@ class TestDedup:
             [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
         )
         with pytest.raises(RuntimeError, match="setCheckpointDir"):
-            connected_components(pairs, max_iters=20, reliable=True)
+            connected_components(
+                pairs, max_iters=20, reliable=True,
+                driver_fastpath_max_edges=0,  # guard fires inside the loop
+            )
         release_checkpoint_caches(spark)
 
     def test_connected_components_deep_chain_reliable_checkpoints(
@@ -364,7 +370,10 @@ class TestDedup:
             pairs = spark.createDataFrame(
                 [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
             )
-            labels = connected_components(pairs, max_iters=20, reliable=True)
+            labels = connected_components(
+                pairs, max_iters=20, reliable=True,
+                driver_fastpath_max_edges=0,  # checkpoint loop is the subject
+            )
             got = {r.doc for r in labels.filter(F.col("label") == 0).collect()}
             assert got == set(range(64))
             # reliable checkpoints are files, not persisted RDDs
@@ -2019,7 +2028,9 @@ class TestConnectedComponents:
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(99)], "doc_a long, doc_b long"
         )
-        labels = connected_components(pairs, max_iters=9).collect()
+        labels = connected_components(
+            pairs, max_iters=9, driver_fastpath_max_edges=0,
+        ).collect()
         assert len(labels) == 100
         assert all(r.label == 0 for r in labels)
 
@@ -2041,7 +2052,66 @@ class TestConnectedComponents:
             long_chain = spark.createDataFrame(
                 [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
             )
-            connected_components(long_chain, max_iters=2)
+            connected_components(
+                long_chain, max_iters=2, driver_fastpath_max_edges=0,
+            )
+
+    def test_driver_fastpath_parity_and_threshold(self, spark):
+        """Round-15 verdict #3 (option A): a provably-tiny edge set is
+        labeled by exact union-find on the driver — identical labels to
+        the distributed star loop, ``rounds=0`` + ``fastpath_edges``
+        telemetry, and the threshold is an EDGE-count gate: one edge past
+        the budget and the star loop runs (its telemetry shape returns).
+        Self-loop-only nodes stay distributed either way and self-label
+        through the same coalesce tail."""
+        from php_ec_spark.operators.dedup import connected_components
+        from php_ec_spark.session import release_checkpoint_caches
+
+        # mixed topology: chain + triangle + isolated pair + self-loop
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)]
+            + [(20, 21), (21, 22), (20, 22), (30, 31), (40, 40)],
+            "doc_a long, doc_b long",
+        )
+        want = {i: 0 for i in range(7)}
+        want.update({20: 20, 21: 20, 22: 20, 30: 30, 31: 30, 40: 40})
+        try:
+            fast_stats: dict = {}
+            got_fast = {
+                r.doc: r.label
+                for r in connected_components(
+                    pairs, stats=fast_stats
+                ).collect()
+            }
+            slow_stats: dict = {}
+            got_slow = {
+                r.doc: r.label
+                for r in connected_components(
+                    pairs, stats=slow_stats, driver_fastpath_max_edges=0
+                ).collect()
+            }
+            # one edge below the canonical count (10 distinct non-self
+            # edges): the gate must route to the star loop
+            edge_stats: dict = {}
+            got_edge = {
+                r.doc: r.label
+                for r in connected_components(
+                    pairs, stats=edge_stats, driver_fastpath_max_edges=9
+                ).collect()
+            }
+        finally:
+            release_checkpoint_caches(spark)
+        assert got_fast == want
+        assert got_slow == want
+        assert got_edge == want
+        assert fast_stats == {
+            "rounds": 0, "max_iters": 20, "converged": True,
+            "fastpath_edges": 10,
+        }
+        assert slow_stats["rounds"] >= 1
+        assert "fastpath_edges" not in slow_stats
+        assert edge_stats["rounds"] >= 1
+        assert "fastpath_edges" not in edge_stats
 
     def test_round_telemetry(self, spark):
         """Round-13 verdict #7: stats= reports rounds used vs max_iters
@@ -2061,7 +2131,9 @@ class TestConnectedComponents:
             [(0, i) for i in range(1, 5)], "doc_a long, doc_b long"
         )
         stats = {}
-        labels = connected_components(star, stats=stats)
+        labels = connected_components(
+            star, stats=stats, driver_fastpath_max_edges=0,
+        )
         assert {r.label for r in labels.collect()} == {0}
         assert stats == {"rounds": 1, "max_iters": 20, "converged": True}
 
@@ -2071,7 +2143,10 @@ class TestConnectedComponents:
         )
         stats = {}
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(chain, max_iters=2, stats=stats)
+            connected_components(
+                chain, max_iters=2, stats=stats,
+                driver_fastpath_max_edges=0,
+            )
         assert stats == {"rounds": 2, "max_iters": 2, "converged": False}
 
         # ...and so does the reliable-without-checkpoint-dir guard raise
@@ -2082,7 +2157,10 @@ class TestConnectedComponents:
         stats = {}
         try:
             with pytest.raises(RuntimeError, match="setCheckpointDir"):
-                connected_components(chain, reliable=True, stats=stats)
+                connected_components(
+                    chain, reliable=True, stats=stats,
+                    driver_fastpath_max_edges=0,
+                )
         finally:
             release_checkpoint_caches(spark)
         assert stats == {"rounds": 5, "max_iters": 20, "converged": False}
@@ -2094,7 +2172,8 @@ class TestConnectedComponents:
         got = {
             r.doc: r.label
             for r in connected_components(
-                pinned, stats=stats, pin_input=False
+                pinned, stats=stats, pin_input=False,
+                driver_fastpath_max_edges=0,
             ).collect()
         }
         assert got == {i: 0 for i in range(5)}
@@ -2109,7 +2188,10 @@ class TestConnectedComponents:
         stats = {}
         out = dedup_clusters(docs, threshold=0.5, stats=stats)
         assert out.count() == 3
-        assert stats["converged"] and stats["rounds"] >= 1
+        # default path: the tiny pair graph takes the driver fast path
+        # (round-15) — telemetry reports it instead of star rounds
+        assert stats["converged"] and stats["rounds"] == 0
+        assert stats["fastpath_edges"] >= 1
 
 
 class TestDupSpanStats:
