@@ -1054,6 +1054,30 @@ def _union_find_min_labels(edges: "list[tuple]") -> dict:
     return {n: find(n) for n in parent}
 
 
+def _log_cc_stats(logger, door: str, batch_id, cc_stats: dict) -> None:
+    """Per-micro-batch :func:`connected_components` telemetry for the
+    streaming ingest doors (round-14 verdict #7): every batch's round
+    count lands in the driver log at INFO, and a distributed run within
+    2 rounds of ``max_iters`` escalates to WARNING — so an operator sees
+    duplicate-chain depth creeping toward the bound batches before a
+    deeper batch raises on it, instead of discovering the bound from
+    the crash."""
+    logger.info(
+        "%s batch %s: connected_components %s", door, batch_id, cc_stats
+    )
+    if (
+        "fastpath_edges" not in cc_stats
+        and cc_stats.get("converged")
+        and cc_stats["rounds"] >= cc_stats["max_iters"] - 2
+    ):
+        logger.warning(
+            "%s batch %s: component contraction used %d of max_iters=%d "
+            "rounds — a deeper duplicate chain in a later batch will "
+            "raise; raise max_iters (rounds grow ~log2(chain diameter))",
+            door, batch_id, cc_stats["rounds"], cc_stats["max_iters"],
+        )
+
+
 def connected_components(
     pairs: DataFrame,
     max_iters: int = 20,

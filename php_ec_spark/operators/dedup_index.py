@@ -68,6 +68,7 @@ pipeline surface that extends it.
 from __future__ import annotations
 
 import json
+import logging
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -81,6 +82,8 @@ from .dedup import (
     with_shingles,
 )
 from ..layout import write_bucketed
+
+_LOG = logging.getLogger(__name__)
 
 __all__ = [
     "dedup_index_build",
@@ -743,7 +746,11 @@ def streaming_index_ingest(
             # connected component — the labeling the batch dedup_clusters
             # sweep would assign. Without this, near-dup batch-mates both
             # land and both enter the index.
-            from .dedup import connected_components, minhash_lsh_pairs
+            from .dedup import (
+                _log_cc_stats,
+                connected_components,
+                minhash_lsh_pairs,
+            )
 
             survivors = survivors.localCheckpoint(eager=True)
             pairs = (
@@ -765,7 +772,16 @@ def streaming_index_ingest(
                 # pairs is already localCheckpoint'd above — the default
                 # input pre-pin would stack an unreleasable duplicate
                 # block copy per micro-batch
-                comp = connected_components(pairs, pin_input=False)
+                cc_stats: dict = {}
+                comp = connected_components(
+                    pairs, pin_input=False, stats=cc_stats
+                )
+                # round telemetry (round-14 verdict #7): a production
+                # stream creeping toward max_iters must be visible in the
+                # driver log BEFORE a later batch raises on the bound
+                _log_cc_stats(
+                    _LOG, "dedup_index_streaming_ingest", batch_id, cc_stats
+                )
                 losers = comp.filter(F.col("doc") != F.col("label")).select(
                     F.col("doc").alias("__drop")
                 )

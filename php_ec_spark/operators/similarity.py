@@ -22,9 +22,13 @@ summation, bit-identical to the DuckDB oracle's list arithmetic.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_LOG = logging.getLogger(__name__)
 
 
 def _cluster_key(cl):
@@ -1952,7 +1956,7 @@ def streaming_embedding_ingest(
 
     Returns the started StreamingQuery.
     """
-    from .dedup import connected_components
+    from .dedup import _log_cc_stats, connected_components
 
     if cluster_col in stream.columns:
         raise ValueError(
@@ -2076,11 +2080,19 @@ def streaming_embedding_ingest(
             # input pre-pin would stack an unreleasable duplicate block
             # copy per micro-batch (the rename is a zero-cost projection
             # over the pinned blocks)
+            cc_stats: dict = {}
             comp = connected_components(
                 pairs.select(
                     F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
                 ),
                 pin_input=False,
+                stats=cc_stats,
+            )
+            # round telemetry (round-14 verdict #7): rounds creeping
+            # toward max_iters must show in the driver log before a
+            # deeper batch raises on the bound
+            _log_cc_stats(
+                _LOG, "streaming_embedding_ingest", batch_id, cc_stats
             )
             losers = comp.filter(F.col("doc") != F.col("label"))
             survivors = survivors.join(

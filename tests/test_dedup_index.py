@@ -1005,7 +1005,9 @@ class TestCrashWindows:
         finally:
             dedup_index_drop(spark, "dcw")
 
-    def test_replay_does_not_wipe_landed_batches(self, spark, tmp_path):
+    def test_replay_does_not_wipe_landed_batches(
+        self, spark, tmp_path, caplog
+    ):
         """The exactly-once claim under its worst window: re-running the
         WHOLE stream with a fresh checkpoint (every batch replays against
         an index that already contains its own survivors) must leave the
@@ -1055,7 +1057,20 @@ class TestCrashWindows:
                 )
                 q.awaitTermination(120)
 
-            run("ckpt1")
+            import logging as _logging
+
+            with caplog.at_level(
+                _logging.INFO, logger="php_ec_spark.operators.dedup_index"
+            ):
+                run("ckpt1")
+            # round-14 verdict #7: the door's per-batch component
+            # telemetry lands in the driver log (this batch's tiny pair
+            # graph takes the round-15 driver fast path: rounds=0)
+            cc_msgs = [
+                r.getMessage() for r in caplog.records
+                if "connected_components" in r.getMessage()
+            ]
+            assert cc_msgs and "fastpath_edges" in cc_msgs[0], cc_msgs
             first = {
                 r.doc_id
                 for r in spark.read.parquet(landed).collect()

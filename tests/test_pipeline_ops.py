@@ -2113,6 +2113,35 @@ class TestConnectedComponents:
         assert edge_stats["rounds"] >= 1
         assert "fastpath_edges" not in edge_stats
 
+    def test_door_telemetry_log_levels(self, caplog):
+        """The streaming doors' per-batch CC log helper (round-14 verdict
+        #7): INFO on every batch; escalates to WARNING only when a
+        DISTRIBUTED run converges within 2 rounds of max_iters — the
+        driver fast path (rounds=0) and comfortable runs never warn."""
+        import logging
+
+        from php_ec_spark.operators.dedup import _log_cc_stats
+
+        logger = logging.getLogger("php_ec_spark.operators.dedup")
+
+        def records(stats):
+            caplog.clear()
+            with caplog.at_level(logging.INFO, logger=logger.name):
+                _log_cc_stats(logger, "door_x", 7, stats)
+            return caplog.records
+
+        rs = records({"rounds": 0, "max_iters": 20, "converged": True,
+                      "fastpath_edges": 3})
+        assert [r.levelname for r in rs] == ["INFO"]
+        assert "door_x batch 7" in rs[0].getMessage()
+
+        rs = records({"rounds": 4, "max_iters": 20, "converged": True})
+        assert [r.levelname for r in rs] == ["INFO"]
+
+        rs = records({"rounds": 18, "max_iters": 20, "converged": True})
+        assert [r.levelname for r in rs] == ["INFO", "WARNING"]
+        assert "raise max_iters" in rs[1].getMessage()
+
     def test_round_telemetry(self, spark):
         """Round-13 verdict #7: stats= reports rounds used vs max_iters
         so operators sizing max_iters on real corpora read their headroom
