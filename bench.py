@@ -101,6 +101,110 @@ def _settle() -> float:
     return load
 
 
+class _ExecMetrics:
+    """Load-independent per-query execution metrics off the JVM
+    AppStatusStore (round-14 verdict #1): wall-clock on this box is
+    hostage to invisible neighbor contention (three consecutive rounds
+    committed non-quiet artifacts; the scalar calib normalization leaves
+    ±20% residual), but shuffle/input/spill BYTES and task counts are
+    properties of the plan, not the window — an extra exchange or a
+    broadcast falling back to shuffle shows as a byte jump no load can
+    fake or hide. ``mark()`` snapshots the max stage id, ``delta()``
+    sums v1.StageData metrics over the stages the measured query
+    submitted after it; both drain the listener bus first so a previous
+    workload's in-flight stage events can't bleed across the boundary.
+
+    Uses only public Spark surfaces (AppStatusStore backs the REST API /
+    UI and exists in every session); any py4j signature drift disables
+    the collector gracefully — the artifact then carries ``metrics:
+    null`` instead of crashing the bench. Per-stage rows are subject to
+    ``spark.ui.retainedStages`` (default 1000) — far above any single
+    headline query here, noted in case one ever fans that wide."""
+
+    FIELDS = (
+        "shuffle_read", "shuffle_write", "spill_mem", "spill_disk",
+        "input_bytes", "input_records", "output_bytes", "tasks", "stages",
+    )
+
+    def __init__(self, spark) -> None:
+        self._ok = True
+        try:
+            sc = spark.sparkContext
+            self._jssc = sc._jsc.sc()
+            self._store = self._jssc.statusStore()
+            jvm = sc._jvm
+            # stageList(statuses, details, withSummaries, quantiles,
+            # taskStatus) — empty statuses = all
+            self._args = (
+                jvm.java.util.ArrayList(), False, False,
+                sc._gateway.new_array(jvm.double, 0),
+                jvm.java.util.ArrayList(),
+            )
+            self._stages()  # probe the call shape once, up front
+        except Exception as ex:  # noqa: BLE001 — degrade, don't crash
+            self._disable(ex)
+
+    def _disable(self, ex) -> None:
+        if self._ok:
+            print(f"# exec-metrics unavailable ({type(ex).__name__}: "
+                  f"{ex}) — artifact will carry metrics=null",
+                  file=sys.stderr)
+        self._ok = False
+
+    def _stages(self):
+        return self._store.stageList(*self._args)
+
+    def _drain(self) -> None:
+        # AppStatusListener is fed by the async listener bus; without a
+        # drain a just-finished stage may not be in the store yet (or a
+        # PREVIOUS workload's stage may land inside the next window)
+        try:
+            self._jssc.listenerBus().waitUntilEmpty()
+        except Exception:  # noqa: BLE001 — drain is best-effort
+            pass
+
+    def mark(self) -> int:
+        """Max stage id currently known — the measurement window floor."""
+        if not self._ok:
+            return -1
+        try:
+            self._drain()
+            st = self._stages()
+            return max(
+                (st.apply(i).stageId() for i in range(st.size())),
+                default=-1,
+            )
+        except Exception as ex:  # noqa: BLE001
+            self._disable(ex)
+            return -1
+
+    def delta(self, since: int) -> "dict | None":
+        """Summed metrics over every stage submitted after ``since``."""
+        if not self._ok:
+            return None
+        try:
+            self._drain()
+            st = self._stages()
+            out = dict.fromkeys(self.FIELDS, 0)
+            for i in range(st.size()):
+                sd = st.apply(i)
+                if sd.stageId() <= since:
+                    continue
+                out["shuffle_read"] += sd.shuffleReadBytes()
+                out["shuffle_write"] += sd.shuffleWriteBytes()
+                out["spill_mem"] += sd.memoryBytesSpilled()
+                out["spill_disk"] += sd.diskBytesSpilled()
+                out["input_bytes"] += sd.inputBytes()
+                out["input_records"] += sd.inputRecords()
+                out["output_bytes"] += sd.outputBytes()
+                out["tasks"] += sd.numCompleteTasks()
+                out["stages"] += 1
+            return out
+        except Exception as ex:  # noqa: BLE001
+            self._disable(ex)
+            return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
@@ -184,7 +288,7 @@ def main() -> None:
     # three state-machine rules over the full events table.
     from php_ec_spark.calib import (
         CALIB_REF_SEC,
-        LOADED_RATIO,
+        WARM_RATIO,
         calib_probe,
         window_stamp,
     )
@@ -233,9 +337,12 @@ def main() -> None:
     # window=loaded past LOADED_RATIO — no human adjudication needed.
     order = sorted(headline)
     samples: dict[str, list[float]] = {name: [] for name in order}
+    metric_samples: dict[str, list] = {name: [] for name in order}
     rows_of: dict[str, int] = {}
     calib_rounds: list[float] = []
     sm_secs: list[float] = []
+    sm_metrics: list = []
+    em = _ExecMetrics(spark)
 
     def measure_rounds(n_rounds: int, attempt: int) -> None:
         for r in range(n_rounds):
@@ -247,10 +354,17 @@ def main() -> None:
                                           calib_probe(spark)), 3))
             for name in order:
                 q = headline[name]
+                # stage-id mark/delta straddles the timed window (both
+                # outside it — the drain they do is not query cost);
+                # every stage the query submits, including eager
+                # checkpoint jobs inside operator construction, lands in
+                # its metrics
+                m0 = em.mark()
                 t0 = time.perf_counter()
                 df = q.spark(spark, sf_dir)
                 n_rows = df.count()
                 samples[name].append(time.perf_counter() - t0)
+                metric_samples[name].append(em.delta(m0))
                 # result determinism is part of the bench contract: a
                 # row count that drifts between rounds/attempts would
                 # otherwise be silently hidden (the artifact records one
@@ -261,36 +375,92 @@ def main() -> None:
                     "query result; bench mins are incomparable"
                 )
                 clear_rdd_cache()
+            m0 = em.mark()
             t0 = time.perf_counter()
             correlate_state_machine(events, sm_rules).count()
             sm_secs.append(time.perf_counter() - t0)
+            sm_metrics.append(em.delta(m0))
             print(f"# round {r + 1}/{n_rounds} (attempt {attempt}): "
                   f"calib {calib_rounds[-1]:.3f}s, "
                   f"queries {sum(s[-1] for s in samples.values()):.1f}s",
                   file=sys.stderr)
 
+    t_measure0 = time.time()
     measure_rounds(iters, attempt=1)
-    # retry-on-loaded (round-13 verdict #2b): if even the min-of-rounds
-    # probe reads loaded, every sample of every query was taken in a bad
-    # window and min-of-N cannot rescue the artifact — re-settle and run
-    # the whole interleaved set ONCE more (bounded: one retry), merging
-    # samples so the mins come from whichever window was quieter. The
-    # artifact records the retry and all calib rounds either way; if the
-    # box never quiets down, the final stamp still reads loaded.
-    # same 3-decimal rounding as the final stamp, so a boundary window
-    # (raw ratio 1.2996 -> rounds to 1.3) cannot stamp loaded without
-    # having retried
-    retried = False
-    if round(min(calib_rounds) / CALIB_REF_SEC, 3) >= LOADED_RATIO:
-        retried = True
-        print(f"# window loaded (ratio "
-              f"{min(calib_rounds) / CALIB_REF_SEC:.2f}) — settling and "
-              "retrying the interleaved set once", file=sys.stderr)
+
+    def best_ratio() -> float:
+        # same 3-decimal rounding as the final stamp, so a boundary
+        # window cannot stamp past a threshold without having retried
+        return round(min(calib_rounds) / CALIB_REF_SEC, 3)
+
+    def attempt_ratio(start: int) -> float:
+        return round(min(calib_rounds[start:]) / CALIB_REF_SEC, 3)
+
+    # quiet-window hunt (round-14 verdict #2, extending round-13's
+    # single retry-on-loaded): if even the min-of-rounds probe reads
+    # NON-QUIET (warm included — three consecutive rounds committed
+    # warm/loaded artifacts), every sample was taken in an inflated
+    # window and min-of-N cannot rescue it. Re-settle with an
+    # ESCALATING blind cooldown (the contention here is neighbor load
+    # that loadavg cannot see, so the settle gate alone returns
+    # immediately) and re-run the whole interleaved set, merging samples
+    # so mins come from whichever window was quietest. Bounded: at most
+    # SPARK_GRAFT_BENCH_RETRIES extra attempts (default 2) within a
+    # SPARK_GRAFT_BENCH_RETRY_CAP wall budget (default 1200 s measured
+    # from the first measured round), stopping early at the first quiet
+    # stamp; the artifact records every attempt's ratio either way.
+    attempt_ratios = [attempt_ratio(0)]
+    max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+    retry_cap = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_CAP", "1200"))
+    attempt = 1
+    while (
+        best_ratio() >= WARM_RATIO
+        and attempt - 1 < max_retries
+        and time.time() - t_measure0 < retry_cap
+    ):
+        attempt += 1
+        cooldown = 60 * (attempt - 1)
+        print(f"# window {window_stamp(best_ratio())} (ratio "
+              f"{best_ratio():.2f}) — cooling down {cooldown}s, settling, "
+              f"and retrying the interleaved set (attempt {attempt}, "
+              f"budget {max_retries + 1})", file=sys.stderr)
+        time.sleep(cooldown)
         _settle()
-        measure_rounds(iters, attempt=2)
+        n_before = len(calib_rounds)
+        measure_rounds(iters, attempt=attempt)
+        attempt_ratios.append(attempt_ratio(n_before))
+    retried = attempt > 1
 
     timings = {name: round(min(samples[name]), 3) for name in order}
     total = sum(min(samples[name]) for name in order)
+
+    # per-query exec metrics from the min-time sample (one run's
+    # consistent snapshot; bytes are plan properties, so samples should
+    # agree — a cross-round spread means AQE re-planned under pressure
+    # and is worth a visible note, not a silent average)
+    def pick_metrics(name: str, times: list, ms: list) -> "dict | None":
+        if not any(ms):
+            return None
+        idx = times.index(min(times))
+        chosen = ms[idx] if ms[idx] else next(m for m in ms if m)
+        spread = {
+            (m["shuffle_read"], m["shuffle_write"]) for m in ms if m
+        }
+        if len(spread) > 1:
+            print(f"# {name}: shuffle bytes varied across samples "
+                  f"{sorted(spread)} — AQE re-plan; recorded the "
+                  "min-time sample's", file=sys.stderr)
+        return chosen
+
+    metrics_out: "dict | None" = {}
+    for name in order:
+        m = pick_metrics(name, samples[name], metric_samples[name])
+        if m is not None:
+            metrics_out[name] = m
+    sm_m = pick_metrics("state_machine", sm_secs, sm_metrics)
+    if sm_m is not None:
+        metrics_out["state_machine"] = sm_m
+    metrics_out = metrics_out or None
     for name in order:
         print(f"# {name}: {timings[name]:.3f}s ({rows_of[name]} rows)",
               file=sys.stderr)
@@ -389,6 +559,18 @@ def main() -> None:
         },
         "window": window,
         "retried": retried,
+        # quiet-hunt audit: one min-ratio per interleaved attempt (first
+        # entry = attempt 1); len > 1 means the non-quiet retry fired
+        "attempts": attempt_ratios,
+        # load-INDEPENDENT per-query execution metrics (round-14 verdict
+        # #1): summed v1.StageData bytes/tasks over the stages each
+        # query submitted, from the min-time sample. Cross-round trend
+        # reads THESE for plan regressions (an extra exchange, a
+        # broadcast falling back to shuffle) — no loaded window can fake
+        # or hide a byte-metric jump. tools/bench_trend.py --metrics
+        # diffs them across rounds. null only if the status-store probe
+        # failed (py4j signature drift after a Spark upgrade).
+        "metrics": metrics_out,
     }
     if deltas:
         out["delta_vs_prev"] = deltas

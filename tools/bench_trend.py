@@ -9,7 +9,11 @@ NORMALIZED total (value / ratio; pre-calib artifacts print '-'), plus a
 per-query normalized table for the queries shared across rounds — so a
 regression hunt reads one table instead of normalizing by hand.
 
-Usage: python tools/bench_trend.py [--queries]
+``--metrics`` (r15+ artifacts) prints the load-INDEPENDENT per-query
+plan metrics — shuffle bytes and task counts — whose cross-round jumps
+are real plan regressions regardless of box load.
+
+Usage: python tools/bench_trend.py [--queries] [--metrics]
 """
 
 from __future__ import annotations
@@ -87,6 +91,42 @@ def main() -> None:
                     row += f"{t:.2f}*".rjust(9)
             print(row)
         print("\n(* = raw, pre-calib artifact carries no ratio)")
+
+    if "--metrics" in sys.argv:
+        # load-INDEPENDENT plan metrics per query per round (artifacts
+        # carry them since r15): total shuffle bytes (read+write) and
+        # completed tasks. These are properties of the plan, not the
+        # measurement window — a jump here is a real plan regression (an
+        # extra exchange, a broadcast falling back to shuffle) no loaded
+        # box can fake; a flat line absolves a noisy seconds delta.
+        mrounds = [(n, p) for n, p in rounds if p.get("metrics")]
+        if not mrounds:
+            print("\nno artifacts carry exec metrics yet (r15+)",
+                  file=sys.stderr)
+            return
+        names = sorted({q for _, p in mrounds for q in p["metrics"]})
+        print()
+        print("shuffle MB / tasks".ljust(28)
+              + "".join(f"r{n:>02}".rjust(16) for n, _ in mrounds))
+        for q in names:
+            row = q.ljust(28)
+            for _, p in mrounds:
+                m = p["metrics"].get(q)
+                if m is None:
+                    row += "-".rjust(16)
+                else:
+                    mb = (m["shuffle_read"] + m["shuffle_write"]) / 1e6
+                    row += f"{mb:.1f}/{m['tasks']}t".rjust(16)
+            print(row)
+        print("\n(spill bytes are omitted when zero everywhere; read "
+              "them off the artifact's metrics block directly)")
+        spilled = [
+            (q, n, m["spill_mem"] + m["spill_disk"])
+            for n, p in mrounds for q, m in p["metrics"].items()
+            if m["spill_mem"] + m["spill_disk"] > 0
+        ]
+        for q, n, b in spilled:
+            print(f"SPILL r{n} {q}: {b / 1e6:.1f} MB")
 
 
 if __name__ == "__main__":
