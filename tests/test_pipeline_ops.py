@@ -2113,6 +2113,19 @@ class TestConnectedComponents:
         assert edge_stats["rounds"] >= 1
         assert "fastpath_edges" not in edge_stats
 
+        # degenerate fastpath shape: self-loop-only input -> zero
+        # canonical edges, empty driver mapping, every node self-labels
+        only_self = spark.createDataFrame(
+            [(5, 5), (9, 9)], "doc_a long, doc_b long"
+        )
+        st: dict = {}
+        got = {
+            r.doc: r.label
+            for r in connected_components(only_self, stats=st).collect()
+        }
+        assert got == {5: 5, 9: 9}
+        assert st["fastpath_edges"] == 0 and st["converged"]
+
     def test_door_telemetry_log_levels(self, caplog):
         """The streaming doors' per-batch CC log helper (round-14 verdict
         #7): INFO on every batch; escalates to WARNING only when a
