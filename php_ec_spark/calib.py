@@ -63,7 +63,8 @@ def window_stamp(ratio: float) -> str:
     ``quiet`` (< :data:`WARM_RATIO` — trustworthy record run), ``warm``
     (gray zone — numbers read as mild upper bounds, don't record floors
     or regressions off them), ``loaded`` (>= :data:`LOADED_RATIO` —
-    uniformly inflated; the bench retries the window once)."""
+    uniformly inflated). The bench hunts a quiet window with a bounded
+    multi-retry on any non-quiet stamp (bench.py, round 15)."""
     if ratio >= LOADED_RATIO:
         return "loaded"
     if ratio >= WARM_RATIO:
