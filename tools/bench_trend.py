@@ -13,7 +13,9 @@ regression hunt reads one table instead of normalizing by hand.
 plan metrics — shuffle bytes and task counts — whose cross-round jumps
 are real plan regressions regardless of box load.
 
-Usage: python tools/bench_trend.py [--queries] [--metrics]
+Usage: python tools/bench_trend.py [--queries] [--metrics] [root-dir]
+(root-dir defaults to the repo root — overridable so tests can point the
+tool at synthetic artifacts)
 """
 
 from __future__ import annotations
@@ -46,7 +48,10 @@ def load_rounds(root: str) -> "list[tuple[int, dict]]":
 
 
 def main() -> None:
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    root = args[0] if args else os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
     rounds = load_rounds(root)
     if not rounds:
         print("no BENCH_r*.json artifacts found", file=sys.stderr)
