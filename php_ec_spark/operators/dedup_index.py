@@ -780,7 +780,7 @@ def streaming_index_ingest(
                 # stream creeping toward max_iters must be visible in the
                 # driver log BEFORE a later batch raises on the bound
                 _log_cc_stats(
-                    _LOG, "dedup_index_streaming_ingest", batch_id, cc_stats
+                    _LOG, "streaming_index_ingest", batch_id, cc_stats
                 )
                 losers = comp.filter(F.col("doc") != F.col("label")).select(
                     F.col("doc").alias("__drop")
