@@ -984,6 +984,7 @@ def dedup_clusters(
     max_iters: int = 20,
     reliable: bool = False,
     stats: "dict | None" = None,
+    driver_fastpath_max_edges: int = 100_000,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the similar-pair
     graph, labeled by the minimum doc id in each component.
@@ -1006,6 +1007,11 @@ def dedup_clusters(
     singletons at the end. This is the deliberately non-SQL-shaped
     algorithm of the operator set — the DuckDB oracle uses a recursive CTE
     to derive the same labeling.
+    ``driver_fastpath_max_edges`` passes through to
+    :func:`connected_components` (round 15): a pair graph that counts at
+    or under it is labeled by exact union-find on the driver instead of
+    the star loop; ``0`` forces the distributed loop.
+
     Output: (doc_id, cluster_id) for EVERY document; singletons label
     themselves.
     """
@@ -1014,7 +1020,8 @@ def dedup_clusters(
         reliable=reliable,
     ).select("doc_a", "doc_b")
     labels = connected_components(
-        pairs, max_iters=max_iters, reliable=reliable, stats=stats
+        pairs, max_iters=max_iters, reliable=reliable, stats=stats,
+        driver_fastpath_max_edges=driver_fastpath_max_edges,
     )
     # singletons (the vast majority at scale) never entered the loop:
     # join the converged component labels back over the full corpus

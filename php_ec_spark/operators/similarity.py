@@ -1183,6 +1183,7 @@ def semdedup(
     sample_size: int = 100_000,
     max_iters: int = 20,
     reliable: bool = False,
+    driver_fastpath_max_edges: int = 100_000,
 ) -> DataFrame:
     """Semantic deduplication in embedding space (the SemDeDup recipe,
     Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the corpus,
@@ -1214,7 +1215,10 @@ def semdedup(
 
     ``centroids`` accepts a pre-trained matrix (e.g. the quantizer of an
     existing :func:`ivf_build` index) so embedding search and semantic
-    dedup can share one geometry.
+    dedup can share one geometry. ``driver_fastpath_max_edges`` passes
+    through to ``connected_components`` (round 15): a dup-pair graph that
+    counts at or under it is labeled by exact union-find on the driver
+    instead of the star loop; ``0`` forces the distributed loop.
     """
     import numpy as np
 
@@ -1272,6 +1276,7 @@ def semdedup(
         ),
         max_iters=max_iters,
         reliable=reliable,
+        driver_fastpath_max_edges=driver_fastpath_max_edges,
     )
     ranked = (
         labels.join(
