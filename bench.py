@@ -101,6 +101,22 @@ def _settle() -> float:
     return load
 
 
+def should_retry(
+    best_ratio: float, attempt: int, max_retries: int,
+    elapsed: float, cap: float, warm_ratio: float,
+) -> bool:
+    """Pure retry decision for the quiet-window hunt (unit-pinned so the
+    loop cannot regress into retrying forever or past its wall budget in
+    the driver's unattended run): retry only while the best window so
+    far is non-quiet, extra attempts remain, and the wall budget holds.
+    ``attempt`` counts COMPLETED attempts (1 = just the initial set)."""
+    return (
+        best_ratio >= warm_ratio
+        and attempt - 1 < max_retries
+        and elapsed < cap
+    )
+
+
 class _ExecMetrics:
     """Load-independent per-query execution metrics off the JVM
     AppStatusStore (round-14 verdict #1): wall-clock on this box is
@@ -413,10 +429,9 @@ def main() -> None:
     max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
     retry_cap = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_CAP", "1200"))
     attempt = 1
-    while (
-        best_ratio() >= WARM_RATIO
-        and attempt - 1 < max_retries
-        and time.time() - t_measure0 < retry_cap
+    while should_retry(
+        best_ratio(), attempt, max_retries,
+        time.time() - t_measure0, retry_cap, WARM_RATIO,
     ):
         attempt += 1
         cooldown = 60 * (attempt - 1)

@@ -66,3 +66,32 @@ class TestExecMetrics:
         em._disable(RuntimeError("simulated py4j drift"))
         assert em.mark() == -1
         assert em.delta(-1) is None
+
+
+class TestRetryDecision:
+    """Pins for the quiet-window hunt's pure retry gate — the piece that
+    runs unattended in the driver and must never retry forever or past
+    its wall budget."""
+
+    def test_gate_matrix(self):
+        WARM = 1.15
+        # quiet window: never retry, whatever the budgets say
+        assert not bench.should_retry(1.149, 1, 2, 0, 1200, WARM)
+        # non-quiet with retries and budget left: retry
+        assert bench.should_retry(1.15, 1, 2, 0, 1200, WARM)
+        assert bench.should_retry(2.5, 2, 2, 600, 1200, WARM)
+        # retry budget exhausted (attempt 3 completed, 2 retries max)
+        assert not bench.should_retry(2.5, 3, 2, 600, 1200, WARM)
+        # retries disabled entirely
+        assert not bench.should_retry(2.5, 1, 0, 0, 1200, WARM)
+        # wall budget exhausted
+        assert not bench.should_retry(2.5, 1, 2, 1200, 1200, WARM)
+
+    def test_worst_case_attempt_count_is_bounded(self):
+        # simulate a permanently-loaded box: the loop must stop after
+        # exactly 1 + max_retries attempts no matter what
+        attempts, max_retries = 1, 2
+        while bench.should_retry(9.9, attempts, max_retries, 0, 1e9, 1.15):
+            attempts += 1
+            assert attempts <= 10, "runaway retry loop"
+        assert attempts == 1 + max_retries
