@@ -109,6 +109,50 @@ def _t(name: str, part: str) -> str:
     return f"{name}_{part}"
 
 
+_PARTS = ("digests", "bands", "docs", "meta")
+
+
+def _warehouse_dir(spark: SparkSession) -> "str | None":
+    """Local filesystem path of the default-database warehouse, or None
+    when the warehouse is not a local directory (e.g. an object store —
+    orphan sweeping there is the catalog service's job, not ours)."""
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    for pre in ("file://", "file:"):
+        if wh.startswith(pre):
+            wh = wh[len(pre):]
+            break
+    if not wh or "://" in wh:
+        return None
+    return wh if os.path.isdir(wh) else None
+
+
+def _clear_orphan_location(spark: SparkSession, table: str) -> bool:
+    """Remove an on-disk warehouse directory for ``table`` that the
+    catalog does NOT list — crash residue from a killed process.
+
+    A fresh session's in-memory catalog never lists tables a dead
+    process created, so ``DROP TABLE IF EXISTS`` is blind to the
+    leftover directory and the next ``saveAsTable`` dies with
+    LOCATION_ALREADY_EXISTS (round-15 verdict #2: one killed run's
+    residue cost 4 errors + 1 failure in an otherwise-green suite).
+    Only ever removes a directory the catalog disowns: a REGISTERED
+    table's data is never touched. Returns True if residue was removed.
+    """
+    import os
+    import shutil
+
+    wh = _warehouse_dir(spark)
+    if not wh:
+        return False
+    loc = os.path.join(wh, table.lower())
+    if os.path.isdir(loc) and not spark.catalog.tableExists(table):
+        shutil.rmtree(loc, ignore_errors=True)
+        return not os.path.isdir(loc)
+    return False
+
+
 #: (index name, generation) pairs pre-verified for a running STREAM —
 #: consulted by _read_meta but populated ONLY by streaming_index_ingest
 #: at stream start, so per-micro-batch probe/add calls skip the SHOW
@@ -232,6 +276,13 @@ def dedup_index_build(
     # a rebuild invalidates any verification this process cached — evict
     # BEFORE touching tables so a failed rebuild cannot read stale trust
     _evict_gen(name)
+    # crash-residue guard: a killed process can leave this index's table
+    # DIRECTORIES in the warehouse with no catalog entry; saveAsTable
+    # would then die with LOCATION_ALREADY_EXISTS. Clear only locations
+    # the catalog disowns — a registered table is left for mode= to
+    # handle normally.
+    for part in _PARTS:
+        _clear_orphan_location(spark, _t(name, part))
     gen = uuid.uuid4().hex
     digests = (
         df.select(
@@ -548,10 +599,15 @@ def dedup_index_add(
 
 
 def dedup_index_drop(spark: SparkSession, name: str) -> None:
-    """Drop every table of the index (build's inverse; missing parts ok)."""
+    """Drop every table of the index (build's inverse; missing parts ok).
+
+    Also removes catalog-DISOWNED warehouse directories for the parts —
+    crash residue from a killed process that the DROP cannot see — so
+    drop-then-build always starts clean."""
     _evict_gen(name)
-    for part in ("digests", "bands", "docs", "meta"):
+    for part in _PARTS:
         spark.sql(f"DROP TABLE IF EXISTS {_t(name, part)}")
+        _clear_orphan_location(spark, _t(name, part))
 
 
 def streaming_index_ingest(

@@ -928,13 +928,22 @@ def sweep_stale_ivf_dirs() -> int:
 
 
 def sweep_stale_didx_tables(spark: SparkSession) -> int:
-    """Drop ``pipe_didx_<pid>_*`` catalog tables whose owning pid is dead
-    (same crash-leak story as :func:`sweep_stale_ivf_dirs`, but in the
-    warehouse). Returns index base-names dropped."""
+    """Drop ``pipe_didx_<pid>_*`` indexes whose owning pid is dead (same
+    crash-leak story as :func:`sweep_stale_ivf_dirs`, but in the
+    warehouse). Two sources, because they see different residue
+    (round-15 verdict #2): the session CATALOG lists tables this process
+    (or a live sibling sharing the metastore) registered, while the
+    warehouse DIRECTORY on disk holds orphan table dirs from processes
+    that died — a fresh in-memory catalog never lists those, yet their
+    directories still collide with the next ``saveAsTable``. Returns
+    index base-names swept."""
     import os
     import re
 
-    from .operators.dedup_index import dedup_index_drop
+    from .operators.dedup_index import (
+        _warehouse_dir,
+        dedup_index_drop,
+    )
 
     pat = re.compile(r"^(pipe_didx_(\d+)_[0-9a-f]+)_")
     bases: dict = {}
@@ -942,9 +951,18 @@ def sweep_stale_didx_tables(spark: SparkSession) -> int:
         m = pat.match(t.name)
         if m:
             bases[m.group(1)] = int(m.group(2))
+    wh = _warehouse_dir(spark)
+    if wh:
+        for d in os.listdir(wh):
+            m = pat.match(d)
+            if m and os.path.isdir(os.path.join(wh, d)):
+                # catalog wins on conflict (same base both places is the
+                # normal registered case; the drop removes both anyway)
+                bases.setdefault(m.group(1), int(m.group(2)))
     swept = 0
     for base, pid in bases.items():
         if pid != os.getpid() and not _pid_alive(pid):
+            # drop handles both registered tables and disowned dirs
             dedup_index_drop(spark, base)
             swept += 1
     return swept
