@@ -104,17 +104,98 @@ def _settle() -> float:
 def should_retry(
     best_ratio: float, attempt: int, max_retries: int,
     elapsed: float, cap: float, warm_ratio: float,
+    next_cooldown: float = 0.0, est_attempt: float = 0.0,
 ) -> bool:
     """Pure retry decision for the quiet-window hunt (unit-pinned so the
     loop cannot regress into retrying forever or past its wall budget in
     the driver's unattended run): retry only while the best window so
     far is non-quiet, extra attempts remain, and the wall budget holds.
-    ``attempt`` counts COMPLETED attempts (1 = just the initial set)."""
+    ``attempt`` counts COMPLETED attempts (1 = just the initial set).
+
+    The budget check PROJECTS the cost of saying yes — the upcoming
+    escalating cooldown plus an estimate of one measurement attempt —
+    instead of comparing bare elapsed (round-15 ADVICE: a decision made
+    just under the cap could overrun it by cooldown + a full interleaved
+    set). Callers pass the fastest completed attempt's duration as the
+    estimate: a retry cannot plausibly finish faster than the best
+    attempt so far, and min avoids a loaded first attempt talking the
+    hunt out of ever retrying."""
     return (
         best_ratio >= warm_ratio
         and attempt - 1 < max_retries
-        and elapsed < cap
+        and elapsed + next_cooldown + est_attempt < cap
     )
+
+
+def split_output(out: dict) -> "tuple[dict, dict | None]":
+    """Split the full result dict into the compact FINAL stdout line and
+    a separate bulky exec-metrics line.
+
+    The driver captures only the last 2000 chars of stdout and parses
+    the final JSON line; round 15's inline ``metrics`` block pushed that
+    line to 3,973 chars and the committed artifact lost its totals /
+    window / attempts entirely (``parsed: null``). The headline record
+    must stay compact no matter how many queries carry metrics — the
+    metrics travel on their own EARLIER stdout line (truncation there
+    costs nothing: the durable copy is the BENCH_METRICS.jsonl sidecar).
+    tests/test_bench_metrics.py pins the final line ≤ 1800 chars on a
+    synthetic full-size run."""
+    compact = dict(out)
+    metrics = compact.pop("metrics", None)
+    if metrics is None:
+        return compact, None
+    side = {
+        "metric": "exec_metrics",
+        "sf": out.get("sf"),
+        "window": out.get("window"),
+        "calib_ratio": (out.get("calib") or {}).get("ratio"),
+        "value": out.get("value"),
+        "value_normalized": out.get("value_normalized"),
+        "metrics": metrics,
+    }
+    return compact, side
+
+
+def append_metrics_sidecar(side: dict, path: str) -> None:
+    """Append one JSON line to the BENCH_METRICS.jsonl sidecar — the
+    durable cross-round record of the load-independent plan metrics now
+    that they no longer ride the (tail-truncated) driver artifact. The
+    file is committed with the repo, so ``tools/bench_trend.py
+    --metrics`` trends plan bytes across rounds from it."""
+    import datetime
+
+    rec = {
+        "utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        )
+    }
+    rec.update(side)
+    with open(path, "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+
+
+def newest_parseable_artifact(root: str) -> "tuple[str, dict] | None":
+    """Newest ``BENCH_r*.json`` whose driver-parsed payload is usable for
+    deltas — SKIPPING crippled artifacts (BENCH_r15.json's truncated
+    tail left ``parsed: null``; taking the lexically-last file blindly
+    silently killed ``delta_vs_prev`` for every later round). Numeric
+    round sort, so r9 orders before r13 even unpadded."""
+    import re
+
+    cands = []
+    for f in os.listdir(root):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m:
+            cands.append((int(m.group(1)), f))
+    for _, f in sorted(cands, reverse=True):
+        try:
+            with open(os.path.join(root, f)) as fh:
+                parsed = json.load(fh).get("parsed")
+        except (OSError, ValueError):
+            continue
+        if parsed and (parsed.get("queries") or parsed.get("value")):
+            return f, parsed
+    return None
 
 
 class _ExecMetrics:
@@ -384,12 +465,16 @@ def main() -> None:
                 # result determinism is part of the bench contract: a
                 # row count that drifts between rounds/attempts would
                 # otherwise be silently hidden (the artifact records one
-                # count next to a min taken across all samples)
-                assert rows_of.setdefault(name, n_rows) == n_rows, (
-                    f"{name}: row count drifted across rounds "
-                    f"({rows_of[name]} -> {n_rows}) — nondeterministic "
-                    "query result; bench mins are incomparable"
-                )
+                # count next to a min taken across all samples). An
+                # explicit raise, not assert — `python -O` strips
+                # asserts, and this guard must hold in any interpreter
+                # the driver happens to use.
+                if rows_of.setdefault(name, n_rows) != n_rows:
+                    raise RuntimeError(
+                        f"{name}: row count drifted across rounds "
+                        f"({rows_of[name]} -> {n_rows}) — nondeterministic "
+                        "query result; bench mins are incomparable"
+                    )
                 clear_rdd_cache()
             m0 = em.mark()
             t0 = time.perf_counter()
@@ -403,6 +488,7 @@ def main() -> None:
 
     t_measure0 = time.time()
     measure_rounds(iters, attempt=1)
+    attempt_durations = [time.time() - t_measure0]
 
     def best_ratio() -> float:
         # same 3-decimal rounding as the final stamp, so a boundary
@@ -432,6 +518,12 @@ def main() -> None:
     while should_retry(
         best_ratio(), attempt, max_retries,
         time.time() - t_measure0, retry_cap, WARM_RATIO,
+        # project the cost of saying yes: the upcoming escalating
+        # cooldown plus (at least) the fastest attempt's duration — a
+        # bare elapsed check could greenlight a retry that overruns the
+        # cap by cooldown + a full interleaved set (round-15 ADVICE)
+        next_cooldown=60 * attempt,
+        est_attempt=min(attempt_durations),
     ):
         attempt += 1
         cooldown = 60 * (attempt - 1)
@@ -442,7 +534,9 @@ def main() -> None:
         time.sleep(cooldown)
         _settle()
         n_before = len(calib_rounds)
+        t_att = time.time()
         measure_rounds(iters, attempt=attempt)
+        attempt_durations.append(time.time() - t_att)
         attempt_ratios.append(attempt_ratio(n_before))
     retried = attempt > 1
 
@@ -504,37 +598,31 @@ def main() -> None:
     delta_basis = {"queries": "raw", "eps": "raw"}
     prev_path = None
     here = os.path.dirname(os.path.abspath(__file__))
-    benches = sorted(
-        f for f in os.listdir(here)
-        if f.startswith("BENCH_r") and f.endswith(".json")
-    )
-    if benches:
-        prev_path = os.path.join(here, benches[-1])
-        try:
-            with open(prev_path) as fh:
-                prev = json.load(fh).get("parsed", {}) or {}
-            prev_q = prev.get("queries", {})
-            prev_ratio = (prev.get("calib") or {}).get("ratio") or 0
-            cur_scale, prev_scale = 1.0, 1.0
-            if prev_ratio and calib_ratio:
-                delta_basis["queries"] = "normalized"
-                cur_scale, prev_scale = calib_ratio, prev_ratio
-            for name, t in timings.items():
-                if name in prev_q and prev_q[name]:
-                    deltas[name] = round(
-                        (t / cur_scale) / (prev_q[name] / prev_scale) - 1.0,
-                        3,
-                    )
-            if prev.get("state_machine_eps"):
-                deltas["state_machine_eps"] = round(
-                    eps / prev["state_machine_eps"] - 1.0, 3
+    # basis = the newest PARSEABLE artifact — a crippled one (r15's
+    # truncated tail, parsed null) is skipped, not silently fatal
+    found = newest_parseable_artifact(here)
+    if found:
+        prev_path, prev = found
+        prev_q = prev.get("queries", {})
+        prev_ratio = (prev.get("calib") or {}).get("ratio") or 0
+        cur_scale, prev_scale = 1.0, 1.0
+        if prev_ratio and calib_ratio:
+            delta_basis["queries"] = "normalized"
+            cur_scale, prev_scale = calib_ratio, prev_ratio
+        for name, t in timings.items():
+            if name in prev_q and prev_q[name]:
+                deltas[name] = round(
+                    (t / cur_scale) / (prev_q[name] / prev_scale) - 1.0,
+                    3,
                 )
-            if prev.get("state_machine_eps_pure"):
-                deltas["state_machine_eps_pure"] = round(
-                    eps_pure / prev["state_machine_eps_pure"] - 1.0, 3
-                )
-        except (OSError, ValueError):
-            prev_path = None
+        if prev.get("state_machine_eps"):
+            deltas["state_machine_eps"] = round(
+                eps / prev["state_machine_eps"] - 1.0, 3
+            )
+        if prev.get("state_machine_eps_pure"):
+            deltas["state_machine_eps_pure"] = round(
+                eps_pure / prev["state_machine_eps_pure"] - 1.0, 3
+            )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -585,13 +673,29 @@ def main() -> None:
         # or hide a byte-metric jump. tools/bench_trend.py --metrics
         # diffs them across rounds. null only if the status-store probe
         # failed (py4j signature drift after a Spark upgrade).
+        # NOTE: split_output() moves this block OFF the final stdout
+        # line — round 15's inline block grew the line past the
+        # driver's 2000-char tail capture and destroyed the artifact.
         "metrics": metrics_out,
     }
     if deltas:
         out["delta_vs_prev"] = deltas
         out["delta_basis"] = delta_basis
         out["delta_baseline"] = os.path.basename(prev_path)
-    print(json.dumps(out))
+    compact, side = split_output(out)
+    if side is not None:
+        # bulky metrics: own EARLIER stdout line (may be truncated out of
+        # the driver's tail — that's fine) + durable committed sidecar
+        print(json.dumps(side))
+        try:
+            append_metrics_sidecar(
+                side, os.path.join(here, "BENCH_METRICS.jsonl")
+            )
+        except OSError as ex:
+            print(f"# metrics sidecar write failed: {ex}", file=sys.stderr)
+    # the compact headline record is the FINAL line — the one the driver
+    # parses out of its 2000-char tail
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

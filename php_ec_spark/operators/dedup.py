@@ -1076,6 +1076,10 @@ def _log_cc_stats(logger, door: str, batch_id, cc_stats: dict) -> None:
         "fastpath_edges" not in cc_stats
         and cc_stats.get("converged")
         and cc_stats["rounds"] >= cc_stats["max_iters"] - 2
+        # floor: with a tiny max_iters (2-3) a comfortably-converged
+        # rounds=1 run is within 2 of the bound by arithmetic, not by
+        # creeping chain depth — no warning there (round-15 ADVICE)
+        and cc_stats["max_iters"] >= 5
     ):
         logger.warning(
             "%s batch %s: component contraction used %d of max_iters=%d "
@@ -1247,8 +1251,18 @@ def connected_components(
     if driver_fastpath_max_edges > 0:
         n_edges = edges.count()  # pinned frame: a block-count-scale job
         if n_edges <= driver_fastpath_max_edges:
+            # NULL endpoints cannot reach this frame (the canonical
+            # `doc_a != doc_b` filter is NULL-rejecting), but Python
+            # min/max would raise TypeError on one where the star
+            # loop's least/greatest shrugs — drop them defensively so
+            # the two paths can never diverge on failure mode
+            # (round-15 ADVICE)
             labels = _union_find_min_labels(
-                [(r[0], r[1]) for r in edges.collect()]
+                [
+                    (r[0], r[1])
+                    for r in edges.collect()
+                    if r[0] is not None and r[1] is not None
+                ]
             )
             edges.unpersist(False)
             if stats is not None:

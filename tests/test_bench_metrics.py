@@ -95,3 +95,165 @@ class TestRetryDecision:
             attempts += 1
             assert attempts <= 10, "runaway retry loop"
         assert attempts == 1 + max_retries
+
+
+class TestOutputSplit:
+    """Round-15 postmortem: the inline ``metrics`` block grew the single
+    stdout JSON line to 3,973 chars; the driver keeps only the LAST
+    2000 chars of tail, so the committed BENCH_r15.json lost its totals
+    / window / attempts (``parsed: null``) and poisoned the delta chain.
+    These pins hold the new contract: bulky metrics ride a separate
+    earlier line + committed sidecar, and the FINAL line stays compact
+    enough to survive the tail capture with margin."""
+
+    @staticmethod
+    def _full_size_out():
+        """Synthetic result dict at REAL size: the actual 13 headline
+        query names + state_machine, every optional block populated the
+        way a 3-attempt retried run populates them."""
+        from php_ec_spark.catalog import all_queries
+
+        names = sorted(n for n, q in all_queries().items() if q.headline)
+        assert len(names) >= 13
+        metrics = {
+            n: {
+                "shuffle_read": 123_456_789, "shuffle_write": 123_456_789,
+                "spill_mem": 1_073_741_824, "spill_disk": 536_870_912,
+                "input_bytes": 9_876_543_210, "input_records": 12_345_678,
+                "output_bytes": 123_456, "tasks": 1234, "stages": 42,
+            }
+            for n in names + ["state_machine"]
+        }
+        out = {
+            "metric": "headline_total_runtime",
+            "value": 18.854,
+            "value_normalized": 14.707,
+            "unit": "sec",
+            "queries": {n: 2.123 for n in names},
+            "queries_normalized": {n: 1.656 for n in names},
+            "state_machine_eps": 156829,
+            "state_machine_eps_pure": 275123,
+            "sf": 0.1,
+            "loadavg": {"start": 0.52, "end": 14.37},
+            "calib": {
+                "sec": 0.554, "ref_sec": 0.49, "ratio": 1.131,
+                "rounds": [round(0.6 + 0.01 * i, 3) for i in range(15)],
+            },
+            "window": "quiet",
+            "retried": True,
+            "attempts": [1.531, 1.402, 1.131],
+            "metrics": metrics,
+            "delta_vs_prev": {
+                **{n: -0.123 for n in names},
+                "state_machine_eps": 0.163,
+                "state_machine_eps_pure": 0.042,
+            },
+            "delta_basis": {"queries": "normalized", "eps": "raw"},
+            "delta_baseline": "BENCH_r14.json",
+        }
+        return out
+
+    def test_final_line_survives_the_2000_char_tail(self):
+        import json
+
+        compact, side = bench.split_output(self._full_size_out())
+        line = json.dumps(compact)
+        assert len(line) <= 1800, (
+            f"final stdout line is {len(line)} chars — the driver tail "
+            "keeps 2000; headroom gone, move something off the line"
+        )
+        # the record fields the trend/delta machinery needs all survived
+        for k in ("value", "value_normalized", "queries", "calib",
+                  "window", "attempts", "delta_vs_prev"):
+            assert k in compact
+        assert "metrics" not in compact
+        # ...and the metrics line carries the block + its window context
+        assert side["metric"] == "exec_metrics"
+        assert side["window"] == "quiet"
+        assert side["calib_ratio"] == 1.131
+        assert len(side["metrics"]) == 14
+
+    def test_split_without_metrics_is_identity(self):
+        out = self._full_size_out()
+        out["metrics"] = None
+        compact, side = bench.split_output(out)
+        assert side is None
+        assert "metrics" not in compact
+
+    def test_sidecar_appends_parseable_lines(self, tmp_path):
+        import json
+
+        _, side = bench.split_output(self._full_size_out())
+        p = tmp_path / "BENCH_METRICS.jsonl"
+        bench.append_metrics_sidecar(side, str(p))
+        bench.append_metrics_sidecar(side, str(p))
+        lines = p.read_text().strip().splitlines()
+        assert len(lines) == 2
+        rec = json.loads(lines[-1])
+        assert rec["utc"].startswith("20")
+        assert rec["metrics"]["state_machine"]["tasks"] == 1234
+        assert rec["value_normalized"] == 14.707
+
+
+class TestDeltaBaseline:
+    """The prev-artifact lookup must skip crippled artifacts — the
+    committed BENCH_r15.json (parsed: null) would otherwise suppress
+    delta_vs_prev for every future round."""
+
+    @staticmethod
+    def _write(root, n, parsed):
+        import json
+
+        (root / f"BENCH_r{n:02d}.json").write_text(
+            json.dumps({"n": n, "tail": "...", "parsed": parsed})
+        )
+
+    def test_skips_null_parsed_and_falls_back(self, tmp_path):
+        good = {"value": 18.8, "queries": {"q": 1.0},
+                "calib": {"ratio": 1.2}}
+        self._write(tmp_path, 14, good)
+        self._write(tmp_path, 15, None)
+        got = bench.newest_parseable_artifact(str(tmp_path))
+        assert got is not None
+        name, parsed = got
+        assert name == "BENCH_r14.json"
+        assert parsed["value"] == 18.8
+
+    def test_numeric_round_order(self, tmp_path):
+        self._write(tmp_path, 9, {"value": 1.0, "queries": {"q": 1.0}})
+        self._write(tmp_path, 15, {"value": 2.0, "queries": {"q": 2.0}})
+        name, parsed = bench.newest_parseable_artifact(str(tmp_path))
+        assert name == "BENCH_r15.json"
+
+    def test_empty_dir_yields_none(self, tmp_path):
+        assert bench.newest_parseable_artifact(str(tmp_path)) is None
+
+    def test_unreadable_artifact_skipped(self, tmp_path):
+        (tmp_path / "BENCH_r16.json").write_text("{not json")
+        self._write(tmp_path, 15, {"value": 2.0, "queries": {"q": 2.0}})
+        name, _ = bench.newest_parseable_artifact(str(tmp_path))
+        assert name == "BENCH_r15.json"
+
+
+class TestRetryProjection:
+    """Round-15 ADVICE: the budget check must project the upcoming
+    cooldown (and one attempt's duration) — a yes decided just under
+    the cap used to overrun it by cooldown + a full interleaved set."""
+
+    def test_projection_blocks_an_overrunning_retry(self):
+        WARM = 1.15
+        # bare elapsed fits, but cooldown + one attempt would overrun
+        assert not bench.should_retry(
+            2.5, 1, 2, 1000, 1200, WARM,
+            next_cooldown=60, est_attempt=200,
+        )
+        # same elapsed, cheap attempt: projection fits, retry allowed
+        assert bench.should_retry(
+            2.5, 1, 2, 1000, 1200, WARM,
+            next_cooldown=60, est_attempt=100,
+        )
+
+    def test_defaults_preserve_legacy_semantics(self):
+        WARM = 1.15
+        assert bench.should_retry(2.5, 1, 2, 1199, 1200, WARM)
+        assert not bench.should_retry(2.5, 1, 2, 1200, 1200, WARM)

@@ -80,7 +80,7 @@ class TestBenchTrend:
         out = _run(tmp_path, "--metrics")
         qa = next(ln for ln in out.splitlines() if ln.startswith("qa"))
         assert "2.0/8t" in qa  # (read+write)/1e6 MB and task count
-        assert "SPILL r3 qb: 5.0 MB" in out
+        assert "SPILL r03 qb: 5.0 MB" in out
 
     def test_metrics_absent_notes_and_exits_cleanly(self, tmp_path):
         _write(tmp_path, 2, {"value": 1.0})
@@ -89,4 +89,61 @@ class TestBenchTrend:
             capture_output=True, text=True, timeout=60,
         )
         assert out.returncode == 0
-        assert "no artifacts carry exec metrics yet" in out.stderr
+        assert "no exec metrics found" in out.stderr
+
+    def test_metrics_sidecar_columns_label_by_utc(self, tmp_path):
+        """r16+ contract: metrics ride BENCH_METRICS.jsonl, not the
+        artifact — the table must pick them up and stamp-label them."""
+        _fixture(tmp_path)
+        rec = {
+            "utc": "2026-08-16T18:22:17+00:00",
+            "metrics": {
+                "qa": {"shuffle_read": 3_000_000, "shuffle_write": 0,
+                       "spill_mem": 0, "spill_disk": 0, "input_bytes": 0,
+                       "input_records": 0, "output_bytes": 0, "tasks": 6,
+                       "stages": 2},
+            },
+        }
+        with open(os.path.join(tmp_path, "BENCH_METRICS.jsonl"), "w") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.write("not json — a torn write must not kill the table\n")
+        out = _run(tmp_path, "--metrics")
+        head = next(
+            ln for ln in out.splitlines() if ln.startswith("shuffle MB")
+        )
+        assert "0816.1822" in head
+        qa = next(ln for ln in out.splitlines() if ln.startswith("qa"))
+        assert "3.0/6t" in qa
+
+    def test_metrics_salvaged_from_truncated_tail(self, tmp_path):
+        """A null-parsed artifact (the committed BENCH_r15.json shape)
+        still contributes whatever complete per-query blocks survive
+        mid-line in its captured tail, labeled rNN~."""
+        _fixture(tmp_path)
+        frag = (
+            '"input_records": 1}, '
+            '"qb": {"shuffle_read": 7000000, "shuffle_write": 0, '
+            '"spill_mem": 0, "spill_disk": 0, "input_bytes": 0, '
+            '"input_records": 0, "output_bytes": 0, "tasks": 9, '
+            '"stages": 2}, "delta_vs_prev": {"qb": 0.01}}'
+        )
+        with open(os.path.join(tmp_path, "BENCH_r04.json"), "w") as f:
+            json.dump({"parsed": None, "tail": frag}, f)
+        out = _run(tmp_path, "--metrics")
+        head = next(
+            ln for ln in out.splitlines() if ln.startswith("shuffle MB")
+        )
+        assert "r04~" in head
+        qb = next(ln for ln in out.splitlines() if ln.startswith("qb"))
+        assert "7.0/9t" in qb
+
+    def test_null_metrics_entry_does_not_crash_spill_scan(self, tmp_path):
+        """Round-15 ADVICE: a null per-query metrics entry (collector
+        degraded mid-run) raised TypeError in the spill enumeration."""
+        _write(tmp_path, 5, {
+            "value": 1.0, "queries": {"qa": 1.0},
+            "metrics": {"qa": None},
+        })
+        out = _run(tmp_path, "--metrics")
+        qa = next(ln for ln in out.splitlines() if ln.startswith("qa"))
+        assert "-" in qa

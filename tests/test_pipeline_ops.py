@@ -2155,6 +2155,14 @@ class TestConnectedComponents:
         assert [r.levelname for r in rs] == ["INFO", "WARNING"]
         assert "raise max_iters" in rs[1].getMessage()
 
+        # round-15 ADVICE: a comfortably-converged run under a TINY
+        # max_iters is within 2 of the bound by arithmetic alone — the
+        # floor keeps it from warning spuriously
+        rs = records({"rounds": 1, "max_iters": 3, "converged": True})
+        assert [r.levelname for r in rs] == ["INFO"]
+        rs = records({"rounds": 4, "max_iters": 5, "converged": True})
+        assert [r.levelname for r in rs] == ["INFO", "WARNING"]
+
     def test_round_telemetry(self, spark):
         """Round-13 verdict #7: stats= reports rounds used vs max_iters
         so operators sizing max_iters on real corpora read their headroom

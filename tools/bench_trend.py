@@ -98,40 +98,113 @@ def main() -> None:
         print("\n(* = raw, pre-calib artifact carries no ratio)")
 
     if "--metrics" in sys.argv:
-        # load-INDEPENDENT plan metrics per query per round (artifacts
-        # carry them since r15): total shuffle bytes (read+write) and
-        # completed tasks. These are properties of the plan, not the
-        # measurement window — a jump here is a real plan regression (an
-        # extra exchange, a broadcast falling back to shuffle) no loaded
-        # box can fake; a flat line absolves a noisy seconds delta.
-        mrounds = [(n, p) for n, p in rounds if p.get("metrics")]
-        if not mrounds:
-            print("\nno artifacts carry exec metrics yet (r15+)",
-                  file=sys.stderr)
+        # load-INDEPENDENT plan metrics per query (total shuffle bytes
+        # read+write and completed tasks). These are properties of the
+        # plan, not the measurement window — a jump here is a real plan
+        # regression (an extra exchange, a broadcast falling back to
+        # shuffle) no loaded box can fake; a flat line absolves a noisy
+        # seconds delta. Three sources, newest last:
+        #   1. legacy inline blocks in BENCH_r*.json parsed payloads
+        #      (r15-era; the inline block was retired after it truncated
+        #      the artifact),
+        #   2. the r15 tail FRAGMENT — parsed is null but ~7 blocks
+        #      survive mid-line in the captured tail; salvage them,
+        #   3. the committed BENCH_METRICS.jsonl sidecar (r16+), labeled
+        #      by UTC stamp (the driver round number isn't known at
+        #      bench time); only the newest few shown to bound width.
+        cols = [(f"r{n:02d}", p["metrics"]) for n, p in rounds
+                if p.get("metrics")]
+        for n, frag in salvage_fragment_metrics(root, rounds):
+            cols.append((f"r{n:02d}~", frag))
+        side = load_sidecar_metrics(root)
+        cols += side[-4:]
+        if not cols:
+            print("\nno exec metrics found (BENCH_r15+ artifact or "
+                  "BENCH_METRICS.jsonl sidecar)", file=sys.stderr)
             return
-        names = sorted({q for _, p in mrounds for q in p["metrics"]})
+        names = sorted({q for _, ms in cols for q in ms})
         print()
         print("shuffle MB / tasks".ljust(28)
-              + "".join(f"r{n:>02}".rjust(16) for n, _ in mrounds))
+              + "".join(lab.rjust(16) for lab, _ in cols))
         for q in names:
             row = q.ljust(28)
-            for _, p in mrounds:
-                m = p["metrics"].get(q)
+            for _, ms in cols:
+                m = ms.get(q)
                 if m is None:
                     row += "-".rjust(16)
                 else:
                     mb = (m["shuffle_read"] + m["shuffle_write"]) / 1e6
                     row += f"{mb:.1f}/{m['tasks']}t".rjust(16)
             print(row)
-        print("\n(spill bytes are omitted when zero everywhere; read "
-              "them off the artifact's metrics block directly)")
+        print("\n(~ = salvaged from a truncated-tail artifact; spill "
+              "bytes are omitted when zero everywhere)")
         spilled = [
-            (q, n, m["spill_mem"] + m["spill_disk"])
-            for n, p in mrounds for q, m in p["metrics"].items()
-            if m["spill_mem"] + m["spill_disk"] > 0
+            (q, lab, m["spill_mem"] + m["spill_disk"])
+            for lab, ms in cols for q, m in ms.items()
+            if m and m.get("spill_mem") is not None
+            and m["spill_mem"] + m["spill_disk"] > 0
         ]
-        for q, n, b in spilled:
-            print(f"SPILL r{n} {q}: {b / 1e6:.1f} MB")
+        for q, lab, b in spilled:
+            print(f"SPILL {lab} {q}: {b / 1e6:.1f} MB")
+
+
+def load_sidecar_metrics(root: str) -> "list[tuple[str, dict]]":
+    """BENCH_METRICS.jsonl entries as (label, metrics) columns, oldest
+    first; labels are the UTC stamp compressed to MMDD.HHMM."""
+    cols = []
+    path = os.path.join(root, "BENCH_METRICS.jsonl")
+    try:
+        with open(path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if not rec.get("metrics"):
+                    continue
+                utc = rec.get("utc", "")
+                # 2026-08-16T18:22:17+00:00 -> 0816.1822
+                lab = (utc[5:7] + utc[8:10] + "." + utc[11:13]
+                       + utc[14:16]) if len(utc) >= 16 else "side"
+                cols.append((lab, rec["metrics"]))
+    except OSError:
+        pass
+    return cols
+
+
+def salvage_fragment_metrics(
+    root: str, rounds: "list[tuple[int, dict]]",
+) -> "list[tuple[int, dict]]":
+    """Recover per-query metrics blocks from artifacts whose parsed
+    payload is null but whose captured TAIL still carries complete
+    ``"name": {"shuffle_read": ...}`` fragments mid-line (BENCH_r15.json
+    lost its headline to truncation but kept 7 of 14 blocks)."""
+    import re
+
+    parsed_ok = {n for n, p in rounds if p}
+    out = []
+    pat = re.compile(r'"([A-Za-z0-9_]+)": (\{"shuffle_read":[^{}]*\})')
+    for f in os.listdir(root):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if not m or int(m.group(1)) in parsed_ok:
+            continue
+        try:
+            with open(os.path.join(root, f)) as fh:
+                tail = json.load(fh).get("tail") or ""
+        except (OSError, ValueError):
+            continue
+        frag = {}
+        for name, block in pat.findall(tail):
+            try:
+                frag[name] = json.loads(block)
+            except ValueError:
+                continue
+        if frag:
+            out.append((int(m.group(1)), frag))
+    out.sort()
+    return out
 
 
 if __name__ == "__main__":
