@@ -191,10 +191,12 @@ def newest_parseable_artifact(root: str) -> "tuple[str, dict] | None":
         try:
             with open(os.path.join(root, f)) as fh:
                 parsed = json.load(fh).get("parsed")
-        except (OSError, ValueError):
+            if parsed and (parsed.get("queries") or parsed.get("value")):
+                return f, parsed
+        except (OSError, ValueError, AttributeError):
+            # unreadable, non-JSON, or non-dict shapes all mean "not a
+            # usable baseline" — keep walking to an older artifact
             continue
-        if parsed and (parsed.get("queries") or parsed.get("value")):
-            return f, parsed
     return None
 
 
