@@ -605,7 +605,9 @@ def main() -> None:
     found = newest_parseable_artifact(here)
     if found:
         prev_path, prev = found
-        prev_q = prev.get("queries", {})
+        # `or {}`: a payload carrying "queries": null has the key, so a
+        # .get default alone would hand the membership test a None
+        prev_q = prev.get("queries") or {}
         prev_ratio = (prev.get("calib") or {}).get("ratio") or 0
         cur_scale, prev_scale = 1.0, 1.0
         if prev_ratio and calib_ratio:

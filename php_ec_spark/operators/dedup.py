@@ -1078,8 +1078,13 @@ def _log_cc_stats(logger, door: str, batch_id, cc_stats: dict) -> None:
         and cc_stats["rounds"] >= cc_stats["max_iters"] - 2
         # floor: with a tiny max_iters (2-3) a comfortably-converged
         # rounds=1 run is within 2 of the bound by arithmetic, not by
-        # creeping chain depth — no warning there (round-15 ADVICE)
-        and cc_stats["max_iters"] >= 5
+        # creeping chain depth — no warning there (round-15 ADVICE).
+        # But a FULLY exhausted budget (rounds == max_iters) is zero
+        # headroom at any bound — always worth the warning.
+        and (
+            cc_stats["max_iters"] >= 5
+            or cc_stats["rounds"] >= cc_stats["max_iters"]
+        )
     ):
         logger.warning(
             "%s batch %s: component contraction used %d of max_iters=%d "

@@ -139,18 +139,38 @@ def _clear_orphan_location(spark: SparkSession, table: str) -> bool:
     residue cost 4 errors + 1 failure in an otherwise-green suite).
     Only ever removes a directory the catalog disowns: a REGISTERED
     table's data is never touched. Returns True if residue was removed.
+
+    Scope guards, both fail-SAFE (skip clearing, never delete):
+
+    - acts only while the session's current database is ``default`` —
+      the ``<warehouse>/<table>`` path this computes is the DEFAULT
+      database's layout, and an unqualified ``tableExists`` resolves in
+      the CURRENT database, so under ``USE otherdb`` the pair would
+      disagree about which table the directory belongs to (and could
+      conclude a registered default-db table's data was residue);
+    - the existence check ignores TEMP views (``SHOW TABLES``'s
+      isTemporary column): a temp view shares the name but owns no
+      warehouse directory, so it must not shield real on-disk residue.
     """
     import os
     import shutil
 
     wh = _warehouse_dir(spark)
-    if not wh:
+    if not wh or spark.catalog.currentDatabase() != "default":
         return False
     loc = os.path.join(wh, table.lower())
-    if os.path.isdir(loc) and not spark.catalog.tableExists(table):
-        shutil.rmtree(loc, ignore_errors=True)
-        return not os.path.isdir(loc)
-    return False
+    if not os.path.isdir(loc):
+        return False
+    registered = any(
+        not r.isTemporary
+        for r in spark.sql(
+            f"SHOW TABLES IN default LIKE '{table.lower()}'"
+        ).collect()
+    )
+    if registered:
+        return False
+    shutil.rmtree(loc, ignore_errors=True)
+    return not os.path.isdir(loc)
 
 
 #: (index name, generation) pairs pre-verified for a running STREAM —

@@ -137,6 +137,53 @@ class TestBenchTrend:
         qb = next(ln for ln in out.splitlines() if ln.startswith("qb"))
         assert "7.0/9t" in qb
 
+    def test_metrics_columns_merge_chronologically(self, tmp_path):
+        """A salvaged round OLDER than an inline round must print to its
+        LEFT — left-to-right is chronological, or a byte-metric jump
+        reads in the wrong direction."""
+        _fixture(tmp_path)  # r03 carries inline metrics
+        frag = (
+            '"qa": {"shuffle_read": 9000000, "shuffle_write": 0, '
+            '"spill_mem": 0, "spill_disk": 0, "input_bytes": 0, '
+            '"input_records": 0, "output_bytes": 0, "tasks": 3, '
+            '"stages": 1}}'
+        )
+        with open(os.path.join(tmp_path, "BENCH_r02.json"), "w") as f:
+            json.dump({"parsed": None, "tail": frag}, f)
+        out = _run(tmp_path, "--metrics")
+        head = next(
+            ln for ln in out.splitlines() if ln.startswith("shuffle MB")
+        )
+        assert head.index("r02~") < head.index("r03")
+
+    def test_sidecar_filters_to_newest_entrys_sf(self, tmp_path):
+        """Byte metrics from different scale factors are not comparable:
+        a stray sf0.01 smoke entry must neither print next to sf0.1
+        columns nor evict real entries from the last-4 window."""
+        _fixture(tmp_path)
+        m = {"qa": {"shuffle_read": 1, "shuffle_write": 0, "spill_mem": 0,
+                    "spill_disk": 0, "input_bytes": 0, "input_records": 0,
+                    "output_bytes": 0, "tasks": 1, "stages": 1}}
+        with open(os.path.join(tmp_path, "BENCH_METRICS.jsonl"), "w") as f:
+            f.write(json.dumps(
+                {"utc": "2026-08-15T10:00:00+00:00", "sf": 0.01,
+                 "metrics": m}) + "\n")
+            f.write(json.dumps(
+                {"utc": "2026-08-16T11:00:00+00:00", "sf": 0.1,
+                 "metrics": m}) + "\n")
+        out = subprocess.run(
+            [sys.executable, TOOL, "--metrics", str(tmp_path)],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert out.returncode == 0, out.stderr
+        head = next(
+            ln for ln in out.stdout.splitlines()
+            if ln.startswith("shuffle MB")
+        )
+        assert "0816.1100" in head
+        assert "0815.1000" not in head
+        assert "1 entries at other sf skipped" in out.stderr
+
     def test_null_metrics_entry_does_not_crash_spill_scan(self, tmp_path):
         """Round-15 ADVICE: a null per-query metrics entry (collector
         degraded mid-run) raised TypeError in the spill enumeration."""

@@ -1321,6 +1321,49 @@ class TestCrashResidue:
         finally:
             dedup_index_drop(spark, "dix_live")
 
+    def test_temp_view_does_not_shield_residue(self, spark):
+        """A temp view sharing the orphan's name owns no warehouse
+        directory — it must not mask real on-disk residue (the
+        round-15 LOCATION_ALREADY_EXISTS would resurface silently)."""
+        import os
+
+        from php_ec_spark.operators.dedup_index import (
+            _clear_orphan_location,
+        )
+
+        d = self._plant(spark, "dix_orph3_digests")
+        spark.range(1).createOrReplaceTempView("dix_orph3_digests")
+        try:
+            assert _clear_orphan_location(spark, "dix_orph3_digests")
+            assert not os.path.isdir(d)
+        finally:
+            spark.catalog.dropTempView("dix_orph3_digests")
+
+    def test_non_default_database_is_a_safe_noop(self, spark):
+        """Under USE otherdb the unqualified existence check and the
+        default-warehouse path would disagree about which table owns
+        the directory — the guard must skip (never delete) there: a
+        registered default-db table's data is NOT residue just because
+        the current database can't see it."""
+        import os
+
+        from php_ec_spark.operators.dedup_index import (
+            _clear_orphan_location,
+        )
+
+        d = self._plant(spark, "dix_orph4_digests")
+        spark.sql("CREATE DATABASE IF NOT EXISTS dix_scope_db")
+        spark.catalog.setCurrentDatabase("dix_scope_db")
+        try:
+            assert not _clear_orphan_location(spark, "dix_orph4_digests")
+            assert os.path.isdir(d), "guard deleted outside its scope"
+        finally:
+            spark.catalog.setCurrentDatabase("default")
+            spark.sql("DROP DATABASE IF EXISTS dix_scope_db")
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+
     def test_sweep_sees_dead_pid_dirs_on_disk(self, spark):
         import os
 

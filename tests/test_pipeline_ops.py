@@ -2162,6 +2162,10 @@ class TestConnectedComponents:
         assert [r.levelname for r in rs] == ["INFO"]
         rs = records({"rounds": 4, "max_iters": 5, "converged": True})
         assert [r.levelname for r in rs] == ["INFO", "WARNING"]
+        # ...but a FULLY exhausted budget is zero headroom at any bound
+        # — the floor must not silence it
+        rs = records({"rounds": 3, "max_iters": 3, "converged": True})
+        assert [r.levelname for r in rs] == ["INFO", "WARNING"]
 
     def test_round_telemetry(self, spark):
         """Round-13 verdict #7: stats= reports rounds used vs max_iters

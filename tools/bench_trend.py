@@ -25,7 +25,10 @@ import os
 import sys
 
 
-def load_rounds(root: str) -> "list[tuple[int, dict]]":
+def load_rounds(root: str) -> "list[tuple[int, dict, str]]":
+    """One (round, parsed, tail) per BENCH_r*.json — the tail rides
+    along so the --metrics salvage pass doesn't re-list and re-parse
+    every artifact a second time."""
     import re
 
     rounds = []
@@ -34,15 +37,18 @@ def load_rounds(root: str) -> "list[tuple[int, dict]]":
         if not m:
             continue
         n = int(m.group(1))  # numeric sort: r9 before r13 even unpadded
+        parsed, tail = {}, ""
         try:
             with open(os.path.join(root, f)) as fh:
-                parsed = json.load(fh).get("parsed") or {}
-        except (OSError, ValueError):
-            parsed = {}
+                art = json.load(fh)
+            parsed = art.get("parsed") or {}
+            tail = art.get("tail") or ""
+        except (OSError, ValueError, AttributeError):
+            pass
         # rounds with no parsed value (r01, for example) stay in the list
         # and print as placeholder '-' rows, so the table really is one
         # row per round instead of silently shrinking
-        rounds.append((n, parsed))
+        rounds.append((n, parsed, tail))
     rounds.sort()
     return rounds
 
@@ -59,7 +65,7 @@ def main() -> None:
 
     print(f"{'round':>5}  {'raw s':>8}  {'ratio':>6}  {'window':>7}  "
           f"{'norm s':>8}  {'eps':>8}  {'pure eps':>8}")
-    for n, p in rounds:
+    for n, p, _ in rounds:
         if p.get("value") is None:
             print(f"{n:>5}  {'-':>8}  {'-':>6}  {'-':>7}  {'-':>8}  "
                   f"{'-':>8}  {'-':>8}")
@@ -78,14 +84,16 @@ def main() -> None:
     if "--queries" in sys.argv:
         # per-query normalized table over the rounds that carry a ratio
         # (raw values where no ratio exists, marked with *)
-        names = sorted({q for _, p in rounds for q in p.get("queries", {})})
+        names = sorted(
+            {q for _, p, _t in rounds for q in p.get("queries", {})}
+        )
         print()
         header = "query".ljust(28) + "".join(f"r{n:>02}".rjust(9)
-                                             for n, _ in rounds)
+                                             for n, _, _t in rounds)
         print(header)
         for q in names:
             row = q.ljust(28)
-            for _, p in rounds:
+            for _, p, _t in rounds:
                 t = p.get("queries", {}).get(q)
                 ratio = (p.get("calib") or {}).get("ratio")
                 if t is None:
@@ -111,13 +119,29 @@ def main() -> None:
         #      survive mid-line in the captured tail; salvage them,
         #   3. the committed BENCH_METRICS.jsonl sidecar (r16+), labeled
         #      by UTC stamp (the driver round number isn't known at
-        #      bench time); only the newest few shown to bound width.
-        cols = [(f"r{n:02d}", p["metrics"]) for n, p in rounds
-                if p.get("metrics")]
-        for n, frag in salvage_fragment_metrics(root, rounds):
-            cols.append((f"r{n:02d}~", frag))
+        #      bench time); only the newest few shown to bound width,
+        #      and only entries at the newest entry's scale factor —
+        #      byte metrics from different sf are not comparable and a
+        #      stray local smoke run must not masquerade as a trend
+        #      column (or evict real ones from the window).
+        # Inline and salvaged columns MERGE in round order (a salvaged
+        # r03~ prints before an inline r05), so left-to-right really is
+        # chronological.
+        by_round = [(n, f"r{n:02d}", p["metrics"])
+                    for n, p, _t in rounds if p.get("metrics")]
+        by_round += [(n, f"r{n:02d}~", frag)
+                     for n, frag in salvage_fragment_metrics(rounds)]
+        by_round.sort(key=lambda t: t[0])
+        cols = [(lab, ms) for _, lab, ms in by_round]
         side = load_sidecar_metrics(root)
-        cols += side[-4:]
+        if side:
+            sf_newest = side[-1][0]
+            same_sf = [(lab, ms) for sf, lab, ms in side if sf == sf_newest]
+            if len(same_sf) < len(side):
+                print(f"(sidecar: {len(side) - len(same_sf)} entries at "
+                      f"other sf skipped; showing sf={sf_newest})",
+                      file=sys.stderr)
+            cols += same_sf[-4:]
         if not cols:
             print("\nno exec metrics found (BENCH_r15+ artifact or "
                   "BENCH_METRICS.jsonl sidecar)", file=sys.stderr)
@@ -148,9 +172,9 @@ def main() -> None:
             print(f"SPILL {lab} {q}: {b / 1e6:.1f} MB")
 
 
-def load_sidecar_metrics(root: str) -> "list[tuple[str, dict]]":
-    """BENCH_METRICS.jsonl entries as (label, metrics) columns, oldest
-    first; labels are the UTC stamp compressed to MMDD.HHMM."""
+def load_sidecar_metrics(root: str) -> "list[tuple[object, str, dict]]":
+    """BENCH_METRICS.jsonl entries as (sf, label, metrics) columns,
+    oldest first; labels are the UTC stamp compressed to MMDD.HHMM."""
     cols = []
     path = os.path.join(root, "BENCH_METRICS.jsonl")
     try:
@@ -168,32 +192,26 @@ def load_sidecar_metrics(root: str) -> "list[tuple[str, dict]]":
                 # 2026-08-16T18:22:17+00:00 -> 0816.1822
                 lab = (utc[5:7] + utc[8:10] + "." + utc[11:13]
                        + utc[14:16]) if len(utc) >= 16 else "side"
-                cols.append((lab, rec["metrics"]))
+                cols.append((rec.get("sf"), lab, rec["metrics"]))
     except OSError:
         pass
     return cols
 
 
 def salvage_fragment_metrics(
-    root: str, rounds: "list[tuple[int, dict]]",
+    rounds: "list[tuple[int, dict, str]]",
 ) -> "list[tuple[int, dict]]":
     """Recover per-query metrics blocks from artifacts whose parsed
     payload is null but whose captured TAIL still carries complete
     ``"name": {"shuffle_read": ...}`` fragments mid-line (BENCH_r15.json
-    lost its headline to truncation but kept 7 of 14 blocks)."""
+    lost its headline to truncation but kept 7 of 14 blocks). Operates
+    on load_rounds' output — no second directory walk."""
     import re
 
-    parsed_ok = {n for n, p in rounds if p}
     out = []
     pat = re.compile(r'"([A-Za-z0-9_]+)": (\{"shuffle_read":[^{}]*\})')
-    for f in os.listdir(root):
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
-        if not m or int(m.group(1)) in parsed_ok:
-            continue
-        try:
-            with open(os.path.join(root, f)) as fh:
-                tail = json.load(fh).get("tail") or ""
-        except (OSError, ValueError):
+    for n, parsed, tail in rounds:
+        if parsed or not tail:
             continue
         frag = {}
         for name, block in pat.findall(tail):
@@ -202,8 +220,7 @@ def salvage_fragment_metrics(
             except ValueError:
                 continue
         if frag:
-            out.append((int(m.group(1)), frag))
-    out.sort()
+            out.append((n, frag))
     return out
 
 
