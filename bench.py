@@ -687,10 +687,17 @@ def main() -> None:
         out["delta_basis"] = delta_basis
         out["delta_baseline"] = os.path.basename(prev_path)
     compact, side = split_output(out)
+    # flush=True per line: the capture combines stdout+stderr into one
+    # stream (committed tails carry stage-progress stderr), and a single
+    # deferred flush of both lines at exit would be one ~4.6 KB write —
+    # past Linux's 4,096-byte PIPE_BUF atomicity bound, so stderr could
+    # interleave mid-line at the kernel split point. Flushed separately,
+    # each line is its own sub-PIPE_BUF atomic write and the FINAL line
+    # (1.8 KB, length-pinned) can never be torn.
     if side is not None:
         # bulky metrics: own EARLIER stdout line (may be truncated out of
         # the driver's tail — that's fine) + durable committed sidecar
-        print(json.dumps(side))
+        print(json.dumps(side), flush=True)
         try:
             append_metrics_sidecar(
                 side, os.path.join(here, "BENCH_METRICS.jsonl")
@@ -699,7 +706,7 @@ def main() -> None:
             print(f"# metrics sidecar write failed: {ex}", file=sys.stderr)
     # the compact headline record is the FINAL line — the one the driver
     # parses out of its 2000-char tail
-    print(json.dumps(compact))
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":
