@@ -257,3 +257,57 @@ class TestRetryProjection:
         WARM = 1.15
         assert bench.should_retry(2.5, 1, 2, 1199, 1200, WARM)
         assert not bench.should_retry(2.5, 1, 2, 1200, 1200, WARM)
+
+
+class TestTailCaptureRehearsal:
+    """End-to-end rehearsal of the downstream capture: combined
+    stdout+stderr stream -> keep the LAST 2000 chars -> extract the last
+    parseable JSON line. Round 15 failed exactly this gauntlet (the
+    committed tails show stage-progress stderr interleaved around the
+    record, and the 3,973-char single line lost its head); this pin
+    proves the r16 two-line contract survives it with margin."""
+
+    def test_full_size_run_survives_capture(self):
+        import json
+
+        compact, side = bench.split_output(
+            TestOutputSplit._full_size_out()
+        )
+        # the stream as the capture sees it: noisy stderr diagnostics
+        # before, between-run progress, the metrics line, the final
+        # line, and a late stderr straggler after
+        stream = (
+            "# pipe_simhash: 2.091s (271530 rows)\n"
+            "[Stage 2665:=========>            (19 + 13) / 32]\r\r\n"
+            + json.dumps(side) + "\n"
+            + json.dumps(compact) + "\n"
+            + "# late shutdown message\n"
+        )
+        tail = stream[-2000:]
+        parsed = None
+        for line in tail.splitlines():
+            try:
+                cand = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(cand, dict):
+                parsed = cand
+        assert parsed is not None, "no parseable JSON line in the tail"
+        # the record the driver needs, intact after capture
+        assert parsed["metric"] == "headline_total_runtime"
+        for k in ("value", "value_normalized", "queries", "calib",
+                  "window", "attempts", "delta_vs_prev"):
+            assert k in parsed, f"capture lost {k}"
+
+    def test_each_line_fits_one_atomic_pipe_write(self):
+        """Both stdout lines must stay under the 4096-byte PIPE_BUF
+        atomicity bound individually (bench.py flushes them separately
+        for exactly this guarantee) — a torn final line is the r15
+        failure all over again."""
+        import json
+
+        compact, side = bench.split_output(
+            TestOutputSplit._full_size_out()
+        )
+        assert len(json.dumps(compact)) + 1 < 4096
+        assert len(json.dumps(side)) + 1 < 4096
