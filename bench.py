@@ -1,4 +1,6 @@
-"""Benchmark harness: runs the headline queries and prints ONE JSON line.
+"""Benchmark harness: runs the headline queries and prints the compact
+headline record as the FINAL stdout JSON line (preceded by one bulky
+exec-metrics JSON line, also appended to BENCH_METRICS.jsonl).
 
 Usage: python bench.py
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
