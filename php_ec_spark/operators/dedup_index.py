@@ -300,9 +300,13 @@ def dedup_index_build(
     # DIRECTORIES in the warehouse with no catalog entry; saveAsTable
     # would then die with LOCATION_ALREADY_EXISTS. Clear only locations
     # the catalog disowns — a registered table is left for mode= to
-    # handle normally.
-    for part in _PARTS:
-        _clear_orphan_location(spark, _t(name, part))
+    # handle normally — and only under OVERWRITE semantics ("this name
+    # is mine now"): an append caller's premise is that the table
+    # already exists, and silently deleting a disowned directory there
+    # would hide the broken premise instead of erroring loudly.
+    if mode == "overwrite":
+        for part in _PARTS:
+            _clear_orphan_location(spark, _t(name, part))
     gen = uuid.uuid4().hex
     digests = (
         df.select(
