@@ -1339,6 +1339,25 @@ class TestCrashResidue:
         finally:
             spark.catalog.dropTempView("dix_orph3_digests")
 
+    def test_append_mode_build_does_not_preclear(self, spark, docs):
+        """The pre-clear is an OVERWRITE-semantics contract ("this name
+        is mine now"); an append caller's premise is that the table
+        exists, so residue must make the build fail loudly, not be
+        silently deleted."""
+        import os
+
+        d = self._plant(spark, "dix_orph5_digests")
+        base = docs.filter(F.col("doc_id") < 30)
+        try:
+            with pytest.raises(Exception):
+                dedup_index_build(
+                    base, "dix_orph5", near=False, mode="append", **PARAMS
+                )
+            assert os.path.isdir(d), "append build deleted residue"
+        finally:
+            dedup_index_drop(spark, "dix_orph5")
+            assert not os.path.isdir(d)  # drop still clears it
+
     def test_non_default_database_is_a_safe_noop(self, spark):
         """Under USE otherdb the unqualified existence check and the
         default-warehouse path would disagree about which table owns
