@@ -129,6 +129,94 @@ def should_retry(
     )
 
 
+def plan_fingerprint(metrics: "dict | None") -> "str | None":
+    """Load-independent plan fingerprint for the compact headline line
+    (round-16 verdict #1): first 12 hex of md5 over the sorted per-query
+    ``(shuffle_read, shuffle_write, tasks)`` triples — the byte metrics
+    that are properties of the PLAN, not the measurement window. Same
+    code + data ⇒ same fingerprint regardless of box load (r15→r16→judge
+    runs were byte-identical across four differently-loaded sessions);
+    a changed fingerprint means a plan changed (an extra exchange, a
+    broadcast falling back to shuffle, an AQE flip) and the full
+    per-query diff lives in BENCH_METRICS.jsonl via ``bench_trend
+    --metrics``. Keys beyond the triple (spill, input, telemetry extras
+    such as the jaccard candidate count) are deliberately excluded:
+    spill varies with memory pressure and telemetry rides the same dict
+    without being plan structure. None when the collector was disabled.
+    """
+    if not metrics:
+        return None
+    import hashlib
+
+    basis = {
+        name: [m["shuffle_read"], m["shuffle_write"], m["tasks"]]
+        for name, m in metrics.items()
+        if m is not None
+    }
+    if not basis:
+        return None
+    blob = json.dumps(basis, sort_keys=True).encode()
+    return hashlib.md5(blob).hexdigest()[:12]
+
+
+def compute_deltas(
+    timings: dict,
+    eps: float,
+    eps_pure: float,
+    calib_ratio: float,
+    prev: "dict | None",
+) -> "tuple[dict, dict]":
+    """Per-query and eps deltas vs the previous round's parsed artifact,
+    as ``(deltas, delta_basis)`` — pure so the normalization policy is
+    unit-testable without running a bench.
+
+    When BOTH artifacts carry a calib ratio, query deltas compare
+    load-NORMALIZED values (t / ratio) and eps deltas compare
+    ratio-MULTIPLIED values (a loaded window inflates wall-times, so it
+    deflates throughput — the correction runs the other way); round 16's
+    committed warm artifact read eps_pure −33.1% purely from window,
+    exactly the false alarm the calib machinery exists to kill
+    (round-16 verdict #2). ``delta_basis`` records the basis per group;
+    either side missing a ratio falls back to raw for that group. The
+    32-core probe under-sees the contention a single-thread component
+    rides (documented ±8% residual even between same-day quiet
+    windows), so eps deltas under ~20% are window noise either way —
+    plan regressions are adjudicated off ``plan_fp`` / byte metrics,
+    never off eps."""
+    deltas: dict = {}
+    delta_basis = {"queries": "raw", "eps": "raw"}
+    if not prev:
+        return deltas, delta_basis
+    # `or {}`: a payload carrying "queries": null has the key, so a
+    # .get default alone would hand the membership test a None
+    prev_q = prev.get("queries") or {}
+    prev_ratio = (prev.get("calib") or {}).get("ratio") or 0
+    cur_scale, prev_scale = 1.0, 1.0
+    if prev_ratio and calib_ratio:
+        delta_basis["queries"] = "normalized"
+        delta_basis["eps"] = "normalized"
+        cur_scale, prev_scale = calib_ratio, prev_ratio
+    for name, t in timings.items():
+        if name in prev_q and prev_q[name]:
+            deltas[name] = round(
+                (t / cur_scale) / (prev_q[name] / prev_scale) - 1.0, 3
+            )
+    if prev.get("state_machine_eps"):
+        deltas["state_machine_eps"] = round(
+            (eps * cur_scale) / (prev["state_machine_eps"] * prev_scale)
+            - 1.0,
+            3,
+        )
+    if prev.get("state_machine_eps_pure"):
+        deltas["state_machine_eps_pure"] = round(
+            (eps_pure * cur_scale)
+            / (prev["state_machine_eps_pure"] * prev_scale)
+            - 1.0,
+            3,
+        )
+    return deltas, delta_basis
+
+
 def split_output(out: dict) -> "tuple[dict, dict | None]":
     """Split the full result dict into the compact FINAL stdout line and
     a separate bulky exec-metrics line.
@@ -143,8 +231,20 @@ def split_output(out: dict) -> "tuple[dict, dict | None]":
     tests/test_bench_metrics.py pins the final line ≤ 1800 chars on a
     synthetic full-size run."""
     compact = dict(out)
+    # queries_normalized is REDUNDANT on the wire: every reader
+    # (bench_trend, the delta machinery, the judge's normalization)
+    # derives it as queries[q] / calib.ratio, and at 13 queries it costs
+    # ~330 chars of the 2000-char tail budget — exactly the headroom the
+    # round-17 plan_fp / eps_normalized fields need. It rides the bulky
+    # metrics line instead (and the sidecar), never the final line.
+    qn = compact.pop("queries_normalized", None)
     metrics = compact.pop("metrics", None)
     if metrics is None:
+        # the documented "metrics: null = status-store probe failed"
+        # signal must survive the split (round-16 ADVICE: popping the
+        # key silently turned the deliberate null into mere absence) —
+        # keep a compact marker instead of the bulky-or-null value
+        compact["metrics_probe_failed"] = True
         return compact, None
     side = {
         "metric": "exec_metrics",
@@ -153,6 +253,8 @@ def split_output(out: dict) -> "tuple[dict, dict | None]":
         "calib_ratio": (out.get("calib") or {}).get("ratio"),
         "value": out.get("value"),
         "value_normalized": out.get("value_normalized"),
+        "plan_fp": out.get("plan_fp"),
+        "queries_normalized": qn,
         "metrics": metrics,
     }
     return compact, side
@@ -163,7 +265,13 @@ def append_metrics_sidecar(side: dict, path: str) -> None:
     durable cross-round record of the load-independent plan metrics now
     that they no longer ride the (tail-truncated) driver artifact. The
     file is committed with the repo, so ``tools/bench_trend.py
-    --metrics`` trends plan bytes across rounds from it."""
+    --metrics`` trends plan bytes across rounds from it.
+
+    Every actor appends (builder, driver, judge — round-16 verdict #6),
+    so the file grows monotonically without hygiene. Committed pruning
+    policy: newest 8 entries per scale factor, trimmed with
+    ``python tools/bench_trend.py --prune-sidecar=8`` whenever it
+    drifts past that."""
     import datetime
 
     rec = {
@@ -574,6 +682,28 @@ def main() -> None:
     if sm_m is not None:
         metrics_out["state_machine"] = sm_m
     metrics_out = metrics_out or None
+    # candidate-volume telemetry for the slowest headline query
+    # (round-16 verdict #7): candidates the prefix filter admits to
+    # exact verification vs pairs emitted, recorded in the metrics
+    # sidecar next to the plan bytes. Collected UNTIMED after all
+    # measured windows so the timed plans — and plan_fp, which reads
+    # only the (shuffle, tasks) triples — stay byte-identical to a
+    # telemetry-free run.
+    if metrics_out and metrics_out.get("pipe_jaccard_pairs"):
+        try:
+            from php_ec_spark.queries_pipeline import (
+                jaccard_candidate_stats,
+            )
+
+            jt = jaccard_candidate_stats(spark, sf_dir)
+            jt["out_rows"] = rows_of.get("pipe_jaccard_pairs")
+            metrics_out["pipe_jaccard_pairs"].update(jt)
+            print(f"# pipe_jaccard_pairs: {jt['cand_pairs']} candidates "
+                  f"-> {jt['out_rows']} verified pairs", file=sys.stderr)
+            clear_rdd_cache()
+        except Exception as ex:  # noqa: BLE001 — telemetry, not the bench
+            print(f"# jaccard telemetry failed: {type(ex).__name__}: {ex}",
+                  file=sys.stderr)
     for name in order:
         print(f"# {name}: {timings[name]:.3f}s ({rows_of[name]} rows)",
               file=sys.stderr)
@@ -590,14 +720,8 @@ def main() -> None:
 
     # per-query delta vs the most recent BENCH_r{N}.json in the repo root,
     # so ±15% box-noise drifts are visible in the artifact itself instead
-    # of needing a cross-round diff. When BOTH artifacts carry a calib
-    # ratio, deltas compare load-NORMALIZED values (t / ratio) so a
-    # loaded-vs-quiet window pair doesn't read as a 1.5x regression
-    # (round-13 verdict #2a); delta_basis records which basis was used.
-    # delta_basis is PER GROUP: the eps deltas are always raw (the probe
-    # measures 32-core contention, which maps cleanly onto query
-    # wall-times but not onto a throughput number with a single-thread
-    # Python component), so a single string would mislabel them
+    # of needing a cross-round diff. Normalization policy (queries AND,
+    # since round 17, eps — round-16 verdict #2) lives in compute_deltas.
     deltas: dict[str, float] = {}
     delta_basis = {"queries": "raw", "eps": "raw"}
     prev_path = None
@@ -607,28 +731,9 @@ def main() -> None:
     found = newest_parseable_artifact(here)
     if found:
         prev_path, prev = found
-        # `or {}`: a payload carrying "queries": null has the key, so a
-        # .get default alone would hand the membership test a None
-        prev_q = prev.get("queries") or {}
-        prev_ratio = (prev.get("calib") or {}).get("ratio") or 0
-        cur_scale, prev_scale = 1.0, 1.0
-        if prev_ratio and calib_ratio:
-            delta_basis["queries"] = "normalized"
-            cur_scale, prev_scale = calib_ratio, prev_ratio
-        for name, t in timings.items():
-            if name in prev_q and prev_q[name]:
-                deltas[name] = round(
-                    (t / cur_scale) / (prev_q[name] / prev_scale) - 1.0,
-                    3,
-                )
-        if prev.get("state_machine_eps"):
-            deltas["state_machine_eps"] = round(
-                eps / prev["state_machine_eps"] - 1.0, 3
-            )
-        if prev.get("state_machine_eps_pure"):
-            deltas["state_machine_eps_pure"] = round(
-                eps_pure / prev["state_machine_eps_pure"] - 1.0, 3
-            )
+        deltas, delta_basis = compute_deltas(
+            timings, eps, eps_pure, calib_ratio, prev
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -647,6 +752,25 @@ def main() -> None:
         } if calib_ratio else None,
         "state_machine_eps": round(eps),
         "state_machine_eps_pure": round(eps_pure),
+        # window-corrected throughput (eps × calib.ratio — a loaded
+        # window inflates wall-times, so it DEflates eps; the correction
+        # multiplies where value_normalized divides). Round-16 verdict
+        # #2: a warm committed artifact read raw eps 33% low and a trend
+        # reader needed the sidecar to dismiss it. Residual caveat: the
+        # 32-core probe under-sees what a single-thread component rides
+        # (±8% spread between same-day quiet windows) — adjudicate
+        # regressions off plan_fp/byte metrics, not eps.
+        "eps_normalized": round(eps * calib_ratio) if calib_ratio
+        else None,
+        "eps_pure_normalized": round(eps_pure * calib_ratio) if calib_ratio
+        else None,
+        # 12-hex digest over sorted per-query (shuffle bytes, tasks) —
+        # the load-INDEPENDENT plan identity, readable from the compact
+        # artifact alone (round-16 verdict #1: the byte metrics lived
+        # only in the sidecar; a reader of BENCH_rN.json saw nothing but
+        # window-hostage seconds). Equal fp across rounds = zero plan
+        # drift; bench_trend's default table flags changes.
+        "plan_fp": plan_fingerprint(metrics_out),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # external-load audit trail: a loaded window is machine-detectable
         # (load_start is the 1-min loadavg after the settle gate — the

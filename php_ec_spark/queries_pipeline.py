@@ -141,6 +141,31 @@ def pipe_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, threshold=0.8, max_df=max_df)
 
 
+def jaccard_candidate_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Candidate-volume telemetry for ``pipe_jaccard_pairs`` (round-16
+    verdict #7): how many candidate pairs the prefix filter admits to
+    exact verification, as a NUMBER recorded next to the plan bytes
+    instead of prose — the documented prefix-filter trade (the slowest
+    headline query, ~21% of the total) becomes trackable across rounds,
+    and "candidates dominate verification" becomes a measurable trigger
+    for evaluating PPJoin+ suffix filtering.
+
+    Runs the same candidate machinery as the registered query (same
+    threshold / max_df derivation) ONE extra time and counts the lazy
+    candidate frame. bench.py calls this UNTIMED, after every measured
+    window — the timed plan/byte record (and plan_fp) stays
+    byte-identical to a telemetry-free run, which is the property the
+    cross-round drift adjudication depends on. Returns
+    ``{"cand_pairs": N}``; emitted-pair count rides alongside from the
+    bench's own row counts."""
+    from .operators.dedup import prefix_candidates
+
+    docs = _docs(spark, sf_dir)
+    max_df = max(1, int(docs.count() * 0.05))
+    _, cand = prefix_candidates(docs, threshold=0.8, max_df=max_df)
+    return {"cand_pairs": cand.count()}
+
+
 @register(
     "pipe_minhash_lsh",
     headline=True,

@@ -133,6 +133,9 @@ class TestOutputSplit:
             "queries_normalized": {n: 1.656 for n in names},
             "state_machine_eps": 156829,
             "state_machine_eps_pure": 275123,
+            "eps_normalized": 177373,
+            "eps_pure_normalized": 311164,
+            "plan_fp": "a1b2c3d4e5f6",
             "sf": 0.1,
             "loadavg": {"start": 0.52, "end": 14.37},
             "calib": {
@@ -167,18 +170,41 @@ class TestOutputSplit:
                   "window", "attempts", "delta_vs_prev"):
             assert k in compact
         assert "metrics" not in compact
+        # queries_normalized is derivable (queries / calib.ratio) — it
+        # rides the bulky line, never the tail-budgeted final line
+        assert "queries_normalized" not in compact
         # ...and the metrics line carries the block + its window context
         assert side["metric"] == "exec_metrics"
         assert side["window"] == "quiet"
         assert side["calib_ratio"] == 1.131
         assert len(side["metrics"]) == 14
+        assert len(side["queries_normalized"]) >= 13
 
-    def test_split_without_metrics_is_identity(self):
+    def test_split_without_metrics_keeps_the_failure_signal(self):
+        """Round-16 ADVICE: popping a ``metrics: null`` silently turned
+        the documented "status-store probe failed" signal into mere key
+        absence — the compact line must carry an explicit marker."""
         out = self._full_size_out()
         out["metrics"] = None
         compact, side = bench.split_output(out)
         assert side is None
         assert "metrics" not in compact
+        assert compact["metrics_probe_failed"] is True
+        # ...and a populated-metrics run carries no marker
+        compact2, _ = bench.split_output(self._full_size_out())
+        assert "metrics_probe_failed" not in compact2
+
+    def test_new_compact_fields_survive_the_split(self):
+        """plan_fp and the normalized eps pair (round-16 verdict #1/#2)
+        are HEADLINE fields — they must ride the compact final line, not
+        the bulky metrics line."""
+        compact, side = bench.split_output(self._full_size_out())
+        assert compact["plan_fp"] == "a1b2c3d4e5f6"
+        assert compact["eps_normalized"] == 177373
+        assert compact["eps_pure_normalized"] == 311164
+        # the sidecar line carries the fp too, so a sidecar-only reader
+        # can match entries to rounds without the artifact
+        assert side["plan_fp"] == "a1b2c3d4e5f6"
 
     def test_sidecar_appends_parseable_lines(self, tmp_path):
         import json
@@ -193,6 +219,122 @@ class TestOutputSplit:
         assert rec["utc"].startswith("20")
         assert rec["metrics"]["state_machine"]["tasks"] == 1234
         assert rec["value_normalized"] == 14.707
+
+
+class TestPlanFingerprint:
+    """Round-16 verdict #1: the compact headline line must carry a
+    load-independent plan identity. The fingerprint reads ONLY the
+    (shuffle_read, shuffle_write, tasks) triples — plan structure —
+    never wall-times, spill, or telemetry extras."""
+
+    M = {
+        "qa": {"shuffle_read": 1_000, "shuffle_write": 1_000,
+               "spill_mem": 0, "spill_disk": 0, "input_bytes": 5,
+               "input_records": 5, "output_bytes": 0, "tasks": 8,
+               "stages": 3},
+        "qb": {"shuffle_read": 0, "shuffle_write": 0, "spill_mem": 9,
+               "spill_disk": 9, "input_bytes": 0, "input_records": 0,
+               "output_bytes": 0, "tasks": 4, "stages": 2},
+    }
+
+    def test_same_plan_same_fp_regardless_of_order_and_noise(self):
+        import copy
+
+        fp = bench.plan_fingerprint(self.M)
+        assert isinstance(fp, str) and len(fp) == 12
+        # key order must not matter (dict-order is an artifact of the
+        # measurement loop, not of the plan)
+        reordered = {k: self.M[k] for k in reversed(list(self.M))}
+        assert bench.plan_fingerprint(reordered) == fp
+        # spill / input / telemetry extras must not matter — they vary
+        # with memory pressure and ride the same dict without being
+        # plan structure (the jaccard cand_pairs telemetry lands there)
+        noisy = copy.deepcopy(self.M)
+        noisy["qa"]["spill_mem"] = 1 << 30
+        noisy["qa"]["input_bytes"] = 42
+        noisy["qa"]["cand_pairs"] = 123_456
+        assert bench.plan_fingerprint(noisy) == fp
+
+    def test_plan_change_changes_fp(self):
+        import copy
+
+        fp = bench.plan_fingerprint(self.M)
+        for field, bump in (("shuffle_read", 1), ("shuffle_write", 1),
+                            ("tasks", 1)):
+            changed = copy.deepcopy(self.M)
+            changed["qa"][field] += bump
+            assert bench.plan_fingerprint(changed) != fp, field
+
+    def test_degraded_collector_yields_none(self):
+        assert bench.plan_fingerprint(None) is None
+        assert bench.plan_fingerprint({}) is None
+        assert bench.plan_fingerprint({"qa": None}) is None
+        # a partially-degraded run still fingerprints what it has
+        assert bench.plan_fingerprint(
+            {"qa": self.M["qa"], "qb": None}
+        ) == bench.plan_fingerprint({"qa": self.M["qa"]})
+
+
+class TestDeltaNormalization:
+    """Round-16 verdict #2: the committed warm artifact showed
+    eps_pure −33.1% that was pure window (delta_basis.eps was "raw") —
+    exactly the false-alarm shape the calib machinery exists to kill.
+    Eps deltas now normalize by the calib ratio like query deltas,
+    multiplying where times divide (a loaded window deflates
+    throughput)."""
+
+    def test_pure_window_eps_drop_reads_as_zero(self):
+        # previous round: quiet window (ratio 1.0), eps 200k; this
+        # round: loaded window (ratio 1.3) deflates raw eps to
+        # 200k/1.3 ≈ 153.8k — a raw −23% that is 100% window
+        prev = {
+            "queries": {"qa": 1.3},
+            "calib": {"ratio": 1.0},
+            "state_machine_eps": 200_000,
+            "state_machine_eps_pure": 300_000,
+        }
+        deltas, basis = bench.compute_deltas(
+            timings={"qa": 1.69},       # raw +30%: also pure window
+            eps=200_000 / 1.3,
+            eps_pure=300_000 / 1.3,
+            calib_ratio=1.3,
+            prev=prev,
+        )
+        assert basis == {"queries": "normalized", "eps": "normalized"}
+        assert abs(deltas["state_machine_eps"]) <= 0.001
+        assert abs(deltas["state_machine_eps_pure"]) <= 0.001
+        assert abs(deltas["qa"]) <= 0.001
+
+    def test_real_regression_still_shows_through_the_window(self):
+        prev = {
+            "queries": {},
+            "calib": {"ratio": 1.0},
+            "state_machine_eps": 200_000,
+        }
+        # raw −30% under ratio 1.3: window explains −23.1% of it, the
+        # rest is real — normalized reads −9%, not −30% and not 0
+        deltas, _ = bench.compute_deltas(
+            {}, 140_000, 0.0, 1.3, prev
+        )
+        assert -0.11 < deltas["state_machine_eps"] < -0.07
+
+    def test_missing_ratio_falls_back_to_raw(self):
+        prev = {
+            "queries": {"qa": 2.0},
+            "state_machine_eps": 100_000,
+        }
+        deltas, basis = bench.compute_deltas(
+            {"qa": 1.0}, 120_000, 0.0, 1.3, prev
+        )
+        assert basis == {"queries": "raw", "eps": "raw"}
+        assert deltas["qa"] == -0.5
+        assert deltas["state_machine_eps"] == 0.2
+
+    def test_no_prev_artifact_yields_empty(self):
+        deltas, basis = bench.compute_deltas({"qa": 1.0}, 1.0, 1.0,
+                                             1.2, None)
+        assert deltas == {}
+        assert basis == {"queries": "raw", "eps": "raw"}
 
 
 class TestDeltaBaseline:

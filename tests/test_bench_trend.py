@@ -64,7 +64,7 @@ class TestBenchTrend:
         lines = _run(tmp_path).splitlines()
         rows = [ln for ln in lines if ln.strip() and ln.split()[0].isdigit()]
         assert len(rows) == 3  # r01 placeholder row included
-        assert rows[0].split() == ["1", "-", "-", "-", "-", "-", "-"]
+        assert rows[0].split() == ["1", "-", "-", "-", "-", "-", "-", "-"]
         assert rows[1].startswith("    2") and "20.000" in rows[1]
         assert "warm" in rows[2] and "12.0" in rows[2]
 
@@ -194,3 +194,89 @@ class TestBenchTrend:
         out = _run(tmp_path, "--metrics")
         qa = next(ln for ln in out.splitlines() if ln.startswith("qa"))
         assert "-" in qa
+
+    def test_fragment_missing_spill_disk_does_not_crash(self, tmp_path):
+        """Round-16 ADVICE: the spill scan guarded spill_mem with .get
+        but indexed spill_disk directly — a salvaged fragment (only
+        guaranteed to start with shuffle_read) KeyError'd the table."""
+        _write(tmp_path, 5, {
+            "value": 1.0, "queries": {"qa": 1.0},
+            "metrics": {"qa": {"shuffle_read": 1_000_000,
+                               "shuffle_write": 0, "spill_mem": 7_000_000,
+                               "tasks": 3}},
+        })
+        out = _run(tmp_path, "--metrics")
+        assert "SPILL r05 qa: 7.0 MB" in out
+
+    def test_plan_fp_column_flags_drift(self, tmp_path):
+        """Round-16 verdict #1: the DEFAULT table must carry the plan
+        fingerprint and flag changes — r17+ artifacts carry plan_fp
+        directly; legacy inline-metrics rounds get it recomputed with
+        the same bench.plan_fingerprint, so the two sources agree."""
+        _fixture(tmp_path)  # r03 has inline metrics -> computed fp
+        sys.path.insert(0, os.path.dirname(os.path.dirname(TOOL)))
+        import bench
+
+        fp3 = bench.plan_fingerprint({
+            "qa": {"shuffle_read": 1_000_000, "shuffle_write": 1_000_000,
+                   "tasks": 8},
+            "qb": {"shuffle_read": 0, "shuffle_write": 0, "tasks": 4},
+        })
+        # r04: same plan, explicit plan_fp field -> NOT flagged
+        _write(tmp_path, 4, {"value": 14.0, "plan_fp": fp3})
+        # r05: a different fp -> flagged with !
+        _write(tmp_path, 5, {"value": 14.0, "plan_fp": "deadbeef0123"})
+        out = _run(tmp_path)
+        rows = {ln.split()[0]: ln for ln in out.splitlines()
+                if ln.strip() and ln.split()[0].isdigit()}
+        assert rows["3"].rstrip().endswith(fp3)
+        assert rows["4"].rstrip().endswith(fp3), "same plan must not flag"
+        assert rows["5"].rstrip().endswith("deadbeef0123!")
+        assert "plan fingerprint changed" in out
+
+    def test_sidecar_limit_flag_bounds_columns(self, tmp_path):
+        _fixture(tmp_path)
+        m = {"qa": {"shuffle_read": 1, "shuffle_write": 0, "spill_mem": 0,
+                    "spill_disk": 0, "input_bytes": 0, "input_records": 0,
+                    "output_bytes": 0, "tasks": 1, "stages": 1}}
+        with open(os.path.join(tmp_path, "BENCH_METRICS.jsonl"), "w") as f:
+            for h in (10, 11, 12, 13, 14):
+                f.write(json.dumps(
+                    {"utc": f"2026-08-16T{h}:00:00+00:00", "sf": 0.1,
+                     "metrics": m}) + "\n")
+        head = next(ln for ln in _run(tmp_path, "--metrics").splitlines()
+                    if ln.startswith("shuffle MB"))
+        assert "0816.1400" in head and "0816.1000" not in head  # default 4
+        head = next(
+            ln for ln in
+            _run(tmp_path, "--metrics", "--sidecar-limit=2").splitlines()
+            if ln.startswith("shuffle MB")
+        )
+        assert "0816.1300" in head and "0816.1200" not in head
+
+    def test_prune_sidecar_keeps_newest_per_sf(self, tmp_path):
+        _fixture(tmp_path)
+        m = {"qa": {"shuffle_read": 1, "shuffle_write": 0, "tasks": 1}}
+        p = os.path.join(tmp_path, "BENCH_METRICS.jsonl")
+        with open(p, "w") as f:
+            for i, sf in enumerate((0.1, 0.1, 0.1, 0.01, 0.1, 0.01)):
+                f.write(json.dumps(
+                    {"utc": f"2026-08-1{i}T00:00:00+00:00", "sf": sf,
+                     "seq": i, "metrics": m}) + "\n")
+            f.write("torn line\n")
+        out = subprocess.run(
+            [sys.executable, TOOL, "--prune-sidecar=2", str(tmp_path)],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert out.returncode == 0, out.stderr
+        assert "kept 4 of 7" in out.stderr
+        recs = [json.loads(ln) for ln in open(p)]
+        # newest 2 per sf, original (chronological) order preserved
+        assert [r["seq"] for r in recs] == [2, 3, 4, 5]
+        # idempotent: a second prune is a no-op
+        out2 = subprocess.run(
+            [sys.executable, TOOL, "--prune-sidecar=2", str(tmp_path)],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert "nothing to do" in out2.stderr
+        assert [json.loads(ln)["seq"] for ln in open(p)] == [2, 3, 4, 5]

@@ -11,9 +11,24 @@ regression hunt reads one table instead of normalizing by hand.
 
 ``--metrics`` (r15+ artifacts) prints the load-INDEPENDENT per-query
 plan metrics — shuffle bytes and task counts — whose cross-round jumps
-are real plan regressions regardless of box load.
+are real plan regressions regardless of box load. The DEFAULT table
+carries the compressed form of the same signal (round-16 verdict #1):
+a ``plan fp`` column — bench.py's 12-hex fingerprint over the sorted
+per-query (shuffle bytes, tasks) — read from the artifact's ``plan_fp``
+field (r17+) or recomputed from legacy inline metrics, with a ``!``
+marking any round whose fingerprint differs from the previous
+fingerprinted round (a real plan change; drill in with ``--metrics``).
 
-Usage: python tools/bench_trend.py [--queries] [--metrics] [root-dir]
+Sidecar hygiene: BENCH_METRICS.jsonl is append-on-run from every actor
+(builder, driver, judge), so it grows monotonically. Committed policy:
+keep the newest 8 entries per scale factor — run
+``python tools/bench_trend.py --prune-sidecar=8`` when it drifts past
+that (prunes in place, keeps relative order, prints what it dropped).
+``--sidecar-limit=N`` bounds how many sidecar columns the --metrics
+table shows (display only; default 4).
+
+Usage: python tools/bench_trend.py [--queries] [--metrics]
+       [--sidecar-limit=N] [--prune-sidecar=N] [root-dir]
 (root-dir defaults to the repo root — overridable so tests can point the
 tool at synthetic artifacts)
 """
@@ -23,6 +38,23 @@ from __future__ import annotations
 import json
 import os
 import sys
+
+# bench.py (repo root = the tool dir's parent) owns plan_fingerprint —
+# one definition, so the recomputed-from-legacy-metrics fp can never
+# drift from the fp bench.py stamps into new artifacts
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+from bench import plan_fingerprint  # noqa: E402
+
+
+def _flag_val(name: str, default: int) -> int:
+    """Parse ``--name=N`` from argv (the bare positional slot is taken
+    by root-dir, so value-carrying flags use the = form only)."""
+    for a in sys.argv[1:]:
+        if a.startswith(f"--{name}="):
+            return int(a.split("=", 1)[1])
+    return default
 
 
 def load_rounds(root: str) -> "list[tuple[int, dict, str]]":
@@ -58,17 +90,33 @@ def main() -> None:
     root = args[0] if args else os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))
     )
+    prune = _flag_val("prune-sidecar", 0)
+    if prune > 0:
+        prune_sidecar(root, prune)
+        return
     rounds = load_rounds(root)
     if not rounds:
         print("no BENCH_r*.json artifacts found", file=sys.stderr)
         raise SystemExit(1)
 
     print(f"{'round':>5}  {'raw s':>8}  {'ratio':>6}  {'window':>7}  "
-          f"{'norm s':>8}  {'eps':>8}  {'pure eps':>8}")
+          f"{'norm s':>8}  {'eps':>8}  {'pure eps':>8}  {'plan fp':>13}")
+    fp_prev = None
+    fp_drifted = False
     for n, p, _ in rounds:
+        # the fp column renders even on a value-less round: plan bytes
+        # can survive a measurement that lost its headline (r15's
+        # truncated tail kept 7 metrics blocks but no totals)
+        fp = p.get("plan_fp") or plan_fingerprint(p.get("metrics"))
+        fp_cell = fp or "-"
+        if fp and fp_prev and fp != fp_prev:
+            fp_cell += "!"          # plan drift vs previous fp'd round
+            fp_drifted = True
+        if fp:
+            fp_prev = fp
         if p.get("value") is None:
             print(f"{n:>5}  {'-':>8}  {'-':>6}  {'-':>7}  {'-':>8}  "
-                  f"{'-':>8}  {'-':>8}")
+                  f"{'-':>8}  {'-':>8}  {fp_cell:>13}")
             continue
         ratio = (p.get("calib") or {}).get("ratio")
         window = p.get("window", "-")
@@ -79,7 +127,12 @@ def main() -> None:
               f"{ratio if ratio is not None else '-':>6}  {window:>7}  "
               f"{norm if norm is not None else '-':>8}  "
               f"{p.get('state_machine_eps', '-'):>8}  "
-              f"{p.get('state_machine_eps_pure', '-'):>8}")
+              f"{p.get('state_machine_eps_pure', '-'):>8}  "
+              f"{fp_cell:>13}")
+    if fp_drifted:
+        print("(! = plan fingerprint changed vs the previous "
+              "fingerprinted round — a REAL plan change, load cannot "
+              "fake it; diff the bytes with --metrics)")
 
     if "--queries" in sys.argv:
         # per-query normalized table over the rounds that carry a ratio
@@ -141,7 +194,7 @@ def main() -> None:
                 print(f"(sidecar: {len(side) - len(same_sf)} entries at "
                       f"other sf skipped; showing sf={sf_newest})",
                       file=sys.stderr)
-            cols += same_sf[-4:]
+            cols += same_sf[-_flag_val("sidecar-limit", 4):]
         if not cols:
             print("\nno exec metrics found (BENCH_r15+ artifact or "
                   "BENCH_METRICS.jsonl sidecar)", file=sys.stderr)
@@ -162,14 +215,56 @@ def main() -> None:
             print(row)
         print("\n(~ = salvaged from a truncated-tail artifact; spill "
               "bytes are omitted when zero everywhere)")
+        # .get with defaults on BOTH spill fields (round-16 ADVICE): a
+        # salvaged tail fragment only guarantees the block starts with
+        # shuffle_read — a missing spill_disk must not KeyError the
+        # whole table
         spilled = [
-            (q, lab, m["spill_mem"] + m["spill_disk"])
+            (q, lab, m.get("spill_mem", 0) + m.get("spill_disk", 0))
             for lab, ms in cols for q, m in ms.items()
-            if m and m.get("spill_mem") is not None
-            and m["spill_mem"] + m["spill_disk"] > 0
+            if m and m.get("spill_mem", 0) + m.get("spill_disk", 0) > 0
         ]
         for q, lab, b in spilled:
             print(f"SPILL {lab} {q}: {b / 1e6:.1f} MB")
+
+
+def prune_sidecar(root: str, keep: int) -> None:
+    """Trim BENCH_METRICS.jsonl in place to the newest ``keep`` entries
+    PER SCALE FACTOR (file order = append order = chronological), so
+    the committed sidecar stops growing monotonically while every sf's
+    recent byte-metric history survives. Unparseable lines (torn
+    writes) are dropped too — they carry no recoverable metrics. The
+    committed policy is keep=8; see the module docstring."""
+    path = os.path.join(root, "BENCH_METRICS.jsonl")
+    try:
+        with open(path) as fh:
+            lines = [ln for ln in fh if ln.strip()]
+    except OSError as ex:
+        print(f"prune: cannot read {path}: {ex}", file=sys.stderr)
+        raise SystemExit(1)
+    per_sf: dict = {}
+    parsed = []
+    for ln in lines:
+        try:
+            sf = json.loads(ln).get("sf")
+        except ValueError:
+            continue
+        parsed.append((sf, ln))
+        per_sf.setdefault(sf, []).append(ln)
+    keep_set = {id(ln) for sfl in per_sf.values() for ln in sfl[-keep:]}
+    kept = [ln for _, ln in parsed if id(ln) in keep_set]
+    if len(kept) == len(lines):
+        print(f"prune: nothing to do ({len(lines)} entries, "
+              f"<= {keep} per sf)", file=sys.stderr)
+        return
+    with open(path, "w") as fh:
+        fh.writelines(kept)
+    print(f"prune: kept {len(kept)} of {len(lines)} entries "
+          f"(newest {keep} per sf: "
+          + ", ".join(f"sf={sf}:{min(len(v), keep)}"
+                      for sf, v in sorted(per_sf.items(),
+                                          key=lambda kv: str(kv[0])))
+          + ")", file=sys.stderr)
 
 
 def load_sidecar_metrics(root: str) -> "list[tuple[object, str, dict]]":
