@@ -69,6 +69,7 @@ from __future__ import annotations
 
 import json
 import logging
+import re
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -111,6 +112,46 @@ def _t(name: str, part: str) -> str:
 
 _PARTS = ("digests", "bands", "docs", "meta")
 
+#: Index names flow unquoted into SQL (DROP TABLE / SHOW TBLPROPERTIES /
+#: ALTER TABLE f-strings) and into warehouse filesystem paths, so every
+#: public entry point validates against this up front (round-16 ADVICE:
+#: a name containing a quote broke the SHOW TABLES LIKE statement, and
+#: Spark LIKE-pattern wildcards * / | could answer for a DIFFERENT
+#: table). Plain identifiers only — no quoting scheme to escape, no
+#: wildcard to mis-match, and the LIKE pattern below degenerates to an
+#: exact comparison.
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_name(name: str) -> str:
+    if not _NAME_RE.fullmatch(name or ""):
+        raise ValueError(
+            f"dedup index name {name!r} is not a plain SQL identifier "
+            "([A-Za-z_][A-Za-z0-9_]*) — index names flow into SQL "
+            "statements and warehouse paths unquoted"
+        )
+    return name
+
+
+#: pid-scoped index names (the query harness's per-process namespace) —
+#: the one name shape whose OWNER is knowable from the name alone, which
+#: makes the orphan-clear liveness check possible.
+_PID_SCOPED_RE = re.compile(r"^pipe_didx_(\d+)_")
+
+
+def _pid_alive(pid: int) -> bool:
+    """True when ``pid`` names a live process (EPERM counts as alive —
+    the process exists, it's just someone else's)."""
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
 
 def _warehouse_dir(spark: SparkSession) -> "str | None":
     """Local filesystem path of the default-database warehouse, or None
@@ -140,7 +181,7 @@ def _clear_orphan_location(spark: SparkSession, table: str) -> bool:
     Only ever removes a directory the catalog disowns: a REGISTERED
     table's data is never touched. Returns True if residue was removed.
 
-    Scope guards, both fail-SAFE (skip clearing, never delete):
+    Scope guards, all fail-SAFE (skip clearing, never delete):
 
     - acts only while the session's current database is ``default`` —
       the ``<warehouse>/<table>`` path this computes is the DEFAULT
@@ -150,7 +191,20 @@ def _clear_orphan_location(spark: SparkSession, table: str) -> bool:
       conclude a registered default-db table's data was residue);
     - the existence check ignores TEMP views (``SHOW TABLES``'s
       isTemporary column): a temp view shares the name but owns no
-      warehouse directory, so it must not shield real on-disk residue.
+      warehouse directory, so it must not shield real on-disk residue;
+    - a PID-SCOPED name (``pipe_didx_<pid>_*`` — the query harness's
+      per-process namespace) is cleared only when the owning pid is
+      this process or DEAD (round-16 ADVICE, medium): with the default
+      in-memory catalog, registration is per-process, so "not in MY
+      catalog" does not mean "disowned" — a live sibling session
+      sharing the warehouse may own the directory, and rmtree'ing it
+      would be silent data deletion where the old behavior failed
+      loudly. For generic (non-pid-scoped) names the owner is not
+      knowable from the name; there the SINGLE-WRITER-PER-INDEX-NAME
+      contract applies (see :func:`dedup_index_build`) and the caller's
+      overwrite/drop intent is taken at its word — identical to what a
+      shared-metastore ``mode='overwrite'`` / ``DROP TABLE`` would do
+      to a same-name sibling table anyway.
     """
     import os
     import shutil
@@ -158,6 +212,15 @@ def _clear_orphan_location(spark: SparkSession, table: str) -> bool:
     wh = _warehouse_dir(spark)
     if not wh or spark.catalog.currentDatabase() != "default":
         return False
+    m = _PID_SCOPED_RE.match(table)
+    if m:
+        pid = int(m.group(1))
+        if pid != os.getpid() and _pid_alive(pid):
+            _LOG.warning(
+                "not clearing %s: owning pid %d is alive (a sibling "
+                "session's in-memory catalog may own it)", table, pid,
+            )
+            return False
     loc = os.path.join(wh, table.lower())
     if not os.path.isdir(loc):
         return False
@@ -209,6 +272,9 @@ def _stamp_gen(spark: SparkSession, table: str, gen: str) -> None:
 
 
 def _read_meta(spark: SparkSession, name: str) -> dict:
+    # the one choke point every reader path (probe/add/ingest/compact)
+    # passes through — names flow unquoted into SQL from here on
+    _check_name(name)
     row = spark.table(_t(name, "meta")).head()
     if row is None:
         raise ValueError(f"dedup index {name!r}: empty meta table")
@@ -287,9 +353,23 @@ def dedup_index_build(
     rebuilds, build under a NEW index name and flip the name at the
     orchestration layer — the same copy-then-flip contract as
     ``ivf_compact`` (probes against the old name stay valid throughout).
+
+    SINGLE WRITER PER INDEX NAME (documented contract, round-16
+    ADVICE): at most one process may build/drop/compact a given index
+    name at a time — the crash-residue pre-clear below takes an
+    overwrite caller's "this name is mine now" at its word, and with
+    the default per-process in-memory catalog it cannot distinguish a
+    dead process's residue from a LIVE sibling session's same-name
+    table (a shared metastore would let ``mode='overwrite'`` replace
+    that sibling's table just the same — the contract is the same one
+    every warehouse writer already lives under). Concurrent sessions
+    that each need their own index should namespace by pid the way the
+    query harness does (``pipe_didx_<pid>_*``) — that shape's owner is
+    knowable from the name, and the pre-clear liveness-guards it.
     """
     import uuid
 
+    _check_name(name)
     if num_hashes % bands:
         raise ValueError("dedup_index_build: bands must divide num_hashes")
     spark = df.sparkSession
@@ -622,16 +702,38 @@ def dedup_index_add(
         spark.catalog.refreshTable(_t(name, part))
 
 
-def dedup_index_drop(spark: SparkSession, name: str) -> None:
+def dedup_index_drop(spark: SparkSession, name: str) -> bool:
     """Drop every table of the index (build's inverse; missing parts ok).
 
     Also removes catalog-DISOWNED warehouse directories for the parts —
     crash residue from a killed process that the DROP cannot see — so
-    drop-then-build always starts clean."""
+    drop-then-build always starts clean. Same single-writer-per-name
+    contract as the build path: dropping a name a LIVE sibling session
+    owns is unsupported (pid-scoped names are liveness-guarded inside
+    :func:`_clear_orphan_location`; generic names have no knowable
+    owner, so the caller's intent is taken at its word).
+
+    Returns True when the name is verifiably residue-free afterwards —
+    every part's warehouse directory is gone (or the warehouse is not a
+    local directory, where orphan hygiene is the catalog service's
+    job). False means a directory SURVIVED — a liveness-guarded
+    sibling's dir, a non-default current database, or an rmtree failure
+    — and a follow-up ``saveAsTable`` under this name can still die
+    with LOCATION_ALREADY_EXISTS; the sweep uses this to avoid
+    reporting success over surviving residue (round-16 ADVICE)."""
+    import os
+
+    _check_name(name)
     _evict_gen(name)
+    clean = True
+    wh = _warehouse_dir(spark)
     for part in _PARTS:
-        spark.sql(f"DROP TABLE IF EXISTS {_t(name, part)}")
-        _clear_orphan_location(spark, _t(name, part))
+        t = _t(name, part)
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _clear_orphan_location(spark, t)
+        if wh is not None and os.path.isdir(os.path.join(wh, t.lower())):
+            clean = False
+    return clean
 
 
 def streaming_index_ingest(

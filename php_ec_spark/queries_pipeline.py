@@ -914,17 +914,13 @@ _IVF_INDEX_CACHE: dict = {}
 
 
 def _pid_alive(pid: int) -> bool:
-    """True when ``pid`` names a live process (EPERM counts as alive —
-    the process exists, it's just someone else's)."""
-    import os
+    """True when ``pid`` names a live process — canonical definition
+    lives in dedup_index (the orphan-clear liveness guard needs it
+    below queries_pipeline in the import graph); re-exported here for
+    the tmp-dir sweeps."""
+    from .operators.dedup_index import _pid_alive as _impl
 
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True
-    return True
+    return _impl(pid)
 
 
 def sweep_stale_ivf_dirs() -> int:
@@ -987,9 +983,24 @@ def sweep_stale_didx_tables(spark: SparkSession) -> int:
     swept = 0
     for base, pid in bases.items():
         if pid != os.getpid() and not _pid_alive(pid):
-            # drop handles both registered tables and disowned dirs
-            dedup_index_drop(spark, base)
-            swept += 1
+            # drop handles both registered tables and disowned dirs;
+            # count a base as swept only when drop VERIFIED the
+            # residue gone (round-16 ADVICE: a non-default current
+            # database or non-local warehouse makes the orphan-clear a
+            # no-op, and reporting success over a surviving directory
+            # just defers the LOCATION_ALREADY_EXISTS to the next
+            # saveAsTable)
+            if dedup_index_drop(spark, base):
+                swept += 1
+            else:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "sweep_stale_didx_tables: %s has a dead owner but "
+                    "residue remains on disk (non-default current "
+                    "database, non-local warehouse, or rmtree failure)",
+                    base,
+                )
     return swept
 
 

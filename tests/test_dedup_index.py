@@ -1383,6 +1383,84 @@ class TestCrashResidue:
 
             shutil.rmtree(d, ignore_errors=True)
 
+    def test_live_sibling_pid_dir_is_never_cleared(self, spark):
+        """Round-16 ADVICE (medium): with the default in-memory catalog
+        registration is per-process — "not in MY catalog" does not mean
+        disowned. A pid-scoped dir whose owner is ALIVE may be a live
+        sibling session's table; clearing it would be silent data
+        deletion where the old behavior failed loudly. pid 1 is always
+        alive and never us."""
+        import os
+
+        from php_ec_spark.operators.dedup_index import (
+            _clear_orphan_location,
+            dedup_index_drop,
+        )
+
+        d = self._plant(spark, "pipe_didx_1_beefcafe_digests")
+        try:
+            assert not _clear_orphan_location(
+                spark, "pipe_didx_1_beefcafe_digests"
+            )
+            assert os.path.isdir(d), "cleared a live sibling's dir"
+            # ...and a full drop reports the surviving residue
+            assert dedup_index_drop(spark, "pipe_didx_1_beefcafe") is False
+            assert os.path.isdir(d)
+        finally:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_dead_and_own_pid_dirs_still_clear(self, spark):
+        """The liveness guard must not break the healing direction:
+        dead-owner residue and THIS process's own disowned dirs (a
+        failed build's half-write) clear as before."""
+        import os
+
+        from php_ec_spark.operators.dedup_index import (
+            _clear_orphan_location,
+        )
+
+        dead = self._plant(spark, "pipe_didx_4000001_feed_digests")
+        own = self._plant(spark, f"pipe_didx_{os.getpid()}_f00d_digests")
+        assert _clear_orphan_location(
+            spark, "pipe_didx_4000001_feed_digests"
+        )
+        assert _clear_orphan_location(
+            spark, f"pipe_didx_{os.getpid()}_f00d_digests"
+        )
+        assert not os.path.isdir(dead) and not os.path.isdir(own)
+
+    def test_drop_reports_residue_free(self, spark, docs):
+        """dedup_index_drop returns True only when every part's
+        warehouse directory is verifiably gone (round-16 ADVICE: the
+        sweep counted surviving residue as swept)."""
+        base = docs.filter(F.col("doc_id") < 30)
+        dedup_index_build(base, "dix_ret", near=False, **PARAMS)
+        assert dedup_index_drop(spark, "dix_ret") is True
+        # idempotent: dropping a nonexistent index is clean too
+        assert dedup_index_drop(spark, "dix_ret") is True
+
+    def test_index_names_are_validated(self, spark, docs):
+        """Round-16 ADVICE: names flow unquoted into SQL (DROP TABLE /
+        SHOW TBLPROPERTIES f-strings) and into LIKE patterns where * /
+        | are wildcards — every entry point rejects non-identifiers."""
+        import pytest as _pytest
+
+        from php_ec_spark.operators.dedup_index import (
+            dedup_index_probe,
+        )
+
+        base = docs.filter(F.col("doc_id") < 10)
+        for bad in ("x'y", "a*b", "a|b", "a b", "a-b", "", "1abc",
+                    "x; DROP TABLE t"):
+            with _pytest.raises(ValueError, match="identifier"):
+                dedup_index_build(base, bad, near=False, **PARAMS)
+            with _pytest.raises(ValueError, match="identifier"):
+                dedup_index_drop(spark, bad)
+            with _pytest.raises(ValueError, match="identifier"):
+                dedup_index_probe(spark, bad, base)
+
     def test_sweep_sees_dead_pid_dirs_on_disk(self, spark):
         import os
 
