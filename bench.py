@@ -151,7 +151,13 @@ def plan_fingerprint(metrics: "dict | None") -> "str | None":
     basis = {
         name: [m["shuffle_read"], m["shuffle_write"], m["tasks"]]
         for name, m in metrics.items()
+        # a PARTIAL block (hand-salvaged legacy artifact, truncated
+        # fragment) is skipped rather than crashing the caller — a
+        # fingerprint over defaulted values would never match anything
+        # real anyway, and bench.py's own collector always emits the
+        # full triple
         if m is not None
+        and all(k in m for k in ("shuffle_read", "shuffle_write", "tasks"))
     }
     if not basis:
         return None
@@ -700,10 +706,13 @@ def main() -> None:
             metrics_out["pipe_jaccard_pairs"].update(jt)
             print(f"# pipe_jaccard_pairs: {jt['cand_pairs']} candidates "
                   f"-> {jt['out_rows']} verified pairs", file=sys.stderr)
-            clear_rdd_cache()
         except Exception as ex:  # noqa: BLE001 — telemetry, not the bench
             print(f"# jaccard telemetry failed: {type(ex).__name__}: {ex}",
                   file=sys.stderr)
+        finally:
+            # even a failed count may have materialized the pinned
+            # inverted-index/docsets checkpoints — sweep regardless
+            clear_rdd_cache()
     for name in order:
         print(f"# {name}: {timings[name]:.3f}s ({rows_of[name]} rows)",
               file=sys.stderr)

@@ -254,6 +254,74 @@ class TestBenchTrend:
         )
         assert "0816.1300" in head and "0816.1200" not in head
 
+    def test_partial_inline_metrics_do_not_crash_default_table(
+        self, tmp_path
+    ):
+        """A hand-salvaged/partial inline block (only guaranteed to
+        start with shuffle_read) must render as '-' in the fp column,
+        not KeyError the whole table (same hazard class as the spill
+        fix)."""
+        _write(tmp_path, 6, {
+            "value": 1.0, "queries": {"qa": 1.0},
+            "metrics": {"qa": {"shuffle_read": 1, "spill_mem": 0}},
+        })
+        rows = {ln.split()[0]: ln for ln in _run(tmp_path).splitlines()
+                if ln.strip() and ln.split()[0].isdigit()}
+        assert rows["6"].rstrip().endswith("-")
+
+    def test_fp_drift_is_scoped_per_sf(self, tmp_path):
+        """A committed smoke round at another scale factor differs in
+        bytes by data size alone — it must not flag itself (nor its
+        same-sf successor) as a plan change."""
+        _write(tmp_path, 2, {"value": 10.0, "sf": 0.1,
+                             "plan_fp": "aaaaaaaaaaaa"})
+        _write(tmp_path, 3, {"value": 2.0, "sf": 0.01,
+                             "plan_fp": "bbbbbbbbbbbb"})
+        _write(tmp_path, 4, {"value": 10.0, "sf": 0.1,
+                             "plan_fp": "aaaaaaaaaaaa"})
+        _write(tmp_path, 5, {"value": 10.0, "sf": 0.1,
+                             "plan_fp": "cccccccccccc"})
+        out = _run(tmp_path)
+        rows = {ln.split()[0]: ln for ln in out.splitlines()
+                if ln.strip() and ln.split()[0].isdigit()}
+        assert "!" not in rows["3"], "cross-sf must not flag"
+        assert "!" not in rows["4"], "same fp as last same-sf round"
+        assert rows["5"].rstrip().endswith("cccccccccccc!")
+
+    def test_sidecar_limit_zero_shows_no_sidecar_columns(self, tmp_path):
+        _fixture(tmp_path)
+        m = {"qa": {"shuffle_read": 1, "shuffle_write": 0, "spill_mem": 0,
+                    "spill_disk": 0, "input_bytes": 0, "input_records": 0,
+                    "output_bytes": 0, "tasks": 1, "stages": 1}}
+        with open(os.path.join(tmp_path, "BENCH_METRICS.jsonl"), "w") as f:
+            f.write(json.dumps(
+                {"utc": "2026-08-16T11:00:00+00:00", "sf": 0.1,
+                 "metrics": m}) + "\n")
+        head = next(
+            ln for ln in
+            _run(tmp_path, "--metrics", "--sidecar-limit=0").splitlines()
+            if ln.startswith("shuffle MB")
+        )
+        assert "0816" not in head
+
+    def test_prune_survives_non_dict_json_lines(self, tmp_path):
+        _fixture(tmp_path)
+        m = {"qa": {"shuffle_read": 1, "shuffle_write": 0, "tasks": 1}}
+        p = os.path.join(tmp_path, "BENCH_METRICS.jsonl")
+        with open(p, "w") as f:
+            f.write("null\n")       # valid JSON, not a record
+            f.write("123\n")
+            for i in range(3):
+                f.write(json.dumps({"utc": f"2026-08-1{i}T00:00:00+00:00",
+                                    "sf": 0.1, "seq": i,
+                                    "metrics": m}) + "\n")
+        out = subprocess.run(
+            [sys.executable, TOOL, "--prune-sidecar=2", str(tmp_path)],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert out.returncode == 0, out.stderr
+        assert [json.loads(ln)["seq"] for ln in open(p)] == [1, 2]
+
     def test_prune_sidecar_keeps_newest_per_sf(self, tmp_path):
         _fixture(tmp_path)
         m = {"qa": {"shuffle_read": 1, "shuffle_write": 0, "tasks": 1}}

@@ -101,7 +101,7 @@ def main() -> None:
 
     print(f"{'round':>5}  {'raw s':>8}  {'ratio':>6}  {'window':>7}  "
           f"{'norm s':>8}  {'eps':>8}  {'pure eps':>8}  {'plan fp':>13}")
-    fp_prev = None
+    fp_prev_by_sf: dict = {}
     fp_drifted = False
     for n, p, _ in rounds:
         # the fp column renders even on a value-less round: plan bytes
@@ -109,11 +109,17 @@ def main() -> None:
         # truncated tail kept 7 metrics blocks but no totals)
         fp = p.get("plan_fp") or plan_fingerprint(p.get("metrics"))
         fp_cell = fp or "-"
-        if fp and fp_prev and fp != fp_prev:
+        # drift compares PER SCALE FACTOR: byte metrics from different
+        # sf differ by data size alone (the --metrics path already
+        # skips cross-sf entries as incomparable), so a committed
+        # sf0.01 smoke round must not flag itself and its sf0.1
+        # successor as plan changes
+        sf = p.get("sf")
+        if fp and fp_prev_by_sf.get(sf) not in (None, fp):
             fp_cell += "!"          # plan drift vs previous fp'd round
             fp_drifted = True
         if fp:
-            fp_prev = fp
+            fp_prev_by_sf[sf] = fp
         if p.get("value") is None:
             print(f"{n:>5}  {'-':>8}  {'-':>6}  {'-':>7}  {'-':>8}  "
                   f"{'-':>8}  {'-':>8}  {fp_cell:>13}")
@@ -194,7 +200,10 @@ def main() -> None:
                 print(f"(sidecar: {len(side) - len(same_sf)} entries at "
                       f"other sf skipped; showing sf={sf_newest})",
                       file=sys.stderr)
-            cols += same_sf[-_flag_val("sidecar-limit", 4):]
+            limit = _flag_val("sidecar-limit", 4)
+            # explicit guard: same_sf[-0:] is the WHOLE list, the exact
+            # opposite of "show zero sidecar columns"
+            cols += same_sf[-limit:] if limit > 0 else []
         if not cols:
             print("\nno exec metrics found (BENCH_r15+ artifact or "
                   "BENCH_METRICS.jsonl sidecar)", file=sys.stderr)
@@ -246,9 +255,14 @@ def prune_sidecar(root: str, keep: int) -> None:
     parsed = []
     for ln in lines:
         try:
-            sf = json.loads(ln).get("sf")
+            rec = json.loads(ln)
         except ValueError:
             continue
+        if not isinstance(rec, dict):
+            # `null` / bare-number lines parse but carry nothing — junk
+            # to drop, same as torn writes
+            continue
+        sf = rec.get("sf")
         parsed.append((sf, ln))
         per_sf.setdefault(sf, []).append(ln)
     keep_set = {id(ln) for sfl in per_sf.values() for ln in sfl[-keep:]}
