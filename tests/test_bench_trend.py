@@ -64,9 +64,11 @@ class TestBenchTrend:
         lines = _run(tmp_path).splitlines()
         rows = [ln for ln in lines if ln.strip() and ln.split()[0].isdigit()]
         assert len(rows) == 3  # r01 placeholder row included
-        assert rows[0].split() == ["1", "-", "-", "-", "-", "-", "-", "-"]
+        assert rows[0].split() == ["1"] + ["-"] * 8
         assert rows[1].startswith("    2") and "20.000" in rows[1]
         assert "warm" in rows[2] and "12.0" in rows[2]
+        # norm eps derived for calib-era rows: 120000 * 1.25 = 150000
+        assert "150000" in rows[2]
 
     def test_queries_table_normalizes_where_ratio_exists(self, tmp_path):
         _fixture(tmp_path)

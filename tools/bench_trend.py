@@ -100,7 +100,8 @@ def main() -> None:
         raise SystemExit(1)
 
     print(f"{'round':>5}  {'raw s':>8}  {'ratio':>6}  {'window':>7}  "
-          f"{'norm s':>8}  {'eps':>8}  {'pure eps':>8}  {'plan fp':>13}")
+          f"{'norm s':>8}  {'eps':>8}  {'norm eps':>8}  {'pure eps':>8}  "
+          f"{'plan fp':>13}")
     fp_prev_by_sf: dict = {}
     fp_drifted = False
     for n, p, _ in rounds:
@@ -122,17 +123,26 @@ def main() -> None:
             fp_prev_by_sf[sf] = fp
         if p.get("value") is None:
             print(f"{n:>5}  {'-':>8}  {'-':>6}  {'-':>7}  {'-':>8}  "
-                  f"{'-':>8}  {'-':>8}  {fp_cell:>13}")
+                  f"{'-':>8}  {'-':>8}  {'-':>8}  {fp_cell:>13}")
             continue
         ratio = (p.get("calib") or {}).get("ratio")
         window = p.get("window", "-")
         norm = p.get("value_normalized")
         if norm is None and ratio:
             norm = round(p["value"] / ratio, 3)
+        # window-corrected throughput: eps × ratio (throughput deflates
+        # where time inflates) — r17+ artifacts carry it; derive it for
+        # the r13-r16 calib-era rows so the raw-eps whipsaw (the
+        # committed r16 read 33% low purely from window) reads
+        # correctly across the whole history
+        eps_norm = p.get("eps_normalized")
+        if eps_norm is None and ratio and p.get("state_machine_eps"):
+            eps_norm = round(p["state_machine_eps"] * ratio)
         print(f"{n:>5}  {p['value']:>8.3f}  "
               f"{ratio if ratio is not None else '-':>6}  {window:>7}  "
               f"{norm if norm is not None else '-':>8}  "
               f"{p.get('state_machine_eps', '-'):>8}  "
+              f"{eps_norm if eps_norm is not None else '-':>8}  "
               f"{p.get('state_machine_eps_pure', '-'):>8}  "
               f"{fp_cell:>13}")
     if fp_drifted:
