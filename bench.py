@@ -688,30 +688,30 @@ def main() -> None:
     if sm_m is not None:
         metrics_out["state_machine"] = sm_m
     metrics_out = metrics_out or None
-    # candidate-volume telemetry for the slowest headline query
-    # (round-16 verdict #7): candidates the prefix filter admits to
-    # exact verification vs pairs emitted, recorded in the metrics
-    # sidecar next to the plan bytes. Collected UNTIMED after all
-    # measured windows so the timed plans — and plan_fp, which reads
-    # only the (shuffle, tasks) triples — stay byte-identical to a
-    # telemetry-free run.
-    if metrics_out and metrics_out.get("pipe_jaccard_pairs"):
-        try:
-            from php_ec_spark.queries_pipeline import (
-                jaccard_candidate_stats,
-            )
+    # candidate-volume telemetry (round-16 verdict #7): candidates each
+    # filter scheme admits to exact verification vs pairs emitted,
+    # recorded in the metrics sidecar next to the plan bytes — the
+    # prefix-filter and LSH-banding trades tracked by numbers.
+    # Collected UNTIMED after all measured windows so the timed plans —
+    # and plan_fp, which reads only the (shuffle, tasks) triples — stay
+    # byte-identical to a telemetry-free run.
+    from php_ec_spark.queries_pipeline import CANDIDATE_TELEMETRY
 
-            jt = jaccard_candidate_stats(spark, sf_dir)
-            jt["out_rows"] = rows_of.get("pipe_jaccard_pairs")
-            metrics_out["pipe_jaccard_pairs"].update(jt)
-            print(f"# pipe_jaccard_pairs: {jt['cand_pairs']} candidates "
-                  f"-> {jt['out_rows']} verified pairs", file=sys.stderr)
+    for tname, collector in CANDIDATE_TELEMETRY.items():
+        if not (metrics_out and metrics_out.get(tname)):
+            continue
+        try:
+            jt = collector(spark, sf_dir)
+            jt["out_rows"] = rows_of.get(tname)
+            metrics_out[tname].update(jt)
+            print(f"# {tname}: {jt['cand_pairs']} candidates -> "
+                  f"{jt['out_rows']} verified pairs", file=sys.stderr)
         except Exception as ex:  # noqa: BLE001 — telemetry, not the bench
-            print(f"# jaccard telemetry failed: {type(ex).__name__}: {ex}",
-                  file=sys.stderr)
+            print(f"# {tname} telemetry failed: "
+                  f"{type(ex).__name__}: {ex}", file=sys.stderr)
         finally:
-            # even a failed count may have materialized the pinned
-            # inverted-index/docsets checkpoints — sweep regardless
+            # even a failed count may have materialized pinned
+            # checkpoints (inverted index, banded table) — sweep
             clear_rdd_cache()
     for name in order:
         print(f"# {name}: {timings[name]:.3f}s ({rows_of[name]} rows)",

@@ -166,6 +166,36 @@ def jaccard_candidate_stats(spark: SparkSession, sf_dir: str) -> dict:
     return {"cand_pairs": cand.count()}
 
 
+def minhash_candidate_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Band-collision candidate count for ``pipe_minhash_lsh`` — the
+    LSH analog of :func:`jaccard_candidate_stats` (band collisions are
+    THE cost driver of the banded join at scale: Σ over (band, bh)
+    buckets of pairs, the quantity the 32×4 banding trades against
+    recall). Same untimed-collection contract; mirrors the registered
+    query's parameters exactly. Returns ``{"cand_pairs": N}`` (distinct
+    unordered pairs admitted to exact-Jaccard verification)."""
+    from .operators.dedup import with_band_keys
+
+    banded = with_band_keys(_docs(spark, sf_dir))
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    return {"cand_pairs": cand.count()}
+
+
+#: headline-query → untimed telemetry collector; bench.py runs each
+#: AFTER all measured windows and merges the numbers into the metrics
+#: sidecar entry for that query (plan_fp ignores the extra keys)
+CANDIDATE_TELEMETRY = {
+    "pipe_jaccard_pairs": jaccard_candidate_stats,
+    "pipe_minhash_lsh": minhash_candidate_stats,
+}
+
+
 @register(
     "pipe_minhash_lsh",
     headline=True,

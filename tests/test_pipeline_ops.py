@@ -5026,3 +5026,30 @@ class TestStreamingEmbeddingIngest:
             ivf_add(spark, idx, inc, cluster_col="label")
         # nothing was written: the flat corpus still reads with one scheme
         assert spark.read.parquet(f"{idx}/corpus").count() == 9
+
+
+class TestCandidateTelemetry:
+    """The bench's untimed candidate-volume collectors (round-16 verdict
+    #7, extended to the LSH path in round 17) must mirror the registered
+    queries' parameters exactly — a drifted threshold/max_df would
+    report a candidate count for a DIFFERENT query than the one being
+    trended. Invariant pinned here: every verified output pair was a
+    candidate, so cand_pairs >= emitted pairs; and the count is a plain
+    int (the sidecar is JSON)."""
+
+    def test_collectors_bound_their_queries(self, spark):
+        from php_ec_spark.queries_pipeline import (
+            CANDIDATE_TELEMETRY,
+            pipe_jaccard_pairs,
+            pipe_minhash_lsh,
+        )
+
+        emitted = {
+            "pipe_jaccard_pairs": pipe_jaccard_pairs(spark, SF).count(),
+            "pipe_minhash_lsh": pipe_minhash_lsh(spark, SF).count(),
+        }
+        assert set(CANDIDATE_TELEMETRY) == set(emitted)
+        for name, collector in CANDIDATE_TELEMETRY.items():
+            stats = collector(spark, SF)
+            assert isinstance(stats["cand_pairs"], int)
+            assert stats["cand_pairs"] >= emitted[name], name
