@@ -476,9 +476,18 @@ def prefix_candidates(
     (doc_a, doc_b, n_a, n_b) after prefix + length + positional filtering,
     before exact verification.
     """
-    sh = with_shingles(df, n=n, text_col=text_col).select(
-        F.col(id_col).alias("doc"), "shingles"
-    )
+    # Shingle WIDE (round 17): the corpus scan arrives however the source
+    # splits it (ONE partition for a single local row group), and the
+    # explode below otherwise runs the whole tokenize+slice+distinct
+    # chain serially in that one task (measured 1.1 s single-task at
+    # sf0.1 — the only serial stage of the query). _parallelized is the
+    # same guard the Arrow kernels use: repartition up to default
+    # parallelism only when the scan is coarser, a no-op at warehouse
+    # scale. Project to the two needed columns first so the fan-out
+    # shuffle never carries the non-text payload columns (guide §2.3).
+    sh = with_shingles(
+        _parallelized(df.select(id_col, text_col)), n=n, text_col=text_col
+    ).select(F.col(id_col).alias("doc"), "shingles")
     # explode_outer, NOT explode: plain explode makes Catalyst infer a
     # size(shingles) > 0 filter and push it below the projection with the
     # whole shingle expression RE-INLINED — the O(T²) split-per-slice work,
@@ -502,8 +511,21 @@ def prefix_candidates(
     # window-rank formulation costs three doc-keyed exchanges (sizes
     # join + rank shuffle + verification re-collect) for the same answer
     # (measured ~75% slower at sf0.1).
+    from ..session import shuffle_partitions
+
+    n_parts = shuffle_partitions(df.sparkSession)
+    # The doc-keyed exchange is pinned to an explicit width (round 17):
+    # AQE coalesces it by BYTES, but the reduce side is compute-heavy
+    # per row (collect_list + array_sort over whole shingle sets), so a
+    # few-MB index collapsed to 5 tasks left most cores idle for the two
+    # hottest aggregation stages (measured 4.6 s + 2.7 s executor time
+    # on 5 tasks at sf0.1). A numbered repartition is exempt from AQE
+    # coalescing and the groupBy reuses its partitioning — no extra
+    # exchange; width is the session's shuffle_partitions, the same
+    # scale-adaptive knob every other pinned-width operator reads.
     docsets = (
         inv.join(freq, "shingle")
+        .repartition(n_parts, "doc")
         .groupBy("doc")
         .agg(
             F.array_sort(
@@ -538,9 +560,7 @@ def prefix_candidates(
     # self-join EXPLODES rows — Σ prefix-df² per shingle — so it must run
     # wide. An explicit numbered repartition is exempt from AQE
     # coalescing, and both join sides inherit it (no extra exchange).
-    from ..session import shuffle_partitions
-
-    pref = pref.repartition(shuffle_partitions(df.sparkSession), "shingle")
+    pref = pref.repartition(n_parts, "shingle")
     na, nb = F.col("x.n_sh"), F.col("y.n_sh")
     # positional filter (PPJoin): a collision at 1-based global-order
     # positions (i, j) caps the pair's overlap at 1 + min(n_a−i, n_b−j)
