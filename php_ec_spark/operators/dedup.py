@@ -815,6 +815,17 @@ def _sig_matrix(texts, n: int, num_hashes: int):
     A = np.array([_mh_a(k) for k in range(num_hashes)], dtype=np.int64)
     B = np.array([_mh_b(k) for k in range(num_hashes)], dtype=np.int64)
     sizes = np.empty(len(texts), dtype=np.int64)
+    # Shingles repeat heavily across a near-dup corpus (sf0.1: 260k
+    # instances over 27k distincts), so hash and permute each DISTINCT
+    # shingle once per batch and gather per document (round 17): the
+    # batch-level dict assigns dense indices, blake2b and the K affine
+    # transforms run over the distinct array only, and the per-doc
+    # segment-min gathers transformed values by index — identical values
+    # (shingles are distinct within a doc, so the gathered multiset IS
+    # the per-doc transform), ~10× fewer hash calls and mul/mod ops at
+    # sf0.1.
+    idx_of: dict = {}
+    setdefault = idx_of.setdefault
     chunks = []
     for i, text in enumerate(texts):
         # NULL text ≡ '' — mirrors with_shingles' coalesce
@@ -823,22 +834,28 @@ def _sig_matrix(texts, n: int, num_hashes: int):
             sh = (" ".join(toks),)
         else:
             sh = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
-        hs = np.fromiter(
-            (
-                from_bytes(blake(s.encode(), digest_size=8).digest(), "little") % MH_MOD
-                for s in sh
-            ),
+        idxs = np.fromiter(
+            (setdefault(s, len(idx_of)) for s in sh),
             dtype=np.int64,
             count=len(sh),
         )
-        sizes[i] = len(hs)
-        chunks.append(hs)
-    H = np.concatenate(chunks)  # every doc has ≥1 shingle (fallback)
+        sizes[i] = len(idxs)
+        chunks.append(idxs)
+    I = np.concatenate(chunks)  # every doc has ≥1 shingle (fallback)
+    # dict preserves insertion order, so position == assigned index
+    Hd = np.fromiter(
+        (
+            from_bytes(blake(s.encode(), digest_size=8).digest(), "little") % MH_MOD
+            for s in idx_of
+        ),
+        dtype=np.int64,
+        count=len(idx_of),
+    )
     starts = np.zeros(len(sizes), dtype=np.int64)
     np.cumsum(sizes[:-1], out=starts[1:])
     sig = np.empty((len(sizes), num_hashes), dtype=np.int64)
-    for k in range(num_hashes):  # K passes keep temporaries at |H| longs
-        sig[:, k] = np.minimum.reduceat((A[k] * H + B[k]) % MH_MOD, starts)
+    for k in range(num_hashes):  # K passes keep temporaries small
+        sig[:, k] = np.minimum.reduceat(((A[k] * Hd + B[k]) % MH_MOD)[I], starts)
     return sig
 
 
@@ -941,8 +958,13 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    # small: near-dup candidates only
-    cand = pin_intermediate(cand, reliable=reliable, eager=True)
+    # small: near-dup candidates only. Pinned LAZILY (round 17): the
+    # first consumer is always a driver-side broadcast build (cand_ids
+    # inside exact_jaccard_verify — a blocking job that runs before any
+    # probe stage can reference cand again), so the checkpoint
+    # materializes exactly once there and the standalone eager
+    # materialization job bought nothing.
+    cand = pin_intermediate(cand, reliable=reliable)
     return exact_jaccard_verify(
         df, cand, threshold=threshold, n=n, text_col=text_col, id_col=id_col
     )
@@ -1256,25 +1278,42 @@ def connected_components(
     pairs_p = pairs.select("doc_a", "doc_b")
     if pin_input:
         pairs_p = round_pin(pairs_p)
-    # every paired node, self-loop-only nodes included — they re-enter as
-    # self-labeled rows after the loop (the edge frame drops self-loops)
-    nodes = round_pin(
-        pairs_p.select(F.col("doc_a").alias("doc"))
-        .unionByName(pairs_p.select(F.col("doc_b").alias("doc")))
-        .distinct()
-    )
-    edges = round_pin(
-        pairs_p.filter(F.col("doc_a") != F.col("doc_b"))
-        .select(
-            F.greatest("doc_a", "doc_b").alias("u"),
-            F.least("doc_a", "doc_b").alias("v"),
+
+    def node_frame() -> DataFrame:
+        # every paired node, self-loop-only nodes included — they
+        # re-enter as self-labeled rows after the loop (the edge frame
+        # drops self-loops)
+        return (
+            pairs_p.select(F.col("doc_a").alias("doc"))
+            .unionByName(pairs_p.select(F.col("doc_b").alias("doc")))
+            .distinct()
         )
-        .distinct()
-    )
-    if pin_input:
-        pairs_p.unpersist(False)
+
+    def edge_frame() -> DataFrame:
+        return (
+            pairs_p.filter(F.col("doc_a") != F.col("doc_b"))
+            .select(
+                F.greatest("doc_a", "doc_b").alias("u"),
+                F.least("doc_a", "doc_b").alias("v"),
+            )
+            .distinct()
+        )
+
     if driver_fastpath_max_edges > 0:
-        n_edges = edges.count()  # pinned frame: a block-count-scale job
+        # LAZY canonical edge frame over the pinned pairs (round 17):
+        # the fastpath only ever COUNTS and COLLECTS the edges and only
+        # READS the node list once in its output join, so the eager
+        # nodes/edges round-pins (two materialization jobs, each a full
+        # task wave) are deferred until the star loop is actually taken.
+        # Both derivations recompute from the pinned pairs blocks —
+        # aggregate-over-block-scan jobs, cheap at the ≤ budget scale
+        # this branch admits. The budget gate is unchanged: distinct
+        # canonical non-self edge count. On the miss path the count here
+        # duplicates the distinct the loop's eager pin then re-runs —
+        # one extra O(|pairs|) aggregation, noise next to even a single
+        # star round on a graph that size.
+        edges_lazy = edge_frame()
+        n_edges = edges_lazy.count()
         if n_edges <= driver_fastpath_max_edges:
             # NULL endpoints cannot reach this frame (the canonical
             # `doc_a != doc_b` filter is NULL-rejecting), but Python
@@ -1285,11 +1324,10 @@ def connected_components(
             labels = _union_find_min_labels(
                 [
                     (r[0], r[1])
-                    for r in edges.collect()
+                    for r in edges_lazy.collect()
                     if r[0] is not None and r[1] is not None
                 ]
             )
-            edges.unpersist(False)
             if stats is not None:
                 stats.update(
                     rounds=0, max_iters=max_iters, converged=True,
@@ -1303,13 +1341,19 @@ def connected_components(
                 # loop's converged edge rows (u > v, centers absent)
                 [(d, lab) for d, lab in labels.items() if d != lab],
                 StructType([
-                    StructField("doc", edges.schema["u"].dataType),
-                    StructField("label", edges.schema["v"].dataType),
+                    StructField("doc", edges_lazy.schema["u"].dataType),
+                    StructField("label", edges_lazy.schema["v"].dataType),
                 ]),
             )
-            return nodes.join(F.broadcast(mapping), "doc", "left").select(
+            return node_frame().join(
+                F.broadcast(mapping), "doc", "left"
+            ).select(
                 "doc", F.coalesce("label", F.col("doc")).alias("label")
             )
+    nodes = round_pin(node_frame())
+    edges = round_pin(edge_frame())
+    if pin_input:
+        pairs_p.unpersist(False)
     converged = False
     rounds_used = 0
     for round_no in range(max_iters):
@@ -1503,6 +1547,21 @@ def with_simhash(
     ws = re.compile(r"\s+")
 
     def kern(batches):
+        # token-hash memo across the whole task (round 17): natural-text
+        # vocabularies are Zipfian, so the same tokens recur across
+        # documents — md5 each distinct token once per task and look the
+        # rest up (the testdata corpus hits the extreme: 31-token
+        # vocabulary over 270k instances at sf0.1). Same hash values,
+        # strictly fewer md5 calls; memory is bounded by task vocabulary.
+        hcache: dict = {}
+
+        def th(t):
+            v = hcache.get(t)
+            if v is None:
+                v = int(md5(t.encode()).hexdigest()[:15], 16)
+                hcache[t] = v
+            return v
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1512,7 +1571,7 @@ def with_simhash(
                 t2 = (text or "").strip(" ")
                 toks = set(ws.split(t2)) if t2 else {""}
                 hs = np.fromiter(
-                    (int(md5(t.encode()).hexdigest()[:15], 16) for t in toks),
+                    (th(t) for t in toks),
                     dtype=np.uint64,
                     count=len(toks),
                 )
