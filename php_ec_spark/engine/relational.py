@@ -246,18 +246,23 @@ def compile_sequence(events: DataFrame, rule: Rule) -> DataFrame:
     # per-key successor arrays: one unordered whole-partition window frame
     # per distinct successor type, all in the same exchange
     wp = Window.partitionBy(key)
-    base = relevant
-    for t in succ_types:
-        base = base.withColumn(
-            f"__arr_{t}",
-            F.sort_array(
+    # ONE withColumns call for every successor array: each withColumn is
+    # an eager JVM analysis pass over the whole plan (~O(plan) py4j
+    # round-trip), and this builder runs on every query construction —
+    # batching the per-type loop into a single call keeps driver-side
+    # build cost flat in the number of step types (round 17).
+    base = relevant.withColumns(
+        {
+            f"__arr_{t}": F.sort_array(
                 F.collect_list(
                     F.when(
                         F.col("event_type") == t, F.struct("ts", "event_id", "value")
                     )
                 ).over(wp)
-            ),
-        )
+            )
+            for t in succ_types
+        }
+    )
 
     cur = base.filter(F.col("event_type") == types[0]).select(
         F.col(key).cast("string").alias("key"),
@@ -283,10 +288,16 @@ def compile_sequence(events: DataFrame, rule: Rule) -> DataFrame:
 
     for i in range(1, n):
         succ = first_after(f"__arr_{types[i]}", f"e{i-1}_ts", f"e{i-1}_id")
-        cur = (
-            cur.withColumn(f"e{i}_ts", succ["ts"])
-            .withColumn(f"e{i}_id", succ["event_id"])
-            .withColumn(f"e{i}_val", succ["value"])
+        # step acceptance folded into the SAME batched withColumns call
+        # (two JVM analysis passes per step — succ + mask — instead of
+        # six; the mask must stay a second pass because it references the
+        # just-bound e{i}_ts): a failed step nulls the rest of the chain.
+        cur = cur.withColumns(
+            {
+                f"e{i}_ts": succ["ts"],
+                f"e{i}_id": succ["event_id"],
+                f"e{i}_val": succ["value"],
+            }
         )
         if timeout_s is not None:
             deadline = F.col(f"e{i-1}_ts") + F.make_interval(
@@ -295,9 +306,9 @@ def compile_sequence(events: DataFrame, rule: Rule) -> DataFrame:
             ok = F.col(f"e{i}_ts").isNotNull() & (F.col(f"e{i}_ts") <= deadline)
         else:
             ok = F.col(f"e{i}_ts").isNotNull()
-        # a failed step nulls the rest of the chain
-        for c in (f"e{i}_ts", f"e{i}_id", f"e{i}_val"):
-            cur = cur.withColumn(c, F.when(ok, F.col(c)))
+        cur = cur.withColumns(
+            {c: F.when(ok, F.col(c)) for c in (f"e{i}_ts", f"e{i}_id", f"e{i}_val")}
+        )
     cur = cur.drop(*[f"__arr_{t}" for t in succ_types])
 
     # consumed = 1 + number of non-null chain steps
