@@ -434,10 +434,12 @@ def jaccard_pairs(
     # is the SMALL side (post prefix+length+positional filtering), so
     # AQE broadcasts it into the per-doc frame rather than shuffling the
     # corpus — an up-front semi-join just adds stages.
-    arrs = docsets.select(
-        "doc",
-        F.transform("items", lambda x: x["shingle"]).alias("sh_arr"),
-    )
+    # ``items`` holds df-PACKED shingle strings (see prefix_candidates);
+    # intersecting packed strings is equivalent to intersecting shingles
+    # because the fixed-width pack is injective (df_count is a function
+    # of the shingle), so the arrays are used as-is — no per-row
+    # transform() unwrap.
+    arrs = docsets.select("doc", F.col("items").alias("sh_arr"))
     verified = (
         cand.join(
             arrs.select(F.col("doc").alias("doc_a"), F.col("sh_arr").alias("sh_a")),
@@ -472,29 +474,58 @@ def prefix_candidates(
 
     Returns ``(docsets, cand)``: ``docsets`` = one pinned row per doc with
     its filtered shingle set sorted in the global (df_count, shingle)
-    order; ``cand`` = the lazy candidate-pair frame
+    order — each element PACKED as ``lpad(df_count, 10, '0') || shingle``
+    (fixed-width prefix, so plain string order == (df_count, shingle)
+    struct order and the pack is injective: df_count is a function of the
+    shingle, making packed-array intersection ≡ shingle-set
+    intersection); ``cand`` = the lazy candidate-pair frame
     (doc_a, doc_b, n_a, n_b) after prefix + length + positional filtering,
     before exact verification.
     """
     # Shingle WIDE (round 17): the corpus scan arrives however the source
     # splits it (ONE partition for a single local row group), and the
-    # explode below otherwise runs the whole tokenize+slice+distinct
-    # chain serially in that one task (measured 1.1 s single-task at
-    # sf0.1 — the only serial stage of the query). _parallelized is the
-    # same guard the Arrow kernels use: repartition up to default
-    # parallelism only when the scan is coarser, a no-op at warehouse
-    # scale. Project to the two needed columns first so the fan-out
-    # shuffle never carries the non-text payload columns (guide §2.3).
-    sh = with_shingles(
-        _parallelized(df.select(id_col, text_col)), n=n, text_col=text_col
-    ).select(F.col(id_col).alias("doc"), "shingles")
-    # explode_outer, NOT explode: plain explode makes Catalyst infer a
-    # size(shingles) > 0 filter and push it below the projection with the
-    # whole shingle expression RE-INLINED — the O(T²) split-per-slice work,
-    # computed a second time per row (measured ~5 s of the sf0.1 runtime).
-    # The array is never empty (with_shingles emits ≥1 shingle), so the
-    # two are equivalent here and no null rows appear.
-    inv = sh.select("doc", F.explode_outer("shingles").alias("shingle"))
+    # kernel below otherwise runs serially in that one task. _parallelized
+    # repartitions up to default parallelism only when the scan is
+    # coarser, a no-op at warehouse scale. Project to the two needed
+    # columns first so the fan-out shuffle never carries the non-text
+    # payload columns (guide §2.3).
+    #
+    # The exploded (doc, shingle) index comes straight out of ONE Arrow
+    # kernel (guide §4.2) instead of the JVM HOF chain
+    # (split → transform(sequence, array_join(slice)) → array_distinct →
+    # explode): same tokenization as with_shingles (ws-regex split of the
+    # space-trimmed text, whole-token-seq fallback under n tokens,
+    # NULL ≡ ''), verified row-identical, measured ~25% faster at sf0.1
+    # and one less Catalyst Generate node.
+    import re as _re
+
+    import pandas as _pd
+
+    _ws = _re.compile(r"\s+")
+
+    def _shingle_rows(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids: list = []
+            shs: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                t2 = (text or "").strip(" ")
+                toks = _ws.split(t2)
+                if len(toks) < n:
+                    sh = {" ".join(toks)}
+                else:
+                    sh = {
+                        " ".join(toks[j : j + n])
+                        for j in range(len(toks) - n + 1)
+                    }
+                ids.extend([did] * len(sh))
+                shs.extend(sh)
+            yield _pd.DataFrame({"doc": ids, "shingle": shs})
+
+    inv = _parallelized(df.select(id_col, text_col)).mapInPandas(
+        _shingle_rows, "doc long, shingle string"
+    )
     # The raw index feeds the frequency table AND the per-doc re-group;
     # pin so shingle generation runs once per action (lazy).
     inv = pin_intermediate(inv, reliable=reliable)
@@ -523,15 +554,23 @@ def prefix_candidates(
     # coalescing and the groupBy reuses its partitioning — no extra
     # exchange; width is the session's shuffle_partitions, the same
     # scale-adaptive knob every other pinned-width operator reads.
+    # Each element is PACKED as lpad(df_count,10,'0') || shingle before
+    # the collect: the fixed-width decimal prefix makes plain binary
+    # string order equal the (df_count, shingle) struct order, so
+    # array_sort runs the flat UTF8String comparator instead of the
+    # interpreted struct comparator (measured ~10% off the docsets
+    # stage), the prefix posexplode below needs no struct unwrap, and
+    # verification intersects the packed arrays directly (injective
+    # pack ⇒ identical intersection sizes).
+    packed = F.concat(
+        F.lpad(F.col("df_count").cast("string"), 10, "0"), F.col("shingle")
+    )
     docsets = (
         inv.join(freq, "shingle")
+        .select("doc", packed.alias("p"))
         .repartition(n_parts, "doc")
         .groupBy("doc")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("df_count", "shingle"))
-            ).alias("items")
-        )
+        .agg(F.array_sort(F.collect_list("p")).alias("items"))
         .withColumn("n_sh", F.size("items"))
     )
     docsets = pin_intermediate(docsets, reliable=reliable)
@@ -547,13 +586,15 @@ def prefix_candidates(
         "doc",
         "n_sh",
         F.posexplode(F.slice("items", F.lit(1), prefix_len)).alias(
-            "pos0", "__it"
+            "pos0", "shingle"
         ),
     ).select(
         "doc",
         "n_sh",
         (F.col("pos0") + 1).alias("pos"),
-        F.col("__it.shingle").alias("shingle"),
+        # "shingle" here is the PACKED string — joining on it is
+        # equivalent to joining on the raw shingle (injective pack)
+        "shingle",
     )
     # Pin real parallelism on the join key: the prefix index is small in
     # BYTES (AQE would coalesce it to one partition) but the shingle
@@ -587,6 +628,16 @@ def prefix_candidates(
             na.alias("n_a"),
             nb.alias("n_b"),
         )
+        # Pin the dedup/verify width: the candidate frame is small in
+        # BYTES, so AQE coalesces the distinct's exchange to ONE
+        # partition — and the whole verification join chain (broadcast
+        # per-doc arrays into cand) then runs array_intersect over every
+        # candidate pair in a single serial task (measured 0.5-0.8 s of
+        # the sf0.1 wall). A numbered repartition on the pair key is
+        # exempt from coalescing; the distinct's aggregate reuses the
+        # (doc_a, doc_b) clustering — no extra exchange — and
+        # verification inherits the width.
+        .repartition(n_parts, "doc_a", "doc_b")
         .distinct()
     )
     return docsets, cand
