@@ -57,7 +57,9 @@ def load_events(spark, sf_dir: str) -> DataFrame:
     # µs timestamps without isAdjustedToUTC must read as UTC TIMESTAMP, not
     # TIMESTAMP_NTZ (DuckDB parity; keeps ts casts legal).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .session import read_parquet
+
+    df = read_parquet(spark, f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

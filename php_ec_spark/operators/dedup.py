@@ -363,7 +363,7 @@ def jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df: int | None = None,
+    max_df: "int | DataFrame | None" = None,
     reliable: bool = False,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similar pairs via a PREFIX-FILTERED inverted
@@ -400,7 +400,10 @@ def jaccard_pairs(
     ``max_df`` (optional) additionally drops shingles appearing in more
     than that many docs from the Jaccard space itself — a semantics
     knob (Jaccard is computed entirely in the filtered space), applied
-    BEFORE prefix selection so both engines see the same sets.
+    BEFORE prefix selection so both engines see the same sets. It may be
+    an int, or a 1-row DataFrame with a single ``max_df`` bigint column
+    (a lazy scalar subquery — no blocking driver job when the cutoff is
+    itself derived from the corpus).
     ``threshold`` enters the prefix/length bounds slackened by 1e-6 so
     the final round-to-6-dp filter (a pair at true J = τ − 4e-7 rounds
     UP into the output) can never disagree with candidate pruning.
@@ -465,7 +468,7 @@ def prefix_candidates(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df: int | None = None,
+    max_df: "int | DataFrame | None" = None,
     reliable: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The prefix-filtered candidate machinery behind :func:`jaccard_pairs`,
@@ -534,7 +537,23 @@ def prefix_candidates(
     # prefix order.
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_count"))
     if max_df is not None:
-        freq = freq.filter(F.col("df_count") <= max_df)
+        if isinstance(max_df, DataFrame):
+            # LAZY cutoff (round 17): a 1-row (max_df bigint) frame joined
+            # in as a broadcast scalar instead of a Python int — callers
+            # that derive the cutoff from the corpus (the registered
+            # query's greatest(1, floor(0.05·n))) no longer pay a BLOCKING
+            # driver count() round-trip before the query can even be
+            # built; the count folds into the query's own execution as a
+            # metadata-cheap aggregate (guide §1.2/§5: keep the driver out
+            # of the query path). BroadcastNestedLoopJoin over 1 row ==
+            # the oracle's scalar subquery.
+            freq = (
+                freq.join(F.broadcast(max_df))
+                .filter(F.col("df_count") <= F.col("max_df"))
+                .drop("max_df")
+            )
+        else:
+            freq = freq.filter(F.col("df_count") <= max_df)
     # ONE doc-keyed exchange serves everything downstream: re-group the
     # (possibly max_df-filtered) index into a per-doc array sorted in the
     # global (df_count, shingle) order. Filtered set size, the prefix,

@@ -30,6 +30,7 @@ from .model import (
     with_control_messages,
 )
 from .rules.base import match_single, match_single_continuously, sequence_rule
+from .session import read_parquet
 
 _EMIT_COLS = [
     "rule",
@@ -383,7 +384,7 @@ def cep_historical_no_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cep_validate_enrich_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events(spark, sf_dir)
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation = read_parquet(spark, f"{sf_dir}/nation.parquet")
     out = validate_enrich_filter(
         events,
         validate=F.col("value") >= 5,
@@ -560,7 +561,7 @@ def cep_cron_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cep_memory_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_events(spark, sf_dir)
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation = read_parquet(spark, f"{sf_dir}/nation.parquet")
     seed = nation.select(
         F.lit("nations").alias("namespace"),
         F.col("n_nationkey").cast("string").alias("key"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import register
+from .session import read_parquet
 from .operators.dedup import (
     dedup_clusters,
     dup_span_stats,
@@ -38,11 +39,11 @@ from .operators.text import (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
 # Shared oracle fragment: distinct 3-token shingles per document, matching
@@ -135,10 +136,25 @@ def pipe_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipe_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    # 5% document-frequency cutoff, floor'd exactly like the oracle's
-    # greatest(1, floor(0.05·n)) so both engines drop the same shingles.
-    max_df = max(1, int(docs.count() * 0.05))
-    return jaccard_pairs(docs, threshold=0.8, max_df=max_df)
+    return jaccard_pairs(docs, threshold=0.8, max_df=_jaccard_max_df(docs))
+
+
+def _jaccard_max_df(docs: DataFrame) -> DataFrame:
+    """The 5% document-frequency cutoff as a LAZY 1-row frame —
+    greatest(1, floor(0.05·n)), the oracle's ``lim`` CTE verbatim.
+    Passed to :func:`jaccard_pairs` as a broadcast scalar subquery so
+    query construction no longer pays a blocking ``docs.count()``
+    round-trip (two driver-synchronous jobs per build; the count now
+    rides the query's own execution as a metadata-cheap aggregate).
+    Same arithmetic as the former ``max(1, int(n * 0.05))``: IEEE double
+    multiply on both engines, and floor == int-truncation for the
+    non-negative product."""
+    return docs.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.count(F.lit(1)) * F.lit(0.05)),
+        ).alias("max_df")
+    )
 
 
 def jaccard_candidate_stats(spark: SparkSession, sf_dir: str) -> dict:
@@ -161,8 +177,9 @@ def jaccard_candidate_stats(spark: SparkSession, sf_dir: str) -> dict:
     from .operators.dedup import prefix_candidates
 
     docs = _docs(spark, sf_dir)
-    max_df = max(1, int(docs.count() * 0.05))
-    _, cand = prefix_candidates(docs, threshold=0.8, max_df=max_df)
+    _, cand = prefix_candidates(
+        docs, threshold=0.8, max_df=_jaccard_max_df(docs)
+    )
     return {"cand_pairs": cand.count()}
 
 

@@ -20,13 +20,13 @@ from pyspark.sql import functions as F
 from .catalog import register
 from .functions import asof_join
 from .model import load_events
-from .session import register_views
+from .session import read_parquet, register_views
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 # --------------------------------------------------------------------------

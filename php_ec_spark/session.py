@@ -86,6 +86,61 @@ TABLES = (
 )
 
 
+#: (path, file fingerprint, schema-affecting confs) → StructType. METADATA
+#: only — what a catalog/metastore provides at warehouse scale. Never holds
+#: data or results; invalidated whenever the underlying bytes change.
+_PARQUET_SCHEMA_CACHE: dict = {}
+
+
+def _parquet_fingerprint(path: str):
+    """(size, mtime_ns) fingerprint of a parquet file or directory —
+    the cache key component that invalidates the remembered schema when
+    the table is rewritten. Directories fingerprint their direct entries
+    (names + sizes + mtimes): parquet writers replace files, so any
+    rewrite moves at least one entry's (size, mtime)."""
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (st.st_size, st.st_mtime_ns)
+    entries = []
+    with os.scandir(path) as it:
+        for e in it:
+            es = e.stat()
+            entries.append((e.name, es.st_size, es.st_mtime_ns))
+    return tuple(sorted(entries))
+
+
+def read_parquet(spark: SparkSession, path: str):
+    """``spark.read.parquet`` with the inferred schema remembered per
+    (path, file fingerprint): the first read in a process infers the
+    schema from footers (one driver-blocking Spark job); every later
+    CONSTRUCTION of the same unchanged table passes the remembered
+    StructType and skips that job entirely — the metadata a catalog
+    table provides at warehouse scale, recreated for bare-path reads.
+
+    Strictly metadata caching: the data path is untouched (same scan,
+    same pushdown/pruning — ``spark.read.schema(s).parquet(path)`` plans
+    identically to the inferred-schema read), results are never cached,
+    and the fingerprint (sizes + mtimes) invalidates on any rewrite.
+    The two schema-affecting session confs ride the key so e.g.
+    ``load_events``'s nanos handling can never leak a mismatched schema
+    between call sites."""
+    confs = (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false"),
+        spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
+    )
+    try:
+        key = (path, _parquet_fingerprint(path), confs)
+    except OSError:
+        # path not stat-able locally (remote FS) — fall back to plain read
+        return spark.read.parquet(path)
+    schema = _PARQUET_SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _PARQUET_SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES):
     """Read the driver's parquet tables as a dict of DataFrames.
 
@@ -98,7 +153,7 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
 
     return {
         name: load_events(spark, sf_dir) if name == "events"
-        else spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        else read_parquet(spark, f"{sf_dir}/{name}.parquet")
         for name in names
     }
 
