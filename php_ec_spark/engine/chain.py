@@ -74,25 +74,41 @@ def emissions_to_events(
     key_cols = key_cols or {"user_id": "bigint"}
     rule_index = rule_index or {}
     n_rules = max(len(rule_index), 1)
-    ridx = F.lit(0)
-    for name, i in rule_index.items():
-        ridx = F.when(F.col("rule") == name, F.lit(i)).otherwise(ridx)
-    ocode = F.lit(len(OUTCOME_CODES))
-    for name, c in OUTCOME_CODES.items():
-        ocode = F.when(F.col("outcome") == name, F.lit(c)).otherwise(ocode)
-    e = F.col("last_event_id")
-    m = F.when(e >= 0, e * 2).otherwise(e * -2 - 1)
-    derived_id = -((m * n_rules + ridx) * _OUTCOME_STRIDE + ocode) - 2
-    return emissions.select(
-        derived_id.cast("bigint").alias("event_id"),
-        F.col("fire_ts").alias("ts"),
+
+    # SQL-string columns (round 17): the CASE chains below cost one py4j
+    # round-trip per node in Column form; as strings the JVM parses each
+    # column in one call, producing the same analyzed expressions (rule
+    # names are unique, so the flat CASE order is immaterial)
+    def _q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    ridx = "0"
+    if rule_index:
+        whens = "".join(
+            f" WHEN rule = {_q(name)} THEN {i}"
+            for name, i in rule_index.items()
+        )
+        ridx = f"(CASE{whens} ELSE 0 END)"
+    ocode_whens = "".join(
+        f" WHEN outcome = {_q(name)} THEN {c}"
+        for name, c in OUTCOME_CODES.items()
+    )
+    ocode = f"(CASE{ocode_whens} ELSE {len(OUTCOME_CODES)} END)"
+    m = (
+        "(CASE WHEN last_event_id >= 0 THEN last_event_id * 2 "
+        "ELSE last_event_id * -2 - 1 END)"
+    )
+    derived_id = f"-(({m} * {n_rules} + {ridx}) * {_OUTCOME_STRIDE} + {ocode}) - 2"
+    return emissions.selectExpr(
+        f"CAST({derived_id} AS BIGINT) AS event_id",
+        "fire_ts AS ts",
         *[
-            F.col("key").cast(dtype).alias(name)
+            f"CAST(key AS {dtype}) AS `{name}`"
             for name, dtype in sorted(key_cols.items())
         ],
-        F.concat_ws(":", F.col("rule"), F.col("outcome")).alias("event_type"),
-        F.col("value_sum").alias("value"),
-        F.col("payload").alias("props"),
+        "concat_ws(':', rule, outcome) AS event_type",
+        "value_sum AS value",
+        "payload AS props",
     )
 
 

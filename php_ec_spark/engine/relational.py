@@ -26,7 +26,7 @@ which a window cannot express — those fall back to the state machine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..rules.base import EVENT_MATCH_ANY, Rule
@@ -133,25 +133,50 @@ def _key_expr(rule: Rule):
     return F.col(rule.key).cast("string").alias("key")
 
 
+# --- SQL-string expression builders (round 17) -----------------------------
+#
+# Every pyspark Column operation is ONE blocking py4j round-trip; the
+# sequence/emission compilers built CASE trees out of dozens of them, and a
+# profiled correlate() construction spent >80% of its driver wall in ~1,600
+# socket round-trips (guide §1.2: the driver must not be the bottleneck).
+# Building each output column as a single SQL string and parsing it JVM-side
+# with one F.expr/selectExpr call produces the SAME analyzed expressions —
+# the Column API and the SQL parser meet in the identical unresolved tree —
+# at ~1 round-trip per column instead of one per tree node. Oracle parity
+# re-proves result identity for every compiled shape.
+
+
+def _sql_lit(s: str) -> str:
+    """SQL single-quoted string literal (default Spark escape rules)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_key(rule: Rule) -> str:
+    if rule.key is None:
+        return "CAST(NULL AS STRING) AS key"
+    return f"CAST(`{rule.key}` AS STRING) AS key"
+
+
 def _type_filter(events: DataFrame, group) -> DataFrame:
     if EVENT_MATCH_ANY in group:
         return events
-    return events.filter(F.col("event_type").isin(list(group)))
+    in_list = ", ".join(_sql_lit(t) for t in sorted(group))
+    return events.filter(F.expr(f"event_type IN ({in_list})"))
 
 
 def compile_single_match(events: DataFrame, rule: Rule) -> DataFrame:
     """MatchSingle compiles to filter+project — stays fully in codegen."""
     src = _type_filter(events, rule.events[0])
-    return src.select(
-        F.lit(rule.name).alias("rule"),
-        _key_expr(rule),
-        F.lit("completed").alias("outcome"),
-        F.col("ts").alias("fire_ts"),
-        F.col("event_id").alias("start_event_id"),
-        F.col("event_id").alias("last_event_id"),
-        F.lit(1).cast("long").alias("n_events"),
-        F.col("value").alias("value_sum"),
-        F.lit(None).cast("string").alias("payload"),
+    return src.selectExpr(
+        f"{_sql_lit(rule.name)} AS rule",
+        _sql_key(rule),
+        "'completed' AS outcome",
+        "ts AS fire_ts",
+        "event_id AS start_event_id",
+        "event_id AS last_event_id",
+        "CAST(1 AS BIGINT) AS n_events",
+        "value AS value_sum",
+        "CAST(NULL AS STRING) AS payload",
     )
 
 
@@ -165,30 +190,29 @@ def _compile_counter(events: DataFrame, rule: Rule) -> DataFrame:
     emits nothing on an empty input (no instance was ever started);
     keyed groups only ever contain matching rows, so no filter needed."""
     src = _type_filter(events, rule.events[0])
-    order = F.struct("ts", "event_id")
     aggs = [
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("value_sum"),
-        F.min_by("event_id", order).alias("start_event_id"),
-        F.max_by("event_id", order).alias("last_event_id"),
-        F.max("ts").alias("fire_ts"),
+        F.expr("count(1)").alias("n_events"),
+        F.expr("sum(value)").alias("value_sum"),
+        F.expr("min_by(event_id, struct(ts, event_id))").alias("start_event_id"),
+        F.expr("max_by(event_id, struct(ts, event_id))").alias("last_event_id"),
+        F.expr("max(ts)").alias("fire_ts"),
     ]
     if rule.key is None:
-        agg = src.agg(*aggs).filter(F.col("n_events") > 0)
+        agg = src.agg(*aggs).filter(F.expr("n_events > 0"))
     else:
         agg = src.groupBy(
-            F.col(rule.key).cast("string").alias("key")
+            F.expr(f"CAST(`{rule.key}` AS STRING)").alias("key")
         ).agg(*aggs)
-    return agg.select(
-        F.lit(rule.name).alias("rule"),
-        _key_expr(rule) if rule.key is None else F.col("key"),
-        F.lit("final").alias("outcome"),
-        F.col("fire_ts"),
-        F.col("start_event_id"),
-        F.col("last_event_id"),
-        F.col("n_events").cast("long").alias("n_events"),
-        F.col("value_sum").cast("double").alias("value_sum"),
-        F.lit(None).cast("string").alias("payload"),
+    return agg.selectExpr(
+        f"{_sql_lit(rule.name)} AS rule",
+        "CAST(NULL AS STRING) AS key" if rule.key is None else "key",
+        "'final' AS outcome",
+        "fire_ts",
+        "start_event_id",
+        "last_event_id",
+        "CAST(n_events AS BIGINT) AS n_events",
+        "CAST(value_sum AS DOUBLE) AS value_sum",
+        "CAST(NULL AS STRING) AS payload",
     )
 
 
@@ -240,122 +264,115 @@ def compile_sequence(events: DataFrame, rule: Rule) -> DataFrame:
     key = rule.key
     timeout_s = rule.timeout_s
 
-    relevant = events.filter(F.col("event_type").isin(types)).select(
+    # Every column below is built as ONE SQL string parsed JVM-side
+    # (round 17): the Column-API formulation of these CASE/HOF trees cost
+    # one blocking py4j round-trip per tree NODE -- ~1,600 socket round
+    # trips per correlate() construction, >80% of the driver build wall
+    # in profiles (guide §1.2: the driver must not be the bottleneck).
+    # The SQL parser and the Column API meet in the same unresolved
+    # expression tree, so the analyzed plan -- and the results -- are
+    # identical; oracle parity re-proves it per compiled shape.
+    in_list = ", ".join(_sql_lit(t) for t in types)
+    relevant = events.filter(F.expr(f"event_type IN ({in_list})")).select(
         key, "event_id", "ts", "event_type", "value"
     )
     # per-key successor arrays: one unordered whole-partition window frame
-    # per distinct successor type, all in the same exchange
-    wp = Window.partitionBy(key)
-    # ONE withColumns call for every successor array: each withColumn is
-    # an eager JVM analysis pass over the whole plan (~O(plan) py4j
-    # round-trip), and this builder runs on every query construction —
-    # batching the per-type loop into a single call keeps driver-side
-    # build cost flat in the number of step types (round 17).
+    # per distinct successor type, all in the same exchange; ONE batched
+    # withColumns call for all of them (each withColumn is an eager JVM
+    # analysis pass over the whole plan)
     base = relevant.withColumns(
         {
-            f"__arr_{t}": F.sort_array(
-                F.collect_list(
-                    F.when(
-                        F.col("event_type") == t, F.struct("ts", "event_id", "value")
-                    )
-                ).over(wp)
+            f"__arr_{t}": F.expr(
+                f"sort_array(collect_list(CASE WHEN event_type = {_sql_lit(t)} "
+                f"THEN struct(ts, event_id, value) END) "
+                f"OVER (PARTITION BY `{key}`))"
             )
             for t in succ_types
         }
     )
 
-    cur = base.filter(F.col("event_type") == types[0]).select(
-        F.col(key).cast("string").alias("key"),
-        F.col("event_id").alias("e0_id"),
-        F.col("ts").alias("e0_ts"),
-        F.col("value").alias("e0_val"),
-        *[F.col(f"__arr_{t}") for t in succ_types],
+    cur = base.filter(F.expr(f"event_type = {_sql_lit(types[0])}")).selectExpr(
+        f"CAST(`{key}` AS STRING) AS key",
+        "event_id AS e0_id",
+        "ts AS e0_ts",
+        "value AS e0_val",
+        *[f"`__arr_{t}`" for t in succ_types],
     )
 
-    def first_after(arr_col: str, ts_col: str, id_col: str):
-        # first array element strictly after (ts, id) in stream order; the
-        # array is sorted, F.get returns null past the end (ANSI-safe).
-        # NB: the lambda must take exactly ONE arg — PySpark inspects arity,
-        # so capture the outer columns via closure, not default args.
-        ts, eid = F.col(ts_col), F.col(id_col)
-        return F.get(
-            F.filter(
-                F.col(arr_col),
-                lambda x: (x["ts"] > ts) | ((x["ts"] == ts) & (x["event_id"] > eid)),
-            ),
-            0,
-        )
+    if timeout_s is not None:
+        # mirrors F.make_interval(secs=F.lit(float(timeout_s))): the D
+        # suffix pins a DOUBLE literal, exactly what F.lit(float) binds
+        interval = f"make_interval(0, 0, 0, 0, 0, 0, {float(timeout_s)!r}D)"
 
     for i in range(1, n):
-        succ = first_after(f"__arr_{types[i]}", f"e{i-1}_ts", f"e{i-1}_id")
-        # step acceptance folded into the SAME batched withColumns call
-        # (two JVM analysis passes per step — succ + mask — instead of
-        # six; the mask must stay a second pass because it references the
-        # just-bound e{i}_ts): a failed step nulls the rest of the chain.
+        # first array element strictly after (ts, id) in stream order; the
+        # array is sorted, get() returns null past the end (ANSI-safe)
+        succ = (
+            f"get(filter(`__arr_{types[i]}`, x -> x.ts > e{i-1}_ts OR "
+            f"(x.ts = e{i-1}_ts AND x.event_id > e{i-1}_id)), 0)"
+        )
+        # step acceptance folded into a SECOND batched withColumns pass
+        # (it references the just-bound e{i}_ts): a failed step nulls the
+        # rest of the chain
         cur = cur.withColumns(
             {
-                f"e{i}_ts": succ["ts"],
-                f"e{i}_id": succ["event_id"],
-                f"e{i}_val": succ["value"],
+                f"e{i}_ts": F.expr(f"{succ}.ts"),
+                f"e{i}_id": F.expr(f"{succ}.event_id"),
+                f"e{i}_val": F.expr(f"{succ}.value"),
             }
         )
         if timeout_s is not None:
-            deadline = F.col(f"e{i-1}_ts") + F.make_interval(
-                secs=F.lit(float(timeout_s))
-            )
-            ok = F.col(f"e{i}_ts").isNotNull() & (F.col(f"e{i}_ts") <= deadline)
+            ok = f"e{i}_ts IS NOT NULL AND e{i}_ts <= e{i-1}_ts + {interval}"
         else:
-            ok = F.col(f"e{i}_ts").isNotNull()
+            ok = f"e{i}_ts IS NOT NULL"
         cur = cur.withColumns(
-            {c: F.when(ok, F.col(c)) for c in (f"e{i}_ts", f"e{i}_id", f"e{i}_val")}
+            {
+                c: F.expr(f"CASE WHEN {ok} THEN {c} END")
+                for c in (f"e{i}_ts", f"e{i}_id", f"e{i}_val")
+            }
         )
     cur = cur.drop(*[f"__arr_{t}" for t in succ_types])
 
     # consumed = 1 + number of non-null chain steps
-    consumed = F.lit(1)
-    for i in range(1, n):
-        consumed = consumed + F.when(F.col(f"e{i}_id").isNotNull(), 1).otherwise(0)
-    completed = F.col(f"e{n-1}_id").isNotNull()
+    consumed = "(1" + "".join(
+        f" + (CASE WHEN e{i}_id IS NOT NULL THEN 1 ELSE 0 END)"
+        for i in range(1, n)
+    ) + ")"
+    completed = f"e{n-1}_id IS NOT NULL"
 
-    def per_fail(expr_fn):
+    def per_fail(expr_fn) -> str:
         """CASE over the failing step: value when `consumed == i` events."""
-        out = expr_fn(n)
-        for i in range(n - 1, 0, -1):
-            out = F.when(consumed == i, expr_fn(i)).otherwise(out)
-        return out
+        whens = "".join(
+            f" WHEN {consumed} = {i} THEN {expr_fn(i)}" for i in range(1, n)
+        )
+        return f"(CASE{whens} ELSE {expr_fn(n)} END)"
 
     if timeout_s is not None:
-        fire_timeout = per_fail(
-            lambda i: F.col(f"e{i-1}_ts") + F.make_interval(secs=F.lit(float(timeout_s)))
-        )
+        fire_timeout = per_fail(lambda i: f"e{i-1}_ts + {interval}")
     else:
-        fire_timeout = F.lit(None).cast("timestamp")
+        fire_timeout = "CAST(NULL AS TIMESTAMP)"
 
-    def chain_sum(i: int):
-        s = F.coalesce(F.col("e0_val"), F.lit(0.0))
-        any_val = F.col("e0_val").isNotNull()
-        for j in range(1, i):
-            s = s + F.coalesce(F.col(f"e{j}_val"), F.lit(0.0))
-            any_val = any_val | F.col(f"e{j}_val").isNotNull()
-        return F.when(any_val, s)  # null only when every value is null
+    def chain_sum(i: int) -> str:
+        s = " + ".join(f"coalesce(e{j}_val, 0.0D)" for j in range(i))
+        any_val = " OR ".join(f"e{j}_val IS NOT NULL" for j in range(i))
+        # null only when every value is null
+        return f"(CASE WHEN {any_val} THEN {s} END)"
 
-    out = cur.select(
-        F.lit(rule.name).alias("rule"),
-        F.col("key"),
-        F.when(completed, F.lit("completed")).otherwise(F.lit("timeout")).alias("outcome"),
-        F.when(completed, F.col(f"e{n-1}_ts"))
-        .otherwise(fire_timeout)
-        .cast("timestamp")
-        .alias("fire_ts"),
-        F.col("e0_id").alias("start_event_id"),
-        per_fail(lambda i: F.col(f"e{i-1}_id")).alias("last_event_id"),
-        consumed.cast("long").alias("n_events"),
-        per_fail(chain_sum).cast("double").alias("value_sum"),
-        F.lit(None).cast("string").alias("payload"),
+    out = cur.selectExpr(
+        f"{_sql_lit(rule.name)} AS rule",
+        "key",
+        f"CASE WHEN {completed} THEN 'completed' ELSE 'timeout' END AS outcome",
+        f"CAST(CASE WHEN {completed} THEN e{n-1}_ts ELSE {fire_timeout} END "
+        "AS TIMESTAMP) AS fire_ts",
+        "e0_id AS start_event_id",
+        per_fail(lambda i: f"e{i-1}_id") + " AS last_event_id",
+        f"CAST({consumed} AS BIGINT) AS n_events",
+        f"CAST({per_fail(chain_sum)} AS DOUBLE) AS value_sum",
+        "CAST(NULL AS STRING) AS payload",
     )
     if timeout_s is None:
         # never-times-out: incomplete instances wait forever, emit nothing
-        out = out.filter(F.col("outcome") == "completed")
+        out = out.filter(F.expr("outcome = 'completed'"))
     return out
 
 
@@ -459,40 +476,49 @@ def compile_gap_sessions(events: DataFrame, rule: Rule) -> DataFrame:
     """
     assert is_gap_sessions(rule), rule
     key = rule.key
-    t_int = F.make_interval(secs=F.lit(float(rule.timeout_s)))
+    # SQL-string columns, same rationale as compile_sequence (round 17):
+    # one py4j round-trip per column instead of one per expression node
+    interval = f"make_interval(0, 0, 0, 0, 0, 0, {float(rule.timeout_s)!r}D)"
     # event_type deliberately dropped: nothing downstream reads it, and
     # it would otherwise ride the shuffle + window sort on every row
     src = _type_filter(events, rule.events[0]).select(
         key, "event_id", "ts", "value"
     )
-    w = Window.partitionBy(key).orderBy("ts", "event_id")
-    lag_ts = F.lag("ts").over(w)
-    new_sess = F.when(lag_ts.isNull() | (F.col("ts") > lag_ts + t_int), 1).otherwise(0)
-    sess = F.sum(new_sess).over(
-        Window.partitionBy(key)
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    w = f"OVER (PARTITION BY `{key}` ORDER BY ts, event_id)"
+    # the two lag(ts) references are expression-equal, so the analyzer
+    # computes ONE lag in the window stage (same as binding it to a
+    # variable in the Column API)
+    new_sess = (
+        f"CASE WHEN lag(ts) {w} IS NULL OR ts > lag(ts) {w} + {interval} "
+        "THEN 1 ELSE 0 END"
     )
-    order = F.struct("ts", "event_id")
+    sess = (
+        f"sum({new_sess}) OVER (PARTITION BY `{key}` ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
     return (
-        src.withColumn("__sess", sess)
+        src.withColumn("__sess", F.expr(sess))
         .groupBy(key, "__sess")
         .agg(
-            (F.max("ts") + t_int).alias("fire_ts"),
-            F.min_by("event_id", order).alias("start_event_id"),
-            F.max_by("event_id", order).alias("last_event_id"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("value_sum"),
+            F.expr(f"max(ts) + {interval}").alias("fire_ts"),
+            F.expr("min_by(event_id, struct(ts, event_id))").alias(
+                "start_event_id"
+            ),
+            F.expr("max_by(event_id, struct(ts, event_id))").alias(
+                "last_event_id"
+            ),
+            F.expr("count(1)").alias("n_events"),
+            F.expr("sum(value)").alias("value_sum"),
         )
-        .select(
-            F.lit(rule.name).alias("rule"),
-            F.col(key).cast("string").alias("key"),
-            F.lit("timeout").alias("outcome"),
-            F.col("fire_ts").cast("timestamp").alias("fire_ts"),
+        .selectExpr(
+            f"{_sql_lit(rule.name)} AS rule",
+            f"CAST(`{key}` AS STRING) AS key",
+            "'timeout' AS outcome",
+            "CAST(fire_ts AS TIMESTAMP) AS fire_ts",
             "start_event_id",
             "last_event_id",
-            F.col("n_events").cast("long").alias("n_events"),
-            F.col("value_sum").cast("double").alias("value_sum"),
-            F.lit(None).cast("string").alias("payload"),
+            "CAST(n_events AS BIGINT) AS n_events",
+            "CAST(value_sum AS DOUBLE) AS value_sum",
+            "CAST(NULL AS STRING) AS payload",
         )
     )

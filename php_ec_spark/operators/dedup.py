@@ -1383,7 +1383,17 @@ def connected_components(
         # one extra O(|pairs|) aggregation, noise next to even a single
         # star round on a graph that size.
         edges_lazy = edge_frame()
-        n_edges = edges_lazy.count()
+        # ONE action gates AND fetches (round 17): take(budget+1) both
+        # answers "is the graph within budget" and, when it is, returns
+        # the complete edge list — the former count()-then-collect()
+        # pair cost two driver-blocking actions (five scheduler jobs
+        # with the take escalation) over the same tiny frame. A result
+        # of exactly budget+1 rows means over budget (an arbitrary
+        # subset — discarded, the star loop recomputes from the pinned
+        # pairs); ≤ budget rows IS the full canonical edge set, and its
+        # length is the exact count the old gate used.
+        edge_rows = edges_lazy.take(driver_fastpath_max_edges + 1)
+        n_edges = len(edge_rows)
         if n_edges <= driver_fastpath_max_edges:
             # NULL endpoints cannot reach this frame (the canonical
             # `doc_a != doc_b` filter is NULL-rejecting), but Python
@@ -1394,7 +1404,7 @@ def connected_components(
             labels = _union_find_min_labels(
                 [
                     (r[0], r[1])
-                    for r in edges_lazy.collect()
+                    for r in edge_rows
                     if r[0] is not None and r[1] is not None
                 ]
             )
