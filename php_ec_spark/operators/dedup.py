@@ -344,17 +344,19 @@ def with_shingles(
     """
     # The token array MUST be a real column: inlining the split into the
     # per-shingle lambda makes every slice re-run the regex split — O(T²)
-    # regex work per document (measured 6× slower at sf0.1).
+    # regex work per document (measured 6× slower at sf0.1). SQL-string
+    # expressions per the round-17 note in engine/relational.py.
     d = df.withColumn(
         "__toks",
-        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        F.expr(f"split(trim(coalesce(`{text_col}`, '')), '\\\\s+')"),
     )
-    toks = F.col("__toks")
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    ngrams = (
+        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 1)), "
+        f"i -> array_join(slice(__toks, i, {n}), ' '))"
     )
-    return d.withColumn(out_col, F.array_distinct(ngrams)).drop("__toks")
+    return d.withColumn(out_col, F.expr(f"array_distinct({ngrams})")).drop(
+        "__toks"
+    )
 
 
 def jaccard_pairs(
@@ -442,24 +444,19 @@ def jaccard_pairs(
     # because the fixed-width pack is injective (df_count is a function
     # of the shingle), so the arrays are used as-is — no per-row
     # transform() unwrap.
-    arrs = docsets.select("doc", F.col("items").alias("sh_arr"))
     verified = (
         cand.join(
-            arrs.select(F.col("doc").alias("doc_a"), F.col("sh_arr").alias("sh_a")),
-            "doc_a",
+            docsets.selectExpr("doc AS doc_a", "items AS sh_a"), "doc_a"
         )
-        .join(
-            arrs.select(F.col("doc").alias("doc_b"), F.col("sh_arr").alias("sh_b")),
-            "doc_b",
-        )
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .join(docsets.selectExpr("doc AS doc_b", "items AS sh_b"), "doc_b")
+        .withColumn("n_inter", F.expr("size(array_intersect(sh_a, sh_b))"))
     )
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    ).cast("double")
-    return verified.select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
-    ).filter(F.col("jaccard") >= threshold)
+    return verified.selectExpr(
+        "doc_a",
+        "doc_b",
+        "round(CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE),"
+        " 6) AS jaccard",
+    ).filter(F.expr(f"jaccard >= {float(threshold)!r}D"))
 
 
 def prefix_candidates(
@@ -581,36 +578,39 @@ def prefix_candidates(
     # stage), the prefix posexplode below needs no struct unwrap, and
     # verification intersects the packed arrays directly (injective
     # pack ⇒ identical intersection sizes).
-    packed = F.concat(
-        F.lpad(F.col("df_count").cast("string"), 10, "0"), F.col("shingle")
-    )
+    # (Expressions below are single SQL strings — one py4j round-trip per
+    # column instead of one per node; same analyzed trees, see the
+    # round-17 note in engine/relational.py.)
     docsets = (
         inv.join(freq, "shingle")
-        .select("doc", packed.alias("p"))
+        .selectExpr(
+            "doc",
+            "concat(lpad(CAST(df_count AS STRING), 10, '0'), shingle) AS p",
+        )
         .repartition(n_parts, "doc")
         .groupBy("doc")
-        .agg(F.array_sort(F.collect_list("p")).alias("items"))
-        .withColumn("n_sh", F.size("items"))
+        .agg(F.expr("array_sort(collect_list(p))").alias("items"))
+        .withColumn("n_sh", F.expr("size(items)"))
     )
     docsets = pin_intermediate(docsets, reliable=reliable)
 
     tau = max(threshold - 1e-6, 0.0)  # rounding slack, see docstring
     # Required overlap α = ⌈τ·s⌉ (−1e-9 guards float noise in τ·s UP —
-    # under-α only lengthens the prefix, never loses a pair).
-    alpha = F.ceil(F.lit(tau) * F.col("n_sh") - F.lit(1e-9))
-    prefix_len = (F.col("n_sh") - alpha + F.lit(1)).cast("int")
-    # posexplode: the 1-based rank of each prefix shingle in the global
-    # order feeds the POSITIONAL filter below (PPJoin, Xiao et al.).
-    pref = docsets.select(
+    # under-α only lengthens the prefix, never loses a pair); prefix =
+    # n_sh − α + 1. posexplode: the 1-based rank of each prefix shingle
+    # in the global order feeds the POSITIONAL filter below (PPJoin,
+    # Xiao et al.).
+    prefix_len = (
+        f"CAST(n_sh - CEIL({tau!r}D * n_sh - 1e-09D) + 1 AS INT)"
+    )
+    pref = docsets.selectExpr(
         "doc",
         "n_sh",
-        F.posexplode(F.slice("items", F.lit(1), prefix_len)).alias(
-            "pos0", "shingle"
-        ),
-    ).select(
+        f"posexplode(slice(items, 1, {prefix_len})) AS (pos0, shingle)",
+    ).selectExpr(
         "doc",
         "n_sh",
-        (F.col("pos0") + 1).alias("pos"),
+        "pos0 + 1 AS pos",
         # "shingle" here is the PACKED string — joining on it is
         # equivalent to joining on the raw shingle (injective pack)
         "shingle",
@@ -621,7 +621,6 @@ def prefix_candidates(
     # wide. An explicit numbered repartition is exempt from AQE
     # coalescing, and both join sides inherit it (no extra exchange).
     pref = pref.repartition(n_parts, "shingle")
-    na, nb = F.col("x.n_sh"), F.col("y.n_sh")
     # positional filter (PPJoin): a collision at 1-based global-order
     # positions (i, j) caps the pair's overlap at 1 + min(n_a−i, n_b−j)
     # (every common shingle sorts at ≥ those positions); require it to
@@ -630,22 +629,25 @@ def prefix_candidates(
     # prefixes (prefix lemma) and passes the cap, so the pair survives
     # the any-row-passes ∘ distinct composition. Measured 3.4× fewer
     # candidates than prefix collision alone at sf0.1.
-    required = F.ceil(F.lit(tau / (1.0 + tau)) * (na + nb) - F.lit(1e-9))
-    overlap_cap = F.lit(1) + F.least(
-        na - F.col("x.pos"), nb - F.col("y.pos")
-    )
     cand = (
         pref.alias("x")
         .join(pref.alias("y"), "shingle")
-        .filter(F.col("x.doc") < F.col("y.doc"))
+        .filter(F.expr("x.doc < y.doc"))
         # length filter: J ≥ τ ⇒ sizes within a factor τ of each other
-        .filter(F.least(na, nb) >= F.lit(tau) * F.greatest(na, nb) - F.lit(1e-9))
-        .filter(overlap_cap >= required)
-        .select(
-            F.col("x.doc").alias("doc_a"),
-            F.col("y.doc").alias("doc_b"),
-            na.alias("n_a"),
-            nb.alias("n_b"),
+        .filter(
+            F.expr(
+                f"least(x.n_sh, y.n_sh) >= {tau!r}D * "
+                "greatest(x.n_sh, y.n_sh) - 1e-09D"
+            )
+        )
+        .filter(
+            F.expr(
+                "1 + least(x.n_sh - x.pos, y.n_sh - y.pos) >= "
+                f"CEIL({tau / (1.0 + tau)!r}D * (x.n_sh + y.n_sh) - 1e-09D)"
+            )
+        )
+        .selectExpr(
+            "x.doc AS doc_a", "y.doc AS doc_b", "x.n_sh AS n_a", "y.n_sh AS n_b"
         )
         # Pin the dedup/verify width: the candidate frame is small in
         # BYTES, so AQE coalesces the distinct's exchange to ONE
@@ -1024,8 +1026,8 @@ def minhash_lsh_pairs(
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bh"])
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .filter(F.expr("x.doc < y.doc"))
+        .selectExpr("x.doc AS doc_a", "y.doc AS doc_b")
         .distinct()
     )
     # small: near-dup candidates only. Pinned LAZILY (round 17): the
@@ -1061,30 +1063,27 @@ def exact_jaccard_verify(
     never re-shingles for verification, so cost is O(|candidates|), not
     O(|corpus|)."""
     cand_ids = (
-        cand.select(F.col("doc_a").alias("cid"))
-        .unionByName(cand.select(F.col("doc_b").alias("cid")))
+        cand.selectExpr("doc_a AS cid")
+        .unionByName(cand.selectExpr("doc_b AS cid"))
         .distinct()
     )
     docs_cand = df.join(
-        F.broadcast(cand_ids), F.col(id_col) == F.col("cid"), "left_semi"
+        F.broadcast(cand_ids), F.expr(f"`{id_col}` = cid"), "left_semi"
     )
-    sh = with_shingles(docs_cand, n=n, text_col=text_col).select(
-        F.col(id_col).alias("doc"), "shingles"
+    sh = with_shingles(docs_cand, n=n, text_col=text_col).selectExpr(
+        f"`{id_col}` AS doc", "shingles"
     )
     verified = (
-        cand.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
-        .select(
+        cand.join(sh.selectExpr("doc AS doc_a", "shingles AS sh_a"), "doc_a")
+        .join(sh.selectExpr("doc AS doc_b", "shingles AS sh_b"), "doc_b")
+        .selectExpr(
             "doc_a",
             "doc_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            "round(CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / "
+            "CAST(size(array_union(sh_a, sh_b)) AS DOUBLE), 6) AS jaccard",
         )
     )
-    return verified.filter(F.col("jaccard") >= threshold)
+    return verified.filter(F.expr(f"jaccard >= {float(threshold)!r}D"))
 
 
 def dedup_clusters(
@@ -1701,35 +1700,27 @@ def simhash_pairs(
     )
     chunk_bits = SIMHASH_BITS // 4
     chunk_mask = (1 << chunk_bits) - 1
-    chunks = sim.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftrightunsigned("simhash", chunk_bits * c)
-                        .bitwiseAND(F.lit(chunk_mask))
-                        .alias("cv"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ck"),
-    ).select("doc", "simhash", "ck.chunk", "ck.cv")
+    # SQL-string expressions per the round-17 note in engine/relational.py
+    structs = ", ".join(
+        f"struct({c} AS chunk, "
+        f"shiftrightunsigned(simhash, {chunk_bits * c}) & {chunk_mask} AS cv)"
+        for c in range(4)
+    )
+    chunks = sim.selectExpr(
+        "doc", "simhash", f"explode(array({structs})) AS ck"
+    ).selectExpr("doc", "simhash", "ck.chunk", "ck.cv")
     cand = (
         chunks.alias("x")
         .join(chunks.alias("y"), ["chunk", "cv"])
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(
-            F.col("x.doc").alias("doc_a"),
-            F.col("y.doc").alias("doc_b"),
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        .filter(F.expr("x.doc < y.doc"))
+        .selectExpr(
+            "x.doc AS doc_a",
+            "y.doc AS doc_b",
+            "bit_count(x.simhash ^ y.simhash) AS hamming",
         )
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    return cand.filter(F.expr(f"hamming <= {int(max_hamming)}"))
 
 
 def remove_dup_lines(

@@ -135,6 +135,27 @@ def _cos(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), _dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """:func:`_cos` as one SQL string over column names — the Column form
+    costs a py4j round-trip per expression node on every query build
+    (round 17; see engine/relational.py). Same analyzed expression."""
+
+    def norm(v: str) -> str:
+        return (
+            f"sqrt(aggregate(transform({v}, x -> x * x), 0.0D, "
+            "(acc, v) -> acc + v))"
+        )
+
+    dot = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, v) -> acc + v)"
+    )
+    return (
+        f"CASE WHEN {norm(a)} > 0 AND {norm(b)} > 0 "
+        f"THEN {dot} / ({norm(a)} * {norm(b)}) ELSE 0.0D END"
+    )
+
+
 def with_unit_vec(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit") -> DataFrame:
     """Pre-normalize embeddings to unit length (cosine ⇒ plain dot product).
 
@@ -314,15 +335,14 @@ def _exact_rerank(
     are O(|queries|·(k+pad)) rows and the query table is the very thing
     that did not fit a broadcast, so they shuffle (AQE still demotes to
     broadcast when a side turns out small at runtime)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS qv",
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    c = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE)) AS cv",
     )
-    cos = _cos(F.col("qv"), F.col("cv"))
     maybe_bcast = (lambda df: df) if distributed else F.broadcast
     scored = (
         c.join(maybe_bcast(cand), "neighbor_id")
@@ -330,8 +350,12 @@ def _exact_rerank(
         # the GEMM mask only demotes self-matches to -inf; when a batch
         # group is smaller than k+pad they still reach the candidate set,
         # so the exclusion must be re-applied here
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cos"))
+        .filter(F.expr("neighbor_id != query_id"))
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"round({_cos_sql('qv', 'cv')}, 6) AS cos",
+        )
         # a (query, neighbor) pair can reach here more than once — dup
         # candidate rows, or a corpus row physically duplicated by an
         # ivf_add crash-replay (see streaming_embedding_ingest's journal
@@ -343,11 +367,13 @@ def _exact_rerank(
         # over the CANDIDATE set, O(|q|·(k+pad)) rows, never the corpus.
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return scored.withColumn(
+        "rank",
+        F.expr(
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, neighbor_id)"
+        ),
+    ).filter(F.expr(f"rank <= {int(k)}"))
 
 
 def cosine_dup_pairs(
