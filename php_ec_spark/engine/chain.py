@@ -171,8 +171,14 @@ def chain_correlate(
     active = list(rules)
     for _ in range(max_depth):
         emitted = correlate(current, active, historical=historical)
-        emitted = emitted.localCheckpoint(eager=True)
-        if not emitted.take(1):
+        # LAZY checkpoint + count() fuses the former eager-materialize +
+        # take(1) pair into ONE job per round (round 17): the count's
+        # job computes the round AND persists the checkpoint blocks as
+        # it goes (the RDD is marked for checkpointing before the
+        # action), and the row count answers the emptiness test the
+        # take used to re-ask of the already-pinned blocks.
+        emitted = emitted.localCheckpoint(eager=False)
+        if not emitted.count():
             break
         all_emissions = (
             emitted if all_emissions is None else all_emissions.unionByName(emitted)

@@ -1133,6 +1133,10 @@ def dedup_clusters(
     labels = connected_components(
         pairs, max_iters=max_iters, reliable=reliable, stats=stats,
         driver_fastpath_max_edges=driver_fastpath_max_edges,
+        # the left-join + coalesce below restores self labels, so the
+        # node-frame derivation (union+distinct over the pinned pairs +
+        # a broadcast join — 2-3 scheduler jobs) is skipped entirely
+        emit_self_labels=False,
     )
     # singletons (the vast majority at scale) never entered the loop:
     # join the converged component labels back over the full corpus
@@ -1212,6 +1216,7 @@ def connected_components(
     stats: "dict | None" = None,
     pin_input: bool = True,
     driver_fastpath_max_edges: int = 100_000,
+    emit_self_labels: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected pair graph — alternating
     LARGE-STAR / SMALL-STAR edge contraction (Kiveris, Lattanzi, Mirrokni,
@@ -1319,8 +1324,22 @@ def connected_components(
     must not be short-circuited); ``stats`` records ``fastpath_edges``
     and ``rounds=0`` when taken.
 
+    ``emit_self_labels=False`` (round 17) drops the self-labeled rows
+    (doc == label: component centers and self-loop-only nodes) from the
+    output, returning ONLY nodes whose label differs from their id. For
+    a consumer that left-joins the labels over a corpus and coalesces
+    missing labels to the id — :func:`dedup_clusters` — the joined
+    result is IDENTICAL row-for-row, and the node frame (a
+    union+distinct over the pinned pairs plus a broadcast join, 2-3
+    scheduler jobs per run) is never computed: the fastpath returns the
+    driver-built mapping frame directly, and the star loop returns the
+    converged edge rows, which at the fixpoint are exactly the
+    non-center labels. Default True preserves the documented
+    every-paired-node contract.
+
     Input: (doc_a, doc_b) pairs. Output: (doc, label) for every node that
-    appears in some pair, label = min node id of its component.
+    appears in some pair (non-center nodes only when
+    ``emit_self_labels=False``), label = min node id of its component.
     """
     use_ckpt = (
         reliable and pairs.sparkSession.sparkContext.getCheckpointDir() is not None
@@ -1414,22 +1433,38 @@ def connected_components(
                 )
             from pyspark.sql.types import StructField, StructType
 
-            mapping = pairs.sparkSession.createDataFrame(
+            spark = pairs.sparkSession
+            mapping = spark.createDataFrame(
                 # non-centers only: centers and self-loop-only nodes
                 # self-label through the coalesce, same as the star
-                # loop's converged edge rows (u > v, centers absent)
-                [(d, lab) for d, lab in labels.items() if d != lab],
+                # loop's converged edge rows (u > v, centers absent).
+                # ONE slice explicitly: PySpark's default parallelize
+                # cuts the local list into defaultParallelism Python-RDD
+                # slices, and every consumption pays one Python-runner
+                # round-trip PER SLICE (32 near-empty worker calls per
+                # run; a coalesce(1) is worse still — one task walking
+                # all 32 python partitions serially, measured 6 s). A
+                # ≤ budget (~13 MB) driver list is one partition's worth
+                # of data by construction.
+                spark.sparkContext.parallelize(
+                    [(d, lab) for d, lab in labels.items() if d != lab], 1
+                ),
                 StructType([
                     StructField("doc", edges_lazy.schema["u"].dataType),
                     StructField("label", edges_lazy.schema["v"].dataType),
                 ]),
             )
+            if not emit_self_labels:
+                # the mapping IS the non-center label set — no node
+                # frame, no broadcast join, no distinct (the caller's
+                # left-join + coalesce restores self labels)
+                return mapping
             return node_frame().join(
                 F.broadcast(mapping), "doc", "left"
             ).select(
                 "doc", F.coalesce("label", F.col("doc")).alias("label")
             )
-    nodes = round_pin(node_frame())
+    nodes = round_pin(node_frame()) if emit_self_labels else None
     edges = round_pin(edge_frame())
     if pin_input:
         pairs_p.unpersist(False)
@@ -1576,12 +1611,14 @@ def connected_components(
     # fixed point = star forest: every non-center node appears exactly
     # once as the larger endpoint, pointing at its component minimum;
     # centers (and self-loop-only nodes) label themselves
+    labeled = edges.select(
+        F.col("u").alias("doc"), F.col("v").alias("label")
+    )
+    if not emit_self_labels:
+        # converged edge rows are exactly the non-center labels
+        return labeled
     return (
-        nodes.join(
-            edges.select(F.col("u").alias("doc"), F.col("v").alias("label")),
-            "doc",
-            "left",
-        )
+        nodes.join(labeled, "doc", "left")
         .select("doc", F.coalesce("label", F.col("doc")).alias("label"))
     )
 

@@ -1267,7 +1267,13 @@ def semdedup(
     cmat = np.asarray(centroids, dtype=np.float64)
     spark = corpus.sparkSession
     cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cmat)],
+        # one slice explicitly: PySpark's default parallelize cuts the
+        # local list into defaultParallelism Python-RDD slices and every
+        # consumption pays one Python-runner round-trip per slice; this
+        # frame's only consumer is a broadcast build (round 17)
+        spark.sparkContext.parallelize(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cmat)], 1
+        ),
         "cluster int, __cent array<double>",
     )
     # ≥3 consumers (both sides of the within-cluster self-join + the

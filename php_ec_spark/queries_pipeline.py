@@ -873,7 +873,13 @@ def pipe_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipe_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return cosine_topk(emb, queries, k=5).select(
+    # broadcast_budget_bytes=0: the documented trust-me opt-out for a
+    # query frame tiny BY CONSTRUCTION (a literal vec_id < 10 filter —
+    # at most 10 vectors regardless of corpus scale), skipping the
+    # one-job size estimate every build paid before the collect
+    # (round 17, guide §1.2/§5: keep blocking driver jobs out of query
+    # construction)
+    return cosine_topk(emb, queries, k=5, broadcast_budget_bytes=0).select(
         "query_id", "neighbor_id", "cos", F.col("rank").cast("int").alias("rank")
     )
 
