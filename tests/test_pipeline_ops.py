@@ -2126,6 +2126,44 @@ class TestConnectedComponents:
         assert got == {5: 5, 9: 9}
         assert st["fastpath_edges"] == 0 and st["converged"]
 
+    def test_emit_self_labels_false_is_default_minus_self_rows(self, spark):
+        """Round-17 optimization pin: ``emit_self_labels=False`` (the
+        dedup_clusters contract — its corpus left-join + coalesce
+        restores self labels) must return EXACTLY the default output's
+        non-self rows, on BOTH the driver fastpath and the distributed
+        star loop, including the self-loop-only node the edge frame
+        drops."""
+        from php_ec_spark.operators.dedup import connected_components
+        from php_ec_spark.session import release_checkpoint_caches
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)]
+            + [(20, 21), (21, 22), (20, 22), (30, 31), (40, 40)],
+            "doc_a long, doc_b long",
+        )
+        try:
+            for budget in (100_000, 0):  # fastpath, then star loop
+                full = {
+                    r.doc: r.label
+                    for r in connected_components(
+                        pairs, driver_fastpath_max_edges=budget
+                    ).collect()
+                }
+                slim = {
+                    r.doc: r.label
+                    for r in connected_components(
+                        pairs, driver_fastpath_max_edges=budget,
+                        emit_self_labels=False,
+                    ).collect()
+                }
+                assert slim == {
+                    d: lab for d, lab in full.items() if d != lab
+                }, f"budget={budget}"
+                # non-center rows only: no row may self-label
+                assert all(d != lab for d, lab in slim.items())
+        finally:
+            release_checkpoint_caches(spark)
+
     def test_door_telemetry_log_levels(self, caplog):
         """The streaming doors' per-batch CC log helper (round-14 verdict
         #7): INFO on every batch; escalates to WARNING only when a
