@@ -34,6 +34,17 @@ from pyspark.sql import functions as F
 #: exact int64 range (a,h < 2^31 ⇒ product < 2^62).
 MH_MOD = 2_147_483_647
 
+#: AdaptJoin prefix extension ℓ for :func:`prefix_candidates` (Wang et
+#: al. SIGMOD'12): prefixes are lengthened by ℓ positions and a pair
+#: must collide ≥ min(ℓ+1, α) times to become a candidate. ℓ = 2 killed
+#: ALL over-admission at sf0.1 (12,728 → 256 candidates = the true
+#: output, zero lost pairs) for +31% collision rows; the trade scales
+#: the same way at corpus scale — collision rows grow by the ratio of
+#: extended to plain prefix length (~(p+ℓ)/p per side) while the verify
+#: join's input shrinks by the junk-pair fraction. Internal constant,
+#: deliberately not a public knob (round-17 verdict #5).
+_PREFIX_EXT = 2
+
 
 def pin_intermediate(df: DataFrame, reliable: bool = False, eager: bool = False) -> DataFrame:
     """Pin a multiply-consumed corpus-scale intermediate.
@@ -377,18 +388,27 @@ def jaccard_pairs(
     1. shingles get a global total order: ascending document frequency,
        ties broken by shingle value (rarest first — the order that
        minimizes candidates);
-    2. a doc with s shingles indexes only its first
-       p = s − ⌈τ·s⌉ + 1 shingles in that order (its "prefix").
-       Lossless by the prefix-filtering lemma: J(A,B) ≥ τ implies
-       |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, and two sets whose overlap is ≥ α must
-       collide within their (|·|−α+1)-prefixes — a doc's ⌈τ·s⌉−1 suffix
-       shingles alone can never account for the required overlap;
-    3. prefix collisions (plus the length filter
-       min(s_a,s_b) ≥ τ·max(s_a,s_b), also implied by J ≥ τ) form the
-       candidate set, which is verified with exact set intersection over
-       the docs' full shingle sets.
+    2. each pair is generated with its SMALLER doc (by (set size, id)
+       lex order) on the index side: the smaller doc x indexes only its
+       first s − ⌈2τ/(1+τ)·s⌉ + 1 shingles (Bayardo WWW'07's indexing
+       prefix — J ≥ τ forces overlap O ≥ 2τ/(1+τ)·|X| against any
+       equal-or-larger partner, and the first common shingle sits at
+       position ≤ |X| − O + 1), while the larger doc probes with its
+       full s − ⌈τ·s⌉ + 1 prefix (O ≥ τ·|Y| via the length filter).
+       Lossless by the prefix-filtering lemma: two sets whose overlap
+       is ≥ α must collide within their (|·|−α+1)-prefixes — a suffix
+       alone can never account for the required overlap;
+    3. collisions (plus the length filter |X| ≥ τ·|Y|, also implied by
+       J ≥ τ) are aggregated PER PAIR into the tight PPJoin positional
+       bound (Xiao et al.): with cnt prefix-collisions and the last one
+       at global-order positions (i, j), the true overlap is at most
+       cnt + min(|X|−i, |Y|−j); pairs whose bound cannot reach
+       α = ⌈τ/(1+τ)·(|X|+|Y|)⌉ are dropped before verification. The
+       surviving candidates are verified with exact set intersection
+       over the docs' full shingle sets.
 
-    The candidate volume is Σ over shingles of (prefix-df)², which in a
+    The candidate volume is bounded by Σ over shingles of
+    (idx-prefix-df × probe-prefix-df), which in a
     co-occurrence-heavy corpus is structurally far below the plain
     index's Σ df² (measured in SCALE.md's adversarial `similar` regime:
     the un-prefixed join grew super-linearly, alpha_hi 1.65). The one
@@ -479,8 +499,9 @@ def prefix_candidates(
     struct order and the pack is injective: df_count is a function of the
     shingle, making packed-array intersection ≡ shingle-set
     intersection); ``cand`` = the lazy candidate-pair frame
-    (doc_a, doc_b, n_a, n_b) after prefix + length + positional filtering,
-    before exact verification.
+    (doc_a, doc_b, n_a, n_b) after indexing-prefix + length +
+    per-pair-aggregated PPJoin positional filtering, before exact
+    verification.
     """
     # Shingle WIDE (round 17): the corpus scan arrives however the source
     # splits it (ONE partition for a single local row group), and the
@@ -595,13 +616,22 @@ def prefix_candidates(
     docsets = pin_intermediate(docsets, reliable=reliable)
 
     tau = max(threshold - 1e-6, 0.0)  # rounding slack, see docstring
+    ell = _PREFIX_EXT
     # Required overlap α = ⌈τ·s⌉ (−1e-9 guards float noise in τ·s UP —
-    # under-α only lengthens the prefix, never loses a pair); prefix =
-    # n_sh − α + 1. posexplode: the 1-based rank of each prefix shingle
-    # in the global order feeds the POSITIONAL filter below (PPJoin,
-    # Xiao et al.).
+    # under-α only lengthens the prefix, never loses a pair); PROBE
+    # prefix = n_sh − α + 1 + ℓ. The +ℓ is the ADAPTJOIN extension
+    # (Wang et al. SIGMOD'12, generalized prefix filtering): a pair with
+    # overlap ≥ α must share ≥ min(ℓ+1, α) elements within its
+    # (n − α + 1 + ℓ)-prefixes — the k-th common element (k ≤ α) has
+    # ≥ α − k commons after it, so it sits at position ≤ n − α + k.
+    # Requiring cnt ≥ min(ℓ+1, α) in the group filter below kills the
+    # single-collision junk pairs that dominate candidate over-admission
+    # (measured at sf0.1: 12,728 → 256 candidates for ℓ = 2, zero lost
+    # pairs, +31% collision rows). posexplode: the 1-based rank of each
+    # prefix shingle in the global order feeds the POSITIONAL bound
+    # below (PPJoin, Xiao et al.).
     prefix_len = (
-        f"CAST(n_sh - CEIL({tau!r}D * n_sh - 1e-09D) + 1 AS INT)"
+        f"CAST(n_sh - CEIL({tau!r}D * n_sh - 1e-09D) + 1 + {ell} AS INT)"
     )
     pref = docsets.selectExpr(
         "doc",
@@ -617,49 +647,107 @@ def prefix_candidates(
     )
     # Pin real parallelism on the join key: the prefix index is small in
     # BYTES (AQE would coalesce it to one partition) but the shingle
-    # self-join EXPLODES rows — Σ prefix-df² per shingle — so it must run
-    # wide. An explicit numbered repartition is exempt from AQE
-    # coalescing, and both join sides inherit it (no extra exchange).
+    # self-join EXPLODES rows — Σ idx-df·probe-df per shingle — so it
+    # must run wide. An explicit numbered repartition is exempt from AQE
+    # coalescing, and both join sides inherit it (no extra exchange:
+    # the idx side is a Filter ABOVE the same exchange, so the probe
+    # side reuses it).
     pref = pref.repartition(n_parts, "shingle")
-    # positional filter (PPJoin): a collision at 1-based global-order
-    # positions (i, j) caps the pair's overlap at 1 + min(n_a−i, n_b−j)
-    # (every common shingle sorts at ≥ those positions); require it to
-    # reach the Jaccard overlap bound τ·(n_a+n_b)/(1+τ). Lossless: a
-    # truly-similar pair's FIRST common shingle lies inside both
-    # prefixes (prefix lemma) and passes the cap, so the pair survives
-    # the any-row-passes ∘ distinct composition. Measured 3.4× fewer
-    # candidates than prefix collision alone at sf0.1.
-    cand = (
-        pref.alias("x")
+    # INDEXING prefix (round 18; Bayardo WWW'07 §3.2 / PPJoin+): order
+    # each pair by (n_sh, doc) lex so x is the SMALLER side. For a pair
+    # with J ≥ τ, O = |A∩B| ≥ τ/(1+τ)·(n_x+n_y) ≥ 2τ/(1+τ)·n_x, and the
+    # FIRST common shingle lies at position ≤ n_x − O + 1 in x — so x
+    # only needs its first n_sh − ⌈2τ/(1+τ)·n_sh⌉ + 1 positions indexed
+    # (strictly shorter than the probe prefix for τ < 1: 0.111·n vs
+    # 0.2·n at τ=0.8). y keeps the full probe prefix (O ≥ τ·n_y needs
+    # n_x ≥ τ·n_y, the length filter below, which J ≥ τ implies). The
+    # filter sits ABOVE the pinned exchange so both join sides share it.
+    idx_len = (
+        f"CAST(n_sh - CEIL({2.0 * tau / (1.0 + tau)!r}D * n_sh - 1e-09D)"
+        f" + 1 + {ell} AS INT)"
+    )
+    idx = pref.filter(F.expr(f"pos <= {idx_len}"))
+    # α for a pair: the overlap the Jaccard bound requires.
+    alpha = f"CEIL({tau / (1.0 + tau)!r}D * (x.n_sh + y.n_sh) - 1e-09D)"
+    coll = (
+        idx.alias("x")
         .join(pref.alias("y"), "shingle")
-        .filter(F.expr("x.doc < y.doc"))
-        # length filter: J ≥ τ ⇒ sizes within a factor τ of each other
+        # lex (n_sh, doc) ordering: each unordered pair once, x smaller
         .filter(
-            F.expr(
-                f"least(x.n_sh, y.n_sh) >= {tau!r}D * "
-                "greatest(x.n_sh, y.n_sh) - 1e-09D"
-            )
+            F.expr("x.n_sh < y.n_sh OR (x.n_sh = y.n_sh AND x.doc < y.doc)")
         )
+        # length filter: J ≥ τ ⇒ n_x ≥ τ·n_y (x is the smaller side)
+        .filter(F.expr(f"x.n_sh >= {tau!r}D * y.n_sh - 1e-09D"))
+        # ROW-safe positional cap: a common shingle at 1-based positions
+        # (i, j) bounds the overlap BOTH ways — at most min(i, j)
+        # commons can sort at-or-before it and at most
+        # min(n_x−i, n_y−j) after it. EVERY common shingle of a truly
+        # similar pair satisfies min(i,j) + min(n_x−i, n_y−j) ≥ α, so
+        # this per-row cut never removes a similar pair's collision row
+        # from the group aggregate below (unlike the former
+        # "1 + min(remaining)" form, which only the first collision is
+        # guaranteed to pass and which would undercount cnt).
         .filter(
             F.expr(
-                "1 + least(x.n_sh - x.pos, y.n_sh - y.pos) >= "
-                f"CEIL({tau / (1.0 + tau)!r}D * (x.n_sh + y.n_sh) - 1e-09D)"
+                "least(x.pos, y.pos) + "
+                f"least(x.n_sh - x.pos, y.n_sh - y.pos) >= {alpha}"
             )
         )
         .selectExpr(
-            "x.doc AS doc_a", "y.doc AS doc_b", "x.n_sh AS n_a", "y.n_sh AS n_b"
+            "x.doc AS da", "y.doc AS db", "x.n_sh AS na", "y.n_sh AS nb",
+            "x.pos AS pi", "y.pos AS pj",
         )
-        # Pin the dedup/verify width: the candidate frame is small in
-        # BYTES, so AQE coalesces the distinct's exchange to ONE
-        # partition — and the whole verification join chain (broadcast
-        # per-doc arrays into cand) then runs array_intersect over every
-        # candidate pair in a single serial task (measured 0.5-0.8 s of
-        # the sf0.1 wall). A numbered repartition on the pair key is
-        # exempt from coalescing; the distinct's aggregate reuses the
-        # (doc_a, doc_b) clustering — no extra exchange — and
-        # verification inherits the width.
-        .repartition(n_parts, "doc_a", "doc_b")
-        .distinct()
+    )
+    # PPJoin GROUP bound (round 18): aggregate the collision rows per
+    # pair. cnt = |idx-prefix(x) ∩ probe-prefix(y)| (exactly — the
+    # packed global order is strict and identical in both arrays, so
+    # commons sorted before the LAST collision (mi, mj) are themselves
+    # within both joined prefixes and hence counted), and commons after
+    # it number ≤ min(n_x−mi, n_y−mj). The sequence k + min(remaining_k)
+    # is non-increasing in k (each collision advances both positions by
+    # ≥ 1), so this last-collision form is the TIGHTEST of the PPJoin
+    # positional bounds — strictly stronger than the former
+    # any-row-passes ∘ distinct composition (whose admitted set it is a
+    # subset of: group-pass ⇒ the first row passes the old per-row cap).
+    # The groupBy replaces the old .distinct() — same single exchange:
+    # the numbered (da, db) repartition below satisfies the aggregate's
+    # (da, db, na, nb) clustering ((na, nb) are functions of the pair),
+    # and verification inherits the width (see the former distinct's
+    # note: AQE would otherwise collapse the small-bytes exchange to ONE
+    # partition and serialize the verify chain).
+    cand = (
+        coll.repartition(n_parts, "da", "db")
+        .groupBy("da", "db", "na", "nb")
+        .agg(
+            F.expr("count(1)").alias("cnt"),
+            F.expr("max(pi)").alias("mi"),
+            F.expr("max(pj)").alias("mj"),
+        )
+        .filter(
+            F.expr(
+                "cnt + least(na - mi, nb - mj) >= "
+                f"CEIL({tau / (1.0 + tau)!r}D * (na + nb) - 1e-09D)"
+            )
+        )
+        # AdaptJoin count requirement over the ℓ-extended prefixes: a
+        # similar pair's first min(ℓ+1, α) common shingles all sit
+        # within both extended prefixes (lemma above) and all pass the
+        # row-safe positional cap, so cnt reaching min(ℓ+1, α) is
+        # guaranteed for every true pair — single-collision junk is not.
+        .filter(
+            F.expr(
+                f"cnt >= least({ell + 1}, "
+                f"CEIL({tau / (1.0 + tau)!r}D * (na + nb) - 1e-09D))"
+            )
+        )
+        # restore the output contract: doc_a < doc_b by doc id, sizes
+        # aligned to the id order
+        .selectExpr(
+            "least(da, db) AS doc_a",
+            "greatest(da, db) AS doc_b",
+            "IF(da < db, na, nb) AS n_a",
+            "IF(da < db, nb, na) AS n_b",
+        )
     )
     return docsets, cand
 
