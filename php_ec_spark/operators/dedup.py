@@ -1423,7 +1423,15 @@ def connected_components(
     driver-built mapping frame directly, and the star loop returns the
     converged edge rows, which at the fixpoint are exactly the
     non-center labels. Default True preserves the documented
-    every-paired-node contract.
+    every-paired-node contract. Round 18: on this path the canonical
+    edge frame is the pair frame's ONLY consumer, so the input pre-pin
+    pins the edge frame directly (upstream + canonicalize + distinct
+    fused into one materialization job, shared by the fastpath gate and
+    the star loop's round 0), and the fastpath mapping comes back with a
+    BROADCAST hint — it is ≤ ``driver_fastpath_max_edges`` rows by
+    construction, but RDD-backed with unknown stats, so an unhinted
+    corpus-scale join against it would plan SortMergeJoin and shuffle
+    the corpus side.
 
     Input: (doc_a, doc_b) pairs. Output: (doc, label) for every node that
     appears in some pair (non-center nodes only when
@@ -1451,8 +1459,20 @@ def connected_components(
     # reference re-runs its reduce side as extra AQE stages, and the
     # pinned forms keep the loop's per-round reference fan-out reading
     # materialized blocks instead.)
+    #
+    # With ``emit_self_labels=False`` the pair frame has exactly ONE
+    # consumer — the canonical edge frame (the node frame, the only
+    # other reader, is never built on that path) — so the raw-pair pin
+    # is pure waste there (round 18): pin the canonical EDGE frame
+    # directly instead. The upstream lineage still executes exactly once
+    # (inside the edge pin job, fused with the canonicalize+distinct),
+    # the fastpath gate take() reads the pinned edge blocks instead of
+    # re-aggregating the raw pairs, and the star loop's round 0 IS the
+    # pinned frame — one materialization job replaces the former
+    # pairs-pin + gate-distinct (+ round-0 edge pin on the miss path).
+    fuse_edges = pin_input and not emit_self_labels
     pairs_p = pairs.select("doc_a", "doc_b")
-    if pin_input:
+    if pin_input and not fuse_edges:
         pairs_p = round_pin(pairs_p)
 
     def node_frame() -> DataFrame:
@@ -1475,6 +1495,9 @@ def connected_components(
             .distinct()
         )
 
+    # Fused-edge pin (round 18, emit_self_labels=False only): one eager
+    # materialization shared by the fastpath gate and the star loop.
+    edges_pinned = round_pin(edge_frame()) if fuse_edges else None
     if driver_fastpath_max_edges > 0:
         # LAZY canonical edge frame over the pinned pairs (round 17):
         # the fastpath only ever COUNTS and COLLECTS the edges and only
@@ -1487,8 +1510,9 @@ def connected_components(
         # canonical non-self edge count. On the miss path the count here
         # duplicates the distinct the loop's eager pin then re-runs —
         # one extra O(|pairs|) aggregation, noise next to even a single
-        # star round on a graph that size.
-        edges_lazy = edge_frame()
+        # star round on a graph that size (both costs zero on the fused
+        # path above, where the take() reads pinned edge blocks).
+        edges_lazy = edges_pinned if edges_pinned is not None else edge_frame()
         # ONE action gates AND fetches (round 17): take(budget+1) both
         # answers "is the graph within budget" and, when it is, returns
         # the complete edge list — the former count()-then-collect()
@@ -1545,16 +1569,29 @@ def connected_components(
             if not emit_self_labels:
                 # the mapping IS the non-center label set — no node
                 # frame, no broadcast join, no distinct (the caller's
-                # left-join + coalesce restores self labels)
-                return mapping
+                # left-join + coalesce restores self labels). Nothing
+                # downstream reads the pinned edge frame on this path —
+                # release it (a real free only on the persist fallback;
+                # round-17 ADVICE flagged the fastpath leaving its pin
+                # cached with no remaining consumer). The mapping
+                # carries a BROADCAST hint: it is ≤ budget (~13 MB)
+                # edges by construction but RDD-backed with unknown
+                # stats, so a consumer's corpus-scale join would
+                # otherwise plan SortMergeJoin and shuffle the corpus
+                # side (round-17 ADVICE; dedup_clusters' left join is
+                # the measured case). The unbounded star-loop output
+                # below stays unhinted.
+                if edges_pinned is not None:
+                    edges_pinned.unpersist(False)
+                return F.broadcast(mapping)
             return node_frame().join(
                 F.broadcast(mapping), "doc", "left"
             ).select(
                 "doc", F.coalesce("label", F.col("doc")).alias("label")
             )
     nodes = round_pin(node_frame()) if emit_self_labels else None
-    edges = round_pin(edge_frame())
-    if pin_input:
+    edges = edges_pinned if edges_pinned is not None else round_pin(edge_frame())
+    if pin_input and not fuse_edges:
         pairs_p.unpersist(False)
     converged = False
     rounds_used = 0

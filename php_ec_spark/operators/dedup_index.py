@@ -956,7 +956,11 @@ def streaming_index_ingest(
                 # block copy per micro-batch
                 cc_stats: dict = {}
                 comp = connected_components(
-                    pairs, pin_input=False, stats=cc_stats
+                    pairs, pin_input=False, stats=cc_stats,
+                    # only non-self labels are consumed (the drop list
+                    # below) — the slim form skips the per-batch
+                    # node-frame derivation entirely (round 18)
+                    emit_self_labels=False,
                 )
                 # round telemetry (round-14 verdict #7): a production
                 # stream creeping toward max_iters must be visible in the
@@ -964,9 +968,7 @@ def streaming_index_ingest(
                 _log_cc_stats(
                     _LOG, "streaming_index_ingest", batch_id, cc_stats
                 )
-                losers = comp.filter(F.col("doc") != F.col("label")).select(
-                    F.col("doc").alias("__drop")
-                )
+                losers = comp.select(F.col("doc").alias("__drop"))
                 survivors = survivors.join(
                     losers, survivors[id_col] == F.col("__drop"), "left_anti"
                 )

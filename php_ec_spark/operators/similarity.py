@@ -2124,6 +2124,10 @@ def streaming_embedding_ingest(
                 ),
                 pin_input=False,
                 stats=cc_stats,
+                # only non-self labels are consumed (losers below) — the
+                # slim form skips the per-batch node-frame derivation
+                # (union+distinct+broadcast join) entirely (round 18)
+                emit_self_labels=False,
             )
             # round telemetry (round-14 verdict #7): rounds creeping
             # toward max_iters must show in the driver log before a
@@ -2131,7 +2135,7 @@ def streaming_embedding_ingest(
             _log_cc_stats(
                 _LOG, "streaming_embedding_ingest", batch_id, cc_stats
             )
-            losers = comp.filter(F.col("doc") != F.col("label"))
+            losers = comp
             survivors = survivors.join(
                 losers.select(F.col("doc").alias("__drop")),
                 survivors[id_col] == F.col("__drop"),
