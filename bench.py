@@ -182,8 +182,13 @@ def compute_deltas(
     deflates throughput — the correction runs the other way); round 16's
     committed warm artifact read eps_pure −33.1% purely from window,
     exactly the false alarm the calib machinery exists to kill
-    (round-16 verdict #2). ``delta_basis`` records the basis per group;
-    either side missing a ratio falls back to raw for that group. The
+    (round-16 verdict #2). Ratios are CLAMPED at 1.0 on both sides
+    (round-17 verdict #3/#5, php_ec_spark.calib.norm_ratio): a window
+    at-or-below the quiet reference has no load to correct for, and
+    dividing by < 1 inflated r17's normalized times enough to flip two
+    raw improvements into "+14%/+25%" regressions. ``delta_basis``
+    records the basis per group; either side missing a ratio falls back
+    to raw for that group. The
     32-core probe under-sees the contention a single-thread component
     rides (documented ±8% residual even between same-day quiet
     windows), so eps deltas under ~20% are window noise either way —
@@ -201,7 +206,9 @@ def compute_deltas(
     if prev_ratio and calib_ratio:
         delta_basis["queries"] = "normalized"
         delta_basis["eps"] = "normalized"
-        cur_scale, prev_scale = calib_ratio, prev_ratio
+        # clamp (see docstring): quiet-or-better windows compare raw
+        cur_scale = max(calib_ratio, 1.0)
+        prev_scale = max(prev_ratio, 1.0)
     for name, t in timings.items():
         if name in prev_q and prev_q[name]:
             deltas[name] = round(
@@ -505,6 +512,7 @@ def main() -> None:
         CALIB_REF_SEC,
         WARM_RATIO,
         calib_probe,
+        norm_ratio,
         window_stamp,
     )
     from php_ec_spark.engine import correlate_state_machine
@@ -723,6 +731,12 @@ def main() -> None:
     calib_sec = min(calib_rounds)
     calib_ratio = round(calib_sec / CALIB_REF_SEC, 3)
     window = window_stamp(calib_ratio)
+    # normalization divisor: the ratio clamped at 1.0 (round-17 verdict
+    # #3/#5 — a quieter-than-reference window has no load to correct
+    # for; dividing by < 1 inflated r17's normalized times and flipped
+    # raw improvements into normalized regressions). The RAW ratio still
+    # rides calib.ratio below for window classification and audit.
+    nratio = norm_ratio(calib_ratio) if calib_ratio else 0.0
     print(f"# calib: {calib_sec:.3f}s vs ref {CALIB_REF_SEC:.3f}s -> "
           f"ratio {calib_ratio} ({window} window; per-round "
           f"{calib_rounds})", file=sys.stderr)
@@ -752,13 +766,13 @@ def main() -> None:
         # trend number — raw totals from differently-loaded windows are
         # not comparable (round-13 verdict #2a). Read trend lines off
         # this field; read absolute cost off `value` + `window`.
-        "value_normalized": round(total / calib_ratio, 3) if calib_ratio
+        "value_normalized": round(total / nratio, 3) if nratio
         else None,
         "unit": "sec",
         "queries": timings,
         "queries_normalized": {
-            name: round(t / calib_ratio, 3) for name, t in timings.items()
-        } if calib_ratio else None,
+            name: round(t / nratio, 3) for name, t in timings.items()
+        } if nratio else None,
         "state_machine_eps": round(eps),
         "state_machine_eps_pure": round(eps_pure),
         # window-corrected throughput (eps × calib.ratio — a loaded
@@ -769,18 +783,31 @@ def main() -> None:
         # 32-core probe under-sees what a single-thread component rides
         # (±8% spread between same-day quiet windows) — adjudicate
         # regressions off plan_fp/byte metrics, not eps.
-        "eps_normalized": round(eps * calib_ratio) if calib_ratio
+        "eps_normalized": round(eps * nratio) if nratio
         else None,
-        "eps_pure_normalized": round(eps_pure * calib_ratio) if calib_ratio
+        "eps_pure_normalized": round(eps_pure * nratio) if nratio
         else None,
         # 12-hex digest over sorted per-query (shuffle bytes, tasks) —
         # the load-INDEPENDENT plan identity, readable from the compact
         # artifact alone (round-16 verdict #1: the byte metrics lived
         # only in the sidecar; a reader of BENCH_rN.json saw nothing but
         # window-hostage seconds). Equal fp across rounds = zero plan
-        # drift; bench_trend's default table flags changes.
+        # drift; bench_trend's default table flags changes. CORE-COUNT-
+        # SPECIFIC: task counts encode the effective parallelism, so a
+        # different $SPARK_GRAFT_CPUS run legitimately carries a
+        # different fp — compare fps only between runs whose
+        # default_parallelism matches (round-17 verdict #2).
         "plan_fp": plan_fingerprint(metrics_out),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # effective core configuration (round-17 verdict #2): the driver
+        # re-runs the bench at a lower $SPARK_GRAFT_CPUS to measure
+        # scaling, and its heuristic flagged the flat sf0.1 ratios as
+        # "cpus ignored" — the artifact now PROVES which master /
+        # parallelism actually took effect, so a flat ratio reads as
+        # what it is (per-job overhead dominating at small SF), not as
+        # a dishonored knob.
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         # external-load audit trail: a loaded window is machine-detectable
         # (load_start is the 1-min loadavg after the settle gate — the
         # bench's own 32-thread work dominates load_end, so load_start is

@@ -44,6 +44,15 @@ from pyspark.sql import functions as F
 #: min 0.486 s / median 0.517 s at shuffle.partitions=32;
 #: min 0.522 s at shuffle.partitions=8 (same window) — the ~7% residual
 #: spread is within the quiet band LOADED_RATIO tolerates.
+#: Re-baseline evaluated 2026-08-18 (round 18, verdict #5): the box's
+#: quiet floor itself drifts between adjacent hours — dedicated 12-round
+#: probes measured min 0.491 (loadavg 0.32) and 0.677 (loadavg 0.24)
+#: back-to-back, vs 0.423 inside round 17's record window. Moving the
+#: reference down to the all-time floor would stamp genuinely quiet
+#: hours ``warm`` and fire futile retries in the driver's unattended
+#: run; 0.49 remains the CENTRAL quiet value, and the ratio-< 1
+#: over-correction that motivated the re-baseline ask is fixed
+#: structurally by :func:`norm_ratio` instead.
 CALIB_REF_SEC = 0.49
 
 #: Ratio above which a window is stamped ``loaded`` (round-12 verdict's
@@ -56,6 +65,26 @@ LOADED_RATIO = 1.3
 #: 1.0-1.15, so anything above it is no longer a trustworthy record run
 #: even though min-of-N may still rescue individual queries).
 WARM_RATIO = 1.15
+
+
+def norm_ratio(ratio: float) -> float:
+    """Ratio to DIVIDE wall-times by (multiply throughput by) when
+    normalizing: ``max(ratio, 1.0)``.
+
+    A measured ratio below 1 means the window was at least as good as
+    the quiet reference — there is no load to correct for, and dividing
+    by < 1 INFLATES times. Round 17 committed two such windows (ratios
+    0.863/0.865 — that hour's box floor ran ~14% under the reference;
+    the floor itself drifts ±20% between adjacent hours, re-measured
+    round 18: mins 0.423 / 0.491 / 0.677 across three windows), and the
+    inflation flipped two genuinely-improved queries into "+14%/+25%"
+    normalized regressions (round-17 verdict #3/#5). Clamping at 1.0
+    makes normalization a pure loaded-window correction: quiet windows
+    compare raw-to-raw, loaded windows deflate toward quiet — a raw
+    improvement measured in a quiet-or-better window can never
+    normalize into a regression. The RAW ratio still rides the artifact
+    (``calib.ratio``) for window classification and audit."""
+    return max(ratio, 1.0)
 
 
 def window_stamp(ratio: float) -> str:

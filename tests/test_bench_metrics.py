@@ -137,6 +137,8 @@ class TestOutputSplit:
             "eps_pure_normalized": 311164,
             "plan_fp": "a1b2c3d4e5f6",
             "sf": 0.1,
+            "master": "local[32]",
+            "default_parallelism": 32,
             "loadavg": {"start": 0.52, "end": 14.37},
             "calib": {
                 "sec": 0.554, "ref_sec": 0.49, "ratio": 1.131,
@@ -202,6 +204,11 @@ class TestOutputSplit:
         assert compact["plan_fp"] == "a1b2c3d4e5f6"
         assert compact["eps_normalized"] == 177373
         assert compact["eps_pure_normalized"] == 311164
+        # the effective core configuration must ride the compact line:
+        # the driver's scaling lens needs proof of which core count took
+        # effect, and plan_fp is core-count-specific (round-17 verdict #2)
+        assert compact["master"] == "local[32]"
+        assert compact["default_parallelism"] == 32
         # the sidecar line carries the fp too, so a sidecar-only reader
         # can match entries to rounds without the artifact
         assert side["plan_fp"] == "a1b2c3d4e5f6"
@@ -317,6 +324,38 @@ class TestDeltaNormalization:
             {}, 140_000, 0.0, 1.3, prev
         )
         assert -0.11 < deltas["state_machine_eps"] < -0.07
+
+    def test_quiet_window_raw_improvement_cannot_flip_sign(self):
+        """Round-17 verdict #3/#5: both r17 record runs measured ratio
+        0.863-0.865 (the box hour ran under the committed quiet
+        reference), and dividing by < 1 inflated normalized times enough
+        to flip two raw improvements (simhash −18%, top2 −10% raw) into
+        "+14%/+25%" normalized regressions. With the 1.0 clamp
+        (calib.norm_ratio), a raw improvement measured in a
+        quiet-or-better window (ratio ≤ 1) against a quiet-or-better
+        baseline compares raw-to-raw and can never read as a normalized
+        regression."""
+        prev = {
+            "queries": {"qa": 2.0},
+            "calib": {"ratio": 0.9},
+            "state_machine_eps": 100_000,
+        }
+        deltas, basis = bench.compute_deltas(
+            timings={"qa": 1.8},        # raw −10%
+            eps=110_000,                # raw +10%
+            eps_pure=0.0,
+            calib_ratio=0.863,
+            prev=prev,
+        )
+        assert basis["queries"] == "normalized"
+        assert deltas["qa"] == -0.1     # clamped: compares raw-to-raw
+        assert deltas["state_machine_eps"] == 0.1
+        # ...and a genuinely loaded current window still corrects: the
+        # clamp only kills the sub-1 inflation, not the loaded deflation
+        deltas2, _ = bench.compute_deltas(
+            {"qa": 2.34}, 0.0, 0.0, 1.3, prev  # raw +17% at ratio 1.3
+        )
+        assert deltas2["qa"] == -0.1    # 2.34/1.3 = 1.8 vs prev raw 2.0
 
     def test_missing_ratio_falls_back_to_raw(self):
         prev = {
