@@ -540,12 +540,19 @@ def dedup_index_probe(
         reliable=reliable,
         eager=True,
     )
-    # Fetch candidate texts: stored side through the doc_id-bucketed docs
-    # table (no exchange on the stored scan; only candidate ids shuffle),
-    # increment side by broadcast-semi prune — candidates are near-dups
-    # only, bounded far below the increment.
+    # Fetch candidate texts: BOTH sides by broadcast-semi prune —
+    # candidates are near-dups only, bounded far below the increment (and
+    # far below the stored corpus). The stored side formerly leaned on
+    # the doc_id-bucketed docs table to keep its scan exchange-free, but
+    # the candidate frame is RDD-backed with unknown stats and the
+    # planner disabled the bucketed read and shuffled the WHOLE stored
+    # docs table into a SortMergeJoin LeftSemi (measured in
+    # plans/r18/pipe_index_probe_before.txt: Exchange over the stored
+    # scan + Exchange over the candidate ids). The explicit broadcast
+    # makes the prune a map-side BHJ LeftSemi over the bucketed scan —
+    # zero stored-side exchange at any scale, candidate ids move once.
     idx_docs = spark.table(_t(name, "docs")).join(
-        cand.select(F.col("idx_doc").alias("doc_id")).distinct(),
+        F.broadcast(cand.select(F.col("idx_doc").alias("doc_id")).distinct()),
         "doc_id",
         "left_semi",
     )
@@ -592,8 +599,14 @@ def dedup_index_probe(
     hits = verified.select(
         F.col("inc_doc"), F.col("idx_doc").alias("near_dup_of"), "near_jaccard"
     )
+    # hits is candidate-bounded (≤ |cand| rows, ≤ |inc_ids| under
+    # matches="best" — the set already judged broadcast-safe above), but
+    # RDD-pinned lineage hides that from the planner, which shuffled the
+    # whole increment into a SortMergeJoin here (round 18, same fix as
+    # the idx_docs prune): broadcast the slim hit list so the increment
+    # side needs no exchange at any scale.
     return out.join(
-        hits, out[id_col] == hits["inc_doc"], "left"
+        F.broadcast(hits), out[id_col] == hits["inc_doc"], "left"
     ).drop("inc_doc")
 
 

@@ -1302,6 +1302,7 @@ def semdedup(
         assigned, threshold=threshold,
         vec_col=vec_col, id_col=id_col, cluster_col="cluster",
     )
+    cc_stats: dict = {}
     labels = connected_components(
         pairs.select(
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
@@ -1309,7 +1310,22 @@ def semdedup(
         max_iters=max_iters,
         reliable=reliable,
         driver_fastpath_max_edges=driver_fastpath_max_edges,
+        stats=cc_stats,
     )
+    # Fastpath-gated broadcast (round 18, same principle as the
+    # connected_components mapping hint): when the driver fastpath
+    # labeled the graph, the label frame is provably tiny (≤ 2×budget
+    # nodes, each in some pair) but RDD-backed with unknown stats, so
+    # the planner would SortMergeJoin it against the corpus-scale
+    # ``assigned`` — shuffling the corpus side TWICE (once by doc for
+    # the ranking join, once by id for the output join). Hinting both
+    # small frames keeps every corpus-scale pass shuffle-free; the
+    # unbounded star-loop output stays unhinted (the fastpath decision
+    # is made eagerly inside connected_components, so cc_stats is
+    # populated by now).
+    fastpath = "fastpath_edges" in cc_stats
+    if fastpath:
+        labels = F.broadcast(labels)
     ranked = (
         labels.join(
             assigned.select(F.col(id_col).alias("doc"), "cent_cos"), "doc"
@@ -1329,6 +1345,8 @@ def semdedup(
             "keep",
         )
     )
+    if fastpath:
+        ranked = F.broadcast(ranked)
     return (
         assigned.select(id_col, "cluster", "cent_cos")
         .join(ranked, id_col, "left")
