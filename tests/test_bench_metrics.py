@@ -14,8 +14,10 @@ deliberate choice, not a surprise in the committed artifact.
 from __future__ import annotations
 
 import bench
+import pytest
 
 
+@pytest.mark.slow
 class TestExecMetrics:
     def test_mark_delta_attributes_a_known_job(self, spark):
         em = bench._ExecMetrics(spark)

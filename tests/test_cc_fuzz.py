@@ -72,6 +72,7 @@ def _random_graph(seed: int) -> list:
 
 
 @pytest.mark.parametrize("seed", [3, 17])
+@pytest.mark.slow
 def test_connected_components_match_union_find(spark, seed):
     from php_ec_spark.operators.dedup import connected_components
     from php_ec_spark.session import release_checkpoint_caches

@@ -12,6 +12,7 @@ file feedback loop.
 
 from __future__ import annotations
 
+import pytest
 import json
 import os
 import time
@@ -205,6 +206,7 @@ class TestChainedStreaming:
         finally:
             q.stop()
 
+    @pytest.mark.slow
     def test_chain_dir_bounded_across_many_triggers(self, spark, tmp_path):
         """Retention under sustained chaining: ≥10 triggers each produce
         derived files; cleanSource=delete must keep the chain dir bounded

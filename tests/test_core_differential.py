@@ -13,6 +13,7 @@ plan layer; this one pins the state machine itself).
 
 from __future__ import annotations
 
+import pytest
 import json
 
 from hypothesis import given, settings
@@ -256,6 +257,7 @@ def _case(draw):
 
 @given(_case())
 @settings(max_examples=2000, deadline=None)
+@pytest.mark.slow
 def test_rewritten_core_equals_flat_reference(case):
     rules, events, historical = case
     new = EngineCore(rules, "k1", historical=historical)

@@ -379,6 +379,7 @@ class TestStreamingIngest:
         finally:
             dedup_index_drop(spark, "strix")
 
+    @pytest.mark.slow
     def test_jobs_per_trigger_is_pinned(self, spark, tmp_path):
         """Round-12 verdict #4, text-door half (the embedding door's pin
         lives in test_pipeline_ops): the per-micro-batch Spark-job count
@@ -537,6 +538,7 @@ class TestStreamingIngest:
 
 
 class TestCompact:
+    @pytest.mark.slow
     def test_compact_shrinks_files_and_preserves_probes(self, spark, docs):
         """Five small appends leave five file generations per table;
         compaction rewrites each table to one generation with identical
@@ -692,6 +694,7 @@ class TestProbeDifferential:
         return out
 
     @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    @pytest.mark.slow
     def test_probe_matches_python_reference(self, spark, seed):
         base, inc = self._gen(seed)
         name = f"dfz{seed}"
@@ -732,6 +735,7 @@ class TestProbeDifferential:
 
 
 class TestDropNear:
+    @pytest.mark.slow
     def test_drop_near_drops_verified_near_dups_at_ingest(
         self, spark, tmp_path
     ):
@@ -778,6 +782,7 @@ class TestDropNear:
         finally:
             dedup_index_drop(spark, "strin")
 
+    @pytest.mark.slow
     def test_id_reuse_does_not_exempt_matches_to_old_stored_text(
         self, spark, tmp_path
     ):
@@ -843,6 +848,7 @@ class TestDropNear:
         finally:
             dedup_index_drop(spark, "didr")
 
+    @pytest.mark.slow
     def test_near_self_recrawl_drops_but_exact_recrawl_lands(
         self, spark, tmp_path
     ):
@@ -897,6 +903,7 @@ class TestDropNear:
         finally:
             dedup_index_drop(spark, "drcr")
 
+    @pytest.mark.slow
     def test_stored_match_drop_survives_replay_with_stronger_mate(
         self, spark, tmp_path
     ):
@@ -1005,6 +1012,7 @@ class TestCrashWindows:
         finally:
             dedup_index_drop(spark, "dcw")
 
+    @pytest.mark.slow
     def test_replay_does_not_wipe_landed_batches(
         self, spark, tmp_path, caplog
     ):
@@ -1089,6 +1097,7 @@ class TestCrashWindows:
 
 
 class TestBuildGeneration:
+    @pytest.mark.slow
     def test_half_rebuilt_index_fails_loudly(self, spark, docs):
         """An in-place rebuild that dies before committing the meta row
         leaves data tables stamped with a NEWER build generation than
@@ -1129,6 +1138,7 @@ class TestBuildGeneration:
 
 
 class TestProbeAllMatches:
+    @pytest.mark.slow
     def test_matches_all_returns_every_verified_match(self, spark):
         """matches='all' emits one row per verified stored match (the
         consumer ranks after filtering); 'best' keeps the single top row

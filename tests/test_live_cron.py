@@ -14,6 +14,7 @@ Two halves of Rule/Cron.php's live behavior:
 
 from __future__ import annotations
 
+import pytest
 import json
 import time
 import uuid
@@ -101,6 +102,7 @@ def test_reboot_cron_fires_on_control_message(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_onschedule_alarm_then_fire_recurrence(spark, tmp_path):
     """OnSchedule through the live engine (TimeoutRule.php:10-28 +
     Cron.php:97-113 nextRun): the scheduled rule arms on @reboot's

@@ -77,6 +77,7 @@ def test_pipeline_is_one_spark_job_shape(spark, docs):
     assert "PushedFilters: [IsNotNull(doc_id)]" in plan
 
 
+@pytest.mark.slow
 def test_curation_example_runs(spark, tmp_path):
     """examples/curation_pipeline.py end to end at sf0.001: the funnel is
     monotonically non-increasing, every stage keeps at least one doc, the
@@ -126,6 +127,7 @@ def _load_example(name: str):
     return mod
 
 
+@pytest.mark.slow
 def test_incremental_curation_example_runs(spark, capsys):
     """examples/incremental_curation.py end to end: the index survives
     two daily increments, re-crawls flag as exact dups, and the example
@@ -151,6 +153,7 @@ def test_incremental_curation_example_runs(spark, capsys):
     assert left == []
 
 
+@pytest.mark.slow
 def test_ingest_dedup_example_runs(spark, capsys):
     """examples/ingest_dedup.py end to end: the exact-dedup landing and
     the near-dup flagger both process the staged stream — parse the

@@ -235,6 +235,7 @@ class TestDedup:
             }
             assert got == want, f"threshold {tau}"
 
+    @pytest.mark.slow
     def test_reliable_pin_matches_local_checkpoint_results(self, spark, docs):
         """reliable=True (persist DISK_ONLY, lineage kept) is a pure
         durability knob — results identical to the localCheckpoint
@@ -327,6 +328,7 @@ class TestDedup:
         assert live <= 2, f"{live} pinned tables survived the loop"
         release_checkpoint_caches(spark)
 
+    @pytest.mark.slow
     def test_connected_components_reliable_deep_chain_needs_ckpt_dir(
         self, spark
     ):
@@ -769,6 +771,7 @@ class TestDedup:
         assert {r.doc_id for r in got} == {2}
         assert {r.first_doc for r in got} == {1}  # state from run 1
 
+    @pytest.mark.slow
     def test_dedup_doors_jobs_per_trigger_pinned(self, spark, tmp_path):
         """Round-13 verdict #7: the embedding-ingest and index-ingest
         doors have pinned jobs-per-trigger budgets; these two text doors
@@ -891,6 +894,7 @@ class TestSimilarity:
         recall = len(brute & approx) / len(brute)
         assert recall >= 0.9, recall
 
+    @pytest.mark.slow
     def test_ann_recall_floor_on_pinned_geometry(self, spark):
         """Round-12 verdict #5: ivf_search quality was pinned only on
         deterministic gate geometry — a kernel change that degrades
@@ -2205,6 +2209,7 @@ class TestConnectedComponents:
         rs = records({"rounds": 3, "max_iters": 3, "converged": True})
         assert [r.levelname for r in rs] == ["INFO", "WARNING"]
 
+    @pytest.mark.slow
     def test_round_telemetry(self, spark):
         """Round-13 verdict #7: stats= reports rounds used vs max_iters
         so operators sizing max_iters on real corpora read their headroom
@@ -3087,6 +3092,7 @@ class TestExactDedupKeepPolicy:
 
 
 class TestIvfCompact:
+    @pytest.mark.slow
     def test_compact_copy_defragments_and_search_matches(self, spark, tmp_path):
         """Five ivf_add increments fragment the cluster directories; the
         compacted copy has ~one file per cluster, identical rows, and
@@ -3305,6 +3311,7 @@ class TestIvfDistributedProbe:
         assert _auto_shards(1001, 15, 128_000) == 2
 
     @pytest.mark.parametrize("seed", [3, 29])
+    @pytest.mark.slow
     def test_auto_shards_matches_manual_on_skewed_geometry(
         self, spark, tmp_path, seed
     ):
@@ -3724,6 +3731,7 @@ class TestIvfDistributedProbe:
         ).count()
         assert got == 8 * 3
 
+    @pytest.mark.slow
     def test_mode_equality_fuzz(self, spark, tmp_path):
         """Seeded differential fuzz: random cluster counts / dims / NULL
         labels / fresh-and-stored query mixes / zero vectors / shard
@@ -4498,6 +4506,7 @@ class TestStreamingEmbeddingIngest:
         # a timeout must fail HERE, not as an opaque downstream assert
         assert q.awaitTermination(120), "ingest stream timed out"
 
+    @pytest.mark.slow
     def test_flag_dont_drop_lands_all_annotated(self, spark, tmp_path):
         """drop_dups=False — the text door's streaming_minhash_dedup
         shape: every row lands with dup_of/dup_cos (intra-batch losers
@@ -4544,6 +4553,7 @@ class TestStreamingEmbeddingIngest:
             for r in spark.read.parquet(str(landed)).collect()
         ) == snap
 
+    @pytest.mark.slow
     def test_ingest_dedups_lands_and_indexes_exactly_once(
         self, spark, tmp_path
     ):
@@ -4573,6 +4583,7 @@ class TestStreamingEmbeddingIngest:
             (0, 1), (1, 1),
         }
 
+    @pytest.mark.slow
     def test_full_replay_on_fresh_checkpoint_is_a_noop(self, spark, tmp_path):
         base, idx = self._build(spark, tmp_path)
         src = self._write_batches(tmp_path)
@@ -4592,6 +4603,7 @@ class TestStreamingEmbeddingIngest:
         assert after == before
         assert spark.read.parquet(f"{idx}/corpus").count() == n_before
 
+    @pytest.mark.slow
     def test_lost_journal_replay_reproduces_survivors_and_compacts(
         self, spark, tmp_path
     ):
@@ -4730,6 +4742,7 @@ class TestStreamingEmbeddingIngest:
         assert len({n for n, _, _ in doubled}) == 3  # no neighbor twice
 
     @pytest.mark.parametrize("seed", [5, 17])
+    @pytest.mark.slow
     def test_replay_invariant_fuzz(self, spark, tmp_path, seed):
         """Randomized geometry for the replay invariant: random clustered
         vectors across 3 batches with planted base-dups, cross-batch
@@ -4862,6 +4875,7 @@ class TestStreamingEmbeddingIngest:
         ivf_add(spark, idx, inc, cluster_col=ccol)
         assert spark.read.parquet(f"{idx}/corpus").count() == 16
 
+    @pytest.mark.slow
     def test_duplicate_wall_cannot_evict_genuine_neighbor(
         self, spark, tmp_path
     ):
@@ -4954,6 +4968,7 @@ class TestStreamingEmbeddingIngest:
             run_rows("dup", [(201, self._vec(0, 4.0)),
                              (201, self._vec(1, 8.0))])
 
+    @pytest.mark.slow
     def test_jobs_per_trigger_is_pinned(self, spark, tmp_path):
         """Round-12 verdict #4: the per-trigger cost opt-outs (budget-0
         broadcast, verify_clusters=False inside the door, verify_layout

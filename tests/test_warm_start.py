@@ -10,6 +10,7 @@ chains span the snapshot boundary, deadlines armed in history still fire.
 
 from __future__ import annotations
 
+import pytest
 import json
 import time
 import uuid
@@ -299,6 +300,7 @@ class TestWarmStartBoundaryFuzz:
             for r in rows
         )
 
+    @pytest.mark.slow
     def test_boundary_parity(self, spark, tmp_path):
         from hypothesis import HealthCheck, given, settings
         from hypothesis import strategies as st
