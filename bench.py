@@ -143,13 +143,27 @@ def plan_fingerprint(metrics: "dict | None") -> "str | None":
     such as the jaccard candidate count) are deliberately excluded:
     spill varies with memory pressure and telemetry rides the same dict
     without being plan structure. None when the collector was disabled.
+
+    Shuffle bytes enter the digest LOG-QUANTIZED (≈0.27%-relative
+    buckets, ``round(256·log2(x+1))``): round 18's wider jaccard shuffle
+    exposed ±45-byte COMPRESSED-size jitter between identical runs
+    (lz4 framing is not byte-deterministic across task schedules), which
+    flipped the raw-byte fp between two values and broke the
+    "equal fp = zero drift" read. Sub-0.01%-relative codec noise now
+    never moves a bucket, while any real byte regression (an extra
+    exchange, a broadcast falling back — ≥ percents, usually ×s) always
+    does; task counts stay exact.
     """
     if not metrics:
         return None
     import hashlib
+    import math
+
+    def qb(x: int) -> int:
+        return round(256 * math.log2(x + 1))
 
     basis = {
-        name: [m["shuffle_read"], m["shuffle_write"], m["tasks"]]
+        name: [qb(m["shuffle_read"]), qb(m["shuffle_write"]), m["tasks"]]
         for name, m in metrics.items()
         # a PARTIAL block (hand-salvaged legacy artifact, truncated
         # fragment) is skipped rather than crashing the caller — a

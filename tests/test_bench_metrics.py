@@ -264,11 +264,30 @@ class TestPlanFingerprint:
         noisy["qa"]["cand_pairs"] = 123_456
         assert bench.plan_fingerprint(noisy) == fp
 
+    def test_codec_jitter_does_not_flip_fp(self):
+        """Round 18: identical runs measured shuffle bytes 18,831,322 vs
+        18,831,367 (compressed-size jitter, ±2.4e-6 relative) and the
+        raw-byte fp flipped between two values. The log-quantized basis
+        must absorb sub-0.01%-relative byte noise."""
+        import copy
+
+        big = copy.deepcopy(self.M)
+        big["qa"]["shuffle_read"] = 18_831_322
+        big["qa"]["shuffle_write"] = 18_831_322
+        fp = bench.plan_fingerprint(big)
+        jit = copy.deepcopy(big)
+        jit["qa"]["shuffle_read"] = 18_831_367
+        jit["qa"]["shuffle_write"] = 18_831_367
+        assert bench.plan_fingerprint(jit) == fp
+
     def test_plan_change_changes_fp(self):
         import copy
 
         fp = bench.plan_fingerprint(self.M)
-        for field, bump in (("shuffle_read", 1), ("shuffle_write", 1),
+        # byte changes at plan-regression scale (≥ percents) and ANY
+        # task-count change flip the fp; sub-bucket byte noise does not
+        # (see test_codec_jitter_does_not_flip_fp)
+        for field, bump in (("shuffle_read", 100), ("shuffle_write", 100),
                             ("tasks", 1)):
             changed = copy.deepcopy(self.M)
             changed["qa"][field] += bump
